@@ -1,0 +1,643 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational operator surface — SURVEY.md §2.1/§2.2 parity, Spark-first.
+  *
+  * Each entry is one logical operator (or operator combination) from the
+  * reference's PrePOp set (`fpdb-plan/include/fpdb/plan/prephysical/
+  * PrePOpType.h:10-21`), expressed as a declarative DataFrame plan so
+  * Catalyst supplies pushdown, pruning, partial aggregation, and join
+  * strategy selection (SURVEY.md §4). Queries are TPC-H-derived
+  * (`resources/query/tpch/original/NN.sql`) adapted to the TESTDATA.md schema.
+  *
+  * Conventions:
+  *  - every computed column is aliased identically in the DataFrame plan and
+  *    in the DuckDB oracle SQL (driver hash-compares by column name);
+  *  - every query ends in a total ORDER BY so row order is deterministic;
+  *  - dimension tables that stay small at any scale factor (region, nation)
+  *    are broadcast explicitly; everything else is left to AQE so the plan
+  *    survives a 100x scale-up.
+  */
+object Relational {
+
+  /** TPC-H Q1: group-by aggregation with partial/final phases and AVG
+    * decomposition (reference: GroupPOp + Sum/Avg partials,
+    * `transform/PrePToPTransformerUtil.cpp:62-124`). */
+  private def q01GroupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice").as("sum_base_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        avg($"l_quantity").as("avg_qty"),
+        avg($"l_extendedprice").as("avg_price"),
+        avg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice) AS sum_base_price,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+      |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+      |  avg(l_quantity) AS avg_qty,
+      |  avg(l_extendedprice) AS avg_price,
+      |  avg(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q6: scalar aggregation, no group keys (reference: AggregatePOp
+    * partial -> Reduce final, `transform/PrePToPTransformer.cpp:222-305`).
+    * The range + equality predicates reach the parquet scan as PushedFilters.
+    */
+  private def q02ScalarAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter(
+        $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
+        $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
+      .agg(
+        sum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_rows"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_extendedprice").as("max_price"))
+  }
+
+  private val q02Sql =
+    """SELECT sum(l_extendedprice * l_discount) AS revenue,
+      |  count(*) AS n_rows,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""".stripMargin
+
+  /** Filter + project with computed expression (FilterableScanPrePOp +
+    * ProjectPrePOp): predicate and column pruning must reach the scan. */
+  private def q03FilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_quantity" > 45.0 && $"l_returnflag" === "R")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val q03Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q3 (adapted): multi-way equi hash join + group + top-K
+    * (HashJoinPrePOp, GroupPrePOp, LimitSortPrePOp). customer/orders join is
+    * shuffle/broadcast per AQE stats; the final sort+limit fuses into
+    * TakeOrderedAndProject. */
+  private def q04JoinTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+    cust.join(ord, $"c_custkey" === $"o_custkey")
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  private val q04Sql =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style star join: region -> nation -> customer -> orders ->
+    * lineitem, with broadcast of the always-small dims. Exercises the
+    * SSB-style co-located star-join shape the reference pushes storage-side
+    * (`SeparableTraits.cpp:19-27`). */
+  private def q05StarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).filter(
+      $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q05Sql =
+    """SELECT n_name,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** LEFT OUTER join (HashJoinPrePOp type LEFT + OuterJoinHelper):
+    * customers with their order counts, keeping order-less customers. */
+  private def q06LeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).filter($"o_totalprice" > 100000.0)
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("n_big_orders"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_big_orders
+      |FROM customer LEFT JOIN orders
+      |  ON c_custkey = o_custkey AND o_totalprice > 100000.0
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** RIGHT OUTER join (reference JoinType RIGHT, `JoinType.h:13-20`). */
+  private def q07RightJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+    val cust = Tables.customer(s, dir)
+    ord.join(cust, $"o_custkey" === $"c_custkey", "right")
+      .groupBy($"c_nationkey")
+      .agg(
+        count($"o_orderkey").as("n_f_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"c_nationkey")
+  }
+
+  private val q07Sql =
+    """SELECT c_nationkey, count(o_orderkey) AS n_f_orders, count(*) AS n_rows
+      |FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      |  RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** FULL OUTER join on disjoint-ish key ranges (reference JoinType FULL). */
+  private def q08FullJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = Tables.orders(s, dir).filter($"o_totalprice" > 250000.0)
+      .select($"o_orderkey".as("hi_key"), $"o_totalprice".as("hi_price"))
+    val pri = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("pri_key"), $"o_totalprice".as("pri_price"))
+    hi.join(pri, $"hi_key" === $"pri_key", "full")
+      .select(
+        coalesce($"hi_key", $"pri_key").as("okey"),
+        $"hi_price", $"pri_price")
+      .orderBy($"okey")
+  }
+
+  private val q08Sql =
+    """SELECT coalesce(hi_key, pri_key) AS okey, hi_price, pri_price
+      |FROM (SELECT o_orderkey AS hi_key, o_totalprice AS hi_price
+      |      FROM orders WHERE o_totalprice > 250000.0) hi
+      |FULL JOIN (SELECT o_orderkey AS pri_key, o_totalprice AS pri_price
+      |           FROM orders WHERE o_orderpriority = '1-URGENT') pri
+      |  ON hi_key = pri_key
+      |ORDER BY okey""".stripMargin
+
+  /** LEFT SEMI join (HashSemiJoinProbeKernel): customers having at least one
+    * urgent order — EXISTS semantics without row duplication. */
+  private def q09SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+    cust.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  private val q09Sql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** LEFT ANTI join (NOT EXISTS) — negative space in the reference (it has
+    * no ANTI type) but free in Spark; included for pipeline completeness. */
+  private def q10AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).filter($"o_totalprice" > 450000.0)
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Nested-loop theta join (NestedLoopJoinPOp): non-equi predicate, planned
+    * as BroadcastNestedLoopJoin with the tiny side broadcast. Kept
+    * deliberately small-output: parts priced above every part in their own
+    * brand's top size class. */
+  private def q11ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir)
+    val brandMax = p.groupBy($"p_brand".as("b_brand"))
+      .agg(max($"p_size").as("b_max_size"))
+    p.join(broadcast(brandMax),
+        $"p_brand" === $"b_brand" && $"p_size" < $"b_max_size" - lit(40))
+      .select($"p_partkey", $"p_brand", $"p_size", $"b_max_size")
+      .orderBy($"p_partkey")
+  }
+
+  private val q11Sql =
+    """SELECT p_partkey, p_brand, p_size, b_max_size
+      |FROM part JOIN (SELECT p_brand AS b_brand, max(p_size) AS b_max_size
+      |                FROM part GROUP BY p_brand) b
+      |  ON p_brand = b_brand AND p_size < b_max_size - 40
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Cross join (EnumerableNestedLoopJoin with TRUE predicate) on two tiny
+    * dims — the only safe cardinality for a cartesian product at any scale. */
+  private def q12CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val r = Tables.region(s, dir).select($"r_regionkey", $"r_name")
+    val n = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+    r.crossJoin(n)
+      .select($"r_regionkey", $"r_name", $"n_nationkey", $"n_name")
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  private val q12Sql =
+    """SELECT r_regionkey, r_name, n_nationkey, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
+  /** Multi-key sort, mixed ASC/DESC (SortPrePOp `:518-542`) — distributed
+    * range-partitioned SortExec replaces the reference's buffer-all sort. */
+  private def q13SortMulti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_nationkey", $"s_acctbal")
+      .orderBy($"s_nationkey".asc, $"s_acctbal".desc, $"s_suppkey".asc)
+  }
+
+  private val q13Sql =
+    """SELECT s_suppkey, s_nationkey, s_acctbal
+      |FROM supplier
+      |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC""".stripMargin
+
+  /** Top-K (LimitSortPrePOp -> TakeOrderedAndProjectExec — verify in the
+    * physical plan, SURVEY.md §4.2). */
+  private def q14TopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(25)
+  }
+
+  private val q14Sql =
+    """SELECT o_orderkey, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  /** Scalar expression surface (SURVEY.md §2.3): IN, LIKE, SUBSTR, CASE,
+    * date EXTRACT + arithmetic, CAST, IS NULL — all Catalyst built-ins. */
+  private def q15Expressions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_brand".isin("Brand#1", "Brand#11", "Brand#22") &&
+        $"p_type".like("S%"))
+      .select(
+        $"p_partkey",
+        substring($"p_name", 1, 8).as("name_prefix"),
+        when($"p_size" >= 25, "LARGE").otherwise("SMALL").as("size_class"),
+        $"p_size".cast("double").as("size_d"),
+        $"p_retailprice".isNull.as("price_is_null"))
+      .orderBy($"p_partkey")
+  }
+
+  private val q15Sql =
+    """SELECT p_partkey,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  CASE WHEN p_size >= 25 THEN 'LARGE' ELSE 'SMALL' END AS size_class,
+      |  CAST(p_size AS DOUBLE) AS size_d,
+      |  p_retailprice IS NULL AS price_is_null
+      |FROM part
+      |WHERE p_brand IN ('Brand#1','Brand#11','Brand#22')
+      |  AND p_type LIKE 'S%'
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Date arithmetic + EXTRACT (DateAdd/DateExtract,
+    * `fpdb-expression-gandiva/include/fpdb/expression/gandiva/DateAdd.h`):
+    * ship-year revenue with an interval-shifted cutoff. */
+  private def q16DateOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= add_months(lit("1995-06-01").cast("date"), -17).cast("timestamp"))
+      .groupBy(year($"l_shipdate").as("ship_year"), month($"l_shipdate").as("ship_month"))
+      .agg(sum($"l_extendedprice").as("gross"), count(lit(1)).as("n"))
+      .orderBy($"ship_year", $"ship_month")
+  }
+
+  private val q16Sql =
+    """SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
+      |  EXTRACT(month FROM l_shipdate) AS ship_month,
+      |  sum(l_extendedprice) AS gross, count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= CAST(DATE '1995-06-01' - INTERVAL 17 MONTH AS TIMESTAMP)
+      |GROUP BY 1, 2
+      |ORDER BY ship_year, ship_month""".stripMargin
+
+  /** DISTINCT (negative space in the reference — no DISTINCT aggregates —
+    * but table stakes for a pipeline engine). Includes count(distinct). */
+  private def q17Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(countDistinct($"o_orderpriority").as("n_priorities"),
+        countDistinct($"o_custkey").as("n_custs"))
+      .orderBy($"o_orderstatus")
+  }
+
+  private val q17Sql =
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_orderpriority) AS n_priorities,
+      |  count(DISTINCT o_custkey) AS n_custs
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** UNION ALL + dedup union (set ops — negative space in the reference,
+    * `SURVEY.md §2.1`, free in Spark). */
+  private def q18Union(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey")
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    big.union(urgent).distinct()
+      .orderBy($"o_custkey")
+  }
+
+  private val q18Sql =
+    """SELECT DISTINCT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') u
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Window functions (negative space in the reference; core for pipelines):
+    * rank orders per customer by price, keep top-2 (row_number) plus a
+    * running sum. */
+  private def q19Window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("run_sum", sum($"o_totalprice")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn", $"run_sum")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  private val q19Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn, run_sum FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER w AS rn,
+      |    sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) t WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** TPC-H Q12-style: join + conditional aggregation (CASE inside SUM —
+    * agg over arbitrary expression, deserializer `:618-641`). */
+  private def q20CondAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).filter(
+      $"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+      $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q20Sql =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13-style: left join + double aggregation (group on the grouped
+    * result) — two shuffle stages, the second tiny. */
+  private def q21DoubleAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  private val q21Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q15-style: agg subquery joined back on its own max (scalar
+    * subquery via join — the reference gets this through Calcite
+    * decorrelation, `Optimizer.java:129-141`). */
+  private def q22SubqueryMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+    val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
+    val sup = Tables.supplier(s, dir)
+    sup.join(rev, $"s_suppkey" === $"l_suppkey")
+      .join(broadcast(maxRev), $"total_revenue" === $"max_revenue")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  private val q22Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q14-style: promo revenue percentage — join part + conditional
+    * agg ratio (Avg-style sum/sum division, two-phase). */
+  private def q23PromoRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).filter(
+      $"l_shipdate" >= lit("1995-09-01").cast("timestamp") &&
+      $"l_shipdate" < lit("1995-10-01").cast("timestamp"))
+    val p = Tables.part(s, dir)
+    li.join(p, $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) *
+        sum(when($"p_type".like("PROMO%"), $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .otherwise(0.0)) /
+        sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
+  }
+
+  private val q23Sql =
+    """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q17-style: correlated scalar-average subquery (decorrelated to a
+    * join): revenue of small-quantity orders vs per-part average. */
+  private def q24CorrelatedAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val partAvg = li.groupBy($"l_partkey".as("ap_partkey"))
+      .agg((avg($"l_quantity") * 0.5).as("half_avg_qty"))
+    val brand = Tables.part(s, dir).filter($"p_brand" === "Brand#23")
+    li.join(broadcast(brand), $"l_partkey" === $"p_partkey")
+      .join(partAvg, $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"half_avg_qty")
+      .agg((sum($"l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  private val q24Sql =
+    """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  /** Grouping sets / rollup (negative space in reference; Spark built-in). */
+  private def q25Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  private val q25Sql =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_group_agg"      -> q01GroupAgg _,
+    "q02_scalar_agg"     -> q02ScalarAgg _,
+    "q03_filter_project" -> q03FilterProject _,
+    "q04_join_topk"      -> q04JoinTopK _,
+    "q05_star_join"      -> q05StarJoin _,
+    "q06_left_join"      -> q06LeftJoin _,
+    "q07_right_join"     -> q07RightJoin _,
+    "q08_full_join"      -> q08FullJoin _,
+    "q09_semi_join"      -> q09SemiJoin _,
+    "q10_anti_join"      -> q10AntiJoin _,
+    "q11_theta_join"     -> q11ThetaJoin _,
+    "q12_cross_join"     -> q12CrossJoin _,
+    "q13_sort_multi"     -> q13SortMulti _,
+    "q14_topk"           -> q14TopK _,
+    "q15_expressions"    -> q15Expressions _,
+    "q16_date_ops"       -> q16DateOps _,
+    "q17_distinct"       -> q17Distinct _,
+    "q18_union"          -> q18Union _,
+    "q19_window"         -> q19Window _,
+    "q20_cond_agg"       -> q20CondAgg _,
+    "q21_double_agg"     -> q21DoubleAgg _,
+    "q22_subquery_max"   -> q22SubqueryMax _,
+    "q23_promo_ratio"    -> q23PromoRatio _,
+    "q24_correlated_avg" -> q24CorrelatedAvg _,
+    "q25_rollup"         -> q25Rollup _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_group_agg"      -> q01Sql,
+    "q02_scalar_agg"     -> q02Sql,
+    "q03_filter_project" -> q03Sql,
+    "q04_join_topk"      -> q04Sql,
+    "q05_star_join"      -> q05Sql,
+    "q06_left_join"      -> q06Sql,
+    "q07_right_join"     -> q07Sql,
+    "q08_full_join"      -> q08Sql,
+    "q09_semi_join"      -> q09Sql,
+    "q10_anti_join"      -> q10Sql,
+    "q11_theta_join"     -> q11Sql,
+    "q12_cross_join"     -> q12Sql,
+    "q13_sort_multi"     -> q13Sql,
+    "q14_topk"           -> q14Sql,
+    "q15_expressions"    -> q15Sql,
+    "q16_date_ops"       -> q16Sql,
+    "q17_distinct"       -> q17Sql,
+    "q18_union"          -> q18Sql,
+    "q19_window"         -> q19Sql,
+    "q20_cond_agg"       -> q20Sql,
+    "q21_double_agg"     -> q21Sql,
+    "q22_subquery_max"   -> q22Sql,
+    "q23_promo_ratio"    -> q23Sql,
+    "q24_correlated_avg" -> q24Sql,
+    "q25_rollup"         -> q25Sql,
+  )
+}

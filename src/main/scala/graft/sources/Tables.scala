@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog layer: named parquet tables under a scale-factor directory.
+  *
+  * Mirrors the reference's catalogue (schema dirs of
+  * `fpdb-catalogue/include/fpdb/catalogue/Catalogue.h`, loaded from
+  * `resources/metadata/<schema>/schema.json`) — but Spark-native: the parquet
+  * footer IS the schema, multi-file tables are handled by
+  * `FileSourceScanExec`, and row-group min/max stats replace `zoneMap.json`
+  * (SURVEY.md §1). At cluster scale the same API points at
+  * `s3a://bucket/prefix/<table>.parquet` directories; nothing here assumes a
+  * local filesystem or a single file per table.
+  */
+object Tables {
+
+  val tpch: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** Pipeline tables beyond the reference surface (TESTDATA.md). */
+  val pipeline: Seq[String] = Seq("events", "documents", "embeddings")
+
+  val all: Seq[String] = tpch ++ pipeline
+
+  /** Path convention from TESTDATA.md; a directory of part-files works too. */
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  // Typed accessors — keeps query code terse and typo-proof.
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql(...)` works — the
+    * Spark analog of the reference's `Client::executeQuery` catalogue fetch
+    * (`fpdb-main/src/Client.cpp:118-132`).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

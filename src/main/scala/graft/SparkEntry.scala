@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Relational
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,8 +20,10 @@ object SparkEntry {
     Relational.queries("q05_star_join")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ EventStream.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracleSql
+    Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql
 }

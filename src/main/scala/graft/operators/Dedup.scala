@@ -1,0 +1,290 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` and `embeddings` — exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Hashing is md5-based throughout (not Spark's murmur `hash()`): md5 is
+  * bit-identical across engines, which makes every op here verifiable
+  * against the DuckDB oracle, and it is a Catalyst codegen'd expression so
+  * the signature computation stays inside whole-stage codegen.
+  *
+  * Scale design (100 TB):
+  *  - signature computation (minhash/simhash/fingerprints) is a narrow map —
+  *    one scan, no shuffle, embarrassingly parallel;
+  *  - candidate generation never compares all pairs: MinHash-LSH shuffles on
+  *    (band index, band hash) so only same-bucket docs meet (the classic
+  *    shingle→minhash→band→bucket-join pipeline); n-gram Jaccard shuffles on
+  *    shingle (prefix filtering would cut candidates further);
+  *  - the only O(n²) op is the *exact* embedding near-dup scan, kept as the
+  *    correctness baseline; its scale path is Similarity's bucketed ANN.
+  */
+object Dedup {
+
+  import TextAnalysis.{words, shingles}
+
+  /** Word-3-gram shingles of `text`. */
+  private def sh3: Column = shingles(words(col("text")), 3)
+
+  /** MinHash signature length and LSH banding: 16 hashes in 4 bands of 4
+    * rows — band collision prob = 1-(1-J^4)^4, steep around J≈0.6. */
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** d01 — exact dedup by content hash: group on md5(text), keep the lowest
+    * doc_id (deterministic survivor), count copies. Hash-groupBy shuffles
+    * 16-byte keys, not documents — at 100 TB the payload never moves. */
+  private def d01Exact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text").as("content_hash"))
+      .agg(min($"doc_id").as("kept_doc_id"), count(lit(1)).as("n_copies"))
+      .select($"kept_doc_id", $"n_copies")
+      .orderBy($"kept_doc_id")
+  }
+
+  private val d01Sql =
+    """SELECT min(doc_id) AS kept_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)
+      |ORDER BY kept_doc_id""".stripMargin
+
+  /** One minhash value: min over shingles of md5(seed || ':' || shingle).
+    * md5 hex strings order lexicographically identically everywhere. */
+  private def minhash(shingleCol: Column, seed: Int): Column =
+    array_min(transform(shingleCol, x => md5(concat(lit(s"$seed:"), x))))
+
+  /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sigCols = (0 until NumHashes).map(k => minhash(col("sh"), k).as(f"m$k%02d"))
+    docs.withColumn("sh", sh3)
+      .select((col("doc_id") +: sigCols): _*)
+  }
+
+  /** d02 — minhash signatures: doc_id + 16 minhash columns. */
+  private def d02MinhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** DuckDB shingle expression (1-based, end-inclusive list slices). */
+  private def duckShingles(k: Int): String =
+    s"""list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text, ' ')) - ${k - 1}),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+${k - 1}], ' ')))""".stripMargin
+
+  private val d02Sql = {
+    val sig = (0 until NumHashes)
+      .map(k => f"list_aggregate(list_transform(sh, x -> md5('$k:' || x)), 'min') AS m$k%02d")
+      .mkString(",\n  ")
+    s"""WITH s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents)
+       |SELECT doc_id,
+       |  $sig
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** d03 — MinHash-LSH candidate pairs: band the signature, md5 each band,
+    * and self-join on (band index, band hash). This is the scalable path:
+    * the shuffle key is the bucket, so candidate generation is linear in
+    * corpus size + bucket-local pairs. */
+  /** LSH candidate pairs for any (doc_id, text) frame. */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      md5(concat((0 until RowsPerBand).map(r => col(f"m${b * RowsPerBand + r}%02d")): _*))
+    }
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"),
+      col("band_hash").as("bh2"))
+    a.join(b, col("band_idx") === col("bi2") && col("band_hash") === col("bh2")
+        && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
+  private def d03MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashCandidates(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
+
+  private val d03Sql = {
+    val sig = (0 until NumHashes)
+      .map(k => f"list_aggregate(list_transform(sh, x -> md5('$k:' || x)), 'min') AS m$k%02d")
+      .mkString(",\n  ")
+    val bands = (0 until NumBands).map { b =>
+      val cat = (0 until RowsPerBand).map(r => f"m${b * RowsPerBand + r}%02d").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
+       |sig AS (SELECT doc_id, $sig FROM s),
+       |banded AS ($bands)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |  AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** SimHash width: 32 bits taken from the first 8 hex chars of md5(word). */
+  val SimhashBits = 32
+
+  /** d04 — 32-bit SimHash fingerprints: per-word md5-derived 32-bit value,
+    * per-bit frequency-weighted majority vote, reassembled as a BIGINT.
+    * One explode + one groupBy(doc_id): shuffles (doc_id, word-hash) pairs,
+    * linear at any corpus size. */
+  /** SimHash fingerprints for any (doc_id, text) frame. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"sb$j"))
+    val fp = (0 until SimhashBits)
+      .map(j => when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .withColumn("v", v)
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  private def d04Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** DuckDB: value of the first 8 hex chars of md5(word) as BIGINT
+    * (hex-char digits via strpos arithmetic — no conv() in DuckDB). */
+  private val duckWordHash: String =
+    (1 to 8).map { c =>
+      val scale = math.pow(16, 8 - c).toLong
+      s"(strpos('0123456789abcdef', substr(md5(word), $c, 1)) - 1) * $scale"
+    }.mkString(" + ")
+
+  private def duckSimhashCte: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(j => s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS sb$j")
+      .mkString(",\n    ")
+    val fp = (0 until SimhashBits)
+      .map(j => s"CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, $duckWordHash AS v FROM w),
+       |b AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $fp AS simhash FROM b)""".stripMargin
+  }
+
+  private val d04Sql =
+    s"""WITH $duckSimhashCte
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  /** d05 — SimHash near-dup pairs: hamming distance ≤ 3 over the 32-bit
+    * fingerprints (tight: the corpus shares a small vocabulary, so
+    * fingerprints are correlated and a loose radius floods). The all-pairs
+    * join is fine at verification scale; the scale path is banding the
+    * fingerprint (join on bit-chunks, same LSH shape as d03) before the
+    * exact hamming check. */
+  /** SimHash near-dup pairs at a hamming radius, for any (doc_id, text). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val fps = simhashes(docs)
+    val a = fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val b = fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  private def d05SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir), 3).orderBy(col("doc_a"), col("doc_b"))
+
+  private val d05Sql =
+    s"""WITH $duckSimhashCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d06 — exact n-gram Jaccard over candidate pairs that share at least one
+    * shingle: the shingle self-join IS the candidate generator (docs with
+    * J>0 meet on some shingle; shuffle key = shingle). J = |A∩B| / |A∪B|. */
+  /** Exact shingle-Jaccard pairs ≥ `minJ`, for any (doc_id, text) frame. */
+  def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    val docSh = docs.select(col("doc_id"), explode(sh3).as("sh"))
+    val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = docSh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh2"))
+    val inter = a.join(b, col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  private def d06JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(Tables.documents(s, dir), 0.5).orderBy(col("doc_a"), col("doc_b"))
+
+  private val d06Sql =
+    s"""WITH ds AS (SELECT doc_id, unnest(${duckShingles(3)}) AS sh FROM documents),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ds GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d07 — embedding-cosine near-dup: all pairs above cosine 0.4. Norms are
+    * computed once per vector (O(n)), not per pair; the pair scan itself is
+    * the exact O(n²) baseline — see Similarity for the bucketed scale path. */
+  private def d07EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val normed = Similarity.withNorm(Tables.embeddings(s, dir))
+    val a = normed.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"norm".as("na"))
+    val b = normed.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"norm".as("nb"))
+    a.join(b, $"vec_a" < $"vec_b")
+      .withColumn("cosine", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
+      .filter($"cosine" > 0.4)
+      .select($"vec_a", $"vec_b", $"cosine")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  private val d07Sql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.duckNorm} AS nrm FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"   -> d01Exact _,
+    "d02_minhash_sig"   -> d02MinhashSig _,
+    "d03_minhash_pairs" -> d03MinhashPairs _,
+    "d04_simhash"       -> d04Simhash _,
+    "d05_simhash_pairs" -> d05SimhashPairs _,
+    "d06_jaccard_pairs" -> d06JaccardPairs _,
+    "d07_embed_neardup" -> d07EmbedNearDup _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_exact_dedup"   -> d01Sql,
+    "d02_minhash_sig"   -> d02Sql,
+    "d03_minhash_pairs" -> d03Sql,
+    "d04_simhash"       -> d04Sql,
+    "d05_simhash_pairs" -> d05Sql,
+    "d06_jaccard_pairs" -> d06Sql,
+    "d07_embed_neardup" -> d07Sql,
+  )
+}

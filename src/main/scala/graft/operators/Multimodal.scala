@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** One media asset: opaque `binary` payload + typed metadata. */
+case class MediaRow(
+    media_id: Long, kind: String, payload: Array[Byte],
+    width: Int, height: Int, sample_rate: Int)
+
+/** Decoded features for one asset (the output shape of the decode stage). */
+case class MediaFeatures(
+    media_id: Long, kind: String, n_bytes: Long,
+    mean_byte: Double, max_byte: Int, thumb_md5: String)
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, plus the decode / feature-extract / resize / frame-sample
+  * stages of a training-data pipeline.
+  *
+  * The Spark-side plumbing is real — schema, per-partition batch iteration,
+  * deterministic outputs verified against the oracle; only the codec itself
+  * is STUBBED (this container has no image/audio libraries): `decodeStub`
+  * "decodes" a payload to its raw bytes. A real deployment swaps that one
+  * function for a JNI/javax.imageio call — nothing else changes.
+  *
+  * Payloads here are synthesized deterministically from `documents.text`
+  * (UTF-8 bytes), which keeps every byte-level result expressible in the
+  * DuckDB oracle as string functions over `text`.
+  *
+  * Scale notes: each stage is a narrow per-partition map — no shuffle, so
+  * 100 TB of video shards stream through executors at scan speed; metadata
+  * predicates (kind/width/sample_rate) are plain columns, so partition
+  * pruning and predicate pushdown still apply before any payload is touched.
+  */
+object Multimodal {
+
+  /** Deterministic media table: payload = UTF-8 bytes of `text`; kind
+    * cycles image/audio/video; plausible metadata derived from n_chars. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id".as("media_id"),
+      element_at(lit(Array("image", "audio", "video")), ($"doc_id" % 3 + 1).cast("int"))
+        .as("kind"),
+      $"text".cast("binary").as("payload"),
+      (lit(8) + ($"n_chars" % 8)).cast("int").as("width"),
+      (($"n_chars" / 8) + 1).cast("int").as("height"),
+      lit(16000).as("sample_rate"))
+  }
+
+  /** The stubbed codec: a real implementation would hand `payload` to an
+    * image/audio decoder; the deterministic fake returns the payload bytes
+    * as the "sample buffer". Signature and batch shape are what production
+    * code would use. */
+  def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+  /** m01 — metadata scan: payload untouched; pure columnar metadata. */
+  private def m01Meta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"media_id", $"kind", length($"payload").as("n_bytes"),
+        $"width", $"height", $"sample_rate")
+      .orderBy($"media_id")
+  }
+
+  private val m01Sql =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  length(text) AS n_bytes,
+      |  (8 + (n_chars % 8))::INT AS width,
+      |  ((n_chars // 8) + 1)::INT AS height,
+      |  16000 AS sample_rate
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** m02 — decode + feature extraction through the typed Dataset API:
+    * per-partition iteration (the batch shape a vectorized decoder wants),
+    * features = byte statistics of the decoded buffer + a 64-byte thumbnail
+    * hash (the "resize" stage: deterministic crop standing in for a real
+    * scaler). */
+  private def m02DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = mediaTable(s, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val buf = decodeStub(m.payload)
+        var sum = 0L; var max = 0
+        var i = 0
+        while (i < buf.length) {
+          val b = buf(i) & 0xff
+          sum += b; if (b > max) max = b
+          i += 1
+        }
+        val thumb = buf.take(64)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(thumb).map(b => f"${b & 0xff}%02x").mkString
+        MediaFeatures(m.media_id, m.kind, buf.length.toLong,
+          if (buf.isEmpty) 0.0 else sum.toDouble / buf.length, max, hex)
+      }
+    }.toDF().orderBy($"media_id")
+  }
+
+  private val m02Sql =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  length(text) AS n_bytes,
+      |  list_sum(list_transform(generate_series(1, length(text)),
+      |    i -> ascii(substr(text, i, 1))))::DOUBLE / length(text) AS mean_byte,
+      |  list_aggregate(list_transform(generate_series(1, length(text)),
+      |    i -> ascii(substr(text, i, 1))), 'max')::INT AS max_byte,
+      |  md5(substr(text, 1, 64)) AS thumb_md5
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** m03 — frame sampling: slice each payload into 3 equal frames (video
+    * keyframe extraction shape: offset arithmetic on the binary column, one
+    * output row per frame, no shuffle). */
+  private def m03FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nFrames = 3
+    mediaTable(s, dir)
+      .withColumn("frame_len", (length($"payload") / nFrames).cast("int"))
+      .withColumn("frame_idx", explode(lit((0 until nFrames).toArray)))
+      .select(
+        $"media_id", $"frame_idx",
+        expr("substring(payload, frame_idx * frame_len + 1, frame_len)").as("frame"))
+      .filter(length($"frame") > 0)
+      .select($"media_id", $"frame_idx", length($"frame").as("frame_bytes"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  private val m03Sql =
+    """WITH f AS (
+      |  SELECT doc_id AS media_id, text, (length(text) // 3) AS frame_len,
+      |    unnest([0, 1, 2]) AS frame_idx
+      |  FROM documents)
+      |SELECT media_id, frame_idx,
+      |  length(substr(text, frame_idx * frame_len + 1, frame_len)) AS frame_bytes,
+      |  md5(substr(text, frame_idx * frame_len + 1, frame_len)) AS frame_md5
+      |FROM f
+      |WHERE length(substr(text, frame_idx * frame_len + 1, frame_len)) > 0
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta"      -> m01Meta _,
+    "m02_decode_features" -> m02DecodeFeatures _,
+    "m03_frame_sample"    -> m03FrameSample _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "m01_media_meta"      -> m01Sql,
+    "m02_decode_features" -> m02Sql,
+    "m03_frame_sample"    -> m03Sql,
+  )
+}

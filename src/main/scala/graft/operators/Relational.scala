@@ -585,6 +585,182 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** INTERSECT (set op — negative space in the reference, SURVEY.md §2.1;
+    * Spark plans it as a left-semi aggregate). Customers that are both big
+    * spenders and urgent-order placers. */
+  private def q26Intersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey")
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    big.intersect(urgent).orderBy($"o_custkey")
+  }
+
+  private val q26Sql =
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** EXCEPT (set op). Big spenders that never placed an urgent order. */
+  private def q27Except(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.orders(s, dir).filter($"o_totalprice" > 300000.0)
+      .select($"o_custkey")
+    val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    big.except(urgent).orderBy($"o_custkey")
+  }
+
+  private val q27Sql =
+    """SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** TPC-H Q18-style: HAVING over a grouped aggregate, joined back to the
+    * wide tables — post-aggregation filter (Calcite plans HAVING as Filter
+    * over Aggregate; same shape here). */
+  private def q28Having(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey".as("bo_orderkey"))
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 150.0)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    ord.join(bigOrders, $"o_orderkey" === $"bo_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
+  private val q28Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey AS bo_orderkey, sum(l_quantity) AS sum_qty
+      |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0) b
+      |  ON o_orderkey = bo_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q19-style: disjunctive multi-clause predicate (OR of ANDed
+    * ranges) over a join — exercises predicate normalization; Catalyst
+    * extracts the common `l_partkey = p_partkey` conjunct so the join stays
+    * a hash join with the OR as a post-join filter. */
+  private def q29Disjunctive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(p, $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1.0, 30.0)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+          $"l_quantity".between(10.0, 40.0)) ||
+        ($"p_brand" === "Brand#34" && $"p_size".between(1, 35) &&
+          $"l_quantity".between(20.0, 50.0)))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  private val q29Sql =
+    """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue, count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1.0 AND 30.0)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10.0 AND 40.0)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20.0 AND 50.0)""".stripMargin
+
+  /** TPC-H Q21-style: stacked EXISTS + NOT EXISTS on the same table
+    * (decorrelated to semi + anti joins): lines returned by one supplier in
+    * multi-supplier orders where no other supplier's line was returned.
+    * (Q21's receipt/commit lateness predicate becomes a returnflag
+    * predicate — the testdata lineitem has no receipt/commit dates.) */
+  private def q30MultiExists(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val late = li.filter($"l_returnflag" === "R")
+    val l1 = late.select($"l_orderkey".as("k1"), $"l_suppkey".as("s1"))
+    val others = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2")).distinct()
+    val otherLate = late.select($"l_orderkey".as("k3"), $"l_suppkey".as("s3")).distinct()
+    l1
+      .join(others, $"k1" === $"k2" && $"s1" =!= $"s2", "left_semi")
+      .join(otherLate, $"k1" === $"k3" && $"s1" =!= $"s3", "left_anti")
+      .groupBy($"s1".as("suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy($"numwait".desc, $"suppkey")
+      .limit(20)
+  }
+
+  private val q30Sql =
+    """SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+      |FROM lineitem l1
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY l1.l_suppkey
+      |ORDER BY numwait DESC, suppkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-style: SUBSTRING-keyed grouping + scalar-average subquery +
+    * anti join: "rich customers with no orders", by phone prefix. */
+  private def q31SubstrAvgSub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // testdata customer has no c_phone; the last-2-digits of c_name plays
+    // the country-code role (same SUBSTRING-keyed grouping shape).
+    val cust = Tables.customer(s, dir)
+      .withColumn("cntrycode", substring($"c_name", 17, 2))
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    val ord = Tables.orders(s, dir)
+    cust
+      .join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"cntrycode")
+      .agg(count(lit(1)).as("numcust"), sum($"c_acctbal").as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  private val q31Sql =
+    """SELECT substring(c_name, 17, 2) AS cntrycode, count(*) AS numcust,
+      |  sum(c_acctbal) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY 1
+      |ORDER BY cntrycode""".stripMargin
+
+  /** SQL-text surface: the same query class submitted as ANSI SQL through
+    * `Engine.executeQuery` (reference entry point 1, `Client.cpp:94-111`) —
+    * proves a reference user can submit their SQL unchanged. */
+  private def q32SqlText(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir,
+      """SELECT n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > 0.0
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+
+  private val q32Sql =
+    """SELECT n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > 0.0
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_agg"      -> q01GroupAgg _,
     "q02_scalar_agg"     -> q02ScalarAgg _,
@@ -611,6 +787,13 @@ object Relational {
     "q23_promo_ratio"    -> q23PromoRatio _,
     "q24_correlated_avg" -> q24CorrelatedAvg _,
     "q25_rollup"         -> q25Rollup _,
+    "q26_intersect"      -> q26Intersect _,
+    "q27_except"         -> q27Except _,
+    "q28_having"         -> q28Having _,
+    "q29_disjunctive"    -> q29Disjunctive _,
+    "q30_multi_exists"   -> q30MultiExists _,
+    "q31_substr_avg_sub" -> q31SubstrAvgSub _,
+    "q32_sql_text"       -> q32SqlText _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -639,5 +822,12 @@ object Relational {
     "q23_promo_ratio"    -> q23Sql,
     "q24_correlated_avg" -> q24Sql,
     "q25_rollup"         -> q25Sql,
+    "q26_intersect"      -> q26Sql,
+    "q27_except"         -> q27Sql,
+    "q28_having"         -> q28Sql,
+    "q29_disjunctive"    -> q29Sql,
+    "q30_multi_exists"   -> q30Sql,
+    "q31_substr_avg_sub" -> q31Sql,
+    "q32_sql_text"       -> q32Sql,
   )
 }

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface beyond the reference's relational core (the reference has
+  * no string functions beyond LIKE/SUBSTR, SURVEY.md §2.3; these are
+  * green-field Spark work).
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * higher-order array functions — no UDFs — so the whole pipeline stays
+  * inside whole-stage codegen and scales linearly with document count: each
+  * op is a narrow map over the scan (no shuffle at all except final sort).
+  * At 100 TB these run as a single scan stage; the ORDER BY tails exist only
+  * for oracle determinism and would be dropped in production.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text`. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** English stopword list shared by quality scoring and language-ID. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /** Count of words that are stopwords (frequency-weighted). */
+  def stopwordHits(w: Column): Column =
+    size(filter(w, x => x.isInCollection(stopwords)))
+
+  /** t01 — token counting: whitespace tokens and BPE-ish regex tokens
+    * (letter runs / digit runs / single punctuation, the pre-tokenizer split
+    * most BPE vocabularies assume). */
+  private def t01TokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        size(words($"text")).as("n_ws_tokens"),
+        size(regexp_extract_all($"text",
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("n_re_tokens"),
+        length($"text").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_re_tokens,
+      |  length(text) AS n_chars_actual
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t02 — quality scoring: length, mean word length, stopword ratio, and a
+    * combined score — the standard cheap pre-filters of a web-scale corpus
+    * cleaning pipeline. */
+  private def t02Quality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words(col("text"))
+    val nWords = size(w)
+    val sumLen = aggregate(transform(w, x => length(x)), lit(0), (acc, x) => acc + x)
+    val stopRatio = stopwordHits(w).cast("double") / nWords
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars_actual"),
+        nWords.as("n_words"),
+        (sumLen.cast("double") / nWords).as("avg_word_len"),
+        stopRatio.as("stopword_ratio"),
+        // score: in [0,1]; long-enough docs with natural stopword density win
+        (least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5)
+          + least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)).as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  private val t02Sql = {
+    val stops = stopwords.map(x => s"'$x'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_actual,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+       |    / len(string_split(text, ' ')) AS avg_word_len,
+       |  len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       |    + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |        / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5 AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Character trigrams whose frequency anchors the language-ID heuristic. */
+  val enTrigrams: Seq[String] = Seq("the", "ing", "and", "ion", "ent")
+
+  /** Occurrences of `pat` in `text`, by the replace-and-measure identity
+    * (portable to any SQL dialect: no engine-specific count function). */
+  def occurrences(text: Column, pat: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(pat), ""))) / lit(pat.length)
+
+  /** t03 — language ID: character-n-gram + stopword heuristic. Emits the
+    * English-evidence scores and a threshold decision; scoring against one
+    * profile per language is the same single scan with more columns. */
+  private def t03LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words(col("text"))
+    val triScore = enTrigrams.map(t => occurrences(col("text"), t))
+      .reduce(_ + _).cast("double") / length(col("text"))
+    val stopScore = stopwordHits(w).cast("double") / size(w)
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id", $"lang",
+        triScore.as("trigram_score"),
+        stopScore.as("stopword_score"),
+        when(triScore + stopScore > 0.05, "en").otherwise("und").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  private val t03Sql = {
+    val stops = stopwords.map(x => s"'$x'").mkString(", ")
+    val tri = enTrigrams
+      .map(t => s"(length(text) - length(replace(text, '$t', ''))) / ${t.length}")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang,
+       |  ($tri)::DOUBLE / length(text) AS trigram_score,
+       |  len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |    / len(string_split(text, ' ')) AS stopword_score,
+       |  CASE WHEN ($tri)::DOUBLE / length(text)
+       |         + len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |           / len(string_split(text, ' ')) > 0.05
+       |       THEN 'en' ELSE 'und' END AS pred_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Word 4-gram shingles (winnowing window for fingerprints). */
+  def shingles(w: Column, k: Int): Column =
+    when(size(w) >= k,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(w, i + j)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** t04 — document fingerprinting: a whole-document content hash over
+    * whitespace-normalized text, plus a winnowing-style rolling fingerprint
+    * (min hash over the 4-gram shingle window — robust to local edits). */
+  private def t04Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val sh = shingles(words(norm), 4)
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        md5(norm).as("content_fp"),
+        array_min(transform(sh, x => md5(x))).as("winnow_fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val t04Sql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS content_fp,
+      |  list_aggregate(list_transform(
+      |    list_distinct(list_transform(
+      |      generate_series(1, len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) - 3),
+      |      i -> array_to_string(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')[i:i+3], ' '))),
+      |    x -> md5(x)), 'min') AS winnow_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_token_count" -> t01TokenCount _,
+    "t02_quality"     -> t02Quality _,
+    "t03_langid"      -> t03LangId _,
+    "t04_fingerprint" -> t04Fingerprint _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_token_count" -> t01Sql,
+    "t02_quality"     -> t02Sql,
+    "t03_langid"      -> t03Sql,
+    "t04_fingerprint" -> t04Sql,
+  )
+}

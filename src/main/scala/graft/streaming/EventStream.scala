@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.sources.Tables
+
+/** One event from the `events` table. */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Accumulating session state for streaming sessionization. */
+case class SessionState(nEvents: Long, totalValue: Double, lastTsMs: Long)
+
+/** Emitted when a streaming session times out. */
+case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
+
+/** Streaming surface — green-field relative to the reference (it has no
+  * streaming at all, SURVEY.md §2.4), built on Structured Streaming.
+  *
+  * The transforms are written against plain `DataFrame`s so the *same code*
+  * runs in batch (oracle-checked below) and on `spark.readStream` — the
+  * incremental execution, watermark-driven state eviction, and exactly-once
+  * sinks come from the engine, not from per-operator code. This is the
+  * Spark-native design: no custom micro-batch loop to maintain.
+  */
+object EventStream {
+
+  // ---- shared batch/stream transforms -----------------------------------
+
+  /** Hourly per-type stats. In streaming, apply `withWatermark` first. */
+  def hourlyStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value").as("total_value"),
+        avg($"value").as("avg_value"))
+  }
+
+  /** Streaming variant: 2h watermark bounds state; late events beyond it
+    * are dropped deterministically instead of growing executor state. */
+  def streamingHourlyStats(events: DataFrame): DataFrame =
+    hourlyStats(events.withWatermark("ts", "2 hours"))
+
+  /** Open a parquet-backed event stream (file source; in production this is
+    * a Kafka source with the same downstream plan). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    spark.readStream.schema(schema).parquet(Tables.path(dir, "events"))
+  }
+
+  /** Streaming sessionization via typed state: 30-minute inactivity gap,
+    * processing-time timeout closes the session. This is the
+    * `mapGroupsWithState` pattern for state Spark's windowed aggs can't
+    * express (variable-length sessions). `withTimeout = false` disables the
+    * clock (deterministic testing: every update still emits the running
+    * summary). */
+  def sessionize(events: Dataset[Event], withTimeout: Boolean = true): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, SessionSummary](timeoutConf) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionSummary(userId, s.nEvents, s.totalValue)
+          } else {
+            val evts = it.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(
+              prev.nEvents + evts.size,
+              prev.totalValue + evts.map(_.value).sum,
+              evts.map(_.ts.getTime).foldLeft(prev.lastTsMs)(math.max))
+            state.update(next)
+            if (withTimeout) state.setTimeoutDuration("30 minutes")
+            SessionSummary(userId, next.nEvents, next.totalValue)
+          }
+      }
+  }
+
+  // ---- batch queries (oracle-checked) -----------------------------------
+
+  /** ev01 — hourly windowed aggregation (the batch run of the streaming
+    * plan; watermarking changes nothing on complete historical data). */
+  private def ev01Hourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    hourlyStats(Tables.events(s, dir))
+      .orderBy($"hour", $"event_type")
+  }
+
+  private val ev01Sql =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n_events, sum(value) AS total_value, avg(value) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** ev02 — semi-structured props: regex field extraction from the JSON
+    * payload column (portable superset of get_json_object). */
+  private def ev02Props(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        avg($"k").as("avg_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val ev02Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |  avg(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT) AS avg_k,
+      |  max(regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ev03 — batch sessionization: 30-minute-gap sessions via time-ordered
+    * lag per user (the batch twin of `sessionize`; same session boundaries).
+    */
+  private def ev03Sessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_s", lag(unix_timestamp($"ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_s".isNull || unix_timestamp($"ts") - $"prev_s" > 1800, 1)
+          .otherwise(0))
+      .groupBy($"user_id")
+      .agg(sum($"new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  private val ev03Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    CASE WHEN lag(epoch_ns(ts) // 1000000000) OVER w IS NULL
+      |           OR (epoch_ns(ts) // 1000000000)
+      |              - lag(epoch_ns(ts) // 1000000000) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** ev04 — top users by total value (streaming-dashboard staple). */
+  private def ev04TopUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+      .orderBy($"total_value".desc, $"user_id")
+      .limit(10)
+  }
+
+  private val ev04Sql =
+    """SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+      |FROM events GROUP BY user_id
+      |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev01_hourly_stats" -> ev01Hourly _,
+    "ev02_json_props"   -> ev02Props _,
+    "ev03_sessions"     -> ev03Sessions _,
+    "ev04_top_users"    -> ev04TopUsers _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ev01_hourly_stats" -> ev01Sql,
+    "ev02_json_props"   -> ev02Sql,
+    "ev03_sessions"     -> ev03Sql,
+    "ev04_top_users"    -> ev04Sql,
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Dedup semantics on crafted inputs where ground truth is known. */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+  test("identical texts produce identical minhash signatures and a candidate pair") {
+    val d = docs(1L -> base, 2L -> base,
+      3L -> "completely different words about spark engines and columnar scans today")
+    val sigs = Dedup.minhashSignatures(d).collect().map(r => r.getLong(0) -> r.toSeq.tail)
+    assert(sigs.find(_._1 == 1L).get._2 == sigs.find(_._1 == 2L).get._2)
+    val pairs = Dedup.minhashCandidates(d).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("one-word edit still collides in some LSH band") {
+    val edited = base.replace("dog", "cat")
+    val pairs = Dedup.minhashCandidates(docs(1L -> base, 2L -> edited))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)),
+      "near-identical docs (1 of 14 words changed) should share a band")
+  }
+
+  test("simhash: identical texts get hamming 0; near texts get small hamming") {
+    val edited = base.replace("dog", "cat")
+    val d = docs(1L -> base, 2L -> base, 3L -> edited)
+    val fps = Dedup.simhashes(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    val hamming = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+    assert(hamming <= 8, s"one-word edit moved $hamming simhash bits")
+    assert(fps(1L) >= 0 && fps(1L) < (1L << 32), "fingerprint is 32-bit")
+  }
+
+  test("jaccard pairs: exact duplicate scores 1.0, disjoint docs don't appear") {
+    val d = docs(1L -> base, 2L -> base,
+      3L -> "completely different words about spark engines and columnar scans today")
+    val pairs = Dedup.jaccardPairs(d, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("minhash LSH candidates cover all very-high-jaccard pairs in testdata") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val trueHigh = Dedup.jaccardPairs(d, 0.9).select($"doc_a", $"doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(trueHigh.subsetOf(cands),
+      s"missed near-dups: ${trueHigh -- cands}")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational operator surface: every query runs, and the physical plans
+  * have the scale-critical properties (pushdown, top-k fusion, broadcast). */
+class RelationalSpec extends SparkSpec {
+
+  test("every SparkEntry query executes and yields its declared schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      // d/q/s/t/m/ev oracle compare needs stable column names — no autogen
+      assert(!df.columns.exists(_.contains("(")), s"$name leaks unaliased column names: ${df.columns.mkString(",")}")
+      df.limit(1).collect() // forces analysis + a little execution
+    }
+  }
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q02 pushes its filters into the parquet scan") {
+    val plan = SparkEntry.queries("q02_scalar_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_shipdate"), "range filter should reach the scan")
+  }
+
+  test("q03 prunes columns at the scan (ReadSchema is narrow)") {
+    val plan = SparkEntry.queries("q03_filter_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      s"scan reads more columns than the projection needs: $readSchema")
+  }
+
+  test("q14 top-k fuses into TakeOrderedAndProject") {
+    val plan = SparkEntry.queries("q14_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q05 broadcasts the small dimensions") {
+    val plan = SparkEntry.queries("q05_star_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q01 aggregates match a direct computation") {
+    import spark.implicits._
+    val row = SparkEntry.queries("q01_group_agg")(spark, sfDir)
+      .filter($"l_returnflag" === "A" && $"l_linestatus" === "F")
+      .collect().head
+    val li = Tables.lineitem(spark, sfDir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp")
+        && $"l_returnflag" === "A" && $"l_linestatus" === "F")
+    val expected = li.agg(sum($"l_quantity"), count(lit(1))).collect().head
+    assert(math.abs(row.getAs[Double]("sum_qty") - expected.getDouble(0)) < 1e-6)
+    assert(row.getAs[Long]("count_order") == expected.getLong(1))
+  }
+
+  test("Engine.executeQuery runs SQL text over the registered catalog") {
+    val df = Engine.executeQuery(spark, sfDir,
+      "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 0")
+    assert(df.collect().head.getAs[Long]("n") > 0)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine_sim expression matches the composed dot/norm formulation") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val a = e.select($"vec_id".as("ida"), $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("idb"), $"embedding".as("eb"))
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+      (CosineSimilarity.column($"ea", $"eb")
+        - Similarity.dot($"ea", $"eb")
+          / (Similarity.norm($"ea") * Similarity.norm($"eb"))).as("d"))
+      .agg(max(abs($"d"))).collect().head.getDouble(0)
+    assert(diff < 1e-12, s"expression drifts from composed math by $diff")
+  }
+
+  test("cosine_sim of a vector with itself is 1.0") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val worst = e.select(abs(CosineSimilarity.column($"embedding", $"embedding") - 1.0).as("d"))
+      .agg(max($"d")).collect().head.getDouble(0)
+    assert(worst < 1e-12)
+  }
+
+  test("cosine_sim is registered for SQL via GraftExtensions") {
+    import spark.implicits._
+    Tables.embeddings(spark, sfDir).limit(3).createOrReplaceTempView("emb_sql_test")
+    val n = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_sql_test a CROSS JOIN emb_sql_test b""".stripMargin)
+      .filter($"c".isNotNull).count()
+    assert(n == 9)
+  }
+
+  test("brute-force knn: rank 1 is the probe itself at cosine ~1") {
+    import spark.implicits._
+    val top = SparkEntry.queries("s01_knn_brute")(spark, sfDir)
+      .filter($"rank" === 1).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Long]("qid") == r.getAs[Long]("nid"), "self is nearest")
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
+  test("bucketed ANN only pairs vectors within the same sign-LSH cell") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", Similarity.bucket($"embedding").as("bkt"))
+    val buckets = e.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    SparkEntry.queries("s02_ann_bucket")(spark, sfDir).collect().foreach { r =>
+      assert(buckets(r.getAs[Long]("qid")) == buckets(r.getAs[Long]("nid")))
+    }
+  }
+}

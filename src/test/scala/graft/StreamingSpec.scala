@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.{Event, EventStream}
+
+/** Structured Streaming: the shared transforms produce identical results in
+  * batch and incremental execution. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Event(1L, ts(5), 10L, "click", 1.0, "{}"),
+    Event(2L, ts(20), 10L, "click", 2.0, "{}"),
+    Event(3L, ts(65), 11L, "view", 3.0, "{}"),
+    Event(4L, ts(70), 10L, "click", 4.0, "{}"),
+    Event(5L, ts(130), 11L, "view", 5.0, "{}"))
+
+  test("streamingHourlyStats over a memory stream equals batch hourlyStats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStream.streamingHourlyStats(input.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("hourly_test")
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.hourlyStats(sample.toDF())
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize tracks per-user state across a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStream.sessionize(input.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Update()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table("sessions_test").as[graft.streaming.SessionSummary]
+      .collect().map(s => s.user_id -> s).toMap
+    assert(out(10L).n_events == 3 && math.abs(out(10L).total_value - 7.0) < 1e-9)
+    assert(out(11L).n_events == 2 && math.abs(out(11L).total_value - 8.0) < 1e-9)
+  }
+
+  test("parquet-backed readStream plans incrementally with a watermark") {
+    val stream = EventStream.readEventStream(spark, sfDir)
+    assert(stream.isStreaming)
+    val agg = EventStream.streamingHourlyStats(stream)
+    // analysis succeeds => watermark + windowed agg are streaming-compatible
+    assert(agg.schema.fieldNames.contains("n_events"))
+  }
+}

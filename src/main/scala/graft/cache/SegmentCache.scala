@@ -1,0 +1,105 @@
+package graft.cache
+
+import scala.collection.mutable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cache key: one column-projection segment of a table — the reference's
+  * `SegmentKey` is (partition, column, byte-range)
+  * (`fpdb-cache/include/fpdb/cache/SegmentKey.h`); in Spark the natural
+  * cacheable unit is a column-pruned projection of a table (a whole-table
+  * analog of its per-partition column segment). */
+case class SegmentKey(table: String, columns: Seq[String])
+
+/** Replacement policies of the reference's segment cache
+  * (`fpdb-cache/src/policy/` — one .cpp per policy, `README.md:100`): LRU, LFU, and
+  * weighted-LFU (frequency × benefit weight — the reference weights by
+  * measured pullup-vs-pushdown time savings, `Globals.h:28-32`). Belady is
+  * omitted: it needs the future access trace (research oracle, not an
+  * operational policy). */
+sealed trait CachePolicy
+case object LRU extends CachePolicy
+case object LFU extends CachePolicy
+/** weight(key) = estimated recompute benefit per hit. */
+case class WLFU(weight: SegmentKey => Double) extends CachePolicy
+
+/** Admission/eviction bookkeeping + `persist()` as the storage mechanism.
+  *
+  * The reference's hybrid per-segment cache hands cache-hit columns and
+  * storage-fetched columns of the *same rows* to a `MergePOp`
+  * (`merge/MergeKernel.cpp:10-57`); Spark has no per-column block
+  * assembly, so per SURVEY.md §7 the *policy* (what stays resident, hit
+  * accounting, capacity, eviction order) is reproduced faithfully and the
+  * *mechanism* is `persist(MEMORY_AND_DISK)` of the projected plan — the
+  * documented deviation. On a cluster the same policy object drives which
+  * hot projections stay pinned across the job graph.
+  */
+class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
+
+  private case class Entry(df: DataFrame, sizeBytes: Long,
+      var hits: Long, var lastAccess: Long)
+
+  private val entries = mutable.LinkedHashMap.empty[SegmentKey, Entry]
+  private var clock = 0L
+  private var hitCount = 0L
+  private var missCount = 0L
+
+  def usedBytes: Long = entries.valuesIterator.map(_.sizeBytes).sum
+  def hits: Long = hitCount
+  def misses: Long = missCount
+  def keys: Seq[SegmentKey] = entries.keys.toSeq
+
+  private def sizeOf(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+
+  /** Eviction priority — evict the SMALLEST value first. */
+  private def priority(k: SegmentKey, e: Entry): Double = policy match {
+    case LRU     => e.lastAccess.toDouble
+    case LFU     => e.hits.toDouble
+    case WLFU(w) => e.hits.toDouble * w(k)
+  }
+
+  /** Get-or-compute: cache hit returns the persisted plan; miss computes
+    * `produce`, admits it if it can fit (evicting lower-priority segments),
+    * and returns it either way. */
+  def get(key: SegmentKey)(produce: => DataFrame): DataFrame = synchronized {
+    clock += 1
+    entries.get(key) match {
+      case Some(e) =>
+        hitCount += 1; e.hits += 1; e.lastAccess = clock
+        e.df
+      case None =>
+        missCount += 1
+        val df = produce
+        val size = sizeOf(df)
+        if (admit(key, size)) {
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+          entries.put(key, Entry(df, size, 1L, clock))
+        }
+        df
+    }
+  }
+
+  /** Admission: a new segment enters iff it fits after evicting every
+    * resident segment with lower priority than it would have (the
+    * reference's LFU admission compares against the eviction candidate's
+    * frequency, `fpdb-cache/src/policy/LFUCachingPolicy.cpp`). */
+  private def admit(key: SegmentKey, size: Long): Boolean = {
+    if (size > capacityBytes) return false
+    while (usedBytes + size > capacityBytes) {
+      val victim = entries.minByOption { case (k, e) => priority(k, e) }
+      victim match {
+        case Some((vk, ve)) =>
+          ve.df.unpersist(blocking = false)
+          entries.remove(vk)
+        case None => return false
+      }
+    }
+    true
+  }
+
+  def invalidateAll(): Unit = synchronized {
+    entries.valuesIterator.foreach(_.df.unpersist(blocking = false))
+    entries.clear()
+  }
+}

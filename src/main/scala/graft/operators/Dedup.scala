@@ -26,8 +26,14 @@ object Dedup {
 
   import TextAnalysis.{words, shingles}
 
-  /** Word-3-gram shingles of `text`. */
-  private def sh3: Column = shingles(words(col("text")), 3)
+  /** Bind word-3-gram shingles of `text` as a column named `sh`. Binding
+    * (rather than inlining the expression) matters: interpreted lambda
+    * bodies re-evaluate captured subexpressions per element, so shingling
+    * over an unbound split() would re-run it O(words) times per row. */
+  private def withSh3(docs: DataFrame): DataFrame =
+    docs.withColumn("w", words(col("text")))
+      .withColumn("sh", shingles(col("w"), 3))
+      .drop("w")
 
   /** MinHash signature length and LSH banding: 16 hashes in 4 bands of 4
     * rows — band collision prob = 1-(1-J^4)^4, steep around J≈0.6. */
@@ -52,16 +58,19 @@ object Dedup {
       |FROM documents GROUP BY md5(text)
       |ORDER BY kept_doc_id""".stripMargin
 
-  /** One minhash value: min over shingles of md5(seed || ':' || shingle).
-    * md5 hex strings order lexicographically identically everywhere. */
-  private def minhash(shingleCol: Column, seed: Int): Column =
-    array_min(transform(shingleCol, x => md5(concat(lit(s"$seed:"), x))))
-
-  /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15. */
+  /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15.
+    * Each minhash is min over shingles of md5(seed || ':' || shingle) —
+    * md5 hex strings order lexicographically identically everywhere.
+    * Computed by exploding shingles and running 16 codegen'd md5+min aggs
+    * (partial aggregation combines map-side, so the shuffle moves 16
+    * strings per doc per partition, not the shingles). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = (0 until NumHashes).map(k => minhash(col("sh"), k).as(f"m$k%02d"))
-    docs.withColumn("sh", sh3)
-      .select((col("doc_id") +: sigCols): _*)
+    val aggCols = (0 until NumHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("s1")))).as(f"m$k%02d"))
+    withSh3(docs)
+      .select(col("doc_id"), explode_outer(col("sh")).as("s1"))
+      .groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** d02 — minhash signatures: doc_id + 16 minhash columns. */
@@ -88,20 +97,36 @@ object Dedup {
     * and self-join on (band index, band hash). This is the scalable path:
     * the shuffle key is the bucket, so candidate generation is linear in
     * corpus size + bucket-local pairs. */
-  /** LSH candidate pairs for any (doc_id, text) frame. */
+  /** All ordered pairs (ids[i], ids[j]), i < j, of an ascending id array —
+    * the in-bucket pair generator shared by the LSH candidate queries. */
+  private def pairsWithin(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+
+  /** LSH candidate pairs for any (doc_id, text) frame.
+    *
+    * Shape: signature → band hashes → groupBy(bucket) → explode in-bucket
+    * pairs. One shuffle keyed by (band, hash), signatures computed exactly
+    * once (a self-join would recompute the 16-way md5 pipeline on both
+    * sides). Degenerate buckets (a band hash shared by k docs) cost k²/2
+    * pairs — the all-dups-identical worst case; a production guard caps
+    * bucket size the way the reference caps bloom-filter builds at 20M rows
+    * (`Globals.h:55`). */
   def minhashCandidates(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       md5(concat((0 until RowsPerBand).map(r => col(f"m${b * RowsPerBand + r}%02d")): _*))
     }
-    val banded = sigs
+    sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("band_idx").as("bi2"),
-      col("band_hash").as("bh2"))
-    a.join(b, col("band_idx") === col("bi2") && col("band_hash") === col("bh2")
-        && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .filter(col("band_hash").isNotNull) // shingle-less docs can't collide
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
   }
 
   private def d03MinhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -210,17 +235,25 @@ object Dedup {
   /** d06 — exact n-gram Jaccard over candidate pairs that share at least one
     * shingle: the shingle self-join IS the candidate generator (docs with
     * J>0 meet on some shingle; shuffle key = shingle). J = |A∩B| / |A∪B|. */
-  /** Exact shingle-Jaccard pairs ≥ `minJ`, for any (doc_id, text) frame. */
+  /** Exact shingle-Jaccard pairs ≥ `minJ`, for any (doc_id, text) frame.
+    *
+    * Candidate generation groups by shingle (the docs sharing it form the
+    * bucket) and explodes in-bucket pairs — docs with J>0 necessarily meet
+    * on some shingle. Set sizes come from a separate narrow map over the
+    * scan (no shuffle) joined back on the pair keys. */
   def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val docSh = docs.select(col("doc_id"), explode(sh3).as("sh"))
-    val sizes = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = docSh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh2"))
-    val inter = a.join(b, col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val withSh = withSh3(docs).select(col("doc_id"), col("sh").as("shs"))
+    val sizes = withSh.select(col("doc_id"), size(col("shs")).as("n_sh"))
+    val inter = withSh
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairsWithin(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a"), col("p.doc_b")).agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= minJ)
@@ -250,11 +283,11 @@ object Dedup {
     * the exact O(n²) baseline — see Similarity for the bucketed scale path. */
   private def d07EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val normed = Similarity.withNorm(Tables.embeddings(s, dir))
-    val a = normed.select($"vec_id".as("vec_a"), $"embedding".as("ea"), $"norm".as("na"))
-    val b = normed.select($"vec_id".as("vec_b"), $"embedding".as("eb"), $"norm".as("nb"))
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
     a.join(b, $"vec_a" < $"vec_b")
-      .withColumn("cosine", Similarity.dot($"ea", $"eb") / ($"na" * $"nb"))
+      .withColumn("cosine", graft.functions.CosineSimilarity.column($"ea", $"eb"))
       .filter($"cosine" > 0.4)
       .select($"vec_a", $"vec_b", $"cosine")
       .orderBy($"vec_a", $"vec_b")

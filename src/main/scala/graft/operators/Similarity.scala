@@ -65,13 +65,15 @@ object Similarity {
     * probe side is broadcast; the corpus side streams through the scan. */
   private def s01KnnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = withNorm(Tables.embeddings(s, dir))
+    val emb = Tables.embeddings(s, dir)
     val q = emb.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"norm".as("qn"))
-    val n = emb.select($"vec_id".as("nid"), $"embedding".as("ne"), $"norm".as("nn"))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val n = emb.select($"vec_id".as("nid"), $"embedding".as("ne"))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+    // cosine via the native expression: one codegen'd loop per pair, vs the
+    // interpreted zip_with/aggregate path (bit-identical numerics).
     broadcast(q).crossJoin(n)
-      .withColumn("cosine", dot($"qe", $"ne") / ($"qn" * $"nn"))
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", $"cosine")
@@ -96,14 +98,13 @@ object Similarity {
     * cell; top-3 within the cell. */
   private def s02AnnBucket(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = withNorm(Tables.embeddings(s, dir)).withColumn("bkt", bucket($"embedding"))
+    val emb = Tables.embeddings(s, dir).withColumn("bkt", bucket($"embedding"))
     val q = emb.filter($"vec_id" < 50)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"norm".as("qn"), $"bkt")
-    val n = emb.select($"vec_id".as("nid"), $"embedding".as("ne"), $"norm".as("nn"),
-      $"bkt".as("nbkt"))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bkt")
+    val n = emb.select($"vec_id".as("nid"), $"embedding".as("ne"), $"bkt".as("nbkt"))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
     q.join(n, $"bkt" === $"nbkt")
-      .withColumn("cosine", dot($"qe", $"ne") / ($"qn" * $"nn"))
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"qid", $"rank", $"nid", $"cosine")

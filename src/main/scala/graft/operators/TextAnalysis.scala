@@ -143,13 +143,20 @@ object TextAnalysis {
     * (min hash over the 4-gram shingle window — robust to local edits). */
   private def t04Fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
-    val sh = shingles(words(norm), 4)
+    // Bind each intermediate as a real column: interpreted lambda bodies
+    // re-evaluate captured subexpression trees per element, so shingling
+    // directly over the regexp_replace expression would re-run the regex
+    // O(words) times per row. After binding, hashing runs on exploded rows
+    // through codegen'd md5 with a map-side-combined min — the shuffle
+    // carries one partial min per doc per map partition.
     Tables.documents(s, dir)
-      .select(
-        $"doc_id",
-        md5(norm).as("content_fp"),
-        array_min(transform(sh, x => md5(x))).as("winnow_fp"))
+      .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
+      .withColumn("w", words($"norm"))
+      .withColumn("sh", shingles($"w", 4))
+      .select($"doc_id", md5($"norm").as("content_fp"), explode_outer($"sh").as("s"))
+      .groupBy($"doc_id", $"content_fp")
+      .agg(min(md5($"s")).as("winnow_fp"))
+      .select($"doc_id", $"content_fp", $"winnow_fp")
       .orderBy($"doc_id")
   }
 

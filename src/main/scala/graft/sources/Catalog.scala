@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Typed catalog entry — the Spark analog of the reference's
+  * `schema.json` + `stats.json` metadata directory (`README.md:61-66`,
+  * `fpdb-catalogue/include/fpdb/catalogue/CatalogueEntry.h`): name, format,
+  * declared schema, and the file shards making up the table. */
+case class TableSpec(
+    name: String,
+    format: String,               // "parquet" | "csv" | "csv.gz"
+    paths: Seq[String],
+    schema: Option[StructType],   // None => infer from footer (parquet)
+    delimiter: String = "|")
+
+/** Catalog layer: declared-schema tables over parquet or (gzipped) CSV
+  * shards — the reference's two storage formats
+  * (`fpdb-tuple/include/fpdb/tuple/FileFormatType.h:10-13`).
+  *
+  * Parquet tables self-describe via footers; CSV tables require the
+  * declared schema, exactly like the reference's catalogue JSON. Schema
+  * declarations use the same field-type vocabulary the reference accepts
+  * (int64 / double / string / boolean / date — SURVEY.md §1), parsed from a
+  * `schema.json`-shaped document.
+  */
+object Catalog {
+
+  /** Parse a reference-style schema.json:
+    * `{"name": "...", "format": "csv", "delimiter": "|",
+    *   "fields": [{"name": "l_orderkey", "type": "int64"}, ...]}` */
+  def parseTableSpec(json: String, pathsForTable: String => Seq[String]): TableSpec = {
+    val ast = JsonMethods.parse(json)
+    def str(field: String): Option[String] = ast \ field match {
+      case JString(s) => Some(s); case _ => None
+    }
+    val name = str("name").getOrElse(sys.error("schema.json: missing name"))
+    val fields = (ast \ "fields") match {
+      case JArray(fs) => fs.map { f =>
+        val fname = (f \ "name").asInstanceOf[JString].s
+        val ftype = (f \ "type").asInstanceOf[JString].s
+        StructField(fname, sparkType(ftype))
+      }
+      case _ => Nil
+    }
+    TableSpec(
+      name,
+      str("format").getOrElse("parquet"),
+      pathsForTable(name),
+      if (fields.isEmpty) None else Some(StructType(fields)),
+      str("delimiter").getOrElse("|"))
+  }
+
+  /** Reference type vocabulary → Spark types (SURVEY.md §1 table: all ints
+    * widened to int64, DECIMAL collapsed to double, DATE_MS → date). */
+  def sparkType(t: String): DataType = t.toLowerCase match {
+    case "int64" | "long" | "int" | "int32" | "integer" => LongType
+    case "double" | "decimal" | "float"                 => DoubleType
+    case "string" | "varchar" | "utf8"                  => StringType
+    case "boolean" | "bool"                             => BooleanType
+    case "date" | "date_ms"                             => DateType
+    case "timestamp"                                    => TimestampType
+    case other => sys.error(s"unsupported catalog type: $other")
+  }
+
+  /** Read one table per its spec. Multi-shard tables (`T.parquet.0 …`,
+    * `README.md:57-59`) pass all shard paths — Spark parallelizes per file
+    * split natively; `.gz` CSV decompresses transparently per file. */
+  def read(spark: SparkSession, spec: TableSpec): DataFrame = spec.format match {
+    case "parquet" =>
+      val r = spark.read
+      spec.schema.map(r.schema).getOrElse(r).parquet(spec.paths: _*)
+    case "csv" | "csv.gz" =>
+      val schema = spec.schema.getOrElse(
+        sys.error(s"CSV table ${spec.name} requires a declared schema"))
+      spark.read
+        .schema(schema)
+        .option("delimiter", spec.delimiter)
+        .option("header", "false")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(spec.paths: _*)
+    case other => sys.error(s"unsupported format: $other")
+  }
+
+  /** Register a set of specs as temp views (SQL catalog). */
+  def register(spark: SparkSession, specs: Seq[TableSpec]): Unit =
+    specs.foreach(s => read(spark, s).createOrReplaceTempView(s.name))
+}

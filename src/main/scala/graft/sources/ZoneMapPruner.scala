@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-shard zone map: column → (min, max) over that shard's rows —
+  * the reference's `zoneMap.json` / `Partition::getZoneMap()`
+  * (`fpdb-catalogue/include/fpdb/catalogue/Partition.h:23-41`). Numeric
+  * domains only, matching the reference's pruner which evaluates predicates
+  * over min/max scalars. */
+case class ShardZoneMap(path: String, ranges: Map[String, (Double, Double)])
+
+/** Plan-time shard pruning for formats without embedded statistics (CSV).
+  *
+  * Parquet needs none of this — row-group min/max + predicate pushdown are
+  * native (assert via `PushedFilters` in `.explain`). For CSV shards the
+  * reference keeps an external `zoneMap.json` and drops partitions whose
+  * predicate simplifies to false *during plan construction*
+  * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`); this is
+  * the same: prune the file list before `spark.read` ever sees it, so the
+  * skipped shards never become input splits. On a 100 TB table with
+  * range-correlated shards (date-partitioned logs), this is the difference
+  * between scanning everything and scanning one shard.
+  */
+object ZoneMapPruner {
+
+  /** Conjunctive range predicates — the pruning-relevant subset of the
+    * reference's expression surface (its pruner likewise walks
+    * and/compare/literal nodes and gives up on anything else). */
+  sealed trait RangePred { def col: String }
+  case class Gt(col: String, v: Double) extends RangePred
+  case class Ge(col: String, v: Double) extends RangePred
+  case class Lt(col: String, v: Double) extends RangePred
+  case class Le(col: String, v: Double) extends RangePred
+  case class EqTo(col: String, v: Double) extends RangePred
+  case class Between(col: String, lo: Double, hi: Double) extends RangePred
+
+  /** Can any row of a shard with `ranges` satisfy `p`? (Unknown column →
+    * conservatively true, like the reference's unprunable fallback.) */
+  def mayMatch(ranges: Map[String, (Double, Double)], p: RangePred): Boolean =
+    ranges.get(p.col).forall { case (lo, hi) =>
+      p match {
+        case Gt(_, v)          => hi > v
+        case Ge(_, v)          => hi >= v
+        case Lt(_, v)          => lo < v
+        case Le(_, v)          => lo <= v
+        case EqTo(_, v)        => lo <= v && v <= hi
+        case Between(_, l, h)  => hi >= l && lo <= h
+      }
+    }
+
+  /** Shards that could contain rows matching ALL predicates. */
+  def prune(shards: Seq[ShardZoneMap], preds: Seq[RangePred]): Seq[ShardZoneMap] =
+    shards.filter(s => preds.forall(mayMatch(s.ranges, _)))
+
+  /** Build zone maps for an existing table by file — one aggregation over
+    * `input_file_name()`, the Spark-native way to generate the stats
+    * sidecar (run once at ingest, persist next to the data). */
+  def build(df: DataFrame, columns: Seq[String]): Seq[ShardZoneMap] = {
+    val aggs = columns.flatMap(c =>
+      Seq(min(col(c).cast("double")).as(s"min_$c"), max(col(c).cast("double")).as(s"max_$c")))
+    df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        ShardZoneMap(
+          r.getAs[String]("__file"),
+          columns.map(c => c -> (r.getAs[Double](s"min_$c"), r.getAs[Double](s"max_$c"))).toMap)
+      }.toSeq
+  }
+
+  /** Read only the shards surviving pruning, then apply the full filter
+    * (zone maps overapproximate; the residual predicate still runs). */
+  def readPruned(
+      spark: SparkSession,
+      spec: TableSpec,
+      shards: Seq[ShardZoneMap],
+      preds: Seq[RangePred],
+      residual: Option[Column] = None): DataFrame = {
+    val keep = prune(shards, preds).map(_.path)
+    val df =
+      if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // all pruned
+      else Catalog.read(spark, spec.copy(paths = keep))
+    residual.map(df.filter).getOrElse(df)
+  }
+}

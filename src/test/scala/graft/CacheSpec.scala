@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.cache.{LFU, LRU, SegmentCache, SegmentKey}
+import graft.sources.Tables
+
+/** Segment cache: hit/miss accounting, capacity admission, policy-ordered
+  * eviction over persisted column projections. */
+class CacheSpec extends SparkSpec {
+
+  private def seg(table: String, cols: String*) = SegmentKey(table, cols)
+  private def proj(table: String, cols: Seq[String]) =
+    Tables.load(spark, sfDir, table).select(cols.map(col): _*)
+
+  test("second access is a hit and reuses the same plan") {
+    val cache = new SegmentCache(capacityBytes = 1L << 30, policy = LRU)
+    val k = seg("lineitem", "l_orderkey", "l_quantity")
+    val a = cache.get(k)(proj("lineitem", k.columns))
+    val b = cache.get(k)(proj("lineitem", k.columns))
+    assert(cache.hits == 1 && cache.misses == 1)
+    assert(a eq b, "hit must return the cached DataFrame (persisted plan)")
+    assert(a.count() > 0)
+  }
+
+  // equal-size segments: single numeric columns of the same table
+  private val k1 = seg("orders", "o_orderkey")
+  private val k2 = seg("orders", "o_custkey")
+  private val k3 = seg("orders", "o_totalprice")
+
+  private def twoSegmentCache(policy: graft.cache.CachePolicy) = {
+    val bytes = proj("orders", k1.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    new SegmentCache(capacityBytes = bytes * 2 + bytes / 2, policy = policy)
+  }
+
+  test("LRU evicts the least recently used segment under pressure") {
+    val cache = twoSegmentCache(LRU)
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k2)(proj("orders", k2.columns))
+    cache.get(k1)(proj("orders", k1.columns))      // touch k1 (k2 becomes LRU)
+    cache.get(k3)(proj("orders", k3.columns))      // must evict k2
+    assert(cache.keys.contains(k1) && !cache.keys.contains(k2))
+    cache.invalidateAll()
+  }
+
+  test("LFU keeps the hot segment") {
+    val cache = twoSegmentCache(LFU)
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))      // k1 hot
+    cache.get(k2)(proj("orders", k2.columns))      // k2 cold
+    cache.get(k3)(proj("orders", k3.columns))      // evicts k2, not k1
+    assert(cache.keys.contains(k1) && !cache.keys.contains(k2))
+    cache.invalidateAll()
+  }
+
+  test("segments larger than capacity are never admitted but still compute") {
+    val cache = new SegmentCache(capacityBytes = 1, policy = LRU)
+    val k = seg("orders", "o_orderkey")
+    val df = cache.get(k)(proj("orders", k.columns))
+    assert(df.count() > 0)
+    assert(cache.keys.isEmpty)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Catalog, TableSpec, ZoneMapPruner}
+import graft.sources.ZoneMapPruner.{Between, Ge, Gt, Lt}
+import graft.sources.Tables
+
+/** Catalog layer: CSV round-trip with declared schemas, schema.json
+  * parsing, and zone-map shard pruning. */
+class SourcesSpec extends SparkSpec {
+
+  test("schema.json-style spec parses to Spark types") {
+    val spec = Catalog.parseTableSpec(
+      """{"name": "mini", "format": "csv", "delimiter": "|",
+        |  "fields": [
+        |    {"name": "k", "type": "int64"},
+        |    {"name": "price", "type": "decimal"},
+        |    {"name": "label", "type": "string"},
+        |    {"name": "d", "type": "date"}]}""".stripMargin,
+      _ => Seq("/tmp/unused"))
+    assert(spec.format == "csv" && spec.delimiter == "|")
+    val types = spec.schema.get.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types == Map("k" -> "bigint", "price" -> "double",
+      "label" -> "string", "d" -> "date"))
+  }
+
+  test("CSV shards round-trip through the catalog with full fidelity") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_csv").toFile.getAbsolutePath
+    val orig = Tables.supplier(spark, sfDir)
+    orig.repartition(3).write.option("delimiter", "|").mode("overwrite").csv(tmp)
+    val spec = TableSpec("supplier_csv", "csv", Seq(tmp),
+      Some(orig.schema), "|")
+    val back = Catalog.read(spark, spec)
+    assert(back.schema == orig.schema)
+    assert(back.count() == orig.count())
+    val sumA = orig.agg(sum($"s_acctbal")).collect().head.getDouble(0)
+    val sumB = back.agg(sum($"s_acctbal")).collect().head.getDouble(0)
+    assert(math.abs(sumA - sumB) < 1e-6)
+  }
+
+  test("zone maps prune shards at plan time and preserve results") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_zm").toFile.getAbsolutePath
+    val ord = Tables.orders(spark, sfDir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // range-partition by price so shards have disjoint-ish price ranges
+    ord.repartitionByRange(4, $"o_totalprice")
+      .write.option("delimiter", "|").mode("overwrite").csv(tmp)
+    val spec = TableSpec("orders_csv", "csv", Seq(tmp),
+      Some(ord.schema), "|")
+    val full = Catalog.read(spark, spec)
+    val zones = ZoneMapPruner.build(full, Seq("o_totalprice"))
+    assert(zones.size == 4, s"expected 4 shards, got ${zones.size}")
+
+    val preds = Seq(Gt("o_totalprice", 400000.0))
+    val kept = ZoneMapPruner.prune(zones, preds)
+    assert(kept.size < zones.size, "high-price predicate should drop shards")
+
+    val pruned = ZoneMapPruner.readPruned(spark, spec, zones, preds,
+      residual = Some($"o_totalprice" > 400000.0))
+    val expected = full.filter($"o_totalprice" > 400000.0)
+    assert(pruned.count() == expected.count())
+    assert(pruned.agg(sum($"o_orderkey")).collect().head.getLong(0)
+      == expected.agg(sum($"o_orderkey")).collect().head.getLong(0))
+  }
+
+  test("contradictory predicate prunes everything and yields empty") {
+    import spark.implicits._
+    val shards = Seq(
+      graft.sources.ShardZoneMap("a", Map("x" -> (0.0, 10.0))),
+      graft.sources.ShardZoneMap("b", Map("x" -> (10.0, 20.0))))
+    assert(ZoneMapPruner.prune(shards, Seq(Gt("x", 25.0))).isEmpty)
+    assert(ZoneMapPruner.prune(shards, Seq(Between("x", 5.0, 15.0))).size == 2)
+    assert(ZoneMapPruner.prune(shards, Seq(Lt("x", 5.0))).map(_.path) == Seq("a"))
+    // unknown column stays conservative
+    assert(ZoneMapPruner.prune(shards, Seq(Ge("y", 99.0))).size == 2)
+  }
+}

@@ -22,6 +22,11 @@ case object LRU extends CachePolicy
 case object LFU extends CachePolicy
 /** weight(key) = estimated recompute benefit per hit. */
 case class WLFU(weight: SegmentKey => Double) extends CachePolicy
+/** Belady/MIN — the reference's offline oracle policy
+  * (`BeladyCachingPolicy.cpp`): evict the segment whose next use lies
+  * farthest in the known future access trace (one entry per `get` call,
+  * in order). Benchmarking aid, not an operational policy. */
+case class Belady(futureTrace: Seq[SegmentKey]) extends CachePolicy
 
 /** Admission/eviction bookkeeping + `persist()` as the storage mechanism.
   *
@@ -57,6 +62,10 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
     case LRU     => e.lastAccess.toDouble
     case LFU     => e.hits.toDouble
     case WLFU(w) => e.hits.toDouble * w(k)
+    case Belady(trace) =>
+      // clock = accesses so far; the next use of k at/after this point
+      val next = trace.indexWhere(_ == k, math.min(clock, Int.MaxValue).toInt)
+      if (next < 0) Double.NegativeInfinity else -next.toDouble
   }
 
   /** Get-or-compute: cache hit returns the persisted plan; miss computes

@@ -31,7 +31,8 @@ object Dedup {
     * bodies re-evaluate captured subexpressions per element, so shingling
     * over an unbound split() would re-run it O(words) times per row. */
   private def withSh3(docs: DataFrame): DataFrame =
-    docs.withColumn("w", words(col("text")))
+    Tables.spread(docs)
+      .withColumn("w", words(col("text")))
       .withColumn("sh", shingles(col("w"), 3))
       .drop("w")
 
@@ -97,12 +98,16 @@ object Dedup {
     * and self-join on (band index, band hash). This is the scalable path:
     * the shuffle key is the bucket, so candidate generation is linear in
     * corpus size + bucket-local pairs. */
-  /** All ordered pairs (ids[i], ids[j]), i < j, of an ascending id array —
-    * the in-bucket pair generator shared by the LSH candidate queries. */
-  private def pairsWithin(ids: Column): Column =
-    flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + lit(2), size(ids)),
-        y => struct(x.as("doc_a"), y.as("doc_b")))))
+  /** All ordered pairs (ids[i], ids[j]), i < j, from a frame holding an
+    * ascending-id array column `ids` — the in-bucket pair generator shared
+    * by the candidate queries. Two chained generators (posexplode, then
+    * explode over a slice) keep the whole expansion inside codegen; a
+    * lambda-based transform/flatten would run interpreted per element. */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
 
   /** LSH candidate pairs for any (doc_id, text) frame.
     *
@@ -118,15 +123,13 @@ object Dedup {
     val bandCols = (0 until NumBands).map { b =>
       md5(concat((0 until RowsPerBand).map(r => col(f"m${b * RowsPerBand + r}%02d")): _*))
     }
-    sigs
+    val buckets = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
       .filter(col("band_hash").isNotNull) // shingle-less docs can't collide
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsWithin(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    bucketPairs(buckets).distinct()
   }
 
   private def d03MinhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -166,7 +169,7 @@ object Dedup {
     val fp = (0 until SimhashBits)
       .map(j => when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
       .reduce(_ + _)
-    docs
+    Tables.spread(docs)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .withColumn("v", v)
       .groupBy(col("doc_id"))
@@ -244,13 +247,13 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val withSh = withSh3(docs).select(col("doc_id"), col("sh").as("shs"))
     val sizes = withSh.select(col("doc_id"), size(col("shs")).as("n_sh"))
-    val inter = withSh
+    val buckets = withSh
       .select(col("doc_id"), explode(col("shs")).as("sh"))
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairsWithin(col("ids"))).as("p"))
-      .groupBy(col("p.doc_a"), col("p.doc_b")).agg(count(lit(1)).as("n_inter"))
+    val inter = bucketPairs(buckets)
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
@@ -284,7 +287,9 @@ object Dedup {
   private def d07EmbedNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val a = emb.select($"vec_id".as("vec_a"), $"embedding".as("ea"))
+    // the streamed (non-broadcast) side must be spread across cores — the
+    // n² cosine loop runs in its scan stage
+    val a = Tables.spread(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
     val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
     a.join(b, $"vec_a" < $"vec_b")
       .withColumn("cosine", graft.functions.CosineSimilarity.column($"ea", $"eb"))

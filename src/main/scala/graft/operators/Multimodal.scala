@@ -80,7 +80,8 @@ object Multimodal {
     * scaler). */
   private def m02DecodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media: Dataset[MediaRow] = mediaTable(s, dir).as[MediaRow]
+    val media: Dataset[MediaRow] =
+      graft.sources.Tables.spread(mediaTable(s, dir)).as[MediaRow]
     media.mapPartitions { rows =>
       rows.map { m =>
         val buf = decodeStub(m.payload)

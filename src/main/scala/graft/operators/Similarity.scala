@@ -68,7 +68,8 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val n = emb.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    // corpus side streams through its scan stage — spread it across cores
+    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
     // cosine via the native expression: one codegen'd loop per pair, vs the
     // interpreted zip_with/aggregate path (bit-identical numerics).
@@ -133,7 +134,7 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val n = emb.select($"vec_id".as("nid"), $"embedding".as("ne"))
+    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
     broadcast(q).crossJoin(n)
       .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))

@@ -149,7 +149,7 @@ object TextAnalysis {
     // O(words) times per row. After binding, hashing runs on exploded rows
     // through codegen'd md5 with a map-side-combined min — the shuffle
     // carries one partial min per doc per map partition.
-    Tables.documents(s, dir)
+    Tables.spread(Tables.documents(s, dir))
       .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
       .withColumn("w", words($"norm"))
       .withColumn("sh", shingles($"w", 4))

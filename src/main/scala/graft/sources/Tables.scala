@@ -52,6 +52,17 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Spread a CPU-heavy pipeline's input across all cores when the source
+    * offers fewer splits than the session's parallelism. Needed because a
+    * single-row-group parquet file cannot be split finer at the scan, so
+    * e.g. per-document hashing would run on one core; on a real cluster the
+    * input split count exceeds the core count and this guard makes it a
+    * no-op (no shuffle added at scale). */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Register every table as a temp view so `spark.sql(...)` works — the
     * Spark analog of the reference's `Client::executeQuery` catalogue fetch
     * (`fpdb-main/src/Client.cpp:118-132`).

@@ -84,6 +84,13 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already seen,
+    * with state bounded by the watermark (the streaming twin of Dedup's
+    * d01: at-least-once sources → exactly-once facts). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // ---- batch queries (oracle-checked) -----------------------------------
 
   /** ev01 — hourly windowed aggregation (the batch run of the streaming

@@ -54,6 +54,39 @@ class CacheSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("W-LFU weights eviction by benefit, not just frequency") {
+    import graft.cache.WLFU
+    // k2 is accessed more, but k1's weight (recompute benefit) dominates
+    val weights = Map(k1 -> 100.0, k2 -> 1.0, k3 -> 1.0).withDefaultValue(1.0)
+    val bytes = proj("orders", k1.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val cache = new SegmentCache(bytes * 2 + bytes / 2, WLFU(weights))
+    cache.get(k1)(proj("orders", k1.columns))      // k1: 1 hit x 100
+    cache.get(k2)(proj("orders", k2.columns))
+    cache.get(k2)(proj("orders", k2.columns))
+    cache.get(k2)(proj("orders", k2.columns))      // k2: 3 hits x 1
+    cache.get(k3)(proj("orders", k3.columns))      // evicts k2 (3) not k1 (100)
+    assert(cache.keys.contains(k1) && !cache.keys.contains(k2))
+    cache.invalidateAll()
+  }
+
+  test("Belady evicts the segment used farthest in the future") {
+    import graft.cache.Belady
+    // trace: k1, k2, k3, k1 — at admission of k3 (clock 3), k1 recurs at
+    // index 3, k2 never recurs -> evict k2
+    val trace = Seq(k1, k2, k3, k1)
+    val bytes = proj("orders", k1.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val cache = new SegmentCache(bytes * 2 + bytes / 2, Belady(trace))
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k2)(proj("orders", k2.columns))
+    cache.get(k3)(proj("orders", k3.columns))
+    assert(cache.keys.contains(k1) && !cache.keys.contains(k2))
+    val df = cache.get(k1)(proj("orders", k1.columns))
+    assert(cache.hits == 1 && df.count() > 0)
+    cache.invalidateAll()
+  }
+
   test("segments larger than capacity are never admitted but still compute") {
     val cache = new SegmentCache(capacityBytes = 1, policy = LRU)
     val k = seg("orders", "o_orderkey")

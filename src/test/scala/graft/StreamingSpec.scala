@@ -55,6 +55,22 @@ class StreamingSpec extends SparkSpec {
     assert(out(11L).n_events == 2 && math.abs(out(11L).total_value - 8.0) < 1e-9)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    input.addData(sample.take(3): _*) // replay (at-least-once delivery)
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ids = spark.table("dedup_test").select($"event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
+  }
+
   test("parquet-backed readStream plans incrementally with a watermark") {
     val stream = EventStream.readEventStream(spark, sfDir)
     assert(stream.isStreaming)

@@ -98,16 +98,17 @@ object Dedup {
     * and self-join on (band index, band hash). This is the scalable path:
     * the shuffle key is the bucket, so candidate generation is linear in
     * corpus size + bucket-local pairs. */
-  /** All ordered pairs (ids[i], ids[j]), i < j, from a frame holding an
-    * ascending-id array column `ids` — the in-bucket pair generator shared
-    * by the candidate queries. Two chained generators (posexplode, then
-    * explode over a slice) keep the whole expansion inside codegen; a
-    * lambda-based transform/flatten would run interpreted per element. */
+  /** All ordered pairs (ids[i], ids[j]), i < j, from a frame holding a
+    * sorted array column `ids` (any element type), emitted as (pa, pb) —
+    * the in-bucket pair generator shared by the candidate queries. Two
+    * chained generators (posexplode, then explode over a slice) keep the
+    * whole expansion inside codegen; a lambda-based transform/flatten
+    * would run interpreted per element. */
   private def bucketPairs(buckets: DataFrame): DataFrame =
     buckets
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
-      .select(col("doc_a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "pa")))
+      .select(col("pa"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("pb"))
 
   /** LSH candidate pairs for any (doc_id, text) frame.
     *
@@ -129,7 +130,9 @@ object Dedup {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    bucketPairs(buckets).distinct()
+    bucketPairs(buckets)
+      .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      .distinct()
   }
 
   private def d03MinhashPairs(s: SparkSession, dir: String): DataFrame =
@@ -242,21 +245,20 @@ object Dedup {
     *
     * Candidate generation groups by shingle (the docs sharing it form the
     * bucket) and explodes in-bucket pairs — docs with J>0 necessarily meet
-    * on some shingle. Set sizes come from a separate narrow map over the
-    * scan (no shuffle) joined back on the pair keys. */
+    * on some shingle. Each doc's shingle-set size rides along the exploded
+    * rows as a struct field, so the whole query is one scan + two shuffles
+    * (bucket groupBy, pair groupBy) with no size joins at all. */
   def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val withSh = withSh3(docs).select(col("doc_id"), col("sh").as("shs"))
-    val sizes = withSh.select(col("doc_id"), size(col("shs")).as("n_sh"))
-    val buckets = withSh
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+    val buckets = withSh3(docs)
+      .select(struct(col("doc_id"), size(col("sh")).as("n_sh")).as("d"),
+        explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("d"))).as("ids")) // sorts by doc_id
       .filter(size(col("ids")) > 1)
-    val inter = bucketPairs(buckets)
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+    bucketPairs(buckets)
+      .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
+        col("pa.n_sh").as("n_a"), col("pb.n_sh").as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= minJ)

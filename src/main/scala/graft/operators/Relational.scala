@@ -761,6 +761,86 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q7-style volume shipping: two-role nation dimension (supplier
+    * nation × customer nation), symmetric disjunctive pair filter, yearly
+    * revenue — the two broadcast joins against the same tiny dim under
+    * different aliases. */
+  private def q33VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val n1 = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
+    li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q33Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  EXTRACT(year FROM l_shipdate) AS l_year,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8-style market share: one supplier nation's fraction of yearly
+    * revenue to one region's customers — conditional-sum ratio over a
+    * 6-table star. */
+  private def q34MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val n1 = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_regionkey".as("crk"))
+    val reg = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"sk")
+      .join(broadcast(n2), $"c_nationkey" === $"ck")
+      .join(broadcast(reg), $"crk" === $"r_regionkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg((sum(when($"supp_nation" === "NATION_5", vol).otherwise(0.0)) / sum(vol))
+        .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  private val q34Sql =
+    """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+      |  sum(CASE WHEN n1.n_name = 'NATION_5'
+      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+      |    / sum(l_extendedprice * (1.0 - l_discount)) AS mkt_share
+      |FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_agg"      -> q01GroupAgg _,
     "q02_scalar_agg"     -> q02ScalarAgg _,
@@ -794,6 +874,8 @@ object Relational {
     "q30_multi_exists"   -> q30MultiExists _,
     "q31_substr_avg_sub" -> q31SubstrAvgSub _,
     "q32_sql_text"       -> q32SqlText _,
+    "q33_volume_shipping" -> q33VolumeShipping _,
+    "q34_market_share"   -> q34MarketShare _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -829,5 +911,7 @@ object Relational {
     "q30_multi_exists"   -> q30Sql,
     "q31_substr_avg_sub" -> q31Sql,
     "q32_sql_text"       -> q32Sql,
+    "q33_volume_shipping" -> q33Sql,
+    "q34_market_share"   -> q34Sql,
   )
 }

@@ -91,6 +91,25 @@ object EventStream {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: errors within 10 minutes after a click
+    * by the same user. Watermarks bound both sides' join state; the range
+    * condition lets Spark evict rows older than the window. The same code
+    * runs in batch (ev05 below) — Catalyst plans the batch twin as an
+    * equi-join on user plus a range filter. */
+  def clickErrorCorrelation(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    def side(df: DataFrame) = if (isStreaming) df.withWatermark("ts", "1 hour") else df
+    val clicks = side(events.filter($"event_type" === "click"))
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val errors = side(events.filter($"event_type" === "error"))
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    clicks.join(errors,
+      $"c_user" === $"e_user" &&
+      $"e_ts" >= $"c_ts" &&
+      $"e_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
+  }
+
   // ---- batch queries (oracle-checked) -----------------------------------
 
   /** ev01 — hourly windowed aggregation (the batch run of the streaming
@@ -167,11 +186,28 @@ object EventStream {
       |FROM events GROUP BY user_id
       |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin
 
+  /** ev05 — the interval-join correlation in batch mode. */
+  private def ev05ClickError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clickErrorCorrelation(Tables.events(s, dir))
+      .select($"c_user".as("user_id"), $"c_id", $"e_id")
+      .orderBy($"c_id", $"e_id")
+  }
+
+  private val ev05Sql =
+    """SELECT c.user_id AS user_id, c.event_id AS c_id, e.event_id AS e_id
+      |FROM events c JOIN events e
+      |  ON c.user_id = e.user_id
+      |  AND c.event_type = 'click' AND e.event_type = 'error'
+      |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY c_id, e_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
     "ev03_sessions"     -> ev03Sessions _,
     "ev04_top_users"    -> ev04TopUsers _,
+    "ev05_click_error"  -> ev05ClickError _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -179,5 +215,6 @@ object EventStream {
     "ev02_json_props"   -> ev02Sql,
     "ev03_sessions"     -> ev03Sql,
     "ev04_top_users"    -> ev04Sql,
+    "ev05_click_error"  -> ev05Sql,
   )
 }

@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      Event(1L, ts(0), 1L, "click", 0, "{}"),
+      Event(2L, ts(5), 1L, "error", 0, "{}"),   // within 10 min of click 1
+      Event(3L, ts(20), 1L, "error", 0, "{}"),  // outside
+      Event(4L, ts(30), 2L, "click", 0, "{}"),
+      Event(5L, ts(31), 2L, "error", 0, "{}"))  // within, other user
+    val input = MemoryStream[Event]
+    input.addData(data: _*)
+    val q = EventStream.clickErrorCorrelation(input.toDF())
+      .writeStream.format("memory").queryName("corr_test")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table("corr_test")
+      .select($"c_id", $"e_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = EventStream.clickErrorCorrelation(data.toDF())
+      .select($"c_id", $"e_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((1L, 2L), (4L, 5L)))
+    assert(streamed == batch)
+  }
+
   test("parquet-backed readStream plans incrementally with a watermark") {
     val stream = EventStream.readEventStream(spark, sfDir)
     assert(stream.isStreaming)

@@ -62,16 +62,15 @@ object Dedup {
   /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15.
     * Each minhash is min over shingles of md5(seed || ':' || shingle) —
     * md5 hex strings order lexicographically identically everywhere.
-    * Computed by exploding shingles and running 16 codegen'd md5+min aggs
-    * (partial aggregation combines map-side, so the shuffle moves 16
-    * strings per doc per partition, not the shingles). */
+    * Computed by the native MinHashSignature expression: a shuffle-free
+    * narrow map (one fused hash loop per document), vs exploding shingles
+    * into a 16-aggregate groupBy. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aggCols = (0 until NumHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("s1")))).as(f"m$k%02d"))
+    val sig = graft.functions.MinHashSignature.column(col("sh"), NumHashes)
+    val sigCols = (0 until NumHashes).map(k => element_at(col("sig"), k + 1).as(f"m$k%02d"))
     withSh3(docs)
-      .select(col("doc_id"), explode_outer(col("sh")).as("s1"))
-      .groupBy(col("doc_id"))
-      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("sig", sig)
+      .select((col("doc_id") +: sigCols): _*)
   }
 
   /** d02 — minhash signatures: doc_id + 16 minhash columns. */

@@ -51,6 +51,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("MinHashSignature expression equals the composed md5/min formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir).limit(100)
+      .withColumn("w", split($"text", " "))
+      .withColumn("sh", graft.operators.TextAnalysis.shingles($"w", 3))
+    val viaExpr = d.select($"doc_id",
+      graft.functions.MinHashSignature.column($"sh", 4).as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val aggs = (0 until 4).map(k => min(md5(concat(lit(s"$k:"), $"s"))).as(s"m$k"))
+    val viaComposed = d.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(viaExpr.keySet == viaComposed.keySet)
+    viaExpr.foreach { case (id, sig) => assert(sig == viaComposed(id), s"doc $id") }
+  }
+
+  test("minhash_sig is SQL-registered via GraftExtensions") {
+    import spark.implicits._
+    graft.sources.Tables.documents(spark, sfDir).limit(5)
+      .createOrReplaceTempView("docs_mh_test")
+    val n = spark.sql(
+      """SELECT minhash_sig(split(text, ' '), 4) AS sig FROM docs_mh_test""")
+      .filter(size($"sig") === 4).count()
+    assert(n == 5)
+  }
+
   test("minhash LSH candidates cover all very-high-jaccard pairs in testdata") {
     import spark.implicits._
     val d = graft.sources.Tables.documents(spark, sfDir)

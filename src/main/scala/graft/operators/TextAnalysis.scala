@@ -130,13 +130,12 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  /** Word 4-gram shingles (winnowing window for fingerprints). */
+  /** Distinct word-k-gram shingles, via the native WordShingles expression
+    * (one fused loop; the composable
+    * `array_distinct(transform(sequence(...), ...))` formulation is
+    * semantically identical but runs interpreted — see WordShingles). */
   def shingles(w: Column, k: Int): Column =
-    when(size(w) >= k,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", (1 to k).map(j => element_at(w, i + j)): _*))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.WordShingles.column(w, k)
 
   /** t04 — document fingerprinting: a whole-document content hash over
     * whitespace-normalized text, plus a winnowing-style rolling fingerprint

@@ -146,12 +146,45 @@ object Similarity {
 
   private val s03Sql = knnOracle("q.vec_id < 20", 5)
 
+  /** s04 — IVF ANN with a trained coarse quantizer: k-means (16 cells,
+    * fixed seed) over the corpus, probes search only their own cell. This
+    * is the production shape for 100 TB ANN — train the quantizer on a
+    * sample, broadcast the centroid table, assign cells in a narrow map,
+    * and the candidate join shrinks by the cell count; multi-probe =
+    * explode each query's top-p nearest cells. KMeans isn't expressible in
+    * the DuckDB oracle, so the driver records the weaker rows-only check —
+    * SimilaritySpec asserts in-cell containment + self-retrieval instead. */
+  private def s04AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.spread(Tables.embeddings(s, dir))
+      .withColumn("features", array_to_vector($"embedding"))
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
+    val assigned = model.transform(emb)
+      .select($"vec_id", $"embedding", $"prediction".as("cell"))
+    val q = assigned.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
+    val n = assigned.select($"vec_id".as("nid"), $"embedding".as("ne"),
+      $"cell".as("ncell"))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+    q.join(n, $"cell" === $"ncell")
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
     "s03_knn_expr"   -> s03KnnExpr _,
+    "s04_ann_ivf"    -> s04AnnIvf _,
   )
 
+  /** s04 omitted: KMeans has no SQL oracle (driver falls back to the
+    * rows-only check). */
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute"  -> s01Sql,
     "s02_ann_bucket" -> s02Sql,

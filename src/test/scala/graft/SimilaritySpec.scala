@@ -50,6 +50,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN retrieves self at rank 1 within its k-means cell") {
+    import spark.implicits._
+    val res = SparkEntry.queries("s04_ann_ivf")(spark, sfDir).collect()
+    assert(res.nonEmpty)
+    res.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("qid") == r.getAs[Long]("nid"))
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9)
+    }
+  }
+
   test("bucketed ANN only pairs vectors within the same sign-LSH cell") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

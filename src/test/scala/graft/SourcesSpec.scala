@@ -40,6 +40,32 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(sumA - sumB) < 1e-6)
   }
 
+  test("gzipped CSV shards decompress transparently through the catalog") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_gz").toFile.getAbsolutePath
+    val orig = Tables.nation(spark, sfDir)
+    orig.repartition(2).write
+      .option("delimiter", "|").option("codec", "gzip")
+      .mode("overwrite").csv(tmp)
+    val back = Catalog.read(spark,
+      TableSpec("nation_gz", "csv.gz", Seq(tmp), Some(orig.schema), "|"))
+    assert(back.count() == orig.count())
+    assert(back.agg(sum($"n_nationkey")).collect().head.getLong(0)
+      == orig.agg(sum($"n_nationkey")).collect().head.getLong(0))
+  }
+
+  test("Engine SQL reaches the pipeline tables too") {
+    val df = Engine.executeQuery(spark, sfDir,
+      """SELECT lang, count(*) AS n, avg(n_chars) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+    assert(df.collect().length >= 2)
+    val knn = Engine.executeQuery(spark, sfDir,
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id
+        |LIMIT 5""".stripMargin)
+    knn.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+  }
+
   test("zone maps prune shards at plan time and preserve results") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_zm").toFile.getAbsolutePath

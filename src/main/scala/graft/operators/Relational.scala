@@ -841,6 +841,28 @@ object Relational {
       |GROUP BY 1
       |ORDER BY o_year""".stripMargin
 
+  /** Exact interpolated percentiles per group (negative space in the
+    * reference; a pipeline staple). Exact percentile sorts within each
+    * group — the 100 TB path swaps in approx_percentile (t-digest) with
+    * identical plan shape. */
+  private def q35Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q35Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_cont(l_quantity, 0.25) AS p25_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_agg"      -> q01GroupAgg _,
     "q02_scalar_agg"     -> q02ScalarAgg _,
@@ -876,6 +898,7 @@ object Relational {
     "q32_sql_text"       -> q32SqlText _,
     "q33_volume_shipping" -> q33VolumeShipping _,
     "q34_market_share"   -> q34MarketShare _,
+    "q35_percentiles"    -> q35Percentiles _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -913,5 +936,6 @@ object Relational {
     "q32_sql_text"       -> q32Sql,
     "q33_volume_shipping" -> q33Sql,
     "q34_market_share"   -> q34Sql,
+    "q35_percentiles"    -> q35Sql,
   )
 }

@@ -37,6 +37,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // managed (bucketed) tables land outside the repo checkout
+      .config("spark.sql.warehouse.dir",
+        sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
 
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()

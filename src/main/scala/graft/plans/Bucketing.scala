@@ -1,0 +1,31 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (co-located) joins — the Spark-native form of the reference's
+  * storage-side co-located hash join (`SeparableTraits.cpp:19-27`: a hash
+  * join is pushable when both inputs are partitioned on the join key at
+  * the storage tier).
+  *
+  * Writing both fact tables bucketed by the join key pins an identical
+  * hash-partitioning into the table layout; Catalyst then plans
+  * fact-fact joins WITHOUT a shuffle exchange on either side — at 100 TB
+  * the single biggest cost in a star join pipeline. The bucket count is
+  * chosen once at ingest (like the reference's fixed `numPartitions` in
+  * schema.json) and should be a multiple of the cluster's parallelism.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed managed table (parquet). */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  /** Read a bucketed table back (bucket metadata comes from the catalog). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

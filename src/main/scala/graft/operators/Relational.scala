@@ -863,6 +863,34 @@ object Relational {
       |  quantile_cont(l_quantity, 0.25) AS p25_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** TPC-H Q4-style: EXISTS-correlated aggregation — orders in a quarter
+    * having at least one line shipped after a cutoff, counted by priority
+    * (semi join feeding a group-by; Catalyst decorrelates the EXISTS). */
+  private def q36ExistsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir).filter(
+      $"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+      $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+    val late = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-06-01").cast("timestamp"))
+      .select($"l_orderkey")
+    ord.join(late, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q36Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate >= TIMESTAMP '1996-06-01 00:00:00')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_group_agg"      -> q01GroupAgg _,
     "q02_scalar_agg"     -> q02ScalarAgg _,
@@ -899,6 +927,7 @@ object Relational {
     "q33_volume_shipping" -> q33VolumeShipping _,
     "q34_market_share"   -> q34MarketShare _,
     "q35_percentiles"    -> q35Percentiles _,
+    "q36_exists_agg"     -> q36ExistsAgg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -937,5 +966,6 @@ object Relational {
     "q33_volume_shipping" -> q33Sql,
     "q34_market_share"   -> q34Sql,
     "q35_percentiles"    -> q35Sql,
+    "q36_exists_agg"     -> q36Sql,
   )
 }

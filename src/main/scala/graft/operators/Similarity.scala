@@ -176,11 +176,55 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  /** s05 — multi-probe ANN: each query probes its own sign-LSH cell plus
+    * the 4 cells at hamming distance 1 (one flipped hyperplane bit) —
+    * the standard recall/latency knob: candidate volume grows 5×, recall
+    * approaches brute force for near-boundary vectors. Deterministic and
+    * SQL-expressible, so fully oracle-checked (unlike the k-means IVF). */
+  private def s05AnnMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir).withColumn("bkt", bucket($"embedding"))
+    val probes = array((0 to 4).map {
+      case 0 => $"bkt"
+      case b => $"bkt".bitwiseXOR(lit(1 << (b - 1)))
+    }: _*)
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        explode(probes).as("probe"))
+    val n = Tables.spread(
+      emb.select($"vec_id".as("nid"), $"embedding".as("ne"), $"bkt".as("nbkt")))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+    q.join(n, $"probe" === $"nbkt")
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"nid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val s05Sql =
+    s"""WITH e AS (SELECT vec_id, embedding, $duckBucket AS bkt FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, unnest(
+       |        [bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS probe
+       |      FROM e WHERE vec_id < 50),
+       |p AS (SELECT q.qid, n.vec_id AS nid,
+       |        ${duckDot("q.qe", "n.embedding")}
+       |          / (sqrt(list_sum(list_transform(q.qe, x -> x::DOUBLE * x::DOUBLE)))
+       |             * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE)))) AS cosine
+       |      FROM q JOIN e n ON q.probe = n.bkt)
+       |SELECT qid, rank, nid, cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM p) r
+       |WHERE rank <= 3
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
     "s03_knn_expr"   -> s03KnnExpr _,
     "s04_ann_ivf"    -> s04AnnIvf _,
+    "s05_ann_multiprobe" -> s05AnnMultiprobe _,
   )
 
   /** s04 omitted: KMeans has no SQL oracle (driver falls back to the
@@ -189,5 +233,6 @@ object Similarity {
     "s01_knn_brute"  -> s01Sql,
     "s02_ann_bucket" -> s02Sql,
     "s03_knn_expr"   -> s03Sql,
+    "s05_ann_multiprobe" -> s05Sql,
   )
 }

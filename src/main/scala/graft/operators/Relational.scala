@@ -685,16 +685,22 @@ object Relational {
     * predicate — the testdata lineitem has no receipt/commit dates.) */
   private def q30MultiExists(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val late = li.filter($"l_returnflag" === "R")
-    val l1 = late.select($"l_orderkey".as("k1"), $"l_suppkey".as("s1"))
-    val others = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2")).distinct()
-    val otherLate = late.select($"l_orderkey".as("k3"), $"l_suppkey".as("s3")).distinct()
-    l1
-      .join(others, $"k1" === $"k2" && $"s1" =!= $"s2", "left_semi")
-      .join(otherLate, $"k1" === $"k3" && $"s1" =!= $"s3", "left_anti")
-      .groupBy($"s1".as("suppkey"))
-      .agg(count(lit(1)).as("numwait"))
+    import org.apache.spark.sql.expressions.Window
+    // One shuffle instead of three self-joins: aggregate to (order,
+    // supplier) grain, then per-order window counts decide the EXISTS /
+    // NOT-EXISTS conditions (suppliers-in-order > 1, exactly one supplier
+    // with a returned line) — same decorrelated semantics, 3x less data
+    // movement than the semi+anti join formulation.
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("r_cnt"))
+    val byOrder = Window.partitionBy($"l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(byOrder))
+      .withColumn("n_supp_r", sum(when($"r_cnt" > 0, 1L).otherwise(0L)).over(byOrder))
+      .filter($"r_cnt" > 0 && $"n_supp" > 1 && $"n_supp_r" === 1)
+      .groupBy($"l_suppkey".as("suppkey"))
+      .agg(sum($"r_cnt").as("numwait"))
       .orderBy($"numwait".desc, $"suppkey")
       .limit(20)
   }
@@ -847,7 +853,10 @@ object Relational {
     * identical plan shape. */
   private def q35Percentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
+    // spread: exact-percentile partials buffer value arrays, so the
+    // single-split scan would otherwise aggregate on one core
+    Tables.spread(Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_extendedprice", $"l_quantity"))
       .groupBy($"l_returnflag")
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("median_price"),

@@ -48,6 +48,17 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("no query plans an unintended CartesianProduct") {
+    val intended = Set("q12_cross_join") // tiny dims, explicit cross join
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!intended(name)) {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
+      }
+    }
+  }
+
   test("q01 aggregates match a direct computation") {
     import spark.implicits._
     val row = SparkEntry.queries("q01_group_agg")(spark, sfDir)

@@ -307,6 +307,74 @@ object Dedup {
        |WHERE ${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Connected components over a symmetric edge list by min-label
+    * propagation: each node repeatedly takes the minimum label among
+    * itself and its neighbors until fixpoint — O(component diameter)
+    * rounds, each a distributed join + aggregate (Pregel shape). Lineage
+    * is truncated every round with localCheckpoint so plans stay flat; on
+    * a cluster the same loop checkpoints to reliable storage. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = sym.join(labels, col("dst") === col("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** d08 — duplicate-group assignment: LSH candidate pairs (d03) become an
+    * edge list; each document in a duplicate cluster gets the cluster's
+    * minimum doc_id as its group — the canonical-survivor step that turns
+    * pairwise candidates into a dedup decision. */
+  private def d08DupGroups(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashCandidates(Tables.documents(s, dir))
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("label").as("group_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d08Sql = {
+    val sig = (0 until NumHashes)
+      .map(k => f"list_aggregate(list_transform(sh, x -> md5('$k:' || x)), 'min') AS m$k%02d")
+      .mkString(",\n  ")
+    val bands = (0 until NumBands).map { b =>
+      val cat = (0 until RowsPerBand).map(r => f"m${b * RowsPerBand + r}%02d").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
+       |sig AS (SELECT doc_id, $sig FROM s),
+       |banded AS ($bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id),
+       |edges(a, b) AS (
+       |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, t) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.t = e.a)
+       |SELECT src AS doc_id, min(t) AS group_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -315,6 +383,7 @@ object Dedup {
     "d05_simhash_pairs" -> d05SimhashPairs _,
     "d06_jaccard_pairs" -> d06JaccardPairs _,
     "d07_embed_neardup" -> d07EmbedNearDup _,
+    "d08_dup_groups"    -> d08DupGroups _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -325,5 +394,6 @@ object Dedup {
     "d05_simhash_pairs" -> d05Sql,
     "d06_jaccard_pairs" -> d06Sql,
     "d07_embed_neardup" -> d07Sql,
+    "d08_dup_groups"    -> d08Sql,
   )
 }

@@ -79,6 +79,15 @@ class DedupSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("connected components assigns min-id labels across chained pairs") {
+    import spark.implicits._
+    // components: {1,2,3} (chained), {7,9}, singletons excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("src", "dst")
+    val got = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("minhash LSH candidates cover all very-high-jaccard pairs in testdata") {
     import spark.implicits._
     val d = graft.sources.Tables.documents(spark, sfDir)

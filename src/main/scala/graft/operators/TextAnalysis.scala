@@ -169,11 +169,40 @@ object TextAnalysis {
       |    x -> md5(x)), 'min') AS winnow_fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** t05 — repetition/boilerplate scoring: word-frequency concentration
+    * (top-word share, distinct-word ratio) — the cheap signal that flags
+    * templated or degenerate documents in a web corpus. One explode + one
+    * two-level aggregation, both map-side combined. */
+  private def t05Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.documents(s, dir))
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("f"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"f").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max($"f").as("top_word_freq"),
+        (max($"f").cast("double") / sum($"f")).as("repetition_ratio"),
+        (count(lit(1)).cast("double") / sum($"f")).as("distinct_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  private val t05Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT doc_id, word, count(*) AS f FROM w GROUP BY 1, 2)
+      |SELECT doc_id, sum(f) AS n_words, count(*) AS n_distinct_words,
+      |  max(f) AS top_word_freq,
+      |  max(f)::DOUBLE / sum(f) AS repetition_ratio,
+      |  count(*)::DOUBLE / sum(f) AS distinct_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
     "t04_fingerprint" -> t04Fingerprint _,
+    "t05_boilerplate" -> t05Boilerplate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -181,5 +210,6 @@ object TextAnalysis {
     "t02_quality"     -> t02Sql,
     "t03_langid"      -> t03Sql,
     "t04_fingerprint" -> t04Sql,
+    "t05_boilerplate" -> t05Sql,
   )
 }

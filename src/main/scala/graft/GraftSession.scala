@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Session factory with the engine's tuned defaults.
   *
@@ -41,9 +43,30 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
 
+  /** Surfaces the engine's observed metrics (e.g. the LSH bucket-cap drop
+    * counters `graft.lsh.cap*` from `Dedup.bucketPairs`) in the log: a
+    * dropped bucket is a recall trade the operator made silently at plan
+    * level, so the run must say so. */
+  private final class GraftMetricsListener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        if (name.startsWith("graft.lsh.cap") && row.getAs[Long]("dropped_buckets") > 0L)
+          org.slf4j.LoggerFactory.getLogger("graft.lsh").warn(
+            s"$name: dropped ${row.getAs[Long]("dropped_buckets")} LSH bucket(s) " +
+              s"over the size cap (largest seen: ${row.getAs[Int]("max_bucket_size")}); " +
+              "pairs meeting only in dropped buckets are lost (recall trade)")
+      }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+  }
+
+  // getOrCreate can hand back the same session many times; register once.
+  private val listened = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   def get(appName: String): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (listened.add(spark)) spark.listenerManager.register(new GraftMetricsListener)
     spark
   }
 }

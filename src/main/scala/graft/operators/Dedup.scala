@@ -97,14 +97,36 @@ object Dedup {
     * and self-join on (band index, band hash). This is the scalable path:
     * the shuffle key is the bucket, so candidate generation is linear in
     * corpus size + bucket-local pairs. */
+  /** In-bucket pair generation is quadratic in bucket size, so degenerate
+    * buckets (one boilerplate string duplicated 10⁵ times hashes to one
+    * band bucket, costing 10¹⁰/2 pairs) need a hard cap — the reference
+    * bounds the analogous blowup by capping bloom-filter builds at 20M rows
+    * (`fpdb-executor/include/fpdb/executor/physical/Globals.h:55`). Buckets
+    * above the cap are dropped: a recall trade (pairs meeting ONLY in a
+    * degenerate bucket are lost) for a hard per-bucket work bound. In a
+    * dedup pipeline the trade is usually free — a bucket that hot is
+    * near-identical boilerplate better handled by exact dedup (d01). */
+  val MaxBucketSize = 10000
+
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
   /** All ordered pairs (ids[i], ids[j]), i < j, from a frame holding a
     * sorted array column `ids` (any element type), emitted as (pa, pb) —
     * the in-bucket pair generator shared by the candidate queries. Two
     * chained generators (posexplode, then explode over a slice) keep the
     * whole expansion inside codegen; a lambda-based transform/flatten
-    * would run interpreted per element. */
-  private def bucketPairs(buckets: DataFrame): DataFrame =
+    * would run interpreted per element.
+    *
+    * Buckets larger than `maxBucket` are dropped (see [[MaxBucketSize]]);
+    * the dropped count and the largest bucket seen ride on the query as an
+    * observed metric (`graft.lsh.cap*`), logged by the listener that
+    * [[graft.GraftSession]] registers. */
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame =
     buckets
+      .observe(s"graft.lsh.cap${obsId.incrementAndGet()}",
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket_size"))
+      .filter(size(col("ids")) <= maxBucket)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "pa")))
       .select(col("pa"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("pb"))
@@ -114,11 +136,10 @@ object Dedup {
     * Shape: signature → band hashes → groupBy(bucket) → explode in-bucket
     * pairs. One shuffle keyed by (band, hash), signatures computed exactly
     * once (a self-join would recompute the 16-way md5 pipeline on both
-    * sides). Degenerate buckets (a band hash shared by k docs) cost k²/2
-    * pairs — the all-dups-identical worst case; a production guard caps
-    * bucket size the way the reference caps bloom-filter builds at 20M rows
-    * (`Globals.h:55`). */
-  def minhashCandidates(docs: DataFrame): DataFrame = {
+    * sides). Degenerate buckets (a band hash shared by k docs) would cost
+    * k²/2 pairs — the all-dups-identical worst case — and are dropped above
+    * [[MaxBucketSize]] (see [[bucketPairs]]). */
+  def minhashCandidates(docs: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
     val sigs = minhashSignatures(docs)
     val bandCols = (0 until NumBands).map { b =>
       md5(concat((0 until RowsPerBand).map(r => col(f"m${b * RowsPerBand + r}%02d")): _*))
@@ -129,7 +150,7 @@ object Dedup {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    bucketPairs(buckets)
+    bucketPairs(buckets, maxBucket)
       .select(col("pa").as("doc_a"), col("pb").as("doc_b"))
       .distinct()
   }
@@ -211,16 +232,42 @@ object Dedup {
 
   /** d05 — SimHash near-dup pairs: hamming distance ≤ 3 over the 32-bit
     * fingerprints (tight: the corpus shares a small vocabulary, so
-    * fingerprints are correlated and a loose radius floods). The all-pairs
-    * join is fine at verification scale; the scale path is banding the
-    * fingerprint (join on bit-chunks, same LSH shape as d03) before the
-    * exact hamming check. */
-  /** SimHash near-dup pairs at a hamming radius, for any (doc_id, text). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val fps = simhashes(docs)
-    val a = fps.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
-    val b = fps.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
+    * fingerprints are correlated and a loose radius floods). */
+  /** SimHash near-dup pairs at a hamming radius, for any (doc_id, text).
+    *
+    * Banded candidate generation, not all-pairs: the fingerprint is split
+    * into `maxHamming + 1` equal bit-chunks, and docs are bucketed on
+    * (band index, chunk value). By pigeonhole, any pair within the radius
+    * differs in at most `maxHamming` bits, so at least one of the
+    * `maxHamming + 1` bands carries zero differing bits — the pair is
+    * guaranteed to share a bucket, and the exact `bit_count(xor)` check on
+    * in-bucket pairs loses nothing. Same LSH shape as d03: one shuffle
+    * keyed by the bucket, pair work bounded by [[bucketPairs]]'s cap. A
+    * pair may agree on several bands, hence the `distinct`.
+    *
+    * With 32-bit fingerprints and radius 3 a band is 8 bits → only 256
+    * buckets per band, so per-bucket populations grow linearly with corpus
+    * size; at 100 TB use 64-bit fingerprints (16-bit bands → 65k buckets)
+    * — the construction is width-generic, `SimhashBits` is the only knob. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val numBands = maxHamming + 1
+    require(SimhashBits % numBands == 0,
+      s"SimhashBits=$SimhashBits must divide into ${numBands} bands")
+    val bitsPerBand = SimhashBits / numBands
+    val mask = (1L << bitsPerBand) - 1
+    val bandCols = (0 until numBands).map(b =>
+      shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask)))
+    val buckets = simhashes(docs)
+      .select(struct(col("doc_id"), col("simhash")).as("d"),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "chunk")))
+      .groupBy(col("band_idx"), col("chunk"))
+      .agg(sort_array(collect_list(col("d"))).as("ids")) // sorts by doc_id
+      .filter(size(col("ids")) > 1)
+    bucketPairs(buckets, maxBucket)
+      .select(col("pa.doc_id").as("doc_a"), col("pa.simhash").as("fp_a"),
+        col("pb.doc_id").as("doc_b"), col("pb.simhash").as("fp_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -247,14 +294,15 @@ object Dedup {
     * on some shingle. Each doc's shingle-set size rides along the exploded
     * rows as a struct field, so the whole query is one scan + two shuffles
     * (bucket groupBy, pair groupBy) with no size joins at all. */
-  def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJ: Double,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
     val buckets = withSh3(docs)
       .select(struct(col("doc_id"), size(col("sh")).as("n_sh")).as("d"),
         explode(col("sh")).as("s"))
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("d"))).as("ids")) // sorts by doc_id
       .filter(size(col("ids")) > 1)
-    bucketPairs(buckets)
+    bucketPairs(buckets, maxBucket)
       .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
         col("pa.n_sh").as("n_a"), col("pb.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -312,7 +360,10 @@ object Dedup {
     * itself and its neighbors until fixpoint — O(component diameter)
     * rounds, each a distributed join + aggregate (Pregel shape). Lineage
     * is truncated every round with localCheckpoint so plans stay flat; on
-    * a cluster the same loop checkpoints to reliable storage. */
+    * a cluster the same loop checkpoints to reliable storage.
+    *
+    * Throws if the fixpoint is not reached within `maxIters` — silently
+    * returning unconverged labels would split duplicate groups. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -333,6 +384,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: no fixpoint after $maxIters rounds " +
+          s"($changed labels still changing) — raise maxIters")
     labels
   }
 

@@ -191,7 +191,7 @@ object TextAnalysis {
   private val t05Sql =
     """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
       |c AS (SELECT doc_id, word, count(*) AS f FROM w GROUP BY 1, 2)
-      |SELECT doc_id, sum(f) AS n_words, count(*) AS n_distinct_words,
+      |SELECT doc_id, sum(f)::BIGINT AS n_words, count(*) AS n_distinct_words,
       |  max(f) AS top_word_freq,
       |  max(f)::DOUBLE / sum(f) AS repetition_ratio,
       |  count(*)::DOUBLE / sum(f) AS distinct_ratio

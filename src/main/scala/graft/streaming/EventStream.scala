@@ -168,7 +168,7 @@ object EventStream {
       |         THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-      |SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+      |SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** ev04 — top users by total value (streaming-dashboard staple). */

@@ -88,6 +88,43 @@ class DedupSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("simhash pairs: banded candidate gen matches brute force, no nested-loop join") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val banded = Dedup.simhashPairs(d, 3)
+    // scale guard: candidate generation must be the bucketed equi-join shape,
+    // never an n² BroadcastNestedLoopJoin / cartesian over the corpus
+    val physical = banded.queryExecution.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoopJoin") && !physical.contains("CartesianProduct"),
+      s"banded simhash pairs must not plan an all-pairs join:\n$physical")
+    // correctness guard: pigeonhole banding loses nothing vs brute force
+    val fps = Dedup.simhashes(d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ida, idb, h)).toSet
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+  }
+
+  test("LSH bucket cap drops degenerate buckets (recall trade, capped work)") {
+    // 4 identical docs land in one bucket per band (size 4)
+    val d = docs(1L -> base, 2L -> base, 3L -> base, 4L -> base)
+    assert(Dedup.minhashCandidates(d).count() == 6) // C(4,2) under default cap
+    assert(Dedup.minhashCandidates(d, maxBucket = 3).count() == 0,
+      "buckets over the cap must be dropped entirely")
+  }
+
+  test("connected components throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2)
+    }
+    val ok = Dedup.connectedComponents(chain).collect().map(r => r.getLong(1)).distinct
+    assert(ok.sameElements(Array(1L)), "chain is one component labeled by its min id")
+  }
+
   test("minhash LSH candidates cover all very-high-jaccard pairs in testdata") {
     import spark.implicits._
     val d = graft.sources.Tables.documents(spark, sfDir)

@@ -36,6 +36,12 @@ def compare(name, spark_df, duck_df):
         return f"ROWS spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Driver's hash compare is representation-sensitive: DuckDB HUGEINT
+        # (e.g. sum of integers) lands as float64 while Spark emits int64 —
+        # values match but hashes diverge. Flag dtype class mismatch hard.
+        if pd.api.types.is_float_dtype(av) != pd.api.types.is_float_dtype(bv):
+            return (f"DTYPE col={c} spark={av.dtype} duck={bv.dtype} "
+                    f"(cast oracle to ::BIGINT/::DOUBLE to match)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             af = av.astype(float).to_numpy()
             bf = bv.astype(float).to_numpy()

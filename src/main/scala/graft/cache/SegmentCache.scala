@@ -12,14 +12,17 @@ import org.apache.spark.storage.StorageLevel
 case class SegmentKey(table: String, columns: Seq[String])
 
 /** Replacement policies of the reference's segment cache
-  * (`fpdb-cache/src/policy/` — one .cpp per policy, `README.md:100`): LRU, LFU, and
-  * weighted-LFU (frequency × benefit weight — the reference weights by
-  * measured pullup-vs-pushdown time savings, `Globals.h:28-32`). Belady is
-  * omitted: it needs the future access trace (research oracle, not an
-  * operational policy). */
+  * (`fpdb-cache/src/policy/` — one .cpp per policy, `README.md:100`): LRU,
+  * LFU, size-normalized LFU-S, and weighted-LFU (frequency × benefit
+  * weight — the reference weights by measured pullup-vs-pushdown time
+  * savings, `Globals.h:28-32`), plus the Belady/MIN research oracle. */
 sealed trait CachePolicy
 case object LRU extends CachePolicy
 case object LFU extends CachePolicy
+/** LFU-S — size-normalized LFU (`fpdb-cache/src/policy/LFUSCachingPolicy.cpp`):
+  * priority = frequency / size, so a rarely-hit giant segment yields before
+  * a frequently-hit small one and capacity buys the most hits per byte. */
+case object LFUS extends CachePolicy
 /** weight(key) = estimated recompute benefit per hit. */
 case class WLFU(weight: SegmentKey => Double) extends CachePolicy
 /** Belady/MIN — the reference's offline oracle policy
@@ -58,10 +61,12 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
     df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
 
   /** Eviction priority — evict the SMALLEST value first. */
-  private def priority(k: SegmentKey, e: Entry): Double = policy match {
-    case LRU     => e.lastAccess.toDouble
-    case LFU     => e.hits.toDouble
-    case WLFU(w) => e.hits.toDouble * w(k)
+  private def priority(k: SegmentKey, hits: Long, lastAccess: Long,
+      sizeBytes: Long): Double = policy match {
+    case LRU     => lastAccess.toDouble
+    case LFU     => hits.toDouble
+    case LFUS    => hits.toDouble / math.max(sizeBytes, 1L).toDouble
+    case WLFU(w) => hits.toDouble * w(k)
     case Belady(trace) =>
       // clock = accesses so far; the next use of k at/after this point
       val next = trace.indexWhere(_ == k, math.min(clock, Int.MaxValue).toInt)
@@ -89,20 +94,33 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
     }
   }
 
-  /** Admission: a new segment enters iff it fits after evicting every
-    * resident segment with lower priority than it would have (the
-    * reference's LFU admission compares against the eviction candidate's
-    * frequency, `fpdb-cache/src/policy/LFUCachingPolicy.cpp`). */
+  /** Admission: a new segment enters iff the needed space can be freed by
+    * evicting only residents whose priority does not exceed the candidate's
+    * own would-be priority (hits = 1, lastAccess = now) — the reference's
+    * LFU admission compares the incoming segment's frequency against the
+    * eviction candidate's (`fpdb-cache/src/policy/LFUCachingPolicy.cpp`),
+    * so one cold insert can never displace a hotter resident. Feasibility
+    * is decided before anything is evicted: a rejected admission leaves the
+    * cache untouched. Ties go to the newcomer (fresh data wins over an
+    * equally-cold resident). */
   private def admit(key: SegmentKey, size: Long): Boolean = {
     if (size > capacityBytes) return false
-    while (usedBytes + size > capacityBytes) {
-      val victim = entries.minByOption { case (k, e) => priority(k, e) }
-      victim match {
-        case Some((vk, ve)) =>
-          ve.df.unpersist(blocking = false)
-          entries.remove(vk)
-        case None => return false
-      }
+    val candP = priority(key, hits = 1L, lastAccess = clock, sizeBytes = size)
+    val asc = entries.toSeq
+      .map { case (k, e) => (k, e, priority(k, e.hits, e.lastAccess, e.sizeBytes)) }
+      .sortBy(_._3)
+      .iterator
+    var freed = 0L
+    val victims = mutable.ArrayBuffer.empty[(SegmentKey, Entry)]
+    while (usedBytes + size - freed > capacityBytes) {
+      if (!asc.hasNext) return false
+      val (vk, ve, vp) = asc.next()
+      if (vp > candP) return false // next-coldest resident outranks the candidate
+      victims += ((vk, ve)); freed += ve.sizeBytes
+    }
+    victims.foreach { case (vk, ve) =>
+      ve.df.unpersist(blocking = false)
+      entries.remove(vk)
     }
     true
   }

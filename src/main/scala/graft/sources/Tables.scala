@@ -60,7 +60,12 @@ object Tables {
     * no-op (no shuffle added at scale). */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // Decide from the file count (our testdata is single-row-group files, so
+    // files ≈ usable splits) rather than df.rdd.getNumPartitions — the RDD
+    // conversion forces full physical planning per call. A file-less plan
+    // (in-memory test frames) reports 0 files and gets spread, which is the
+    // safe direction for the CPU-heavy pipelines this guards.
+    if (df.inputFiles.length < p) df.repartition(p) else df
   }
 
   /** Register every table as a temp view so `spark.sql(...)` works — the

@@ -56,8 +56,10 @@ class CacheSpec extends SparkSpec {
 
   test("W-LFU weights eviction by benefit, not just frequency") {
     import graft.cache.WLFU
-    // k2 is accessed more, but k1's weight (recompute benefit) dominates
-    val weights = Map(k1 -> 100.0, k2 -> 1.0, k3 -> 1.0).withDefaultValue(1.0)
+    // k2 is accessed more, but weight (recompute benefit) dominates both
+    // eviction order (k2 outlives k1? no — k1's 100 beats k2's 3) and
+    // admission (k3's would-be priority 1x5 beats the coldest resident k2)
+    val weights = Map(k1 -> 100.0, k2 -> 1.0, k3 -> 5.0).withDefaultValue(1.0)
     val bytes = proj("orders", k1.columns)
       .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
     val cache = new SegmentCache(bytes * 2 + bytes / 2, WLFU(weights))
@@ -65,8 +67,38 @@ class CacheSpec extends SparkSpec {
     cache.get(k2)(proj("orders", k2.columns))
     cache.get(k2)(proj("orders", k2.columns))
     cache.get(k2)(proj("orders", k2.columns))      // k2: 3 hits x 1
-    cache.get(k3)(proj("orders", k3.columns))      // evicts k2 (3) not k1 (100)
+    cache.get(k3)(proj("orders", k3.columns))      // k3 (5) evicts k2 (3), not k1 (100)
     assert(cache.keys.contains(k1) && !cache.keys.contains(k2))
+    assert(cache.keys.contains(k3))
+    cache.invalidateAll()
+  }
+
+  test("LFU-S prefers evicting the big cold segment (hits per byte)") {
+    import graft.cache.LFUS
+    val kBig = seg("orders", "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val small = proj("orders", k2.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val big = proj("orders", kBig.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(big > small)
+    val cache = new SegmentCache(big + small + small / 2, LFUS)
+    cache.get(kBig)(proj("orders", kBig.columns))  // 1 hit / big bytes = coldest
+    cache.get(k2)(proj("orders", k2.columns))
+    cache.get(k3)(proj("orders", k3.columns))      // evicts kBig, not k2
+    assert(cache.keys.contains(k2) && cache.keys.contains(k3) && !cache.keys.contains(kBig))
+    cache.invalidateAll()
+  }
+
+  test("admission rejects a cold insert rather than evicting a hotter resident") {
+    val cache = twoSegmentCache(LFU)
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))      // k1: 2 hits
+    cache.get(k2)(proj("orders", k2.columns))
+    cache.get(k2)(proj("orders", k2.columns))      // k2: 2 hits
+    val df = cache.get(k3)(proj("orders", k3.columns)) // k3 would-be: 1 hit
+    assert(df.count() > 0, "rejected segment still computes")
+    assert(cache.keys.contains(k1) && cache.keys.contains(k2) && !cache.keys.contains(k3),
+      "a cold insert must not displace hotter residents")
     cache.invalidateAll()
   }
 

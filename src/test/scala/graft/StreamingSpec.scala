@@ -98,8 +98,28 @@ class StreamingSpec extends SparkSpec {
   test("parquet-backed readStream plans incrementally with a watermark") {
     val stream = EventStream.readEventStream(spark, sfDir)
     assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      "ts must surface as a timestamp after the nanos conversion")
     val agg = EventStream.streamingHourlyStats(stream)
     // analysis succeeds => watermark + windowed agg are streaming-compatible
     assert(agg.schema.fieldNames.contains("n_events"))
+  }
+
+  test("parquet-backed stream executes a real micro-batch matching batch counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = EventStream.readEventStream(spark, sfDir)
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("ev_mb_test")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("ev_mb_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "one AvailableNow pass must equal the batch result")
   }
 }

@@ -17,9 +17,17 @@ import graft.sources.Tables
   */
 object Engine {
 
-  /** Register the scale-factor directory's tables and run one SQL query. */
+  /** Directories already registered, per session — registration re-reads
+    * every table's footer (10 schema fetches), which at q32's size was
+    * most of the query's wall time. The reference caches its catalogue
+    * the same way (one fetch per connection, `Client.cpp:118-132`). */
+  private val lastDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+
+  /** Register the scale-factor directory's tables (skipped when this
+    * session's views already point at `dir`) and run one SQL query. */
   def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    if (lastDir.put(spark, dir) != dir) Tables.registerAll(spark, dir)
     spark.sql(sql)
   }
 }

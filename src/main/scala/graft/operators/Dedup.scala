@@ -60,11 +60,12 @@ object Dedup {
       |ORDER BY kept_doc_id""".stripMargin
 
   /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15.
-    * Each minhash is min over shingles of md5(seed || ':' || shingle) —
-    * md5 hex strings order lexicographically identically everywhere.
-    * Computed by the native MinHashSignature expression: a shuffle-free
-    * narrow map (one fused hash loop per document), vs exploding shingles
-    * into a 16-aggregate groupBy. */
+    * Each minhash is min over shingles of the md5 hex digest rotated left
+    * by the stream index (one digest per shingle, 16 derived orderings —
+    * see MinHashSignature) and hex strings order lexicographically
+    * identically everywhere. Computed by the native MinHashSignature
+    * expression: a shuffle-free narrow map (one fused hash loop per
+    * document), vs exploding shingles into a 16-aggregate groupBy. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sig = graft.functions.MinHashSignature.column(col("sh"), NumHashes)
     val sigCols = (0 until NumHashes).map(k => element_at(col("sig"), k + 1).as(f"m$k%02d"))
@@ -83,15 +84,21 @@ object Dedup {
        |    generate_series(1, len(string_split(text, ' ')) - ${k - 1}),
        |    i -> array_to_string(string_split(text, ' ')[i:i+${k - 1}], ' ')))""".stripMargin
 
-  private val d02Sql = {
-    val sig = (0 until NumHashes)
-      .map(k => f"list_aggregate(list_transform(sh, x -> md5('$k:' || x)), 'min') AS m$k%02d")
-      .mkString(",\n  ")
+  /** DuckDB twin of MinHashSignature's k-th stream: md5 hex rotated left
+    * by k chars (k = 0 is md5 itself). */
+  private def duckRotMd5(k: Int): String =
+    if (k == 0) "md5(x)"
+    else s"substr(md5(x), ${k + 1}) || substr(md5(x), 1, $k)"
+
+  private def duckSigSelect: String = (0 until NumHashes)
+    .map(k => f"list_aggregate(list_transform(sh, x -> ${duckRotMd5(k)}), 'min') AS m$k%02d")
+    .mkString(",\n  ")
+
+  private val d02Sql =
     s"""WITH s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents)
        |SELECT doc_id,
-       |  $sig
+       |  $duckSigSelect
        |FROM s ORDER BY doc_id""".stripMargin
-  }
 
   /** d03 — MinHash-LSH candidate pairs: band the signature, md5 each band,
     * and self-join on (band index, band hash). This is the scalable path:
@@ -159,15 +166,12 @@ object Dedup {
     minhashCandidates(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
   private val d03Sql = {
-    val sig = (0 until NumHashes)
-      .map(k => f"list_aggregate(list_transform(sh, x -> md5('$k:' || x)), 'min') AS m$k%02d")
-      .mkString(",\n  ")
     val bands = (0 until NumBands).map { b =>
       val cat = (0 until RowsPerBand).map(r => f"m${b * RowsPerBand + r}%02d").mkString(" || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
-       |sig AS (SELECT doc_id, $sig FROM s),
+       |sig AS (SELECT doc_id, $duckSigSelect FROM s),
        |banded AS ($bands)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
@@ -404,16 +408,13 @@ object Dedup {
   }
 
   private val d08Sql = {
-    val sig = (0 until NumHashes)
-      .map(k => f"list_aggregate(list_transform(sh, x -> md5('$k:' || x)), 'min') AS m$k%02d")
-      .mkString(",\n  ")
     val bands = (0 until NumBands).map { b =>
       val cat = (0 until RowsPerBand).map(r => f"m${b * RowsPerBand + r}%02d").mkString(" || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE
        |s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
-       |sig AS (SELECT doc_id, $sig FROM s),
+       |sig AS (SELECT doc_id, $duckSigSelect FROM s),
        |banded AS ($bands),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -770,17 +770,34 @@ object Relational {
   /** TPC-H Q7-style volume shipping: two-role nation dimension (supplier
     * nation × customer nation), symmetric disjunctive pair filter, yearly
     * revenue — the two broadcast joins against the same tiny dim under
-    * different aliases. */
+    * different aliases.
+    *
+    * Catalyst cannot push the two-sided disjunction below the joins, but
+    * its one-sided implication CAN be transferred by hand: every surviving
+    * row has BOTH nations in the relevant pair, so supplier and customer
+    * are semi-join-reduced to 2 of 25 nations BEFORE the fact joins
+    * (the engine's own predicate-transfer utility — reference
+    * `pred-trans/SmallToLargePredTransOrder.cpp`). The exact pair
+    * disjunction still runs at the top, on ~(2/25)² of the pre-transfer
+    * join input. */
   private def q33VolumeShipping(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir)
-    val sup = Tables.supplier(s, dir)
     val ord = Tables.orders(s, dir)
-    val cust = Tables.customer(s, dir)
     val n1 = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
     val n2 = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_name".as("cust_nation"))
-    li.join(sup, $"l_suppkey" === $"s_suppkey")
-      .join(ord, $"l_orderkey" === $"o_orderkey")
+    val pairNations = broadcast(Tables.nation(s, dir)
+      .filter($"n_name".isin("NATION_1", "NATION_2")))
+    val sup = graft.plans.PredicateTransfer.reduce(
+      Tables.supplier(s, dir),
+      Seq((pairNations, $"s_nationkey" === $"n_nationkey")))
+    val cust = graft.plans.PredicateTransfer.reduce(
+      Tables.customer(s, dir),
+      Seq((pairNations, $"c_nationkey" === $"n_nationkey")))
+    val ordReduced = graft.plans.PredicateTransfer.reduce(
+      ord, Seq((cust, $"o_custkey" === $"c_custkey")))
+    li.join(sup, $"l_suppkey" === $"s_suppkey") // reduced sup cuts li first
+      .join(ordReduced, $"l_orderkey" === $"o_orderkey")
       .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"sk")
       .join(broadcast(n2), $"c_nationkey" === $"ck")
@@ -814,13 +831,22 @@ object Relational {
     val li = Tables.lineitem(s, dir)
     val sup = Tables.supplier(s, dir)
     val ord = Tables.orders(s, dir)
-    val cust = Tables.customer(s, dir)
     val n1 = Tables.nation(s, dir).select($"n_nationkey".as("sk"), $"n_name".as("supp_nation"))
     val n2 = Tables.nation(s, dir).select($"n_nationkey".as("ck"), $"n_regionkey".as("crk"))
     val reg = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    // predicate transfer: the region filter reaches customer only through
+    // nation — walk region→nation into customer, then customer into
+    // orders, so the fact join starts from the ~1/5 of orders that can
+    // survive (supplier is NOT reducible: the denominator sums all nations)
+    val asiaNations = broadcast(n2.join(broadcast(reg), $"crk" === $"r_regionkey"))
+    val cust = graft.plans.PredicateTransfer.reduce(
+      Tables.customer(s, dir),
+      Seq((asiaNations, $"c_nationkey" === $"ck")))
+    val ordReduced = graft.plans.PredicateTransfer.reduce(
+      ord, Seq((cust, $"o_custkey" === $"c_custkey")))
     val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
-    li.join(sup, $"l_suppkey" === $"s_suppkey")
-      .join(ord, $"l_orderkey" === $"o_orderkey")
+    li.join(ordReduced, $"l_orderkey" === $"o_orderkey") // reduced orders cut li first
+      .join(sup, $"l_suppkey" === $"s_suppkey")
       .join(cust, $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"sk")
       .join(broadcast(n2), $"c_nationkey" === $"ck")
@@ -871,6 +897,56 @@ object Relational {
       |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
       |  quantile_cont(l_quantity, 0.25) AS p25_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q37 — the 100 TB twin of q35: `percentile_approx` (a mergeable
+    * quantile sketch with bounded memory per group) replaces exact
+    * `percentile`, whose partial buffers hold every group value in one
+    * task. Approx outputs are engine-specific, so the oracle-checkable
+    * contract is RANK tolerance, not values: the sketch's quantile is
+    * joined back (broadcast — 3 rows) and each group's fraction of rows at
+    * or below it must land inside a ±0.02 rank window, emitted as booleans
+    * the oracle expects to be uniformly true. Every stage is
+    * scale-shaped: sketch agg, broadcast join, conditional count. */
+  private def q37PercentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val sketched = Tables.spread(li)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("am"),
+        expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("a90"))
+    li.join(broadcast(sketched), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        (sum(when($"l_extendedprice" <= $"am", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("mr"),
+        (sum(when($"l_extendedprice" <= $"a90", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("r90"))
+      .select($"l_returnflag",
+        ($"mr" >= 0.48 && $"mr" <= 0.52).as("median_rank_ok"),
+        ($"r90" >= 0.88 && $"r90" <= 0.92).as("p90_rank_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q37Sql =
+    """SELECT l_returnflag, true AS median_rank_ok, true AS p90_rank_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q38–q40 — the reference's primary workflow at realistic complexity:
+    * its users arrive with SQL files run through `Client::executeQuery`
+    * (`fpdb-main/src/Client.cpp:94-111`), so these entries feed the SAME
+    * ANSI text to `Engine.executeQuery` (Catalyst) and the DuckDB oracle —
+    * a 5-table star (q05's shape), a HAVING subquery join (q28's), and a
+    * double-EXISTS decorrelation (q30's). One string, two engines, one
+    * hash. */
+  private def q38SqlStar(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q05Sql)
+
+  private def q39SqlHaving(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q28Sql)
+
+  private def q40SqlExists(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q30Sql)
 
   /** TPC-H Q4-style: EXISTS-correlated aggregation — orders in a quarter
     * having at least one line shipped after a cutoff, counted by priority
@@ -937,6 +1013,10 @@ object Relational {
     "q34_market_share"   -> q34MarketShare _,
     "q35_percentiles"    -> q35Percentiles _,
     "q36_exists_agg"     -> q36ExistsAgg _,
+    "q37_percentiles_approx" -> q37PercentilesApprox _,
+    "q38_sql_star"       -> q38SqlStar _,
+    "q39_sql_having"     -> q39SqlHaving _,
+    "q40_sql_exists"     -> q40SqlExists _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -976,5 +1056,9 @@ object Relational {
     "q34_market_share"   -> q34Sql,
     "q35_percentiles"    -> q35Sql,
     "q36_exists_agg"     -> q36Sql,
+    "q37_percentiles_approx" -> q37Sql,
+    "q38_sql_star"       -> q05Sql,
+    "q39_sql_having"     -> q28Sql,
+    "q40_sql_exists"     -> q30Sql,
   )
 }

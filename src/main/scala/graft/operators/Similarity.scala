@@ -154,15 +154,22 @@ object Similarity {
     * explode each query's top-p nearest cells. KMeans isn't expressible in
     * the DuckDB oracle, so the driver records the weaker rows-only check —
     * SimilaritySpec asserts in-cell containment + self-retrieval instead. */
-  private def s04AnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus with trained-k-means cell assignment (16 cells, fixed seed):
+    * train on the corpus (in production: on a sample), broadcast the
+    * centroids (inside the model), assign cells in a narrow map. */
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.spread(Tables.embeddings(s, dir))
       .withColumn("features", array_to_vector($"embedding"))
     val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
-    val assigned = model.transform(emb)
-      .select($"vec_id", $"embedding", $"prediction".as("cell"))
+    model.transform(emb).select($"vec_id", $"embedding", $"prediction".as("cell"))
+  }
+
+  /** IVF top-3 for probes vec_id < 50: candidates meet on the cell key. */
+  private def ivfTop3(assigned: DataFrame): DataFrame = {
+    import assigned.sparkSession.implicits._
     val q = assigned.filter($"vec_id" < 50)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
     val n = assigned.select($"vec_id".as("nid"), $"embedding".as("ne"),
@@ -173,8 +180,48 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"qid", $"rank", $"nid", $"cosine")
-      .orderBy($"qid", $"rank")
   }
+
+  private def s04AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfTop3(ivfAssigned(s, dir)).orderBy($"qid", $"rank")
+  }
+
+  /** s06 — measured recall of the k-means IVF (s04) against exact
+    * brute-force ground truth, computed IN the query: both top-3 sets are
+    * built over the same 50 probes, matched on (qid, nid), and the mean
+    * per-probe overlap must clear a floor. The k-means quantizer is not
+    * SQL-expressible, but this contract is — the oracle expects `true`, so
+    * the driver hash-checks the index quality every round (the answer to
+    * "self-retrieval at rank 1 does not validate the index"). The floor
+    * (0.45) sits under the measured 0.56–0.60 across sf0.001–0.1
+    * (deterministic: fixed k-means seed) but far above the ~1% a broken
+    * index would score. */
+  private def s06AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ivf = ivfTop3(ivfAssigned(s, dir)).select($"qid", $"nid")
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+    val exact = broadcast(q).crossJoin(n)
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"nid")
+    val overlap = exact.join(ivf, Seq("qid", "nid"), "left_semi")
+      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+    // probes whose entire exact top-3 is missed don't appear in `overlap`;
+    // average over all 50 probes, not just the ones with hits
+    exact.select($"qid").distinct()
+      .join(overlap, Seq("qid"), "left")
+      .agg((sum(coalesce($"n_hits", lit(0L))).cast("double")
+        / (count(lit(1)) * 3)).as("recall"))
+      .select(($"recall" >= 0.45).as("recall_ok"))
+  }
+
+  private val s06Sql = "SELECT true AS recall_ok"
 
   /** s05 — multi-probe ANN: each query probes its own sign-LSH cell plus
     * the 4 cells at hamming distance 1 (one flipped hyperplane bit) —
@@ -225,14 +272,16 @@ object Similarity {
     "s03_knn_expr"   -> s03KnnExpr _,
     "s04_ann_ivf"    -> s04AnnIvf _,
     "s05_ann_multiprobe" -> s05AnnMultiprobe _,
+    "s06_ann_ivf_recall" -> s06AnnIvfRecall _,
   )
 
-  /** s04 omitted: KMeans has no SQL oracle (driver falls back to the
-    * rows-only check). */
+  /** s04's raw output is omitted (KMeans has no SQL oracle; rows-only
+    * check) — s06 is its driver-checked quality gate. */
   val oracleSql: Map[String, String] = Map(
     "s01_knn_brute"  -> s01Sql,
     "s02_ann_bucket" -> s02Sql,
     "s03_knn_expr"   -> s03Sql,
     "s05_ann_multiprobe" -> s05Sql,
+    "s06_ann_ivf_recall" -> s06Sql,
   )
 }

@@ -30,9 +30,19 @@ object PredicateTransfer {
 
   /** Reduce `fact` by semi-joining each (dim, joinCond), in order.
     * Callers pass dims smallest-first (the reference's
-    * SmallToLargePredTransOrder; with CBO stats one could sort here). */
+    * SmallToLargePredTransOrder); [[reduceAuto]] orders them from stats. */
   def reduce(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
     dims.foldLeft(fact) { case (f, (dim, cond)) => f.join(dim, cond, "left_semi") }
+
+  /** [[reduce]] with the dims ordered smallest-first by Catalyst's
+    * optimized-plan size estimate — the automatic equivalent of the
+    * reference's small-to-large transfer ordering
+    * (`pred-trans/SmallToLargePredTransOrder.cpp:12-31`, which BFS-walks
+    * dims ascending by stats). Cheapest reductions run first so each later
+    * semi join probes an already-smaller fact. Stats come from the plan
+    * (file sizes, CBO when available) — no data is read at plan time. */
+  def reduceAuto(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
+    reduce(fact, dims.sortBy(_._1.queryExecution.optimizedPlan.stats.sizeInBytes))
 
   /** p01 — the q05 star join executed with explicit predicate transfer:
     * the region filter walks region→nation→customer→orders, and lineitem

@@ -60,7 +60,12 @@ class DedupSpec extends SparkSpec {
     val viaExpr = d.select($"doc_id",
       graft.functions.MinHashSignature.column($"sh", 4).as("sig")).collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    val aggs = (0 until 4).map(k => min(md5(concat(lit(s"$k:"), $"s"))).as(s"m$k"))
+    // stream k = min over shingles of the md5 hex rotated left by k chars
+    val aggs = (0 until 4).map { k =>
+      val rot = if (k == 0) md5($"s")
+        else concat(substring(md5($"s"), k + 1, 32 - k), substring(md5($"s"), 1, k))
+      min(rot).as(s"m$k")
+    }
     val viaComposed = d.select($"doc_id", explode($"sh").as("s"))
       .groupBy($"doc_id")
       .agg(aggs.head, aggs.tail: _*)

@@ -60,6 +60,13 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN clears the measured recall@3 floor vs exact ground truth") {
+    val res = SparkEntry.queries("s06_ann_ivf_recall")(spark, sfDir).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Boolean]("recall_ok"),
+      "k-means IVF single-probe recall@3 fell below the 0.45 floor")
+  }
+
   test("bucketed ANN only pairs vectors within the same sign-LSH cell") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

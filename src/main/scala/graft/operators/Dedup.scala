@@ -185,24 +185,15 @@ object Dedup {
 
   /** d04 — 32-bit SimHash fingerprints: per-word md5-derived 32-bit value,
     * per-bit frequency-weighted majority vote, reassembled as a BIGINT.
-    * One explode + one groupBy(doc_id): shuffles (doc_id, word-hash) pairs,
-    * linear at any corpus size. */
+    * Computed by the native SimHash32 expression — a shuffle-free narrow
+    * map (one fused hash loop per document), replacing the equivalent
+    * explode + 32-aggregate groupBy(doc_id) whose (doc_id, word-hash)
+    * shuffle was the stage's cost. */
   /** SimHash fingerprints for any (doc_id, text) frame. */
-  def simhashes(docs: DataFrame): DataFrame = {
-    val v = conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
-    val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        .as(s"sb$j"))
-    val fp = (0 until SimhashBits)
-      .map(j => when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
+  def simhashes(docs: DataFrame): DataFrame =
     Tables.spread(docs)
-      .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .withColumn("v", v)
-      .groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHash32.column(words(col("text"))).as("simhash"))
 
   private def d04Simhash(s: SparkSession, dir: String): DataFrame =
     simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))
@@ -369,8 +360,12 @@ object Dedup {
     * Throws if the fixpoint is not reached within `maxIters` — silently
     * returning unconverged labels would split duplicate groups. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+    // checkpoint the symmetrized edge list ONCE — it is joined every round,
+    // and without truncation each round would re-run the edge-producing
+    // pipeline (for d08: the whole minhash-LSH candidate generation)
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -379,13 +374,14 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = sym.join(labels, col("dst") === col("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter over materialized rows, not a second join
       val next = labels.join(nbrMin, col("node") === col("src"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     if (changed > 0)

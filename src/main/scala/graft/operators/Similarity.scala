@@ -156,16 +156,26 @@ object Similarity {
     * SimilaritySpec asserts in-cell containment + self-retrieval instead. */
   /** Corpus with trained-k-means cell assignment (16 cells, fixed seed):
     * train on the corpus (in production: on a sample), broadcast the
-    * centroids (inside the model), assign cells in a narrow map. */
-  private def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val emb = Tables.spread(Tables.embeddings(s, dir))
-      .withColumn("features", array_to_vector($"embedding"))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
-    model.transform(emb).select($"vec_id", $"embedding", $"prediction".as("cell"))
-  }
+    * centroids (inside the model), assign cells in a narrow map.
+    *
+    * Built ONCE per (session, dir) and materialized: an ANN index is an
+    * ingest-time artifact that queries share — s04 and s06 must not each
+    * retrain the quantizer, just as a real deployment reads the persisted
+    * cell assignment instead of re-clustering per query. */
+  private val ivfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+    ivfCache.computeIfAbsent((s, dir), { _ =>
+      import s.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.spread(Tables.embeddings(s, dir))
+        .withColumn("features", array_to_vector($"embedding"))
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
+      model.transform(emb).select($"vec_id", $"embedding", $"prediction".as("cell"))
+        .localCheckpoint()
+    })
 
   /** IVF top-3 for probes vec_id < 50: candidates meet on the cell key. */
   private def ivfTop3(assigned: DataFrame): DataFrame = {

@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("SimHash32 expression equals the composed explode/vote formulation") {
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir).limit(100)
+    val viaExpr = Dedup.simhashes(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = conv(substring(md5($"word"), 1, 8), 16, 10).cast("long")
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright($"v", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"sb$j"))
+    val fp = (0 until 32)
+      .map(j => when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val viaComposed = d.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .withColumn("v", v)
+      .groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", fp.as("simhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaComposed)
+  }
+
   test("connected components assigns min-id labels across chained pairs") {
     import spark.implicits._
     // components: {1,2,3} (chained), {7,9}, singletons excluded

@@ -948,6 +948,28 @@ object Relational {
   private def q40SqlExists(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir, q30Sql)
 
+  /** q41 — the 100 TB twin of q17's DISTINCT aggregates: HyperLogLog++
+    * (`approx_count_distinct`, a mergeable fixed-size sketch) replaces the
+    * exact distinct, whose de-dup shuffle carries every distinct key. Same
+    * oracle pattern as q37: the sketch estimate must land within ±10% of
+    * the exact count (HLL++ default rsd is 5%), emitted as booleans the
+    * oracle expects to be uniformly true. */
+  private def q41ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey").as("ad"),
+        countDistinct($"l_orderkey").as("ed"))
+      .select($"l_returnflag",
+        (abs($"ad" - $"ed").cast("double") / $"ed" <= 0.1).as("distinct_ok"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q41Sql =
+    """SELECT l_returnflag, true AS distinct_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** TPC-H Q4-style: EXISTS-correlated aggregation — orders in a quarter
     * having at least one line shipped after a cutoff, counted by priority
     * (semi join feeding a group-by; Catalyst decorrelates the EXISTS). */
@@ -1017,6 +1039,7 @@ object Relational {
     "q38_sql_star"       -> q38SqlStar _,
     "q39_sql_having"     -> q39SqlHaving _,
     "q40_sql_exists"     -> q40SqlExists _,
+    "q41_approx_distinct" -> q41ApproxDistinct _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1060,5 +1083,6 @@ object Relational {
     "q38_sql_star"       -> q05Sql,
     "q39_sql_having"     -> q28Sql,
     "q40_sql_exists"     -> q30Sql,
+    "q41_approx_distinct" -> q41Sql,
   )
 }

@@ -145,17 +145,16 @@ object TextAnalysis {
     // Bind each intermediate as a real column: interpreted lambda bodies
     // re-evaluate captured subexpression trees per element, so shingling
     // directly over the regexp_replace expression would re-run the regex
-    // O(words) times per row. After binding, hashing runs on exploded rows
-    // through codegen'd md5 with a map-side-combined min — the shuffle
-    // carries one partial min per doc per map partition.
+    // O(words) times per row. The winnowing min is MinHashSignature's
+    // stream 0 (min over shingles of the plain md5 hex) — a shuffle-free
+    // narrow map, replacing the equivalent explode + map-side-combined min.
     Tables.spread(Tables.documents(s, dir))
       .withColumn("norm", regexp_replace(lower($"text"), "\\s+", " "))
       .withColumn("w", words($"norm"))
       .withColumn("sh", shingles($"w", 4))
-      .select($"doc_id", md5($"norm").as("content_fp"), explode_outer($"sh").as("s"))
-      .groupBy($"doc_id", $"content_fp")
-      .agg(min(md5($"s")).as("winnow_fp"))
-      .select($"doc_id", $"content_fp", $"winnow_fp")
+      .select($"doc_id", md5($"norm").as("content_fp"),
+        element_at(graft.functions.MinHashSignature.column($"sh", 1), 1)
+          .as("winnow_fp"))
       .orderBy($"doc_id")
   }
 
@@ -197,12 +196,42 @@ object TextAnalysis {
       |  count(*)::DOUBLE / sum(f) AS distinct_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t06 — deterministic hash split: train/holdout assignment by salted
+    * md5 of the stable document key (~90/10 at byte threshold 230/256).
+    * No RNG and no sampling operator, so the split is bit-reproducible
+    * across engines, runs, partitionings, and cluster sizes — how
+    * production pipelines pin an eval set. A narrow map; the tiny
+    * aggregate here just makes the assignment oracle-checkable. */
+  private def t06HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(
+      substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .withColumn("split", when(bucket < 230, "train").otherwise("holdout"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), avg(length($"text")).as("avg_len"))
+      .orderBy($"split")
+  }
+
+  /** First 2 hex chars of md5('split:' || doc_id) as 0..255 (no conv() in
+    * DuckDB; strpos arithmetic like the simhash oracle). */
+  private val t06Sql = {
+    val h = "md5('split:' || doc_id::VARCHAR)"
+    val b = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+    s"""SELECT CASE WHEN $b < 230 THEN 'train' ELSE 'holdout' END AS split,
+       |  count(*) AS n_docs, avg(length(text)) AS avg_len
+       |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
     "t03_langid"      -> t03LangId _,
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_boilerplate" -> t05Boilerplate _,
+    "t06_hash_split"  -> t06HashSplit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -211,5 +240,6 @@ object TextAnalysis {
     "t03_langid"      -> t03Sql,
     "t04_fingerprint" -> t04Sql,
     "t05_boilerplate" -> t05Sql,
+    "t06_hash_split"  -> t06Sql,
   )
 }

@@ -126,6 +126,41 @@ object EventStream {
       $"e_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
   }
 
+  /** As-of join: for each left row, the single latest right row with
+    * `right.ts <= left.ts` on the same key — the temporal-alignment
+    * operator Spark has no built-in for (financial quotes-to-trades,
+    * attribution, sensor alignment).
+    *
+    * NOT a range join: both sides are tagged and unioned, then one window
+    * pass per key in (ts, side) order carries the last-seen right payload
+    * forward onto left rows (`last(..., ignoreNulls)` over an unbounded
+    * preceding frame). One shuffle on the key, linear work, no pair
+    * blowup — the composition-of-existing-ops answer (Catalyst plans the
+    * union + running window; at 100 TB it scales exactly like any
+    * windowed aggregation). Right-side rows sort BEFORE left rows at
+    * equal ts, so the match is inclusive, and `payload` must make the
+    * right side unique per (key, ts) for determinism. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String, payload: String): DataFrame = {
+    import left.sparkSession.implicits._
+    require(!left.columns.contains(payload),
+      s"asofJoin: left already has a column named '$payload'")
+    val l = left.withColumn("__side", lit(1)).withColumn(payload, lit(null).cast(
+      right.schema(payload).dataType))
+    val r = right.select(col(key), col(ts), lit(0).as("__side"), col(payload))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col(payload))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r.select(l.columns.map {
+        case c if r.columns.contains(c) => col(c)
+        case c => lit(null).cast(l.schema(c).dataType).as(c)
+      }: _*))
+      .withColumn("__matched", last(col(payload), ignoreNulls = true).over(w))
+      .filter($"__side" === 1)
+      .drop("__side", payload)
+      .withColumnRenamed("__matched", payload)
+  }
+
   // ---- batch queries (oracle-checked) -----------------------------------
 
   /** ev01 — hourly windowed aggregation (the batch run of the streaming
@@ -218,12 +253,38 @@ object EventStream {
       |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
       |ORDER BY c_id, e_id""".stripMargin
 
+  /** ev06 — as-of join: each click matched to the latest view at or
+    * before it by the same user (attribution). Views are pre-deduped per
+    * (user, ts) so both engines' tie-breaks agree; DuckDB's native
+    * ASOF LEFT JOIN is the oracle. */
+  private def ev06AsofView(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("v_id"))
+    asofJoin(clicks, views, "user_id", "ts", "v_id")
+      .select($"c_id", $"user_id", $"v_id")
+      .orderBy($"c_id")
+  }
+
+  private val ev06Sql =
+    """WITH c AS (SELECT event_id AS c_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |v AS (SELECT user_id, ts, max(event_id) AS v_id FROM events
+      |      WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT c.c_id, c.user_id, v.v_id
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
     "ev03_sessions"     -> ev03Sessions _,
     "ev04_top_users"    -> ev04TopUsers _,
     "ev05_click_error"  -> ev05ClickError _,
+    "ev06_asof_view"    -> ev06AsofView _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -232,5 +293,6 @@ object EventStream {
     "ev03_sessions"     -> ev03Sql,
     "ev04_top_users"    -> ev04Sql,
     "ev05_click_error"  -> ev05Sql,
+    "ev06_asof_view"    -> ev06Sql,
   )
 }

@@ -95,6 +95,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("asofJoin picks the latest right row at or before each left row") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 4L, "b"), (2L, 3L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 50L), (1L, 10L, 99L), (1L, 11L, 70L))
+      .toDF("k", "t", "p")
+    val got = EventStream.asofJoin(left, right, "k", "t", "p")
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Long]("p"))).toMap
+    assert(got == Map(
+      "a" -> Some(99L), // inclusive: right row at the exact same ts wins
+      "b" -> None,      // earliest right for k=1 is at t=5 > 4
+      "c" -> None))     // no right rows for k=2 at all
+  }
+
   test("parquet-backed readStream plans incrementally with a watermark") {
     val stream = EventStream.readEventStream(spark, sfDir)
     assert(stream.isStreaming)

@@ -948,6 +948,27 @@ object Relational {
   private def q40SqlExists(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir, q30Sql)
 
+  /** q42 — CUBE: all four grouping combinations of (returnflag,
+    * linestatus) in one pass (q25 covers ROLLUP's prefix lattice; CUBE is
+    * the full powerset — Spark expands both into a single expanded
+    * aggregate, one shuffle). `grouping()` flags distinguish NULL-as-total
+    * from NULL data, matching DuckDB's GROUPING. */
+  private def q42Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").as("g_rf"), grouping($"l_linestatus").as("g_ls"))
+      .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+  }
+
+  private val q42Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+      |  grouping(l_returnflag)::TINYINT AS g_rf, grouping(l_linestatus)::TINYINT AS g_ls
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
   /** q41 — the 100 TB twin of q17's DISTINCT aggregates: HyperLogLog++
     * (`approx_count_distinct`, a mergeable fixed-size sketch) replaces the
     * exact distinct, whose de-dup shuffle carries every distinct key. Same
@@ -1040,6 +1061,7 @@ object Relational {
     "q39_sql_having"     -> q39SqlHaving _,
     "q40_sql_exists"     -> q40SqlExists _,
     "q41_approx_distinct" -> q41ApproxDistinct _,
+    "q42_cube"           -> q42Cube _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1084,5 +1106,6 @@ object Relational {
     "q39_sql_having"     -> q28Sql,
     "q40_sql_exists"     -> q30Sql,
     "q41_approx_distinct" -> q41Sql,
+    "q42_cube"           -> q42Sql,
   )
 }

@@ -108,6 +108,24 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("partitioned parquet sink prunes directories on read-back") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft-sink-test/events_by_type"
+    val events = graft.sources.Tables.events(spark, sfDir)
+    graft.sources.Sink.writePartitioned(events, out, "event_type")
+    val clicks = graft.sources.Sink.readPartitioned(spark, out)
+      .filter(col("event_type") === "click")
+    val scan = clicks.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
+      s"partition filter must reach the scan:\n$scan")
+    val touched = clicks.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("event_type=click")),
+      s"only the matching partition directory may be scanned: ${touched.mkString(",")}")
+    assert(clicks.count() ==
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("contradictory predicate prunes everything and yields empty") {
     import spark.implicits._
     val shards = Seq(

@@ -969,6 +969,31 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
 
+  /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
+    * the key salted 8 ways and orders replicated — the manual weapon for
+    * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
+    * the oracle is the UNSALTED join SQL: any lost or duplicated row
+    * breaks the hash. */
+  private def q43SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.SkewJoin.salted(
+      Tables.lineitem(s, dir),
+      Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+      $"l_orderkey", $"o_orderkey",
+      // varies WITHIN a join key — salting by the key itself would keep
+      // the hot key in one bucket
+      concat($"l_orderkey", lit(":"), $"l_linenumber"),
+      salts = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"l_extendedprice").as("gross"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q43Sql =
+    """SELECT o_orderpriority, count(*) AS n, sum(l_extendedprice) AS gross
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** q41 — the 100 TB twin of q17's DISTINCT aggregates: HyperLogLog++
     * (`approx_count_distinct`, a mergeable fixed-size sketch) replaces the
     * exact distinct, whose de-dup shuffle carries every distinct key. Same
@@ -1062,6 +1087,7 @@ object Relational {
     "q40_sql_exists"     -> q40SqlExists _,
     "q41_approx_distinct" -> q41ApproxDistinct _,
     "q42_cube"           -> q42Cube _,
+    "q43_salted_join"    -> q43SaltedJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1107,5 +1133,6 @@ object Relational {
     "q40_sql_exists"     -> q30Sql,
     "q41_approx_distinct" -> q41Sql,
     "q42_cube"           -> q42Sql,
+    "q43_salted_join"    -> q43Sql,
   )
 }

@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join — the manual skew weapon for when AQE's runtime skew-join
+  * split (on in `GraftSession`) can't help: a single hot key whose hash
+  * partition exceeds one executor's memory no matter how AQE splits
+  * post-shuffle, or a build side that must replicate.
+  *
+  * The fact side gets a deterministic salt in [0, salts) derived from a
+  * unique fact column (md5-based, so the same row always lands in the
+  * same salt bucket — reproducible across runs and engines, unlike
+  * `rand()`); the dim side is replicated `salts` times. The join key
+  * becomes (key, salt): the hot key's rows spread over `salts` partitions,
+  * each meeting its own copy of the dim row. Pure plan rewrite — the
+  * result set is EXACTLY the plain join's, which the q43 oracle proves by
+  * hashing against the unsalted SQL.
+  *
+  * Cost model: dim shuffle volume × salts — use for skewed fact ⋈ small
+  * dim where the broadcast path is unavailable (e.g. the dim is the
+  * output of an earlier stage that must stay partitioned). */
+object SkewJoin {
+
+  /** Inner-join `fact` and `dim` on `factKey === dimKey`, salted `salts`
+    * ways. `factSaltSource` must be any deterministic fact column (ideally
+    * unique — only the distribution, not correctness, depends on it). */
+  def salted(fact: DataFrame, dim: DataFrame,
+      factKey: Column, dimKey: Column, factSaltSource: Column,
+      salts: Int): DataFrame = {
+    require(salts > 0, s"salts=$salts must be positive")
+    // md5 first byte mod salts: deterministic, engine-portable, uniform
+    val salt = pmod(
+      conv(substring(md5(factSaltSource.cast("string")), 1, 2), 16, 10).cast("int"),
+      lit(salts))
+    val saltedFact = fact.withColumn("__fsalt", salt)
+    val saltedDim = dim.withColumn("__dsalt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(saltedDim,
+        factKey === dimKey && col("__fsalt") === col("__dsalt"))
+      .drop("__fsalt", "__dsalt")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.sources.ZoneMapPruner
+
+/** Property-style tests over generated inputs (deterministic seeds): the
+  * native expressions against their composed formulations on adversarial
+  * strings, asofJoin against a naive quadratic reference, and zone-map
+  * pruning soundness. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  // words incl. empty, unicode, punctuation, repeats
+  private val wordGen: Gen[String] = Gen.oneOf(
+    Gen.const(""), Gen.const("héllo"), Gen.const("日本語"), Gen.const("a|b"),
+    Gen.alphaNumStr.map(_.take(12)), Gen.const("the"), Gen.const("🙂🙃"))
+  private val textGen: Gen[String] =
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("property: MinHashSignature == composed min(rotated md5) on generated texts") {
+    import spark.implicits._
+    val docs = samples(textGen, 120, seed = 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("sh", graft.operators.TextAnalysis.shingles(split($"text", " "), 3))
+    val viaExpr = docs.select($"doc_id",
+      graft.functions.MinHashSignature.column($"sh", 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val aggs = (0 until 4).map { k =>
+      val rot = if (k == 0) md5($"s")
+        else concat(substring(md5($"s"), k + 1, 32 - k), substring(md5($"s"), 1, k))
+      min(rot).as(s"m$k")
+    }
+    val viaComposed = docs.select($"doc_id", explode($"sh").as("s"))
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    // composed drops docs with empty shingle arrays; expr emits null sigs
+    viaComposed.foreach { case (id, sig) => assert(viaExpr(id) == sig, s"doc $id") }
+    (viaExpr.keySet -- viaComposed.keySet).foreach { id =>
+      assert(viaExpr(id).forall(_ == null), s"doc $id: empty shingles must give null mins")
+    }
+  }
+
+  test("property: SimHash32 == composed bit votes on generated texts") {
+    import spark.implicits._
+    val docs = samples(textGen, 120, seed = 11L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaExpr = docs
+      .select($"doc_id", graft.functions.SimHash32.column(split($"text", " ")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val v = conv(substring(md5($"word"), 1, 8), 16, 10).cast("long")
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright($"v", j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"sb$j"))
+    val fp = (0 until 32)
+      .map(j => when(col(s"sb$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    val viaComposed = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .withColumn("v", v)
+      .groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", fp.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaComposed)
+  }
+
+  test("property: asofJoin == naive quadratic reference on generated events") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(1L, 5L); t <- Gen.chooseNum(0L, 40L)
+    } yield (k, t)
+    val leftRows = samples(rowGen, 60, seed = 13L).zipWithIndex
+      .map { case ((k, t), i) => (k, t, i.toLong) }
+    val rightRows = samples(rowGen, 60, seed = 17L).zipWithIndex
+      .map { case ((k, t), i) => (k, t, 1000L + i) }
+      .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq // unique (k, t)
+    val got = graft.streaming.EventStream.asofJoin(
+        leftRows.toDF("k", "t", "lid"), rightRows.toDF("k", "t", "p"), "k", "t", "p")
+      .collect().map(r => r.getLong(2) -> Option(r.getAs[java.lang.Long]("p")).map(_.toLong)).toMap
+    val naive = leftRows.map { case (k, t, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got == naive)
+  }
+
+  test("property: zone-map pruning is sound (never drops a matching shard)") {
+    import ZoneMapPruner._
+    val valuesGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+    val predGen: Gen[RangePred] = for {
+      v <- Gen.chooseNum(-110.0, 110.0); hi <- Gen.chooseNum(-110.0, 110.0)
+      p <- Gen.oneOf[RangePred](Gt("x", v), Ge("x", v), Lt("x", v), Le("x", v),
+        EqTo("x", v), Between("x", math.min(v, hi), math.max(v, hi)))
+    } yield p
+    def sat(p: RangePred, x: Double): Boolean = p match {
+      case Gt(_, v) => x > v;  case Ge(_, v) => x >= v
+      case Lt(_, v) => x < v;  case Le(_, v) => x <= v
+      case EqTo(_, v) => x == v
+      case Between(_, lo, hi) => x >= lo && x <= hi
+    }
+    val cases = samples(Gen.zip(valuesGen, Gen.listOfN(3, predGen)), 300, seed = 23L)
+    cases.foreach { case (values, preds) =>
+      val shard = graft.sources.ShardZoneMap("s", Map("x" -> (values.min, values.max)))
+      val hasMatch = values.exists(x => preds.forall(sat(_, x)))
+      val kept = prune(Seq(shard), preds).nonEmpty
+      assert(!hasMatch || kept,
+        s"pruned a shard containing a match: values=$values preds=$preds")
+    }
+  }
+}

@@ -17,8 +17,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(GraftSession.defaultParallelism)
-    val spark = GraftSession.builder("graft-bench", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.get("graft-bench", cpus)
 
     def runToNoop(name: String): Double = {
       val t0 = System.nanoTime()

@@ -21,13 +21,20 @@ object Engine {
     * every table's footer (10 schema fetches), which at q32's size was
     * most of the query's wall time. The reference caches its catalogue
     * the same way (one fetch per connection, `Client.cpp:118-132`). */
-  private val lastDir =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+  // weak keys: a stopped session must not be pinned by the cache
+  private val lastDir = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
 
   /** Register the scale-factor directory's tables (skipped when this
-    * session's views already point at `dir`) and run one SQL query. */
+    * session's views already point at `dir`) and run one SQL query.
+    * `lastDir` is recorded only AFTER registration succeeds — a partial
+    * registration that threw must not be mistaken for a complete one on
+    * the next call (it would silently query mixed views). */
   def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    if (lastDir.put(spark, dir) != dir) Tables.registerAll(spark, dir)
+    if (lastDir.get(spark) != dir) {
+      Tables.registerAll(spark, dir)
+      lastDir.put(spark, dir)
+    }
     spark.sql(sql)
   }
 }

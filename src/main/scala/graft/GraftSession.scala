@@ -63,8 +63,8 @@ object GraftSession {
   private val listened = java.util.Collections.synchronizedSet(
     java.util.Collections.newSetFromMap(new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
-  def get(appName: String): SparkSession = {
-    val spark = builder(appName).getOrCreate()
+  def get(appName: String, cpus: Int = defaultParallelism): SparkSession = {
+    val spark = builder(appName, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (listened.add(spark)) spark.listenerManager.register(new GraftMetricsListener)
     spark

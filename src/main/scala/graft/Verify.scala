@@ -6,10 +6,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // the ENGINE session (extensions + tuned confs), not a vanilla one —
-    // the correctness gate must exercise the optimizer rules it ships
-    val spark = GraftSession.builder("graft-verify", cpus).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // the ENGINE session (extensions + tuned confs + metrics listener),
+    // not a vanilla one — the correctness gate must exercise the
+    // optimizer rules it ships and log the recall trades it takes
+    val spark = GraftSession.get("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

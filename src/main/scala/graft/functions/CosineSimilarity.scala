@@ -114,7 +114,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (children: Seq[Expression]) => SimHash32(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"simhash32 expects exactly 1 argument (token array), got ${children.size}")
+        SimHash32(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_lcg"),
+      new ExpressionInfo(classOf[MinHashLcg].getName, "minhash_lcg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"minhash_lcg expects (shingles array, numHashes int literal), got ${children.size} args")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"minhash_lcg: numHashes must be an int literal, got $other")
+        }
+        MinHashLcg(children(0), k)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),

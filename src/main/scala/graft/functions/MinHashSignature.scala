@@ -9,24 +9,19 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native MinHash signature: all `numHashes` minhash values of a shingle
-  * array in one pass — ONE md5 per shingle, with the k-th hash stream
-  * derived by rotating the 32-char hex digest left by k characters:
-  * `minhash_k = min over shingles of rot_k(md5(shingle))`. Rotation k
-  * orders shingles by the digest nibbles starting at position k, and md5
-  * nibbles at different positions are independent, so the 16 streams
-  * behave as 16 hash functions at 1/16th the digest cost (the digest
-  * loop, not the comparison, dominated the profile when each seed paid
-  * its own md5). Bit-identical to the DuckDB oracle's
-  * `substr(md5(x), k+1) || substr(md5(x), 1, k)`.
+/** Native min-over-md5 signature: `minhash_k = min over shingles of
+  * rot_k(md5(shingle))`, where rot_k rotates the 32-char hex digest left
+  * by k characters — ONE md5 per shingle, shuffle-free narrow map.
   *
-  * Why an expression: the composable alternative (explode each shingle,
-  * 16 codegen'd md5+min aggregates) is correct but pays a shuffle for the
-  * partial/final aggregation; this is a narrow map — per document, one
-  * tight JVM loop hashing each shingle once, keeping winning digests and
-  * hex-encoding only the 16 winners. At 100 TB that removes the only
-  * shuffle in the signature stage of the dedup pipeline (banding then
-  * shuffles just 4 band hashes per doc).
+  * Stream 0 is the plain `min(md5(shingle))` — the winnowing-style
+  * document fingerprint (t04's production use, where this expression
+  * replaces an explode + min aggregate). Streams k > 0 give CHEAP
+  * additional orderings, but they are NOT independent hash functions:
+  * rotations of one digest are positively correlated through digests
+  * with globally small nibbles, so multi-stream LSH banding should use
+  * [[MinHashLcg]] (the pairwise-independent `(a·x+b) mod 2^48` family) —
+  * the dedup pipeline does. Bit-identical to the DuckDB formulation
+  * `substr(md5(x), k+1) || substr(md5(x), 1, k)`.
   *
   * CodegenFallback is deliberate: the per-row work is a multi-kilobyte
   * digest loop that JITs well as plain JVM code; nothing is gained by

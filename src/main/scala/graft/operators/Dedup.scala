@@ -59,15 +59,15 @@ object Dedup {
       |FROM documents GROUP BY md5(text)
       |ORDER BY kept_doc_id""".stripMargin
 
-  /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15.
-    * Each minhash is min over shingles of the md5 hex digest rotated left
-    * by the stream index (one digest per shingle, 16 derived orderings —
-    * see MinHashSignature) and hex strings order lexicographically
-    * identically everywhere. Computed by the native MinHashSignature
-    * expression: a shuffle-free narrow map (one fused hash loop per
-    * document), vs exploding shingles into a 16-aggregate groupBy. */
+  /** MinHash signatures for any (doc_id, text) frame: doc_id + m00..m15
+    * (48-bit BIGINT minhashes). Each stream is the classic pairwise-
+    * independent `(a_k·v + b_k) mod 2^48` hash over a single md5-derived
+    * key per shingle — see MinHashLcg (one digest per shingle, genuinely
+    * independent stream orderings). A shuffle-free narrow map (one fused
+    * hash loop per document), vs exploding shingles into a 16-aggregate
+    * groupBy. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sig = graft.functions.MinHashSignature.column(col("sh"), NumHashes)
+    val sig = graft.functions.MinHashLcg.column(col("sh"), NumHashes)
     val sigCols = (0 until NumHashes).map(k => element_at(col("sig"), k + 1).as(f"m$k%02d"))
     withSh3(docs)
       .withColumn("sig", sig)
@@ -84,21 +84,23 @@ object Dedup {
        |    generate_series(1, len(string_split(text, ' ')) - ${k - 1}),
        |    i -> array_to_string(string_split(text, ' ')[i:i+${k - 1}], ' ')))""".stripMargin
 
-  /** DuckDB twin of MinHashSignature's k-th stream: md5 hex rotated left
-    * by k chars (k = 0 is md5 itself). */
-  private def duckRotMd5(k: Int): String =
-    if (k == 0) "md5(x)"
-    else s"substr(md5(x), ${k + 1}) || substr(md5(x), 1, $k)"
+  import graft.functions.MinHashLcg
 
+  /** DuckDB twin of the signature: shingles → 48-bit md5 keys (`vs`),
+    * then per stream min of the LCG hash — same constant tables. */
   private def duckSigSelect: String = (0 until NumHashes)
-    .map(k => f"list_aggregate(list_transform(sh, x -> ${duckRotMd5(k)}), 'min') AS m$k%02d")
+    .map(k => f"list_aggregate(list_transform(vs, v -> ${MinHashLcg.duckStream(k, "v")}), 'min') AS m$k%02d")
     .mkString(",\n  ")
 
+  private def duckKeysCte: String =
+    s"""s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
+       |vv AS (SELECT doc_id, list_transform(sh, x -> ${MinHashLcg.duckKey("x")}) AS vs FROM s)""".stripMargin
+
   private val d02Sql =
-    s"""WITH s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents)
+    s"""WITH $duckKeysCte
        |SELECT doc_id,
        |  $duckSigSelect
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM vv ORDER BY doc_id""".stripMargin
 
   /** d03 — MinHash-LSH candidate pairs: band the signature, md5 each band,
     * and self-join on (band index, band hash). This is the scalable path:
@@ -148,8 +150,14 @@ object Dedup {
     * [[MaxBucketSize]] (see [[bucketPairs]]). */
   def minhashCandidates(docs: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
     val sigs = minhashSignatures(docs)
+    // ':'-separated concat (plain concat, so ANY null stream nulls the
+    // band — shingle-less docs must not all collide on one bucket), then
+    // md5 — bit-identical in DuckDB with ::VARCHAR casts
     val bandCols = (0 until NumBands).map { b =>
-      md5(concat((0 until RowsPerBand).map(r => col(f"m${b * RowsPerBand + r}%02d")): _*))
+      val parts = (0 until RowsPerBand)
+        .map(r => col(f"m${b * RowsPerBand + r}%02d").cast("string"))
+        .flatMap(c => Seq(c, lit(":"))).dropRight(1)
+      md5(concat(parts: _*))
     }
     val buckets = sigs
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
@@ -165,13 +173,16 @@ object Dedup {
   private def d03MinhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashCandidates(Tables.documents(s, dir)).orderBy(col("doc_a"), col("doc_b"))
 
+  private def duckBands: String = (0 until NumBands).map { b =>
+    val cat = (0 until RowsPerBand)
+      .map(r => f"m${b * RowsPerBand + r}%02d::VARCHAR").mkString(" || ':' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+  }.mkString("\n  UNION ALL ")
+
   private val d03Sql = {
-    val bands = (0 until NumBands).map { b =>
-      val cat = (0 until RowsPerBand).map(r => f"m${b * RowsPerBand + r}%02d").mkString(" || ")
-      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
-       |sig AS (SELECT doc_id, $duckSigSelect FROM s),
+    val bands = duckBands
+    s"""WITH $duckKeysCte,
+       |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
        |banded AS ($bands)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
@@ -289,15 +300,22 @@ object Dedup {
     * on some shingle. Each doc's shingle-set size rides along the exploded
     * rows as a struct field, so the whole query is one scan + two shuffles
     * (bucket groupBy, pair groupBy) with no size joins at all. */
-  def jaccardPairs(docs: DataFrame, minJ: Double,
-      maxBucket: Int = MaxBucketSize): DataFrame = {
+  def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
     val buckets = withSh3(docs)
       .select(struct(col("doc_id"), size(col("sh")).as("n_sh")).as("d"),
         explode(col("sh")).as("s"))
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("d"))).as("ids")) // sorts by doc_id
       .filter(size(col("ids")) > 1)
-    bucketPairs(buckets, maxBucket)
+    // NO bucket cap here, deliberately: in d03/d05 a dropped bucket only
+    // loses candidates (the exact check still runs on survivors), but here
+    // the per-shingle buckets ARE the measurement — dropping one would
+    // undercount n_inter for every surviving pair that shares the dropped
+    // shingle, corrupting J rather than trading recall. The production
+    // guard for stopword-shingles is document-frequency filtering applied
+    // symmetrically to n_inter AND the n_sh sizes (not done here — the
+    // oracle computes unfiltered J).
+    bucketPairs(buckets, maxBucket = Int.MaxValue)
       .groupBy(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"),
         col("pa.n_sh").as("n_a"), col("pb.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -404,13 +422,10 @@ object Dedup {
   }
 
   private val d08Sql = {
-    val bands = (0 until NumBands).map { b =>
-      val cat = (0 until RowsPerBand).map(r => f"m${b * RowsPerBand + r}%02d").mkString(" || ")
-      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
-    }.mkString("\n  UNION ALL ")
+    val bands = duckBands
     s"""WITH RECURSIVE
-       |s AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
-       |sig AS (SELECT doc_id, $duckSigSelect FROM s),
+       |$duckKeysCte,
+       |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
        |banded AS ($bands),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

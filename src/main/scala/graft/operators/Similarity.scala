@@ -162,11 +162,16 @@ object Similarity {
     * ingest-time artifact that queries share — s04 and s06 must not each
     * retrain the quantizer, just as a real deployment reads the persisted
     * cell assignment instead of re-clustering per query. */
-  private val ivfCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  // weak session keys: a stopped session (and its checkpoint blocks) must
+  // not be pinned by the index cache for the JVM's lifetime
+  private val ivfCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
 
   private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
-    ivfCache.computeIfAbsent((s, dir), { _ =>
+    ivfCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+    ).computeIfAbsent(dir, { _ =>
       import s.implicits._
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector

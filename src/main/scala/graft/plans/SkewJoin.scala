@@ -29,9 +29,12 @@ object SkewJoin {
       factKey: Column, dimKey: Column, factSaltSource: Column,
       salts: Int): DataFrame = {
     require(salts > 0, s"salts=$salts must be positive")
-    // md5 first byte mod salts: deterministic, engine-portable, uniform
+    // md5 first byte mod salts: deterministic, engine-portable, uniform.
+    // coalesce: a NULL salt source must still salt (md5(NULL) is NULL and
+    // a NULL salt would silently DROP the row from the inner join)
     val salt = pmod(
-      conv(substring(md5(factSaltSource.cast("string")), 1, 2), 16, 10).cast("int"),
+      conv(substring(md5(coalesce(factSaltSource.cast("string"), lit(""))), 1, 2),
+        16, 10).cast("int"),
       lit(salts))
     val saltedFact = fact.withColumn("__fsalt", salt)
     val saltedDim = dim.withColumn("__dsalt",

@@ -92,11 +92,15 @@ object ZoneMapPruner {
     * would persist next to the data. Range sharding by key gives each
     * shard a tight (min,max), the date-partitioned-logs shape pruning
     * exists for. */
-  private val shardCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (TableSpec, Seq[ShardZoneMap])]
+  // weak session keys: stopped sessions must not be pinned by the cache
+  private val shardCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (TableSpec, Seq[ShardZoneMap])]])
 
   private[graft] def shardedOrders(s: SparkSession, dir: String): (TableSpec, Seq[ShardZoneMap]) =
-    shardCache.computeIfAbsent((s, dir), { _ =>
+    shardCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (TableSpec, Seq[ShardZoneMap])]
+    ).computeIfAbsent(dir, { _ =>
       val out = s"/tmp/graft-zonemap/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_csv"
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))

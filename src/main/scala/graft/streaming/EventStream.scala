@@ -145,20 +145,26 @@ object EventStream {
     import left.sparkSession.implicits._
     require(!left.columns.contains(payload),
       s"asofJoin: left already has a column named '$payload'")
-    val l = left.withColumn("__side", lit(1)).withColumn(payload, lit(null).cast(
-      right.schema(payload).dataType))
-    val r = right.select(col(key), col(ts), lit(0).as("__side"), col(payload))
+    // The carried value is a STRUCT that is null exactly on left rows:
+    // last(..., ignoreNulls) must skip left rows but NOT a right row whose
+    // payload happens to be NULL — a naked last(payload) would reach past
+    // the true match to an older non-null one.
+    val l = left.withColumn("__side", lit(1)).withColumn("__rv",
+      lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p", right.schema(payload).dataType)))))
+    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+      struct(col(payload).as("p")).as("__rv"))
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__side"), col(payload))
+      .orderBy(col(ts), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r.select(l.columns.map {
-        case c if r.columns.contains(c) => col(c)
+        case c if r.columns.contains(c) || c == "__rv" => col(c)
         case c => lit(null).cast(l.schema(c).dataType).as(c)
       }: _*))
-      .withColumn("__matched", last(col(payload), ignoreNulls = true).over(w))
+      .withColumn("__matched", last(col("__rv"), ignoreNulls = true).over(w))
       .filter($"__side" === 1)
-      .drop("__side", payload)
-      .withColumnRenamed("__matched", payload)
+      .withColumn(payload, col("__matched.p"))
+      .drop("__side", "__rv", "__matched")
   }
 
   // ---- batch queries (oracle-checked) -----------------------------------

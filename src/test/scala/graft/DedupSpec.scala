@@ -11,8 +11,14 @@ class DedupSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  // long enough that a one-word edit keeps Jaccard ≈ 0.9: at J ≈ 0.9 a
+  // 4-row band collides with p = J⁴ ≈ 0.66 and missing all 4 bands has
+  // p ≈ 1.3% — a fair ask of any fixed hash family (at the old 14-word
+  // text J ≈ 0.6 gave each family only a coin flip)
   private val base =
-    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight " +
+    "while seven curious ravens watch silently from the old oak tree near the " +
+    "river bend waiting for scraps of bread left behind by careless picnic guests"
 
   test("identical texts produce identical minhash signatures and a candidate pair") {
     val d = docs(1L -> base, 2L -> base,
@@ -82,6 +88,26 @@ class DedupSpec extends SparkSpec {
       """SELECT minhash_sig(split(text, ' '), 4) AS sig FROM docs_mh_test""")
       .filter(size($"sig") === 4).count()
     assert(n == 5)
+  }
+
+  test("MinHashLcg expression equals the composed (a*v+b) mod 2^48 formulation") {
+    import graft.functions.MinHashLcg
+    import spark.implicits._
+    val d = graft.sources.Tables.documents(spark, sfDir).limit(100)
+      .withColumn("w", split($"text", " "))
+      .withColumn("sh", graft.operators.TextAnalysis.shingles($"w", 3))
+    val viaExpr = d.select($"doc_id", MinHashLcg.column($"sh", 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val v = conv(substring(md5($"s"), 1, 12), 16, 10).cast("long")
+    val aggs = (0 until 4).map(k =>
+      min(($"v" * MinHashLcg.A(k) + MinHashLcg.B(k)).bitwiseAND(MinHashLcg.Mask48))
+        .as(s"m$k"))
+    val viaComposed = d.select($"doc_id", explode($"sh").as("s"))
+      .withColumn("v", v)
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    assert(viaExpr.keySet == viaComposed.keySet)
+    viaExpr.foreach { case (id, sig) => assert(sig == viaComposed(id), s"doc $id") }
   }
 
   test("SimHash32 expression equals the composed explode/vote formulation") {

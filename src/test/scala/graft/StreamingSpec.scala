@@ -97,16 +97,23 @@ class StreamingSpec extends SparkSpec {
 
   test("asofJoin picks the latest right row at or before each left row") {
     import spark.implicits._
-    val left = Seq((1L, 10L, "a"), (1L, 4L, "b"), (2L, 3L, "c"))
+    val left = Seq((1L, 10L, "a"), (1L, 4L, "b"), (2L, 3L, "c"), (3L, 9L, "d"))
       .toDF("k", "t", "tag")
-    val right = Seq((1L, 5L, 50L), (1L, 10L, 99L), (1L, 11L, 70L))
+    val right = Seq(
+      (1L, 5L, java.lang.Long.valueOf(50L)),
+      (1L, 10L, java.lang.Long.valueOf(99L)),
+      (1L, 11L, java.lang.Long.valueOf(70L)),
+      (3L, 2L, java.lang.Long.valueOf(7L)),
+      (3L, 8L, null.asInstanceOf[java.lang.Long])) // true match with NULL payload
       .toDF("k", "t", "p")
     val got = EventStream.asofJoin(left, right, "k", "t", "p")
-      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[java.lang.Long]("p"))).toMap
+      .collect().map(r => r.getAs[String]("tag")
+        -> Option(r.getAs[java.lang.Long]("p")).map(_.toLong)).toMap
     assert(got == Map(
       "a" -> Some(99L), // inclusive: right row at the exact same ts wins
       "b" -> None,      // earliest right for k=1 is at t=5 > 4
-      "c" -> None))     // no right rows for k=2 at all
+      "c" -> None,      // no right rows for k=2 at all
+      "d" -> None))     // latest match (t=8) carries NULL — must NOT fall back to t=2
   }
 
   test("parquet-backed readStream plans incrementally with a watermark") {

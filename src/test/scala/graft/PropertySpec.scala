@@ -44,6 +44,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: MinHashLcg == composed LCG-over-md5-key on generated texts") {
+    import graft.functions.MinHashLcg
+    import spark.implicits._
+    val docs = samples(textGen, 120, seed = 29L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .withColumn("sh", graft.operators.TextAnalysis.shingles(split($"text", " "), 3))
+    val viaExpr = docs.select($"doc_id", MinHashLcg.column($"sh", 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Any](1))).toMap
+    val v = conv(substring(md5($"s"), 1, 12), 16, 10).cast("long")
+    val aggs = (0 until 4).map(k =>
+      min(($"v" * MinHashLcg.A(k) + MinHashLcg.B(k)).bitwiseAND(MinHashLcg.Mask48)).as(s"m$k"))
+    val viaComposed = docs.select($"doc_id", explode($"sh").as("s"))
+      .withColumn("v", v)
+      .groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getLong)).toMap
+    viaComposed.foreach { case (id, sig) =>
+      assert(viaExpr(id).get == sig, s"doc $id")
+    }
+    (viaExpr.keySet -- viaComposed.keySet).foreach { id =>
+      assert(viaExpr(id).get.forall(_ == null),
+        s"doc $id: empty shingles must give null minhashes")
+    }
+  }
+
   test("property: SimHash32 == composed bit votes on generated texts") {
     import spark.implicits._
     val docs = samples(textGen, 120, seed = 11L).zipWithIndex

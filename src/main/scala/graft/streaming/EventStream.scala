@@ -284,6 +284,31 @@ object EventStream {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c_id""".stripMargin
 
+  /** ev07 — deterministic balanced class sample: 50 events per
+    * event_type, chosen by ranking each class on the md5 of its stable
+    * key — "random" but bit-reproducible across engines, runs, and
+    * cluster sizes (the class-balancing counterpart of t06's split).
+    * One window per class; at 100 TB the per-class rank is the same
+    * windowed top-K plan as any leaderboard query. */
+  private def ev07BalancedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(md5($"event_id".cast("string")), $"event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 50)
+      .select($"event_type", $"event_id", $"user_id")
+      .orderBy($"event_type", $"event_id")
+  }
+
+  private val ev07Sql =
+    """SELECT event_type, event_id, user_id FROM (
+      |  SELECT event_type, event_id, user_id,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+      |  FROM events) r
+      |WHERE rn <= 50 ORDER BY event_type, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -291,6 +316,7 @@ object EventStream {
     "ev04_top_users"    -> ev04TopUsers _,
     "ev05_click_error"  -> ev05ClickError _,
     "ev06_asof_view"    -> ev06AsofView _,
+    "ev07_balanced_sample" -> ev07BalancedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +326,6 @@ object EventStream {
     "ev04_top_users"    -> ev04Sql,
     "ev05_click_error"  -> ev05Sql,
     "ev06_asof_view"    -> ev06Sql,
+    "ev07_balanced_sample" -> ev07Sql,
   )
 }

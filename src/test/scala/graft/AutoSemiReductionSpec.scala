@@ -57,6 +57,24 @@ class AutoSemiReductionSpec extends SparkSpec {
     }
   }
 
+  test("composite dims (filtered join subtree) are skipped conservatively") {
+    import spark.implicits._
+    // dim = nation ⋈ filtered region: without CBO column stats Catalyst
+    // estimates a join's size as the product of its inputs, so the
+    // composite dim looks too big for the size-ratio guard — the rule
+    // must stay conservative and leave the plan alone (and the query
+    // still computes correctly either way)
+    val dim = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+    val joined = Tables.customer(spark, sfDir)
+      .join(dim, $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").agg(count(lit(1)).as("n"))
+    assert(semiJoins(joined) == 0,
+      s"overestimated composite dims must not be reduced:\n${joined.queryExecution.optimizedPlan}")
+    assert(joined.count() > 0)
+  }
+
   test("hand-reduced facts are not reduced twice (idempotence)") {
     import spark.implicits._
     val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)

@@ -123,7 +123,12 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
-      case j @ Join(left, right, Inner, Some(cond), _) if cond.deterministic =>
+      // never touch streaming joins: a copied stream source inside an
+      // un-watermarked semi join would fail incremental planning (today
+      // streaming sources also carry huge default stats, but that is an
+      // accident, not a guarantee)
+      case j @ Join(left, right, Inner, Some(cond), _)
+          if cond.deterministic && !j.isStreaming =>
         if (eligible(left, right, cond))
           j.copy(left = reduce(left, right, cond))
         else if (eligible(right, left, cond))

@@ -127,6 +127,28 @@ class StreamingSpec extends SparkSpec {
     assert(agg.schema.fieldNames.contains("n_events"))
   }
 
+  test("streaming file sink appends exactly-once parquet under a checkpoint") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = "/tmp/graft-stream-sink/out"
+    val ckpt = "/tmp/graft-stream-sink/ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("/tmp/graft-stream-sink"))
+    def runOnce(): Unit = {
+      val q = EventStream.dedupStream(EventStream.readEventStream(spark, sfDir))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    runOnce()
+    val once = spark.read.parquet(out).count()
+    assert(once > 0)
+    // replaying with the same checkpoint must add nothing (exactly-once)
+    runOnce()
+    assert(spark.read.parquet(out).count() == once,
+      "a replayed AvailableNow run with the same checkpoint must be a no-op")
+  }
+
   test("parquet-backed stream executes a real micro-batch matching batch counts") {
     import org.apache.spark.sql.streaming.Trigger
     val q = EventStream.readEventStream(spark, sfDir)

@@ -15,9 +15,8 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
-      .getOrElse(GraftSession.defaultParallelism)
-    val spark = GraftSession.get("graft-bench", cpus)
+    val spark = GraftSession.get("graft-bench") // cpus from SPARK_GRAFT_CPUS
+
 
     def runToNoop(name: String): Double = {
       val t0 = System.nanoTime()

@@ -31,9 +31,13 @@ object Engine {
     * registration that threw must not be mistaken for a complete one on
     * the next call (it would silently query mixed views). */
   def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    if (lastDir.get(spark) != dir) {
-      Tables.registerAll(spark, dir)
-      lastDir.put(spark, dir)
+    // one registration at a time per process: concurrent registerAll for
+    // different dirs on one session would interleave views
+    lastDir.synchronized {
+      if (lastDir.get(spark) != dir) {
+        Tables.registerAll(spark, dir)
+        lastDir.put(spark, dir)
+      }
     }
     spark.sql(sql)
   }

@@ -417,15 +417,12 @@ object Dedup {
     * Like the IVF index, the assignment is an ingest-time artifact built
     * once per (session, dir) and materialized — d08 (groups) and d09
     * (survivor selection) share it instead of each re-running the LSH
-    * pipeline and the label-propagation rounds. Weak session keys. */
-  private val groupCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+    * pipeline and the label-propagation rounds. Bounded LRU retention
+    * (see SessionCache for why weak keys can't work here). */
+  private val groupCache = new graft.util.SessionCache[DataFrame]
 
   private def dupGroups(s: SparkSession, dir: String): DataFrame =
-    groupCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-    ).computeIfAbsent(dir, { _ =>
+    groupCache.getOrBuild(s, dir)({
       val edges = minhashCandidates(Tables.documents(s, dir))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       connectedComponents(edges)

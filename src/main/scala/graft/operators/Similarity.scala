@@ -162,16 +162,12 @@ object Similarity {
     * ingest-time artifact that queries share — s04 and s06 must not each
     * retrain the quantizer, just as a real deployment reads the persisted
     * cell assignment instead of re-clustering per query. */
-  // weak session keys: a stopped session (and its checkpoint blocks) must
-  // not be pinned by the index cache for the JVM's lifetime
-  private val ivfCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+  // bounded LRU (weak keys can't work here — a cached DataFrame strongly
+  // references its session, which would re-reach a weak key via the map)
+  private val ivfCache = new graft.util.SessionCache[DataFrame]
 
   private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
-    ivfCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
-    ).computeIfAbsent(dir, { _ =>
+    ivfCache.getOrBuild(s, dir)({
       import s.implicits._
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector

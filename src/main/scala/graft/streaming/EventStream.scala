@@ -152,8 +152,12 @@ object EventStream {
     val l = left.withColumn("__side", lit(1)).withColumn("__rv",
       lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("p", right.schema(payload).dataType)))))
-    val r = right.select(col(key), col(ts), lit(0).as("__side"),
-      struct(col(payload).as("p")).as("__rv"))
+    // SQL join semantics: NULL keys never match (the window would group
+    // NULL-key rows together), and a NULL-ts right row can never be the
+    // as-of match (l.ts >= NULL is never true)
+    val r = right.filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key), col(ts), lit(0).as("__side"),
+        struct(col(payload).as("p")).as("__rv"))
     val w = Window.partitionBy(col(key))
       .orderBy(col(ts), col("__side"), col("__rv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -35,7 +35,7 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.minhashCandidates(docs(1L -> base, 2L -> edited))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((1L, 2L)),
-      "near-identical docs (1 of 14 words changed) should share a band")
+      "near-identical docs (1 of ~40 words changed, J ≈ 0.9) should share a band")
   }
 
   test("simhash: identical texts get hamming 0; near texts get small hamming") {

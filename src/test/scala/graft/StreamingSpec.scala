@@ -97,14 +97,19 @@ class StreamingSpec extends SparkSpec {
 
   test("asofJoin picks the latest right row at or before each left row") {
     import spark.implicits._
-    val left = Seq((1L, 10L, "a"), (1L, 4L, "b"), (2L, 3L, "c"), (3L, 9L, "d"))
+    def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val nul = null.asInstanceOf[java.lang.Long]
+    val left = Seq(
+      (L(1L), 10L, "a"), (L(1L), 4L, "b"), (L(2L), 3L, "c"), (L(3L), 9L, "d"),
+      (nul, 9L, "e")) // NULL key: must match nothing (NULL = NULL is not a match)
       .toDF("k", "t", "tag")
     val right = Seq(
-      (1L, 5L, java.lang.Long.valueOf(50L)),
-      (1L, 10L, java.lang.Long.valueOf(99L)),
-      (1L, 11L, java.lang.Long.valueOf(70L)),
-      (3L, 2L, java.lang.Long.valueOf(7L)),
-      (3L, 8L, null.asInstanceOf[java.lang.Long])) // true match with NULL payload
+      (L(1L), 5L, L(50L)),
+      (L(1L), 10L, L(99L)),
+      (L(1L), 11L, L(70L)),
+      (L(3L), 2L, L(7L)),
+      (L(3L), 8L, nul), // true match with NULL payload
+      (nul, 2L, L(41L))) // NULL-key right row: matchable by nobody
       .toDF("k", "t", "p")
     val got = EventStream.asofJoin(left, right, "k", "t", "p")
       .collect().map(r => r.getAs[String]("tag")
@@ -113,7 +118,8 @@ class StreamingSpec extends SparkSpec {
       "a" -> Some(99L), // inclusive: right row at the exact same ts wins
       "b" -> None,      // earliest right for k=1 is at t=5 > 4
       "c" -> None,      // no right rows for k=2 at all
-      "d" -> None))     // latest match (t=8) carries NULL — must NOT fall back to t=2
+      "d" -> None,      // latest match (t=8) carries NULL — must NOT fall back to t=2
+      "e" -> None))     // NULL join keys never match, even against NULL-key rights
   }
 
   test("parquet-backed readStream plans incrementally with a watermark") {

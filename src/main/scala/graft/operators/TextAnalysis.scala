@@ -225,6 +225,44 @@ object TextAnalysis {
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
   }
 
+  /** t07 — TF-IDF top terms: term frequency per doc × inverse document
+    * frequency, top 3 terms per doc. The Spark-shaped version of the
+    * classic relevance score: one explode, a per-(doc, word) count, a
+    * per-word document-frequency aggregate joined back on the word key
+    * (a shuffle join — at web scale the vocabulary outgrows broadcast),
+    * and a per-doc window top-K. ln() is IEEE-identical across engines;
+    * the driver's float tolerance covers the multiply. */
+  private def t07Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // plan-time scalar (metadata-cheap count)
+    val tf = Tables.spread(docs)
+      .select($"doc_id", explode(words($"text")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")
+    tf.join(df, "word")
+      .withColumn("score", $"tf" * log(lit(nDocs.toDouble) / $"df"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"word", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  private val t07Sql =
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+      |s AS (SELECT tf.doc_id, tf.word, tf.tf * ln(n.n_docs / df.df) AS score
+      |      FROM tf JOIN df USING (word) CROSS JOIN n)
+      |SELECT doc_id, rank, word, score FROM (
+      |  SELECT doc_id, word, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rank
+      |  FROM s) r
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -232,6 +270,7 @@ object TextAnalysis {
     "t04_fingerprint" -> t04Fingerprint _,
     "t05_boilerplate" -> t05Boilerplate _,
     "t06_hash_split"  -> t06HashSplit _,
+    "t07_tfidf"       -> t07Tfidf _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -241,5 +280,6 @@ object TextAnalysis {
     "t04_fingerprint" -> t04Sql,
     "t05_boilerplate" -> t05Sql,
     "t06_hash_split"  -> t06Sql,
+    "t07_tfidf"       -> t07Sql,
   )
 }

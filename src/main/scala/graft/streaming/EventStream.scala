@@ -313,6 +313,34 @@ object EventStream {
       |  FROM events) r
       |WHERE rn <= 50 ORDER BY event_type, event_id""".stripMargin
 
+  /** ev08 — per-user z-score outliers: events whose value sits more than
+    * 2 sample standard deviations from the user's mean — the statistical
+    * QC filter of an event pipeline. Two-pass shape (per-key moments,
+    * then a join back) that at scale is a partial-aggregated shuffle on
+    * the key plus a broadcast or co-partitioned join; constant-valued
+    * users (stddev 0) produce no outliers by definition. */
+  private def ev08Outliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy($"user_id".as("su"))
+      .agg(avg($"value").as("mu"), stddev_samp($"value").as("sd"))
+      .filter($"sd" > 0.0)
+    ev.join(stats, $"user_id" === $"su")
+      .withColumn("z", ($"value" - $"mu") / $"sd")
+      .filter(abs($"z") > 2.0)
+      .select($"event_id", $"user_id", $"value", $"z")
+      .orderBy($"event_id")
+  }
+
+  private val ev08Sql =
+    """WITH st AS (
+      |  SELECT user_id AS su, avg(value) AS mu, stddev_samp(value) AS sd
+      |  FROM events GROUP BY 1 HAVING stddev_samp(value) > 0)
+      |SELECT event_id, user_id, value, (value - mu) / sd AS z
+      |FROM events JOIN st ON user_id = su
+      |WHERE abs((value - mu) / sd) > 2.0
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -321,6 +349,7 @@ object EventStream {
     "ev05_click_error"  -> ev05ClickError _,
     "ev06_asof_view"    -> ev06AsofView _,
     "ev07_balanced_sample" -> ev07BalancedSample _,
+    "ev08_outliers"     -> ev08Outliers _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -331,5 +360,6 @@ object EventStream {
     "ev05_click_error"  -> ev05Sql,
     "ev06_asof_view"    -> ev06Sql,
     "ev07_balanced_sample" -> ev07Sql,
+    "ev08_outliers"     -> ev08Sql,
   )
 }

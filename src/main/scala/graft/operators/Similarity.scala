@@ -173,7 +173,13 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.spread(Tables.embeddings(s, dir))
         .withColumn("features", array_to_vector($"embedding"))
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
+      // train on a deterministic sample (floor of 2k vectors): centroids
+      // need only the density shape, and at 100 TB nobody k-means the
+      // full corpus — sampling IS the production quantizer-training path
+      val n = emb.count()
+      val frac = math.min(1.0, math.max(2000.0 / n, 0.05))
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+        .fit(emb.sample(withReplacement = false, frac, seed = 42L))
       model.transform(emb).select($"vec_id", $"embedding", $"prediction".as("cell"))
         .localCheckpoint()
     })

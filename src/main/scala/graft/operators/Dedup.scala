@@ -493,6 +493,43 @@ object Dedup {
        |  FROM j) r
        |WHERE rn = 1 ORDER BY group_id""".stripMargin
 
+  /** d10 — the composed corpus-preparation pipeline, end to end in one
+    * declarative plan: exact dedup (keep the lowest doc_id per content
+    * hash) → quality floor (≥ 20 words) → deterministic train/holdout
+    * split → per-split stats. This is the user story the individual
+    * operators exist for, and because every stage is a DataFrame
+    * transform, Catalyst fuses the whole pipeline (the dedup shuffle is
+    * the only wide stage; filter and split are narrow maps on top). */
+  private def d10Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val survivors = docs
+      .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val bucket = conv(
+      substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2),
+      16, 10).cast("long")
+    docs.join(survivors, "doc_id")
+      .filter(size(split($"text", " ")) >= 20)
+      .withColumn("split", when(bucket < 230, "train").otherwise("holdout"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        avg(size(split($"text", " "))).as("avg_words"))
+      .orderBy($"split")
+  }
+
+  private val d10Sql = {
+    val h = "md5('split:' || doc_id::VARCHAR)"
+    val b = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+    s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |d AS (SELECT doc_id, text FROM documents JOIN k USING (doc_id)
+       |      WHERE len(string_split(text, ' ')) >= 20)
+       |SELECT CASE WHEN $b < 230 THEN 'train' ELSE 'holdout' END AS split,
+       |  count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avg_words
+       |FROM d GROUP BY 1 ORDER BY split""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -503,6 +540,7 @@ object Dedup {
     "d07_embed_neardup" -> d07EmbedNearDup _,
     "d08_dup_groups"    -> d08DupGroups _,
     "d09_survivors"     -> d09Survivors _,
+    "d10_pipeline"      -> d10Pipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -515,5 +553,6 @@ object Dedup {
     "d07_embed_neardup" -> d07Sql,
     "d08_dup_groups"    -> d08Sql,
     "d09_survivors"     -> d09Sql,
+    "d10_pipeline"      -> d10Sql,
   )
 }

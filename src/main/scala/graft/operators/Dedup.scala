@@ -495,40 +495,38 @@ object Dedup {
 
   /** d10 — the composed corpus-preparation pipeline, end to end in one
     * declarative plan: exact dedup (keep the lowest doc_id per content
-    * hash) → quality floor (≥ 20 words) → deterministic train/holdout
-    * split → per-split stats. This is the user story the individual
-    * operators exist for, and because every stage is a DataFrame
-    * transform, Catalyst fuses the whole pipeline (the dedup shuffle is
-    * the only wide stage; filter and split are narrow maps on top). */
+    * hash, as a window — no self-join) → quality floor (≥ 20 words) →
+    * deterministic train/holdout split (TextAnalysis.splitAssign, the
+    * SAME definition t06 ships) → per-split stats. This is the user
+    * story the individual operators exist for; the dedup window's
+    * content-hash shuffle is the only wide stage over the corpus (the
+    * split/filter are narrow maps, the final stats exchange carries two
+    * rows). */
   private def d10Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val survivors = docs
-      .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
-      .select($"doc_id")
-    val bucket = conv(
-      substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2),
-      16, 10).cast("long")
-    docs.join(survivors, "doc_id")
-      .filter(size(split($"text", " ")) >= 20)
-      .withColumn("split", when(bucket < 230, "train").otherwise("holdout"))
+    val keepFirst = Window.partitionBy(md5($"text")).orderBy($"doc_id")
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter($"rn" === 1)
+      .withColumn("n_words", size(TextAnalysis.words($"text")))
+      .filter($"n_words" >= 20)
+      .withColumn("split", TextAnalysis.splitAssign($"doc_id"))
       .groupBy($"split")
-      .agg(count(lit(1)).as("n_docs"),
-        avg(size(split($"text", " "))).as("avg_words"))
+      .agg(count(lit(1)).as("n_docs"), avg($"n_words").as("avg_words"))
       .orderBy($"split")
   }
 
-  private val d10Sql = {
-    val h = "md5('split:' || doc_id::VARCHAR)"
-    val b = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
-      s" + strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
-    s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-       |d AS (SELECT doc_id, text FROM documents JOIN k USING (doc_id)
-       |      WHERE len(string_split(text, ' ')) >= 20)
-       |SELECT CASE WHEN $b < 230 THEN 'train' ELSE 'holdout' END AS split,
-       |  count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avg_words
+  private val d10Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_words
+       |  FROM (SELECT doc_id, text,
+       |          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |        FROM documents) r
+       |  WHERE rn = 1 AND len(string_split(text, ' ')) >= 20)
+       |SELECT ${TextAnalysis.duckSplitAssign} AS split,
+       |  count(*) AS n_docs, avg(n_words) AS avg_words
        |FROM d GROUP BY 1 ORDER BY split""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,

@@ -173,13 +173,13 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.spread(Tables.embeddings(s, dir))
         .withColumn("features", array_to_vector($"embedding"))
-      // train on a deterministic sample (floor of 2k vectors): centroids
-      // need only the density shape, and at 100 TB nobody k-means the
-      // full corpus — sampling IS the production quantizer-training path
-      val n = emb.count()
-      val frac = math.min(1.0, math.max(2000.0 / n, 0.05))
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .fit(emb.sample(withReplacement = false, frac, seed = 42L))
+      // trains on the full corpus at these SFs (all shipped data fits);
+      // a production ingest would fit on a fixed-size sample — but a
+      // sample(frac) here would be partition-layout-dependent (seed alone
+      // doesn't pin Bernoulli sampling), silently varying centroids and
+      // the s06 recall gate across machine configs, and would never be
+      // exercised by the shipped datasets anyway
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
       model.transform(emb).select($"vec_id", $"embedding", $"prediction".as("cell"))
         .localCheckpoint()
     })

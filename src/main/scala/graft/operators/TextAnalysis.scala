@@ -202,28 +202,38 @@ object TextAnalysis {
     * across engines, runs, partitionings, and cluster sizes — how
     * production pipelines pin an eval set. A narrow map; the tiny
     * aggregate here just makes the assignment oracle-checkable. */
+  /** The deterministic split assignment shared by t06 and d10 (one
+    * definition per engine — salt and threshold must never diverge
+    * between the operators that claim to implement "the" split):
+    * first byte of md5('split:' || doc_id) under 230/256 → 'train'. */
+  def splitAssign(docId: Column): Column = {
+    val bucket = conv(
+      substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 2),
+      16, 10).cast("long")
+    when(bucket < 230, "train").otherwise("holdout")
+  }
+
+  /** DuckDB twin (no conv(); strpos arithmetic like the simhash oracle). */
+  val duckSplitAssign: String = {
+    val h = "md5('split:' || doc_id::VARCHAR)"
+    val b = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
+      s" + strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
+    s"CASE WHEN $b < 230 THEN 'train' ELSE 'holdout' END"
+  }
+
   private def t06HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = conv(
-      substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 2),
-      16, 10).cast("long")
     Tables.documents(s, dir)
-      .withColumn("split", when(bucket < 230, "train").otherwise("holdout"))
+      .withColumn("split", splitAssign($"doc_id"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n_docs"), avg(length($"text")).as("avg_len"))
       .orderBy($"split")
   }
 
-  /** First 2 hex chars of md5('split:' || doc_id) as 0..255 (no conv() in
-    * DuckDB; strpos arithmetic like the simhash oracle). */
-  private val t06Sql = {
-    val h = "md5('split:' || doc_id::VARCHAR)"
-    val b = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
-      s" + strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
-    s"""SELECT CASE WHEN $b < 230 THEN 'train' ELSE 'holdout' END AS split,
+  private val t06Sql =
+    s"""SELECT $duckSplitAssign AS split,
        |  count(*) AS n_docs, avg(length(text)) AS avg_len
        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin
-  }
 
   /** t07 — TF-IDF top terms: term frequency per doc × inverse document
     * frequency, top 3 terms per doc. The Spark-shaped version of the

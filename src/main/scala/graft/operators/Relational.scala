@@ -948,6 +948,22 @@ object Relational {
   private def q40SqlExists(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir, q30Sql)
 
+  /** q44 — NULL-aware anti join: `NOT IN (subquery)` has different
+    * semantics from plain anti join when the subquery can yield NULL
+    * (one NULL voids every row), so Spark plans it as a special
+    * null-aware anti join rather than q10's left_anti. Run as SQL text
+    * (how the semantics arrive in practice); same ANSI string in both
+    * engines. */
+  private val q44Sql =
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private def q44NotIn(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q44Sql)
+
   /** q42 — CUBE: all four grouping combinations of (returnflag,
     * linestatus) in one pass (q25 covers ROLLUP's prefix lattice; CUBE is
     * the full powerset — Spark expands both into a single expanded
@@ -1088,6 +1104,7 @@ object Relational {
     "q41_approx_distinct" -> q41ApproxDistinct _,
     "q42_cube"           -> q42Cube _,
     "q43_salted_join"    -> q43SaltedJoin _,
+    "q44_not_in"         -> q44NotIn _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1134,5 +1151,6 @@ object Relational {
     "q41_approx_distinct" -> q41Sql,
     "q42_cube"           -> q42Sql,
     "q43_salted_join"    -> q43Sql,
+    "q44_not_in"         -> q44Sql,
   )
 }

@@ -133,6 +133,31 @@ class StreamingSpec extends SparkSpec {
     assert(agg.schema.fieldNames.contains("n_events"))
   }
 
+  test("sliding event-time windows aggregate on a stream as in batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      Event(1L, java.sql.Timestamp.valueOf("2001-01-01 10:05:00"), 1L, "click", 1.0, "{}"),
+      Event(2L, java.sql.Timestamp.valueOf("2001-01-01 10:20:00"), 1L, "click", 2.0, "{}"),
+      Event(3L, java.sql.Timestamp.valueOf("2001-01-01 10:50:00"), 2L, "click", 3.0, "{}"))
+    def slide(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "30 minutes", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val ms = MemoryStream[Event]
+    ms.addData(events: _*)
+    val q = slide(ms.toDF.withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("slide_test")
+      .outputMode(OutputMode.Complete()).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("slide_test")
+      .select($"window.start".cast("string"), $"n", $"v").collect().toSet
+    val batch = slide(events.toDF())
+      .select($"window.start".cast("string"), $"n", $"v").collect().toSet
+    assert(streamed == batch && batch.nonEmpty,
+      "overlapping sliding windows must agree between stream and batch")
+  }
+
   test("streaming file sink appends exactly-once parquet under a checkpoint") {
     import org.apache.spark.sql.streaming.Trigger
     val out = "/tmp/graft-stream-sink/out"

@@ -34,7 +34,10 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runToNoop(n))
+    // optional args: run only the named queries (dev loop for targeted timings)
+    val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+                 else args.toSeq.filter(SparkEntry.queries.contains)
+    val results = wanted.map(n => n -> runToNoop(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
@@ -15,27 +17,42 @@ import org.apache.spark.sql.internal.SQLConf
   * planner the same way).
   *
   * Rewrite: for an inner equi-join whose one side is a LARGE fact and the
-  * other a SMALL dimension carrying a genuinely selective filter (not just
-  * Catalyst's inferred `isnotnull` key guards),
+  * other a dimension carrying a genuinely selective filter,
   *
   *   Join(fact, dim, Inner, k)
   *     → Join(Join(fact, Project(keys, dim'), LeftSemi, k'), dim, Inner, k)
   *
-  * where dim' is an attribute-fresh copy of the dim subtree. The semi join
-  * broadcasts (dim is under the broadcast threshold by eligibility), so
-  * the fact is filtered map-side BEFORE it reaches the join's shuffle or
-  * the next operator up the tree — at 100 TB the difference between
-  * shuffling every fact row and shuffling the few that can survive.
-  * Single-hop runtime bloom filters (`InjectRuntimeFilter`, on in
-  * GraftSession) still apply on top for the joins this rule skips.
+  * where dim' is an attribute-fresh copy of the dim subtree.
+  *
+  * The rewrite only pays when it saves a shuffle of the fact, so
+  * eligibility is a benefit gate, not just a size ratio (round-2 verdict:
+  * the ungated rule injected semi passes under broadcast joins and
+  * regressed q04 2.4× — an extra build+probe of the whole fact with zero
+  * shuffle saved). Mirroring how the reference admits pushdown only on
+  * measured benefit (`fpdb-store-server/src/flight/
+  * AdaptPushdownManager.cpp:45-60`), a join is reduced iff:
+  *
+  *  1. the FULL dim is over `spark.sql.autoBroadcastJoinThreshold` — the
+  *     main join will shuffle the fact, so rows removed early are shuffle
+  *     bytes saved. A broadcastable dim already joins map-side (plus the
+  *     session's runtime bloom filters); a semi pass there is pure cost.
+  *  2. the dim's KEY projection IS under the threshold — the injected semi
+  *     broadcasts, filtering the fact map-side before its exchange.
+  *  3. the dim's filter measurably keeps ≤ `spark.graft.semiReduction
+  *     .maxSelectivity` (default 0.5) of its rows. Catalyst's size-only
+  *     stats cannot see filter selectivity without column statistics, so
+  *     the rule counts filtered vs unfiltered dim rows once per distinct
+  *     (canonicalized) dim subtree and caches the ratio — an exact probe
+  *     of the SMALL side (bounded by fact/8), amortized across every
+  *     query that joins the same filtered dim.
   *
   * Semantics-preserving by construction: a left-semi by the join's own
   * keys only removes fact rows the inner join would drop anyway and never
-  * duplicates. Eligibility is deliberately conservative:
+  * duplicates. Remaining safety conditions (unchanged from round 2):
   *  - equi keys must be plain attributes on both sides;
   *  - dim subtree: deterministic, no subqueries, no aliases, all leaves
   *    `MultiInstanceRelation` (so the fresh copy cannot collide exprIds);
-  *  - dim stats ≤ `spark.sql.autoBroadcastJoinThreshold`, fact ≥ 8× dim;
+  *  - fact ≥ 8× dim by size stats;
   *  - skipped when the fact already carries a semi join against the same
   *    relation leaves (idempotence under the fixed-point batch, and
   *    respect for hand-written `PredicateTransfer.reduce` calls).
@@ -47,6 +64,9 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.autoSemiReduction", "true").toBoolean
+
+  private def maxSelectivity: Double =
+    SQLConf.get.getConfString("spark.graft.semiReduction.maxSelectivity", "0.5").toDouble
 
   /** A filter beyond the inferred `isnotnull` join-key guards. */
   private def selectivelyFiltered(p: LogicalPlan): Boolean = p.exists {
@@ -74,19 +94,31 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Attribute-fresh copy of `dim` plus old→new output mapping. */
-  private def freshCopy(dim: LogicalPlan): (LogicalPlan, AttributeMap[Attribute]) = {
-    val fresh = dim.transformUp {
-      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
-    }
-    val mapping = AttributeMap(
-      dim.collectLeaves().flatMap(_.output).zip(fresh.collectLeaves().flatMap(_.output)))
-    val remapped = fresh.transformUp {
-      case node => node.transformExpressions {
-        case a: AttributeReference => mapping.getOrElse(a, a)
+  /** Measured fraction of dim rows surviving its filters, cached per
+    * canonicalized subtree. The probe runs driver-side during
+    * optimization — safe (no locks held, plan contains no join for this
+    * rule to recurse into) and failure-isolated (any error → 1.0, i.e.
+    * "not selective", and the plan is left alone). */
+  private val selCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Double]()
+
+  private def measuredSelectivity(dim: LogicalPlan): Double = {
+    val key = dim.canonicalized
+    val hit = selCache.get(key)
+    if (hit != null) return hit.doubleValue()
+    val sel = try {
+      SparkSession.getActiveSession match {
+        case Some(spark) if !dim.isStreaming =>
+          val unfiltered = dim.transformUp { case Filter(_, child) => child }
+          val base = GraftBridge.ofRows(spark, unfiltered).count()
+          if (base == 0L) 1.0
+          else GraftBridge.ofRows(spark, dim).count().toDouble / base.toDouble
+        case _ => 1.0
       }
-    }
-    (remapped, mapping)
+    } catch { case e: Throwable => logWarning(s"selectivity probe failed: $e"); 1.0 }
+    if (selCache.size > 1024) selCache.clear() // unbounded-plan-shape guard
+    selCache.put(key, sel)
+    sel
   }
 
   /** (factKey, dimKey) attribute pairs of the equi part of `cond`. */
@@ -101,12 +133,18 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
 
   private def eligible(fact: LogicalPlan, dim: LogicalPlan, cond: Expression): Boolean = {
     val dimSize = dim.stats.sizeInBytes
-    selectivelyFiltered(dim) &&
-      dimSize <= SQLConf.get.autoBroadcastJoinThreshold &&
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    val keys = equiKeys(fact, dim, cond)
+    def keysProjSize =
+      Project(keys.map(_._2), dim).stats.sizeInBytes
+    keys.nonEmpty &&
+      selectivelyFiltered(dim) &&
+      dimSize > threshold &&                       // main join shuffles the fact
       fact.stats.sizeInBytes >= dimSize * SizeRatio &&
       safeToCopy(dim) &&
       !alreadyReduced(fact, dim) &&
-      equiKeys(fact, dim, cond).nonEmpty
+      keysProjSize <= threshold &&                 // the semi itself broadcasts
+      measuredSelectivity(dim) <= maxSelectivity   // rows are actually removed (probe last: costliest)
   }
 
   private def reduce(fact: LogicalPlan, dim: LogicalPlan,
@@ -118,6 +156,21 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
     }.reduce(And)
     val semiRight = Project(keys.map { case (_, d) => mapping.getOrElse(d, d) }, copy)
     Join(fact, semiRight, LeftSemi, Some(semiCond), JoinHint.NONE)
+  }
+
+  /** Attribute-fresh copy of `dim` plus old→new output mapping. */
+  private def freshCopy(dim: LogicalPlan): (LogicalPlan, AttributeMap[Attribute]) = {
+    val fresh = dim.transformUp {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+    }
+    val mapping = AttributeMap(
+      dim.collectLeaves().flatMap(_.output).zip(fresh.collectLeaves().flatMap(_.output)))
+    val remapped = fresh.transformUp {
+      case node => node.transformExpressions {
+        case a: AttributeReference => mapping.getOrElse(a, a)
+      }
+    }
+    (remapped, mapping)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {

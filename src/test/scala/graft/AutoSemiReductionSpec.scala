@@ -2,11 +2,13 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
 import graft.sources.Tables
 
-/** The automatic predicate-transfer rule: fires on large-fact ⋈
-  * small-filtered-dim inner joins, stays out of everything else, and never
-  * changes results. */
+/** The automatic predicate-transfer rule: fires only where it saves a
+  * fact shuffle (dim over the broadcast threshold, key projection under
+  * it, measured filter selectivity ≤ 0.5), stays out of everything else,
+  * and never changes results. */
 class AutoSemiReductionSpec extends SparkSpec {
 
   private def semiJoins(df: DataFrame): Int =
@@ -18,19 +20,70 @@ class AutoSemiReductionSpec extends SparkSpec {
     try f finally spark.conf.set("spark.graft.autoSemiReduction", "true")
   }
 
-  test("fact join filtered dim is auto-reduced by a semi join") {
+  /** Size of the smallest join input in the optimized plan — the dim
+    * subtree as the rule will actually see it (post column pruning). */
+  private def dimSideSize(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      .flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes)).min
+
+  /** Run `f` with the broadcast threshold forced just below the query's
+    * dim-side size (so the main join would shuffle the fact, but the dim's
+    * narrower key projection can still broadcast) — the shape where
+    * predicate transfer pays. The dim size is probed from the rule-off
+    * optimized plan of `build()`. */
+  private def withShuffledDim[A](build: () => DataFrame)(f: => A): A = {
+    val dimSize = withRule(on = false)(dimSideSize(build()))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (dimSize - 1).toString)
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("non-broadcastable selective dim is auto-reduced by a semi join") {
     import spark.implicits._
+    def build(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir)
+      val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q"))
+    }
+    withShuffledDim(build) {
+      val joined = build()
+      assert(semiJoins(joined) == 1,
+        s"expected one injected semi join:\n${joined.queryExecution.optimizedPlan}")
+      val off = withRule(on = false)(build().collect().toSeq)
+      assert(joined.collect().toSeq == off, "rewrite must not change results")
+    }
+  }
+
+  test("broadcastable dim is left alone — semi pass would be pure cost") {
+    import spark.implicits._
+    // the round-2 q04 regression shape: the filtered dim broadcasts, so the
+    // main join is already map-side and a semi pass adds a probe of the
+    // whole fact with zero shuffle saved — under the default threshold the
+    // rule must not fire
     val li = Tables.lineitem(spark, sfDir)
     val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
     val joined = li.join(sup, $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q"))
-    assert(semiJoins(joined) == 1,
-      s"expected one injected semi join:\n${joined.queryExecution.optimizedPlan}")
-    val off = withRule(on = false) {
+    assert(semiJoins(joined) == 0,
+      s"broadcastable dims must not be semi-reduced:\n${joined.queryExecution.optimizedPlan}")
+  }
+
+  test("weakly-selective filter is not transferred (measured, not assumed)") {
+    import spark.implicits._
+    // a real predicate that keeps every row: the boolean filtered-at-all
+    // check passes, the measured-selectivity gate must say no
+    def build(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir)
+      val sup = Tables.supplier(spark, sfDir).filter($"s_suppkey" >= 0L)
       li.join(sup, $"l_suppkey" === $"s_suppkey")
-        .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q")).collect().toSeq
+        .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q"))
     }
-    assert(joined.collect().toSeq == off, "rewrite must not change results")
+    withShuffledDim(build) {
+      val joined = build()
+      assert(semiJoins(joined) == 0,
+        s"weakly-selective dims must not be semi-reduced:\n${joined.queryExecution.optimizedPlan}")
+    }
   }
 
   test("unfiltered dim and near-equal sizes are left alone") {
@@ -49,11 +102,16 @@ class AutoSemiReductionSpec extends SparkSpec {
 
   test("kill switch disables the rewrite") {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-    val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
-    withRule(on = false) {
-      val joined = li.join(sup, $"l_suppkey" === $"s_suppkey")
-      assert(semiJoins(joined) == 0)
+    def build(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir)
+      val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q"))
+    }
+    withShuffledDim(build) {
+      withRule(on = false) {
+        assert(semiJoins(build()) == 0)
+      }
     }
   }
 
@@ -77,13 +135,18 @@ class AutoSemiReductionSpec extends SparkSpec {
 
   test("hand-reduced facts are not reduced twice (idempotence)") {
     import spark.implicits._
-    val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
-    val reduced = graft.plans.PredicateTransfer.reduce(
-      Tables.lineitem(spark, sfDir), Seq((sup, $"l_suppkey" === $"s_suppkey")))
-    val joined = reduced.join(
-      Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L),
-      $"l_suppkey" === $"s_suppkey")
-    assert(semiJoins(joined) == 1,
-      s"the manual semi must be the only one:\n${joined.queryExecution.optimizedPlan}")
+    def build(): DataFrame = {
+      val sup = Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L)
+      val reduced = graft.plans.PredicateTransfer.reduce(
+        Tables.lineitem(spark, sfDir), Seq((sup, $"l_suppkey" === $"s_suppkey")))
+      reduced.join(
+        Tables.supplier(spark, sfDir).filter($"s_nationkey" === 1L),
+        $"l_suppkey" === $"s_suppkey")
+    }
+    withShuffledDim(build) {
+      val joined = build()
+      assert(semiJoins(joined) == 1,
+        s"the manual semi must be the only one:\n${joined.queryExecution.optimizedPlan}")
+    }
   }
 }

@@ -17,31 +17,41 @@ import graft.sources.Tables
   */
 object Engine {
 
-  /** Directories already registered, per session — registration re-reads
-    * every table's footer (10 schema fetches), which at q32's size was
-    * most of the query's wall time. The reference caches its catalogue
-    * the same way (one fetch per connection, `Client.cpp:118-132`). */
-  // weak keys: a stopped session must not be pinned by the cache
-  private val lastDir = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession, String])
+  /** Per-session registration state: the directory whose tables this
+    * session's views point at, used as both record and lock. Registration
+    * re-reads every table's footer (10 schema fetches), which at q32's
+    * size was most of the query's wall time; the reference caches its
+    * catalogue the same way (one fetch per connection, `Client.cpp:
+    * 118-132`). Weak keys: a stopped session must not be pinned. */
+  private[graft] final class Registration { var dir: String = null }
+  private val reg = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Registration])
 
   /** Register the scale-factor directory's tables (skipped when this
     * session's views already point at `dir`) and run one SQL query.
-    * `lastDir` is recorded only AFTER registration succeeds — a partial
-    * registration that threw must not be mistaken for a complete one on
-    * the next call (it would silently query mixed views). */
+    * `Registration.dir` is recorded only AFTER registration succeeds — a
+    * partial registration that threw must not be mistaken for a complete
+    * one on the next call (it would silently query mixed views). */
   def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    // registration AND analysis under one lock: spark.sql resolves view
-    // plans eagerly, so once analyzed the returned DataFrame is immune to
-    // later view swaps — but the analysis itself must not race a
-    // concurrent registerAll for a different dir (execution of the
-    // returned frame happens outside the lock, on the inlined plan)
-    lastDir.synchronized {
-      if (lastDir.get(spark) != dir) {
+    // registration AND analysis under one PER-SESSION lock: spark.sql
+    // resolves view plans eagerly, so once analyzed the returned DataFrame
+    // is immune to later view swaps — but the analysis must not race a
+    // concurrent registerAll for a different dir ON THE SAME SESSION
+    // (execution of the returned frame happens outside the lock, on the
+    // inlined plan). Temp views are session-scoped state, so sessions
+    // never contend with each other — a concurrent-user engine must not
+    // serialize all submissions on one JVM-wide monitor.
+    val r = lockFor(spark)
+    r.synchronized {
+      if (r.dir != dir) {
         Tables.registerAll(spark, dir)
-        lastDir.put(spark, dir)
+        r.dir = dir
       }
       spark.sql(sql)
     }
   }
+
+  /** The per-session registration lock (spec hook: stripe assertions). */
+  private[graft] def lockFor(spark: SparkSession): Registration =
+    reg.computeIfAbsent(spark, _ => new Registration)
 }

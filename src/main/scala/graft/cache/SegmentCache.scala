@@ -25,6 +25,14 @@ case object LFU extends CachePolicy
 case object LFUS extends CachePolicy
 /** weight(key) = estimated recompute benefit per hit. */
 case class WLFU(weight: SegmentKey => Double) extends CachePolicy
+/** W-LFU with the weight MEASURED by the cache itself: on every miss the
+  * admitted segment is loaded eagerly (the reference's `CacheLoadPOp` is
+  * likewise an explicit load) and the observed load wall-time becomes the
+  * segment's benefit-per-hit — echoing the reference weighting cache
+  * priority by measured pullup-vs-pushdown savings
+  * (`fpdb-executor/include/fpdb/executor/physical/Globals.h:28-32`), with
+  * no caller-supplied estimate to get wrong. */
+case object MeasuredWLFU extends CachePolicy
 /** Belady/MIN — the reference's offline oracle policy
   * (`BeladyCachingPolicy.cpp`): evict the segment whose next use lies
   * farthest in the known future access trace (one entry per `get` call,
@@ -45,7 +53,7 @@ case class Belady(futureTrace: Seq[SegmentKey]) extends CachePolicy
 class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
 
   private case class Entry(df: DataFrame, sizeBytes: Long,
-      var hits: Long, var lastAccess: Long)
+      var hits: Long, var lastAccess: Long, costSecs: Double = 0.0)
 
   private val entries = mutable.LinkedHashMap.empty[SegmentKey, Entry]
   private var clock = 0L
@@ -62,11 +70,12 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
 
   /** Eviction priority — evict the SMALLEST value first. */
   private def priority(k: SegmentKey, hits: Long, lastAccess: Long,
-      sizeBytes: Long): Double = policy match {
-    case LRU     => lastAccess.toDouble
-    case LFU     => hits.toDouble
-    case LFUS    => hits.toDouble / math.max(sizeBytes, 1L).toDouble
-    case WLFU(w) => hits.toDouble * w(k)
+      sizeBytes: Long, costSecs: Double = 0.0): Double = policy match {
+    case LRU          => lastAccess.toDouble
+    case LFU          => hits.toDouble
+    case LFUS         => hits.toDouble / math.max(sizeBytes, 1L).toDouble
+    case WLFU(w)      => hits.toDouble * w(k)
+    case MeasuredWLFU => hits.toDouble * costSecs
     case Belady(trace) =>
       // clock = accesses so far; the next use of k at/after this point
       val next = trace.indexWhere(_ == k, math.min(clock, Int.MaxValue).toInt)
@@ -86,12 +95,31 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
         missCount += 1
         val df = produce
         val size = sizeOf(df)
-        if (admit(key, size)) {
-          df.persist(StorageLevel.MEMORY_AND_DISK)
-          entries.put(key, Entry(df, size, 1L, clock))
+        policy match {
+          case MeasuredWLFU =>
+            // eager load (the reference's CacheLoadPOp is an explicit
+            // load op): materialize under persist() and time it — the
+            // measured wall-time IS the segment's benefit-per-hit weight
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+            val cost = measureLoad(df)
+            if (admit(key, size, cost)) entries.put(key, Entry(df, size, 1L, clock, cost))
+            else df.unpersist(blocking = false)
+          case _ =>
+            if (admit(key, size)) {
+              df.persist(StorageLevel.MEMORY_AND_DISK)
+              entries.put(key, Entry(df, size, 1L, clock))
+            }
         }
         df
     }
+  }
+
+  /** Materialize a just-persisted segment and return the load wall-time in
+    * seconds (overridable so specs can inject deterministic costs). */
+  protected def measureLoad(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.count()
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Admission: a new segment enters iff the needed space can be freed by
@@ -103,11 +131,11 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
     * is decided before anything is evicted: a rejected admission leaves the
     * cache untouched. Ties go to the newcomer (fresh data wins over an
     * equally-cold resident). */
-  private def admit(key: SegmentKey, size: Long): Boolean = {
+  private def admit(key: SegmentKey, size: Long, costSecs: Double = 0.0): Boolean = {
     if (size > capacityBytes) return false
-    val candP = priority(key, hits = 1L, lastAccess = clock, sizeBytes = size)
+    val candP = priority(key, hits = 1L, lastAccess = clock, sizeBytes = size, costSecs)
     val asc = entries.toSeq
-      .map { case (k, e) => (k, e, priority(k, e.hits, e.lastAccess, e.sizeBytes)) }
+      .map { case (k, e) => (k, e, priority(k, e.hits, e.lastAccess, e.sizeBytes, e.costSecs)) }
       .sortBy(_._3)
       .iterator
     var freed = 0L

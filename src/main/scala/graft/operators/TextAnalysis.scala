@@ -253,14 +253,19 @@ object TextAnalysis {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val nDocs = docs.count() // plan-time scalar (metadata-cheap count)
+    // corpus size as a 1-row aggregate broadcast into the plan (NOT a
+    // driver-side docs.count(): that is metadata-cheap on parquet but a
+    // full extra scan on any other source) — same shape as the oracle's
+    // CROSS JOIN n and q37's sketch join-back
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tf = Tables.spread(docs)
       .select($"doc_id", explode(words($"text")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")
     tf.join(df, "word")
-      .withColumn("score", $"tf" * log(lit(nDocs.toDouble) / $"df"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * log($"n_docs" / $"df"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"doc_id", $"rank", $"word", $"score")

@@ -102,6 +102,28 @@ class CacheSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("measured W-LFU: a slow-to-recompute segment outlives a frequently-hit cheap one") {
+    import graft.cache.MeasuredWLFU
+    import org.apache.spark.sql.DataFrame
+    // deterministic "measured" load times injected via the spec hook:
+    // k1 is expensive to recompute (10 s), k2 cheap (1 ms), k3 medium (1 s)
+    val costs = Map(k1 -> 10.0, k2 -> 0.001, k3 -> 1.0)
+    val bytes = proj("orders", k1.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    var pending: Double = 0.0
+    val cache = new SegmentCache(bytes * 2 + bytes / 2, MeasuredWLFU) {
+      override protected def measureLoad(df: DataFrame): Double = { df.count(); pending }
+    }
+    def get(k: SegmentKey): Unit = { pending = costs(k); cache.get(k)(proj("orders", k.columns)) }
+    get(k1)                                        // k1: 1 hit x 10 s    = 10
+    get(k2); get(k2); get(k2); get(k2); get(k2)    // k2: 5 hits x 1 ms   = 0.005
+    get(k3)                                        // k3 would-be: 1 x 1 s = 1 -> evicts k2, not k1
+    assert(cache.keys.contains(k1) && !cache.keys.contains(k2),
+      "measured recompute benefit must outrank raw hit frequency")
+    assert(cache.keys.contains(k3))
+    cache.invalidateAll()
+  }
+
   test("Belady evicts the segment used farthest in the future") {
     import graft.cache.Belady
     // trace: k1, k2, k3, k1 — at admission of k3 (clock 3), k1 recurs at
@@ -117,6 +139,28 @@ class CacheSpec extends SparkSpec {
     val df = cache.get(k1)(proj("orders", k1.columns))
     assert(cache.hits == 1 && df.count() > 0)
     cache.invalidateAll()
+  }
+
+  test("warmed whole-table segment substitutes into plan-equal scans (mode bench path)") {
+    import graft.cache.MeasuredWLFU
+    // the Bench mode-comparison mechanism: persist() registers the segment
+    // with Spark's CacheManager, which swaps the in-memory columnar
+    // relation into ANY later plan-equal scan — entries re-run unchanged
+    val cache = new SegmentCache(1L << 30, MeasuredWLFU)
+    val df = Tables.load(spark, sfDir, "lineitem")
+    val key = SegmentKey("lineitem", df.columns.toSeq)
+    cache.get(key)(df)
+    val unrelated = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+    assert(unrelated.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "a warmed segment must serve unrelated plan-equal scans")
+    cache.get(key)(Tables.load(spark, sfDir, "lineitem"))
+    assert(cache.hits == 1 && cache.misses == 1, "hit accounting over the warm run")
+    cache.invalidateAll()
+    val after = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))
+    assert(!after.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "invalidateAll must return scans to storage")
   }
 
   test("segments larger than capacity are never admitted but still compute") {

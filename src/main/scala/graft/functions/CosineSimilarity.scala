@@ -111,14 +111,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordShingles(children(0), k)
       }))
-    ext.injectFunction((
-      new FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
-      (children: Seq[Expression]) => {
-        require(children.size == 1,
-          s"simhash32 expects exactly 1 argument (token array), got ${children.size}")
-        SimHash32(children.head)
-      }))
+    Seq(32, 64).foreach { bits =>
+      ext.injectFunction((
+        new FunctionIdentifier(s"simhash$bits"),
+        new ExpressionInfo(classOf[SimHash].getName, s"simhash$bits"),
+        (children: Seq[Expression]) => {
+          require(children.size == 1,
+            s"simhash$bits expects exactly 1 argument (token array), got ${children.size}")
+          SimHash(children.head, bits)
+        }))
+    }
     ext.injectFunction((
       new FunctionIdentifier("minhash_lcg"),
       new ExpressionInfo(classOf[MinHashLcg].getName, "minhash_lcg"),

@@ -8,40 +8,49 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Native 32-bit SimHash over a token array: per token, the unsigned value
-  * of the first 4 md5 digest bytes (= the first 8 hex chars, what the
-  * composed formulation reads via `conv(substring(md5(w), 1, 8), 16, 10)`);
-  * per bit, a frequency-weighted ±1 vote; set bit j iff the vote is
-  * positive. Bit-identical to the explode + 32-aggregate `groupBy(doc_id)`
-  * formulation (and the DuckDB oracle), but a NARROW MAP: one fused loop
-  * per document, no (doc_id, word-hash) shuffle at all — at 100 TB the
-  * fingerprint stage becomes part of the scan, like MinHashSignature.
+/** Native SimHash over a token array, width 32 or 64 bits. Per token, the
+  * unsigned value of the first `bits/8` md5 digest bytes (= the first
+  * `bits/4` hex chars, what the composed formulation reads via
+  * `conv(substring(md5(w), 1, 8), 16, 10)`); per bit, a frequency-weighted
+  * ±1 vote; set bit j iff the vote is positive. Bit-identical to the
+  * explode + per-bit-aggregate `groupBy(doc_id)` formulation (and the
+  * DuckDB oracle), but a NARROW MAP: one fused loop per document, no
+  * (doc_id, word-hash) shuffle at all — at 100 TB the fingerprint stage
+  * becomes part of the scan, like MinHashSignature.
+  *
+  * 32-bit fingerprints give a radius-3 banding only 8-bit chunks (256
+  * buckets per band — per-bucket population grows linearly with corpus
+  * size); 64-bit is the 100 TB width (16-bit bands → 65k buckets). At 64
+  * bits, bit 63 makes the BIGINT fingerprint negative in both engines —
+  * two's complement, compared and XOR'd identically.
   *
   * CodegenFallback for the same reason as MinHashSignature: the md5 loop
   * dominates and JITs well; nothing is gained by splicing it into
   * generated Java.
   */
-case class SimHash32(child: Expression)
+case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(bits == 32 || bits == 64, s"bits=$bits: only 32 or 64 supported")
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
-  override def prettyName: String = "simhash32"
+  override def prettyName: String = s"simhash$bits"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val md = MessageDigest.getInstance("MD5")
-    val votes = new Array[Int](32)
+    val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val d = md.digest(arr.getUTF8String(i).getBytes)
-        val v = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) |
-          ((d(2) & 0xff) << 8) | (d(3) & 0xff)
+        var v = 0L
+        var b = 0
+        while (b < bits / 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
         var j = 0
-        while (j < 32) {
-          if (((v >>> j) & 1) == 1) votes(j) += 1 else votes(j) -= 1
+        while (j < bits) {
+          if (((v >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
       }
@@ -49,18 +58,23 @@ case class SimHash32(child: Expression)
     }
     var fp = 0L
     var j = 0
-    while (j < 32) {
+    while (j < bits) {
       if (votes(j) > 0) fp |= 1L << j
       j += 1
     }
     fp
   }
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }
 
+object SimHash {
+  def column(tokens: Column, bits: Int): Column =
+    GraftBridge.column(SimHash(GraftBridge.expression(tokens), bits))
+}
+
+/** Back-compat facade for the original 32-bit-only expression. */
 object SimHash32 {
-  def column(tokens: Column): Column =
-    GraftBridge.column(SimHash32(GraftBridge.expression(tokens)))
+  def column(tokens: Column): Column = SimHash.column(tokens, 32)
 }

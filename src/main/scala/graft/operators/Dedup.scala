@@ -200,32 +200,49 @@ object Dedup {
     * map (one fused hash loop per document), replacing the equivalent
     * explode + 32-aggregate groupBy(doc_id) whose (doc_id, word-hash)
     * shuffle was the stage's cost. */
-  /** SimHash fingerprints for any (doc_id, text) frame. */
-  def simhashes(docs: DataFrame): DataFrame =
+  /** SimHash fingerprints for any (doc_id, text) frame; `bits` ∈ {32, 64}
+    * (64 is the 100 TB width — see [[graft.functions.SimHash]]). */
+  def simhashes(docs: DataFrame, bits: Int = SimhashBits): DataFrame =
     Tables.spread(docs)
       .select(col("doc_id"),
-        graft.functions.SimHash32.column(words(col("text"))).as("simhash"))
+        graft.functions.SimHash.column(words(col("text")), bits).as("simhash"))
 
   private def d04Simhash(s: SparkSession, dir: String): DataFrame =
     simhashes(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
-  /** DuckDB: value of the first 8 hex chars of md5(word) as BIGINT
-    * (hex-char digits via strpos arithmetic — no conv() in DuckDB). */
-  private val duckWordHash: String =
-    (1 to 8).map { c =>
-      val scale = math.pow(16, 8 - c).toLong
-      s"(strpos('0123456789abcdef', substr(md5(word), $c, 1)) - 1) * $scale"
+  private def d04bSimhash64(s: SparkSession, dir: String): DataFrame =
+    simhashes(Tables.documents(s, dir), bits = 64).orderBy(col("doc_id"))
+
+  /** DuckDB: value of 8 hex chars of md5(word) starting at `startHex`
+    * (1-based) as BIGINT (hex-char digits via strpos arithmetic — no
+    * conv() in DuckDB). A 64-bit hash is carried as two 32-bit halves so
+    * every intermediate stays positive BIGINT. */
+  private def duckWordHash(startHex: Int): String =
+    (0 until 8).map { c =>
+      val scale = math.pow(16, 7 - c).toLong
+      s"(strpos('0123456789abcdef', substr(md5(word), ${startHex + c}, 1)) - 1) * $scale"
     }.mkString(" + ")
 
-  private def duckSimhashCte: String = {
-    val bitSums = (0 until SimhashBits)
-      .map(j => s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS sb$j")
+  private def duckSimhashCte(bits: Int): String = {
+    // native v = first bits/8 digest bytes big-endian, so the hi 32 bits
+    // are hex chars 1-8 and (for 64-bit) the lo 32 bits are chars 9-16
+    val hSelect =
+      if (bits == 32) s"${duckWordHash(1)} AS v"
+      else s"${duckWordHash(1)} AS vhi, ${duckWordHash(9)} AS vlo"
+    def bitExpr(j: Int): String =
+      if (bits == 32) s"(v >> $j) & 1"
+      else if (j < 32) s"(vlo >> $j) & 1"
+      else s"(vhi >> ${j - 32}) & 1"
+    val bitSums = (0 until bits)
+      .map(j => s"sum(CASE WHEN ${bitExpr(j)} = 1 THEN 1 ELSE -1 END) AS sb$j")
       .mkString(",\n    ")
-    val fp = (0 until SimhashBits)
+    // the j=63 addend is Long.MinValue: every positive term precedes it in
+    // the running sum, so no intermediate exceeds BIGINT range
+    val fp = (0 until bits)
       .map(j => s"CASE WHEN sb$j > 0 THEN ${1L << j} ELSE 0 END")
       .mkString(" + ")
     s"""w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-       |h AS (SELECT doc_id, $duckWordHash AS v FROM w),
+       |h AS (SELECT doc_id, $hSelect FROM w),
        |b AS (SELECT doc_id,
        |    $bitSums
        |  FROM h GROUP BY doc_id),
@@ -233,7 +250,11 @@ object Dedup {
   }
 
   private val d04Sql =
-    s"""WITH $duckSimhashCte
+    s"""WITH ${duckSimhashCte(32)}
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
+
+  private val d04bSql =
+    s"""WITH ${duckSimhashCte(64)}
        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin
 
   /** d05 — SimHash near-dup pairs: hamming distance ≤ 3 over the 32-bit
@@ -253,18 +274,18 @@ object Dedup {
     *
     * With 32-bit fingerprints and radius 3 a band is 8 bits → only 256
     * buckets per band, so per-bucket populations grow linearly with corpus
-    * size; at 100 TB use 64-bit fingerprints (16-bit bands → 65k buckets)
-    * — the construction is width-generic, `SimhashBits` is the only knob. */
+    * size; at 100 TB use `bits = 64` (16-bit bands → 65k buckets) — d05b
+    * ships that width, oracle-checked. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-      maxBucket: Int = MaxBucketSize): DataFrame = {
+      maxBucket: Int = MaxBucketSize, bits: Int = SimhashBits): DataFrame = {
     val numBands = maxHamming + 1
-    require(SimhashBits % numBands == 0,
-      s"SimhashBits=$SimhashBits must divide into ${numBands} bands")
-    val bitsPerBand = SimhashBits / numBands
-    val mask = (1L << bitsPerBand) - 1
+    require(bits % numBands == 0,
+      s"bits=$bits must divide into ${numBands} bands")
+    val bitsPerBand = bits / numBands
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val bandCols = (0 until numBands).map(b =>
       shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask)))
-    val buckets = simhashes(docs)
+    val buckets = simhashes(docs, bits)
       .select(struct(col("doc_id"), col("simhash")).as("d"),
         posexplode(array(bandCols: _*)).as(Seq("band_idx", "chunk")))
       .groupBy(col("band_idx"), col("chunk"))
@@ -283,11 +304,26 @@ object Dedup {
     simhashPairs(Tables.documents(s, dir), 3).orderBy(col("doc_a"), col("doc_b"))
 
   private val d05Sql =
-    s"""WITH $duckSimhashCte
+    s"""WITH ${duckSimhashCte(32)}
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  bit_count(xor(a.simhash, b.simhash)) AS hamming
        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d05b — the 100 TB width: 64-bit fingerprints, radius 7 (the radius
+    * scales with width — a one-word edit flips about twice as many of 64
+    * bits as of 32), 8 bands of 8 bits by pigeonhole. */
+  private def d05bSimhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir), maxHamming = 7, bits = 64)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val d05bSql =
+    s"""WITH ${duckSimhashCte(64)}
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** d06 — exact n-gram Jaccard over candidate pairs that share at least one
@@ -334,6 +370,66 @@ object Dedup {
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
        |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Document-frequency–guarded Jaccard — the production variant of
+    * [[jaccardPairs]] (round-2 verdict: exact d06 is the one unbounded
+    * quadratic path — one stopword shingle shared by 10⁵ docs costs
+    * 10¹⁰/2 pairs). Shingles with document frequency > `maxDf` are
+    * removed SYMMETRICALLY: they contribute neither to the intersection
+    * NOR to either document's shingle-set size, so the guarded J is the
+    * exact Jaccard of the KEPT shingle sets — a well-defined measurement
+    * (df-filtering is standard IDF-style noise removal), not a corrupted
+    * approximation of the unguarded one. Work is bounded by construction:
+    * every surviving bucket has ≤ maxDf members, so candidate generation
+    * costs at most maxDf²/2 per shingle regardless of how templated the
+    * corpus is. Sizes are re-derived from the kept buckets and joined
+    * back doc-keyed (the sizes relation is one row per doc — a shuffle
+    * join that scales; the unguarded variant's ride-along trick can't
+    * work here because kept-set sizes aren't known until after the df
+    * filter). */
+  def jaccardPairsDfGuarded(docs: DataFrame, minJ: Double, maxDf: Int): DataFrame = {
+    val buckets = withSh3(docs)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf) // the df guard: bounded buckets
+    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = bucketPairs(buckets.filter(size(col("ids")) > 1), maxBucket = maxDf)
+      .groupBy(col("pa").as("doc_a"), col("pb").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** d06b — df-guarded Jaccard over documents: maxDf = 50 (10% of the
+    * sf0.01 corpus; at 100 TB the knob is an absolute count like 10⁴ —
+    * anything that frequent is boilerplate, not signal). */
+  private def d06bJaccardGuarded(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsDfGuarded(Tables.documents(s, dir), 0.5, 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val d06bSql =
+    s"""WITH ds AS (SELECT doc_id, unnest(${duckShingles(3)}) AS sh FROM documents),
+       |dfreq AS (SELECT sh, count(*) AS df FROM ds GROUP BY sh),
+       |kept AS (SELECT ds.doc_id, ds.sh FROM ds JOIN dfreq USING (sh) WHERE df <= 50),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
@@ -533,8 +629,11 @@ object Dedup {
     "d02_minhash_sig"   -> d02MinhashSig _,
     "d03_minhash_pairs" -> d03MinhashPairs _,
     "d04_simhash"       -> d04Simhash _,
+    "d04b_simhash64"    -> d04bSimhash64 _,
     "d05_simhash_pairs" -> d05SimhashPairs _,
+    "d05b_simhash64_pairs" -> d05bSimhash64Pairs _,
     "d06_jaccard_pairs" -> d06JaccardPairs _,
+    "d06b_jaccard_guarded" -> d06bJaccardGuarded _,
     "d07_embed_neardup" -> d07EmbedNearDup _,
     "d08_dup_groups"    -> d08DupGroups _,
     "d09_survivors"     -> d09Survivors _,
@@ -546,8 +645,11 @@ object Dedup {
     "d02_minhash_sig"   -> d02Sql,
     "d03_minhash_pairs" -> d03Sql,
     "d04_simhash"       -> d04Sql,
+    "d04b_simhash64"    -> d04bSql,
     "d05_simhash_pairs" -> d05Sql,
+    "d05b_simhash64_pairs" -> d05bSql,
     "d06_jaccard_pairs" -> d06Sql,
+    "d06b_jaccard_guarded" -> d06bSql,
     "d07_embed_neardup" -> d07Sql,
     "d08_dup_groups"    -> d08Sql,
     "d09_survivors"     -> d09Sql,

@@ -57,6 +57,46 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("df-guarded jaccard: a hot shingle no longer generates quadratic candidates") {
+    // 40 docs all sharing ONE boilerplate shingle, otherwise pairwise
+    // disjoint — the templated-corpus shape that makes exact d06 quadratic
+    val hot = (1L to 40L).map(i => i -> s"shared boiler plate u$i v$i w$i x$i")
+    val d = docs(hot: _*)
+    // unguarded: every pair meets in the "shared boiler plate" bucket
+    val unguarded = Dedup.jaccardPairs(d, 0.0).count()
+    assert(unguarded == 40L * 39 / 2, "all pairs share the hot shingle")
+    // guarded at maxDf=10: the df-40 bucket is excluded, no pair shares a
+    // kept shingle -> zero candidates, zero pairs
+    assert(Dedup.jaccardPairsDfGuarded(d, 0.0, maxDf = 10).count() == 0)
+  }
+
+  test("df-guarded jaccard equals brute-force J over the KEPT shingle sets") {
+    import spark.implicits._
+    // doc texts built from a mix of one hot phrase (df > maxDf) and
+    // overlapping rare tails, so guarded J differs from unguarded J
+    val d = docs((1L to 12L).map { i =>
+      val tail = if (i % 2 == 0) s"alpha beta gamma delta t$i" else s"alpha beta gamma delta s$i"
+      i -> s"common header words here $tail"
+    }: _*)
+    val maxDf = 6
+    val got = Dedup.jaccardPairsDfGuarded(d, 0.0, maxDf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force: per-doc distinct 3-gram shingle sets, df filter, exact J
+    val sets = d.collect().map { r =>
+      val w = r.getString(1).split(" ")
+      r.getLong(0) -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = sets.values.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val kept = sets.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+    val want = (for {
+      a <- kept.keys; b <- kept.keys if a < b
+      inter = kept(a).intersect(kept(b)).size if inter > 0
+      j = inter.toDouble / (kept(a).size + kept(b).size - inter)
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"pair $k") }
+  }
+
   test("MinHashSignature expression equals the composed md5/min formulation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -153,6 +193,24 @@ class DedupSpec extends SparkSpec {
       h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
     } yield (ida, idb, h)).toSet
     val got = banded.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+  }
+
+  test("64-bit simhash: banded pairs match brute force; sign bit handled") {
+    // enough docs that some 64-bit fingerprints differ in high bits (incl.
+    // bit 63, where the BIGINT goes negative — shifts must mask correctly)
+    val d = docs((1L to 30L).map { i =>
+      val twin = if (i % 2 == 0) s"${base} tail$i" else s"${base} tail${i - 1} extra"
+      i -> twin
+    }: _*)
+    val fps = Dedup.simhashes(d, bits = 64).collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(fps.exists(_._2 < 0), "some 64-bit fingerprint should set bit 63")
+    val brute = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 7
+    } yield (ida, idb, h)).toSet
+    val got = Dedup.simhashPairs(d, maxHamming = 7, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(got == brute, s"banded=${got.size} brute=${brute.size}")
   }
 

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, TpchCorpus}
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
-      graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries
+      graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
+      TpchCorpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
-      graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql
+      graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
+      TpchCorpus.oracleSql
 }

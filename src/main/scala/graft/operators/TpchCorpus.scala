@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Engine
+
+/** The reference's primary workload, wholesale: its TPC-H SQL corpus
+  * (`resources/query/tpch/original/01.sql..22.sql`, executed by
+  * `fpdb-main/src/Client.cpp:94-111` and `fpdb-main/test/TPCHTest.cpp`),
+  * adapted to the testdata schema and run as PLAIN SQL TEXT through
+  * [[Engine.executeQuery]] — the exact workflow of a reference user
+  * arriving with their .sql files.
+  *
+  * Adaptation rules (each file documents its own deltas in a header
+  * comment):
+  *  - the testdata has no `partsupp` table, so Q2/Q11/Q16 are out of
+  *    scope — 19 of 22 run;
+  *  - columns absent from the testdata schema (l_commitdate,
+  *    l_receiptdate, l_shipmode, o_shippriority, c_phone, p_container,
+  *    p_mfgr, *_comment, *_address) are dropped from outputs or replaced
+  *    by the nearest present column, preserving each query's operator
+  *    structure (the correlated EXISTS stays a correlated EXISTS, the
+  *    grouped-HAVING IN subquery stays one, ...);
+  *  - literals are re-drawn from the testdata's value domains (dates
+  *    1995-2001, NATION_0..24, single-word p_type, 'Brand#N');
+  *  - vendor-specific syntax is normalized to text that parses and
+  *    agrees on BOTH Spark and DuckDB (date literals, INTERVAL 'n' DAY,
+  *    CAST(extract(...) AS BIGINT), CTE instead of CREATE VIEW) — the
+  *    same string IS the oracle, the strongest equivalence the driver
+  *    can check.
+  *
+  * Every entry hits the full engine path: per-session catalog
+  * registration, Catalyst analysis/optimization (including the session's
+  * AutoSemiReduction + runtime bloom filters), AQE execution.
+  */
+object TpchCorpus {
+
+  /** Queries present in the corpus (stock numbering; 2/11/16 need
+    * `partsupp`, which the testdata does not ship). */
+  val ids: Seq[Int] = Seq(1, 3, 4, 5, 6, 7, 8, 9, 10, 12, 13, 14, 15, 17, 18, 19, 20, 21, 22)
+
+  /** The adapted SQL text of stock query `i` (classpath resource). */
+  def sql(i: Int): String = {
+    val path = f"/graft/tpch/q$i%02d.sql"
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing corpus resource $path")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def entryName(i: Int): String = f"h$i%02d_tpch"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    ids.map { i =>
+      entryName(i) -> ((s: SparkSession, dir: String) => Engine.executeQuery(s, dir, sql(i)))
+    }.toMap
+
+  /** The oracle is the SAME text DuckDB runs on the same tables. */
+  val oracleSql: Map[String, String] =
+    ids.map(i => entryName(i) -> sql(i)).toMap
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.TpchCorpus
+
+/** The reference's TPC-H corpus as plain SQL text through the engine:
+  * every adapted file must parse, analyze against the registered catalog,
+  * and execute. Result equivalence vs DuckDB on the SAME text is the
+  * driver's correctness gate (h01..h22 entries); this spec proves the
+  * Spark side of the workflow end to end at the smallest scale factor. */
+class SqlCorpusSpec extends SparkSpec {
+
+  test("corpus covers at least 15 of the 22 stock queries") {
+    assert(TpchCorpus.ids.size >= 15, s"only ${TpchCorpus.ids.size} adapted")
+    assert(TpchCorpus.queries.size == TpchCorpus.ids.size)
+    assert(TpchCorpus.oracleSql.keySet == TpchCorpus.queries.keySet)
+  }
+
+  /** Literal selections that are empty at the 6k-row sf0.001 (a nation
+    * pair with no supplier at this scale, the late-ship anti-join, the
+    * recent-order anti-join): verified non-empty and DuckDB-equivalent by
+    * the driver's sf0.01 gate; here they still must analyze and execute. */
+  private val emptyAtSf0001 = Set(7, 21, 22)
+
+  TpchCorpus.ids.foreach { i =>
+    test(f"q$i%02d executes through Engine.executeQuery and returns rows") {
+      val df = TpchCorpus.queries(f"h$i%02d_tpch")(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      // scalar aggregates are 1 row by construction; row-returning shapes
+      // must not silently select nothing at sf0.001 either
+      if (emptyAtSf0001(i)) assert(n >= 0)
+      else assert(n > 0, f"q$i%02d returned no rows at $sfDir")
+    }
+  }
+}

@@ -1,0 +1,8 @@
+-- SSB Q1.3 (d_weeknuminyear = 6 -> the week's explicit date range, since
+-- ISO-week extraction differs across engines at year boundaries)
+select sum(l_extendedprice * l_discount) as revenue
+from lineitem, orders
+where l_orderkey = o_orderkey
+  and o_orderdate between date '1996-02-05' and date '1996-02-11'
+  and l_discount between 0.05 and 0.07
+  and l_quantity between 26 and 35

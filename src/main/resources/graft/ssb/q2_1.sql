@@ -1,0 +1,16 @@
+-- SSB Q2.1 (p_category 'MFGR#12' -> p_type; p_brand1 -> p_brand)
+select d_year, p_brand, sum(revenue) as revenue
+from (
+  select cast(extract(year from o_orderdate) as bigint) as d_year,
+    p_brand, l_extendedprice * (1 - l_discount) as revenue
+  from lineitem, orders, part, supplier, nation, region
+  where l_orderkey = o_orderkey
+    and l_partkey = p_partkey
+    and l_suppkey = s_suppkey
+    and s_nationkey = n_nationkey
+    and n_regionkey = r_regionkey
+    and p_type = 'ECONOMY'
+    and r_name = 'AMERICA'
+) as t
+group by d_year, p_brand
+order by d_year, p_brand

@@ -1,0 +1,21 @@
+-- SSB Q3.1 (customer+supplier both in ASIA, by nation and year)
+select c_nation, s_nation, d_year, sum(revenue) as revenue
+from (
+  select n2.n_name as c_nation, n1.n_name as s_nation,
+    cast(extract(year from o_orderdate) as bigint) as d_year,
+    l_extendedprice * (1 - l_discount) as revenue
+  from lineitem, orders, customer, supplier,
+       nation n1, nation n2, region r1, region r2
+  where l_orderkey = o_orderkey
+    and o_custkey = c_custkey
+    and l_suppkey = s_suppkey
+    and s_nationkey = n1.n_nationkey
+    and n1.n_regionkey = r1.r_regionkey
+    and c_nationkey = n2.n_nationkey
+    and n2.n_regionkey = r2.r_regionkey
+    and r1.r_name = 'ASIA'
+    and r2.r_name = 'ASIA'
+    and o_orderdate >= date '1996-01-01' and o_orderdate < date '1998-01-01'
+) as t
+group by c_nation, s_nation, d_year
+order by d_year asc, revenue desc, c_nation, s_nation

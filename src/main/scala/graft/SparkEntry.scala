@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, TpchCorpus}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, SsbCorpus, TextAnalysis, TpchCorpus}
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -23,11 +23,11 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
       graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
-      TpchCorpus.queries
+      TpchCorpus.queries ++ SsbCorpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
       graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
-      TpchCorpus.oracleSql
+      TpchCorpus.oracleSql ++ SsbCorpus.oracleSql
 }

@@ -58,3 +58,41 @@ object TpchCorpus {
   val oracleSql: Map[String, String] =
     ids.map(i => entryName(i) -> sql(i)).toMap
 }
+
+/** The reference's second SQL corpus: the 13 Star Schema Benchmark
+  * queries (`resources/query/ssb/original/1.1.sql..4.3.sql`, run by
+  * `fpdb-main/test/SSBTest.cpp`), adapted to the testdata star schema and
+  * run as plain text through [[Engine.executeQuery]] like [[TpchCorpus]].
+  *
+  * Mapping (per-file headers document query-specific deltas): the
+  * denormalized `lineorder` is `lineitem JOIN orders`; the `date`
+  * dimension folds into extract()/date ranges over o_orderdate;
+  * s_region/c_region go through nation→region; p_category/p_mfgr map to
+  * p_type and p_brand1 to p_brand; lo_revenue is
+  * l_extendedprice·(1−l_discount) and (lo_supplycost being absent)
+  * profit is revenue net of tax; the absent city columns make Q3.2/Q4.3
+  * drill one level coarser (nations within a region). */
+object SsbCorpus {
+
+  val names: Seq[String] =
+    Seq("1_1", "1_2", "1_3", "2_1", "2_2", "2_3",
+        "3_1", "3_2", "3_3", "3_4", "4_1", "4_2", "4_3")
+
+  def sql(name: String): String = {
+    val path = s"/graft/ssb/q$name.sql"
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing corpus resource $path")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def entryName(n: String): String = s"b${n.replace("_", "")}_ssb"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    names.map { n =>
+      entryName(n) -> ((s: SparkSession, dir: String) => Engine.executeQuery(s, dir, sql(n)))
+    }.toMap
+
+  val oracleSql: Map[String, String] =
+    names.map(n => entryName(n) -> sql(n)).toMap
+}

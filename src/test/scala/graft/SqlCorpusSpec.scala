@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.TpchCorpus
+import graft.operators.{SsbCorpus, TpchCorpus}
 
 /** The reference's TPC-H corpus as plain SQL text through the engine:
   * every adapted file must parse, analyze against the registered catalog,
@@ -30,6 +30,24 @@ class SqlCorpusSpec extends SparkSpec {
       // must not silently select nothing at sf0.001 either
       if (emptyAtSf0001(i)) assert(n >= 0)
       else assert(n > 0, f"q$i%02d returned no rows at $sfDir")
+    }
+  }
+
+  test("SSB corpus is complete: all 13 queries") {
+    assert(SsbCorpus.names.size == 13)
+    assert(SsbCorpus.oracleSql.keySet == SsbCorpus.queries.keySet)
+  }
+
+  /** Two-specific-nations drill-downs select nothing at sf0.001 (a
+    * nation pair may have no trade among 6k lines); sf0.01 gate has data. */
+  private val ssbEmptyAtSf0001 = Set("3_3", "3_4")
+
+  SsbCorpus.names.foreach { n =>
+    test(s"ssb q$n executes through Engine.executeQuery and returns rows") {
+      val df = SsbCorpus.queries(s"b${n.replace("_", "")}_ssb")(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      if (ssbEmptyAtSf0001(n)) assert(df.count() >= 0)
+      else assert(df.count() > 0, s"ssb q$n returned no rows at $sfDir")
     }
   }
 }

@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native word-k-gram shingling: distinct space-joined k-grams of a word
-  * array, first-occurrence order, empty when fewer than k words.
+/** Native word-k-gram shingling: space-joined k-grams of a word array,
+  * empty when fewer than k words. `unique = true` (the dedup default)
+  * keeps distinct shingles in first-occurrence order; `unique = false`
+  * emits all n−k+1 in position order (the repetition-measurement shape,
+  * where the multiplicity IS the signal).
   *
   * Replaces `array_distinct(transform(sequence(...), i -> concat_ws(...)))`
   * — semantically identical, but that composition runs interpreted (HOF
@@ -18,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * loop with a hash set, ~30× faster, and it sits at the head of every
   * dedup/fingerprint pipeline.
   */
-case class WordShingles(child: Expression, k: Int)
+case class WordShingles(child: Expression, k: Int, unique: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
   require(k >= 1, "shingle width must be >= 1")
@@ -33,7 +36,9 @@ case class WordShingles(child: Expression, k: Int)
     val words = input.asInstanceOf[ArrayData]
     val n = words.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    val seen: java.util.Collection[UTF8String] =
+      if (unique) new java.util.LinkedHashSet[UTF8String](n * 2)
+      else new java.util.ArrayList[UTF8String](n - k + 1)
     var i = 0
     while (i <= n - k) {
       val parts = Array.ofDim[UTF8String](k)
@@ -56,4 +61,8 @@ case class WordShingles(child: Expression, k: Int)
 object WordShingles {
   def column(words: Column, k: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(words), k))
+
+  /** All positional k-grams (duplicates kept). */
+  def columnAll(words: Column, k: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(words), k, unique = false))
 }

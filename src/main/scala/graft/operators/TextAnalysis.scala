@@ -285,6 +285,97 @@ object TextAnalysis {
       |  FROM s) r
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** t08 — Gopher-style repetition signals: top-bigram share (what
+    * fraction of all word bigrams the single most frequent one claims),
+    * duplicate-trigram fraction (1 − distinct/total 3-grams), and a
+    * composite keep flag — the published heuristics for catching
+    * templated/looping generations in a pretraining corpus (the corpus has
+    * no line structure, so the n-gram family stands in for the line-dup
+    * family). Two shapes fused: the bigram share needs multiplicities, so
+    * it goes explode → two-level map-side-combined agg (t05's shape); the
+    * trigram fraction is pure per-row arithmetic over the native shingle
+    * expression (distinct count vs position count), a narrow map joined
+    * back on doc_id. */
+  private def t08Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .withColumn("w", words($"text"))
+    val perDoc = docs.select(
+      $"doc_id",
+      size($"w").as("n_words"),
+      (lit(1.0) - size(shingles($"w", 3)).cast("double")
+        / greatest(size($"w") - 2, lit(1))).as("dup_trigram_frac"))
+    val bigram = docs
+      .select($"doc_id",
+        explode(graft.functions.WordShingles.columnAll($"w", 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("f"))
+      .groupBy($"doc_id")
+      .agg((max($"f").cast("double") / sum($"f")).as("top_bigram_share"))
+    perDoc.join(bigram, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_words", $"top_bigram_share", $"dup_trigram_frac",
+        ($"n_words" >= 20 && coalesce($"top_bigram_share", lit(0.0)) <= 0.1
+          && $"dup_trigram_frac" <= 0.05).as("gopher_ok"))
+      .orderBy($"doc_id")
+  }
+
+  private val t08Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(
+      |         generate_series(1, len(w) - 1),
+      |         i -> array_to_string(w[i:i+1], ' '))) AS bg FROM w),
+      |c AS (SELECT doc_id, bg, count(*) AS f FROM bg GROUP BY 1, 2),
+      |tb AS (SELECT doc_id, max(f)::DOUBLE / sum(f) AS top_bigram_share
+      |       FROM c GROUP BY 1),
+      |pd AS (SELECT doc_id, len(w) AS n_words,
+      |         1.0 - len(list_distinct(list_transform(
+      |             generate_series(1, len(w) - 2),
+      |             i -> array_to_string(w[i:i+2], ' '))))::DOUBLE
+      |           / greatest(len(w) - 2, 1) AS dup_trigram_frac
+      |       FROM w)
+      |SELECT pd.doc_id, pd.n_words, tb.top_bigram_share, pd.dup_trigram_frac,
+      |  (pd.n_words >= 20 AND coalesce(tb.top_bigram_share, 0.0) <= 0.1
+      |   AND pd.dup_trigram_frac <= 0.05) AS gopher_ok
+      |FROM pd LEFT JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Token budget per packed training sequence (t09). */
+  val PackBudget = 2048
+
+  /** t09 — sequence packing: assign documents to fixed-token-budget
+    * training sequences, deterministically. Docs are sharded by
+    * `doc_id % 8` (in production: by ingest partition), ordered within the
+    * shard, and cut into packs wherever the running token total crosses
+    * the budget — `pack = (cumsum_before_this_doc) div budget`. The window
+    * is partitioned by shard, so packing parallelizes across shards (no
+    * global sort) and adding shards scales it to any corpus size; the
+    * output is the pack manifest a sequence-building job would consume.
+    * No RNG: the same corpus packs identically on any cluster shape. */
+  private def t09SequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"doc_id", ($"doc_id" % 8).as("shard"),
+        size(words($"text")).as("tokens"))
+      .withColumn("cum", sum($"tokens").over(w))
+      .withColumn("pack", (($"cum" - $"tokens") / PackBudget).cast("long"))
+      .groupBy($"shard", $"pack")
+      .agg(count(lit(1)).as("n_docs"), sum($"tokens").as("pack_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"shard", $"pack")
+  }
+
+  private val t09Sql =
+    s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+       |             len(string_split(text, ' ')) AS tokens FROM documents),
+       |c AS (SELECT doc_id, shard, tokens,
+       |        sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+       |SELECT shard, ((cum - tokens) // $PackBudget)::BIGINT AS pack,
+       |  count(*) AS n_docs, sum(tokens)::BIGINT AS pack_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM c GROUP BY 1, 2 ORDER BY shard, pack""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -293,6 +384,8 @@ object TextAnalysis {
     "t05_boilerplate" -> t05Boilerplate _,
     "t06_hash_split"  -> t06HashSplit _,
     "t07_tfidf"       -> t07Tfidf _,
+    "t08_repetition"  -> t08Repetition _,
+    "t09_seq_pack"    -> t09SequencePack _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -303,5 +396,7 @@ object TextAnalysis {
     "t05_boilerplate" -> t05Sql,
     "t06_hash_split"  -> t06Sql,
     "t07_tfidf"       -> t07Sql,
+    "t08_repetition"  -> t08Sql,
+    "t09_seq_pack"    -> t09Sql,
   )
 }

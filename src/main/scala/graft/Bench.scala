@@ -34,8 +34,14 @@ object Bench {
 
   private def shortKey(n: String): String = n.takeWhile(_ != '_')
 
+  /** Locale-independent numeric format: JSON needs '.'-decimals, but
+    * `"%.3f".format(v)` follows the default locale (comma-decimal on e.g.
+    * de_DE → unparseable output), so every number goes through ROOT. */
+  private def fmt(dp: Int, v: Double): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
   private def jmap(kvs: Seq[(String, Double)], dp: Int): String =
-    kvs.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+    kvs.map { case (k, v) => "\"" + k + "\":" + fmt(dp, v) }
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
@@ -73,8 +79,14 @@ object Bench {
     // column pruning still applies at the InMemoryRelation scan, so one
     // segment serves every projection of the table. MeasuredWLFU loads
     // eagerly and records the load wall-time as the eviction weight.
+    // Dropping /proc/sys/vm/drop_caches evicts EVERY process's page cache —
+    // a host-wide side effect — so it is opt-in (SPARK_GRAFT_DROP_CACHES=1);
+    // the default path only warns that "cold" times are page-cached.
+    val dropEnabled = sys.env.get("SPARK_GRAFT_DROP_CACHES").contains("1")
     def dropPageCache(): Unit =
-      try java.nio.file.Files.write(
+      if (!dropEnabled)
+        System.err.println("[bench] page-cache drop disabled (set SPARK_GRAFT_DROP_CACHES=1); cold times are page-cached")
+      else try java.nio.file.Files.write(
         java.nio.file.Paths.get("/proc/sys/vm/drop_caches"), "3\n".getBytes)
       catch { case e: Throwable =>
         System.err.println(s"[bench] page-cache drop unavailable ($e); cold times are page-cached") }
@@ -121,7 +133,7 @@ object Bench {
       val qs = jmap(results.map { case (k, v) => shortKey(k) -> v }, dp)
       val modes = if (warm.isEmpty) "" else
         s""","modes":{"cold":${jmap(cold.map { case (k, v) => shortKey(k) -> v }, dp)},"warm":${jmap(warm.map { case (k, v) => shortKey(k) -> v }, dp)}}"""
-      s"""{"metric":"total","value":${s"%.${dp}f".format(total)},"unit":"sec","queries":$qs$modes,"sf":"$sfName","keys":"prefix; full map in BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","queries":$qs$modes,"sf":"$sfName","keys":"prefix; full map in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
     println(out)

@@ -84,33 +84,56 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
 
   /** Get-or-compute: cache hit returns the persisted plan; miss computes
     * `produce`, admits it if it can fit (evicting lower-priority segments),
-    * and returns it either way. */
-  def get(key: SegmentKey)(produce: => DataFrame): DataFrame = synchronized {
-    clock += 1
-    entries.get(key) match {
-      case Some(e) =>
-        hitCount += 1; e.hits += 1; e.lastAccess = clock
-        e.df
-      case None =>
-        missCount += 1
-        val df = produce
-        val size = sizeOf(df)
-        policy match {
-          case MeasuredWLFU =>
-            // eager load (the reference's CacheLoadPOp is an explicit
-            // load op): materialize under persist() and time it — the
-            // measured wall-time IS the segment's benefit-per-hit weight
-            df.persist(StorageLevel.MEMORY_AND_DISK)
-            val cost = measureLoad(df)
-            if (admit(key, size, cost)) entries.put(key, Entry(df, size, 1L, clock, cost))
-            else df.unpersist(blocking = false)
-          case _ =>
-            if (admit(key, size)) {
-              df.persist(StorageLevel.MEMORY_AND_DISK)
-              entries.put(key, Entry(df, size, 1L, clock))
-            }
-        }
-        df
+    * and returns it either way.
+    *
+    * Only the bookkeeping (hit accounting, admit/evict) runs under the
+    * monitor. `produce`, `persist()` and above all MeasuredWLFU's
+    * `measureLoad` (a full materialization job) run UNLOCKED, so a slow
+    * load never blocks concurrent hits on other keys. Two racers may load
+    * the same key concurrently; the loser finds the key resident at
+    * admit time, discards its own copy, and returns the winner's. */
+  def get(key: SegmentKey)(produce: => DataFrame): DataFrame = {
+    synchronized {
+      clock += 1
+      entries.get(key) match {
+        case Some(e) =>
+          hitCount += 1; e.hits += 1; e.lastAccess = clock
+          return e.df
+        case None =>
+          missCount += 1
+      }
+    }
+    // miss path — no lock held while Spark jobs run
+    val df = produce
+    val size = sizeOf(df)
+    val cost = policy match {
+      case MeasuredWLFU =>
+        // eager load (the reference's CacheLoadPOp is an explicit load
+        // op): materialize under persist() and time it — the measured
+        // wall-time IS the segment's benefit-per-hit weight
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        measureLoad(df)
+      case _ => 0.0
+    }
+    synchronized {
+      entries.get(key) match {
+        case Some(e) => // losing racer: the key was admitted while we loaded
+          e.hits += 1; e.lastAccess = clock
+          if (policy == MeasuredWLFU) df.unpersist(blocking = false)
+          e.df
+        case None =>
+          policy match {
+            case MeasuredWLFU =>
+              if (admit(key, size, cost)) entries.put(key, Entry(df, size, 1L, clock, cost))
+              else df.unpersist(blocking = false)
+            case _ =>
+              if (admit(key, size)) {
+                df.persist(StorageLevel.MEMORY_AND_DISK)
+                entries.put(key, Entry(df, size, 1L, clock))
+              }
+          }
+          df
+      }
     }
   }
 

@@ -41,10 +41,10 @@ import org.apache.spark.sql.internal.SQLConf
   *  3. the dim's filter measurably keeps ≤ `spark.graft.semiReduction
   *     .maxSelectivity` (default 0.5) of its rows. Catalyst's size-only
   *     stats cannot see filter selectivity without column statistics, so
-  *     the rule counts filtered vs unfiltered dim rows once per distinct
-  *     (canonicalized) dim subtree and caches the ratio — an exact probe
-  *     of the SMALL side (bounded by fact/8), amortized across every
-  *     query that joins the same filtered dim.
+  *     the rule counts filtered vs unfiltered dim rows over a leaf-level
+  *     LIMIT sample (see [[measuredSelectivity]]) once per distinct
+  *     (canonicalized) dim subtree per session and caches the ratio,
+  *     amortized across every query that joins the same filtered dim.
   *
   * Semantics-preserving by construction: a left-semi by the join's own
   * keys only removes fact rows the inner join would drop anyway and never
@@ -94,31 +94,66 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** Measured fraction of dim rows surviving its filters, cached per
-    * canonicalized subtree. The probe runs driver-side during
-    * optimization — safe (no locks held, plan contains no join for this
-    * rule to recurse into) and failure-isolated (any error → 1.0, i.e.
-    * "not selective", and the plan is left alone). */
+  /** Rows the selectivity probe reads per side, capped at the scan. */
+  private val ProbeRowCap = 100000L
+
+  /** Sampled fraction of dim rows surviving its filters, cached per
+    * (session, canonicalized subtree). The probe runs driver-side during
+    * optimization — failure-isolated (any error → 1.0, i.e. "not
+    * selective", and the plan is left alone) and doubly bounded:
+    *
+    *  - eligibility excludes dims containing a Join, and [[probing]]
+    *    short-circuits [[apply]] on the probe's own thread, so the
+    *    probe's optimization can never re-enter this rule and fire
+    *    nested probes;
+    *  - each count wraps the dim's leaf scan in a LIMIT [[ProbeRowCap]],
+    *    so planning latency is bounded by a 100k-row scan, not the dim's
+    *    size (the measured ratio is over the first 100k rows in scan
+    *    order — a sample, biased iff selectivity correlates with file
+    *    order, which the 0.5 gate tolerates).
+    *
+    * Cache: bounded access-order LRU keyed per session. Deliberately
+    * never invalidated on data change — overwriting a table's files can
+    * leave a stale ratio steering rewrites until the entry ages out of
+    * the LRU or the session is replaced; re-probing per query would cost
+    * more than a stale, merely-heuristic gate can lose. */
+  private val SelCacheMax = 256
   private val selCache =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, java.lang.Double]()
+    new java.util.LinkedHashMap[(String, LogicalPlan), java.lang.Double](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, LogicalPlan), java.lang.Double]): Boolean =
+        size() > SelCacheMax
+    }
+
+  /** True on a thread that is currently executing a selectivity probe. */
+  private val probing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  private def limited(p: LogicalPlan): LogicalPlan = p.transformUp {
+    case leaf if leaf.children.isEmpty =>
+      GlobalLimit(Literal(ProbeRowCap.toInt), LocalLimit(Literal(ProbeRowCap.toInt), leaf))
+  }
 
   private def measuredSelectivity(dim: LogicalPlan): Double = {
-    val key = dim.canonicalized
-    val hit = selCache.get(key)
-    if (hit != null) return hit.doubleValue()
-    val sel = try {
-      SparkSession.getActiveSession match {
-        case Some(spark) if !dim.isStreaming =>
+    SparkSession.getActiveSession match {
+      case Some(spark) if !dim.isStreaming =>
+        val key = (System.identityHashCode(spark).toString, dim.canonicalized)
+        val hit = selCache.synchronized(selCache.get(key))
+        if (hit != null) return hit.doubleValue()
+        val sel = try {
+          probing.set(java.lang.Boolean.TRUE)
           val unfiltered = dim.transformUp { case Filter(_, child) => child }
-          val base = GraftBridge.ofRows(spark, unfiltered).count()
+          val base = GraftBridge.ofRows(spark, limited(unfiltered)).count()
           if (base == 0L) 1.0
-          else GraftBridge.ofRows(spark, dim).count().toDouble / base.toDouble
-        case _ => 1.0
-      }
-    } catch { case e: Throwable => logWarning(s"selectivity probe failed: $e"); 1.0 }
-    if (selCache.size > 1024) selCache.clear() // unbounded-plan-shape guard
-    selCache.put(key, sel)
-    sel
+          else GraftBridge.ofRows(spark, limited(dim)).count().toDouble / base.toDouble
+        } catch {
+          case e: Throwable => logWarning(s"selectivity probe failed: $e"); 1.0
+        } finally probing.set(java.lang.Boolean.FALSE)
+        selCache.synchronized(selCache.put(key, sel))
+        sel
+      case _ => 1.0
+    }
   }
 
   /** (factKey, dimKey) attribute pairs of the equi part of `cond`. */
@@ -141,6 +176,7 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
       selectivelyFiltered(dim) &&
       dimSize > threshold &&                       // main join shuffles the fact
       fact.stats.sizeInBytes >= dimSize * SizeRatio &&
+      !dim.exists(_.isInstanceOf[Join]) &&         // join-free dim: probe can't recurse
       safeToCopy(dim) &&
       !alreadyReduced(fact, dim) &&
       keysProjSize <= threshold &&                 // the semi itself broadcasts
@@ -174,7 +210,7 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!enabled) return plan
+    if (!enabled || probing.get()) return plan
     plan.transformUp {
       // never touch streaming joins: a copied stream source inside an
       // un-watermarked semi join would fail incremental planning (today

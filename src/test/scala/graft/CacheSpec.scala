@@ -124,6 +124,47 @@ class CacheSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("a slow MeasuredWLFU load does not block concurrent hits on other keys") {
+    import graft.cache.MeasuredWLFU
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val cache = new SegmentCache(Long.MaxValue, MeasuredWLFU) {
+      override protected def measureLoad(df: org.apache.spark.sql.DataFrame): Double = {
+        entered.countDown()
+        release.await(60, TimeUnit.SECONDS)
+        df.count(); 1.0
+      }
+    }
+    cache.get(k2)(proj("orders", k2.columns))      // k2 resident
+    val loader = new Thread(() => { cache.get(k1)(proj("orders", k1.columns)); () })
+    loader.start()
+    assert(entered.await(30, TimeUnit.SECONDS), "loader never reached measureLoad")
+    // k1's load is now parked mid-measure; a hit on k2 must not queue behind it
+    val t0 = System.nanoTime()
+    cache.get(k2)(proj("orders", k2.columns))
+    val hitSecs = (System.nanoTime() - t0) / 1e9
+    release.countDown()
+    loader.join(60000)
+    assert(hitSecs < 5.0, s"hit on another key blocked behind a concurrent load ($hitSecs s)")
+    assert(cache.keys.contains(k1), "parked load still admits after release")
+    cache.invalidateAll()
+  }
+
+  test("two racing misses on one key converge to a single resident entry") {
+    import graft.cache.MeasuredWLFU
+    val cache = new SegmentCache(Long.MaxValue, MeasuredWLFU)
+    val dfs = (1 to 2).map { _ =>
+      new java.util.concurrent.FutureTask(() => cache.get(k1)(proj("orders", k1.columns)))
+    }
+    val threads = dfs.map(new Thread(_))
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val results = dfs.map(_.get())
+    assert(cache.keys.count(_ == k1) == 1, "exactly one resident entry for the raced key")
+    assert(results.forall(_.count() > 0), "both racers get a usable result")
+    cache.invalidateAll()
+  }
+
   test("Belady evicts the segment used farthest in the future") {
     import graft.cache.Belady
     // trace: k1, k2, k3, k1 — at admission of k3 (clock 3), k1 recurs at

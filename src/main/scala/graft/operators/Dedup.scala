@@ -30,7 +30,7 @@ object Dedup {
     * (rather than inlining the expression) matters: interpreted lambda
     * bodies re-evaluate captured subexpressions per element, so shingling
     * over an unbound split() would re-run it O(words) times per row. */
-  private def withSh3(docs: DataFrame): DataFrame =
+  private[operators] def withSh3(docs: DataFrame): DataFrame =
     Tables.spread(docs)
       .withColumn("w", words(col("text")))
       .withColumn("sh", shingles(col("w"), 3))
@@ -79,7 +79,7 @@ object Dedup {
     minhashSignatures(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
   /** DuckDB shingle expression (1-based, end-inclusive list slices). */
-  private def duckShingles(k: Int): String =
+  private[operators] def duckShingles(k: Int): String =
     s"""list_distinct(list_transform(
        |    generate_series(1, len(string_split(text, ' ')) - ${k - 1}),
        |    i -> array_to_string(string_split(text, ' ')[i:i+${k - 1}], ' ')))""".stripMargin
@@ -624,6 +624,46 @@ object Dedup {
        |  count(*) AS n_docs, avg(n_words) AS avg_words
        |FROM d GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** d11 — semantic dedup (SemDeDup-style): drop every embedding that has
+    * a semantically-near neighbor with a SMALLER vec_id (cosine above
+    * `SemDedupTau`), keep the rest. The keep/drop rule is pairwise-local
+    * (dup ⇔ ∃ earlier neighbor), so no label propagation is needed —
+    * unlike the text path (d03→d08→d09), where transitive LSH candidates
+    * must be grouped before survivors can be picked.
+    *
+    * The pair stage here is d07's exact O(n²) scan — the correctness
+    * baseline. At 100 TB the same anti-join consumes bucketed pairs
+    * instead: s04's IVF cell assignment (train once, broadcast centroids,
+    * narrow-map assign) keys the self-join by cell, which is this data's
+    * only change — the survivors anti-join is already key-local either
+    * way. Threshold 0.45 sits at this corpus's near-dup knee (global max
+    * pairwise cosine ≈ 0.51, random-pair mass ends ≈ 0.4). */
+  val SemDedupTau = 0.45
+
+  private def d11SemDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val a = Tables.spread(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
+    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+    val dups = a.join(b, $"vec_a" < $"vec_b")
+      .filter(graft.functions.CosineSimilarity.column($"ea", $"eb") > SemDedupTau)
+      .select($"vec_b".as("dup_id")).distinct()
+    emb.join(dups, $"vec_id" === $"dup_id", "left_anti")
+      .select($"vec_id", $"label")
+      .orderBy($"vec_id")
+  }
+
+  private val d11Sql =
+    s"""WITH n AS (SELECT vec_id, embedding, ${Similarity.duckNorm} AS nrm FROM embeddings),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > $SemDedupTau)
+       |SELECT e.vec_id, e.label FROM embeddings e
+       |LEFT JOIN dups d ON e.vec_id = d.dup_id
+       |WHERE d.dup_id IS NULL
+       |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -638,6 +678,7 @@ object Dedup {
     "d08_dup_groups"    -> d08DupGroups _,
     "d09_survivors"     -> d09Survivors _,
     "d10_pipeline"      -> d10Pipeline _,
+    "d11_semdedup"      -> d11SemDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -654,5 +695,6 @@ object Dedup {
     "d08_dup_groups"    -> d08Sql,
     "d09_survivors"     -> d09Sql,
     "d10_pipeline"      -> d10Sql,
+    "d11_semdedup"      -> d11Sql,
   )
 }

@@ -376,6 +376,68 @@ object TextAnalysis {
        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM c GROUP BY 1, 2 ORDER BY shard, pack""".stripMargin
 
+  /** t10 — benchmark decontamination score: for every corpus document,
+    * the fraction of its distinct word-3-gram shingles that appear in a
+    * held-out benchmark set (docs with doc_id % 97 == 0 stand in for an
+    * eval suite; a real deployment reads the suite from its own table).
+    * Documents above a threshold get quarantined before training —
+    * emitting the full score spectrum keeps the gate's input auditable.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the
+    * corpus, so it is broadcast and scoring is a map-side left join +
+    * per-doc aggregate — the corpus is scanned once and shuffled only by
+    * doc_id for the count, never by shingle. */
+  private def t10Contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // WordShingles emits distinct shingles per doc, so the exploded
+    // (doc_id, sh) pairs are already unique — no distinct() needed
+    val sh = Dedup.withSh3(Tables.documents(s, dir))
+      .select($"doc_id", explode($"sh").as("sh"))
+    val bench = sh.filter($"doc_id" % 97 === 0).select($"sh".as("bsh")).distinct()
+    sh.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(bench), $"sh" === $"bsh", "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sh"), count($"bsh").as("n_hit"))
+      .withColumn("contamination", $"n_hit".cast("double") / $"n_sh")
+      .orderBy($"doc_id")
+  }
+
+  private val t10Sql =
+    s"""WITH dd AS (SELECT doc_id, unnest(${Dedup.duckShingles(3)}) AS sh FROM documents),
+       |bench AS (SELECT DISTINCT sh FROM dd WHERE doc_id % 97 = 0)
+       |SELECT d.doc_id, count(*) AS n_sh, count(b.sh) AS n_hit,
+       |  count(b.sh)::DOUBLE / count(*) AS contamination
+       |FROM dd d LEFT JOIN bench b USING (sh)
+       |WHERE d.doc_id % 97 <> 0
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** t11 — pattern scrubbing, the PII-redaction shape: mask every digit
+    * run in the event payload and count the masked characters. The
+    * testdata carries no real PII, so the digit pattern stands in for the
+    * production email/phone/ID regex bank — swapping patterns leaves the
+    * plan unchanged: a narrow, codegen'd regexp map over the scan (no
+    * shuffle, no UDF), which is exactly what lets it run at ingest rate
+    * on a 100 TB corpus. */
+  private def t11Redact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id",
+        regexp_replace($"props", "[0-9]+", "#").as("redacted"),
+        (length($"props") - length(regexp_replace($"props", "[0-9]+", "")))
+          .cast("long").as("n_masked_chars"))
+      .orderBy($"event_id")
+  }
+
+  /** DuckDB replaces only the first match unless the 'g' flag is given —
+    * Spark's regexp_replace is always global. */
+  private val t11Sql =
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '#', 'g') AS redacted,
+      |  (length(props) - length(regexp_replace(props, '[0-9]+', '', 'g')))::BIGINT
+      |    AS n_masked_chars
+      |FROM events ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -386,6 +448,8 @@ object TextAnalysis {
     "t07_tfidf"       -> t07Tfidf _,
     "t08_repetition"  -> t08Repetition _,
     "t09_seq_pack"    -> t09SequencePack _,
+    "t10_contamination" -> t10Contamination _,
+    "t11_redact"      -> t11Redact _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -398,5 +462,7 @@ object TextAnalysis {
     "t07_tfidf"       -> t07Sql,
     "t08_repetition"  -> t08Sql,
     "t09_seq_pack"    -> t09Sql,
+    "t10_contamination" -> t10Sql,
+    "t11_redact"      -> t11Sql,
   )
 }

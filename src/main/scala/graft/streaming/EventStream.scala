@@ -372,6 +372,34 @@ object EventStream {
       |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Stream-static enrichment core, shared batch/stream: events join the
+    * (slow-moving) customer dimension on user_id, rolled up per market
+    * segment. The dim side is broadcast — the stream is never shuffled —
+    * and in streaming mode Structured Streaming re-resolves the static
+    * side every micro-batch, so dimension updates land without a restart
+    * (the standard Spark pattern for enrichment joins; state-free, unlike
+    * stream-stream joins). No orderBy here: sorting is illegal on an
+    * unsorted streaming aggregate — the batch entry appends it. */
+  def enrichedSegmentStats(events: DataFrame, customer: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.join(broadcast(customer), events("user_id") === customer("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+  }
+
+  /** ev10 — the batch twin (oracle-checked); StreamingSpec drives the same
+    * transform over readEventStream with a complete-mode memory sink. */
+  private def ev10Enrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    enrichedSegmentStats(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val ev10Sql =
+    """SELECT c_mktsegment, count(*) AS n_events, sum(value) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -382,6 +410,7 @@ object EventStream {
     "ev07_balanced_sample" -> ev07BalancedSample _,
     "ev08_outliers"     -> ev08Outliers _,
     "ev09_rolling_1h"   -> ev09Rolling _,
+    "ev10_enrich"       -> ev10Enrich _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -394,5 +423,6 @@ object EventStream {
     "ev07_balanced_sample" -> ev07Sql,
     "ev08_outliers"     -> ev08Sql,
     "ev09_rolling_1h"   -> ev09Sql,
+    "ev10_enrich"       -> ev10Sql,
   )
 }

@@ -232,6 +232,37 @@ class DedupSpec extends SparkSpec {
     assert(ok.sameElements(Array(1L)), "chain is one component labeled by its min id")
   }
 
+  test("semantic dedup keeps exactly the vectors with no earlier near neighbor") {
+    import spark.implicits._
+    import graft.functions.CosineSimilarity
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val survivors = SparkEntry.queries("d11_semdedup")(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    // brute-force reference: dup iff some smaller-id vector is above tau
+    val pairs = emb.select($"vec_id".as("a"), $"embedding".as("ea"))
+      .crossJoin(emb.select($"vec_id".as("b"), $"embedding".as("eb")))
+      .filter($"a" < $"b")
+      .filter(CosineSimilarity.column($"ea", $"eb") > Dedup.SemDedupTau)
+      .select($"b").as[Long].collect().toSet
+    val all = emb.select($"vec_id").as[Long].collect().toSet
+    assert(survivors == all -- pairs,
+      "survivors must be the complement of later-id near-duplicates")
+    assert(survivors.nonEmpty && survivors.size <= all.size)
+  }
+
+  test("contamination scoring broadcasts the benchmark set (corpus never shuffled by shingle)") {
+    val df = SparkEntry.queries("t10_contamination")(spark, sfDir)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"benchmark side must broadcast:\n$physical")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every score is a valid fraction and benchmark docs are excluded
+    assert(rows.forall { r =>
+      val f = r.getDouble(3); f >= 0.0 && f <= 1.0 && r.getLong(0) % 97 != 0
+    })
+  }
+
   test("minhash LSH candidates cover all very-high-jaccard pairs in testdata") {
     import spark.implicits._
     val d = graft.sources.Tables.documents(spark, sfDir)

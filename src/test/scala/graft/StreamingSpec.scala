@@ -180,6 +180,25 @@ class StreamingSpec extends SparkSpec {
       "a replayed AvailableNow run with the same checkpoint must be a no-op")
   }
 
+  test("stream-static enrichment join matches its batch twin") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dim = graft.sources.Tables.customer(spark, sfDir)
+    val q = EventStream.enrichedSegmentStats(
+        EventStream.readEventStream(spark, sfDir), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("enrich_test").collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val batch = EventStream.enrichedSegmentStats(
+        graft.sources.Tables.events(spark, sfDir), dim).collect()
+      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(streamed == batch,
+      "stream-static enrichment over AvailableNow must equal the batch join")
+  }
+
   test("parquet-backed stream executes a real micro-batch matching batch counts") {
     import org.apache.spark.sql.streaming.Trigger
     val q = EventStream.readEventStream(spark, sfDir)

@@ -154,35 +154,61 @@ object Similarity {
     * explode each query's top-p nearest cells. KMeans isn't expressible in
     * the DuckDB oracle, so the driver records the weaker rows-only check —
     * SimilaritySpec asserts in-cell containment + self-retrieval instead. */
-  /** Corpus with trained-k-means cell assignment (16 cells, fixed seed):
-    * train on the corpus (in production: on a sample), broadcast the
-    * centroids (inside the model), assign cells in a narrow map.
-    *
-    * Built ONCE per (session, dir) and materialized: an ANN index is an
-    * ingest-time artifact that queries share — s04 and s06 must not each
-    * retrain the quantizer, just as a real deployment reads the persisted
-    * cell assignment instead of re-clustering per query. */
-  // bounded LRU (weak keys can't work here — a cached DataFrame strongly
-  // references its session, which would re-reach a weak key via the map)
+  /** The IVF artifact is built ONCE per (session, dir) and materialized:
+    * an ANN index is an ingest-time artifact that queries share — s04,
+    * s06 and d11b must not each retrain the quantizer, just as a real
+    * deployment reads the persisted cell assignment instead of
+    * re-clustering per query. Bounded LRU (weak keys can't work here — a
+    * cached DataFrame strongly references its session, which would
+    * re-reach a weak key via the map). */
   private val ivfCache = new graft.util.SessionCache[DataFrame]
 
-  private def ivfAssigned(s: SparkSession, dir: String): DataFrame =
+  /** Cells materialized per vector in the IVF artifact: rk = 1 is the
+    * classic single-cell assignment (s04); ranks 2..IvfProbes feed
+    * corpus-side multi-assignment (d11b), the pair-generation analog of
+    * query-side multi-probe. */
+  val IvfProbes = 3
+
+  /** (vec_id, embedding, cell, rk): each vector with its [[IvfProbes]]
+    * nearest centroids ranked by squared euclidean distance — ties to the
+    * lowest cell id, matching KMeansModel.transform's first-minimum rule,
+    * so `rk = 1` IS the model's own assignment. Train the quantizer,
+    * broadcast the 16-row centroid table, rank cells in one narrow pass
+    * over the corpus, materialize.
+    *
+    * Trains on the full corpus at these SFs (all shipped data fits); a
+    * production ingest would fit on a fixed-size sample — but a
+    * sample(frac) here would be partition-layout-dependent (seed alone
+    * doesn't pin Bernoulli sampling), silently varying centroids and the
+    * s06/d11b recall gates across machine configs, and would never be
+    * exercised by the shipped datasets anyway. */
+  private[graft] def ivfMultiAssigned(s: SparkSession, dir: String): DataFrame =
     ivfCache.getOrBuild(s, dir)({
       import s.implicits._
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables.spread(Tables.embeddings(s, dir))
-        .withColumn("features", array_to_vector($"embedding"))
-      // trains on the full corpus at these SFs (all shipped data fits);
-      // a production ingest would fit on a fixed-size sample — but a
-      // sample(frac) here would be partition-layout-dependent (seed alone
-      // doesn't pin Bernoulli sampling), silently varying centroids and
-      // the s06 recall gate across machine configs, and would never be
-      // exercised by the shipped datasets anyway
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(emb)
-      model.transform(emb).select($"vec_id", $"embedding", $"prediction".as("cell"))
+      val fit = emb.withColumn("features", array_to_vector($"embedding"))
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(fit)
+      val cdf = model.clusterCenters.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toDF("cell", "cvec")
+      val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell")
+      emb.crossJoin(broadcast(cdf))
+        .withColumn("d2", aggregate(
+          zip_with($"embedding", $"cvec",
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (a, x) => a + x))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= IvfProbes)
+        .select($"vec_id", $"embedding", $"cell", $"rk")
         .localCheckpoint()
     })
+
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ivfMultiAssigned(s, dir).filter($"rk" === 1)
+      .select($"vec_id", $"embedding", $"cell")
+  }
 
   /** IVF top-3 for probes vec_id < 50: candidates meet on the cell key. */
   private def ivfTop3(assigned: DataFrame): DataFrame = {

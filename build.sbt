@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// forward sbt's stdin to the forked JVM — graft.Shell reads statements
+// from it (harmless for the other mains, which never read stdin)
+run / connectInput := true
 // The bench driver keeps only the tail of run output; sbt's "[success]"
 // epilogue would eat into the JSON line's 2000-char budget.
 ThisBuild / showSuccess := false

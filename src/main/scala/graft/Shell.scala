@@ -15,6 +15,9 @@ package graft
   *    and may span lines; `exit;` or EOF quits;
   *  - `bin/graft-sql [sfDir] -e "sql; sql2;"` — run statements, exit;
   *  - `bin/graft-sql [sfDir] -f queries.sql` — run a script file.
+  * Scripted mode exits 1 if any statement failed (CI needs the signal);
+  * statement boundaries are ';' OUTSIDE quoted literals/identifiers, so
+  * `SELECT ';'` is one statement, not two broken ones.
   * Commands:
   *  - `\d;` — list the registered tables and their columns;
   *  - `\explain <sql>;` — formatted physical plan instead of rows.
@@ -25,26 +28,86 @@ object Shell {
 
   val MaxRows = 100
 
+  private case class Config(dir: String, script: Option[String])
+
+  private def usage(): Nothing = {
+    System.err.println("""usage: graft-sql [sfDir] [-e "sql; ..." | -f script.sql]""")
+    sys.exit(2)
+  }
+
+  /** Explicit parse: one optional positional (the table directory, in any
+    * position), at most one of -e/-f each consuming its own operand — a
+    * dir after -f must not be mistaken for the script path, and a missing
+    * operand is an error, not a silent REPL on the default dir. */
+  private def parseArgs(args: Array[String]): Config = {
+    var dir: Option[String] = None
+    var script: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "-e" =>
+          if (i + 1 >= args.length || script.isDefined) usage()
+          script = Some(args(i + 1)); i += 2
+        case "-f" =>
+          if (i + 1 >= args.length || script.isDefined) usage()
+          script = Some(
+            try new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(args(i + 1))), "UTF-8")
+            catch { case e: java.io.IOException =>
+              System.err.println(s"cannot read ${args(i + 1)}: $e"); sys.exit(2)
+            })
+          i += 2
+        case p if !p.startsWith("-") && dir.isEmpty =>
+          dir = Some(p); i += 1
+        case _ => usage()
+      }
+    }
+    Config(dir.orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.01"), script)
+  }
+
+  /** Index of the first ';' outside '…'/"…" literals and `…` identifiers,
+    * or -1. A doubled quote inside a literal (the SQL escape) reads as
+    * close-then-reopen — equivalent for finding the unquoted ';'. */
+  private[graft] def statementEnd(text: CharSequence): Int = {
+    var i = 0
+    var quote: Char = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"' || c == '`') quote = c
+      else if (c == ';') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Split on unquoted ';' — trailing text without a terminator is also a
+    * statement (lets `-e "select 1"` work without the ';'). */
+  private[graft] def splitStatements(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var rest = text
+    var cut = statementEnd(rest)
+    while (cut >= 0) {
+      out += rest.substring(0, cut)
+      rest = rest.substring(cut + 1)
+      cut = statementEnd(rest)
+    }
+    out += rest
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
-    val (flags, positional) = args.partition(a => a == "-e" || a == "-f")
-    val dir = positional.dropRight(flags.length) // -e/-f consume the next positional
-      .headOption
-      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
-      .getOrElse("/root/testdata/sf0.01")
+    val cfg = parseArgs(args)
     val spark = GraftSession.get("graft-shell")
     spark.sparkContext.setLogLevel("WARN") // keep the prompt readable
-    val script: Option[String] = args.sliding(2).collectFirst {
-      case Array("-e", sql) => sql
-      case Array("-f", path) =>
-        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
-    }
-    script match {
+    val ok = cfg.script match {
       case Some(text) =>
-        text.split(';').map(_.trim).filter(_.nonEmpty)
-          .foreach(runStatement(spark, dir, _))
-      case None => repl(spark, dir)
+        splitStatements(text).map(runStatement(spark, cfg.dir, _)).forall(identity)
+      case None => repl(spark, cfg.dir); true
     }
     spark.stop()
+    if (!ok) sys.exit(1)
   }
 
   private def repl(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -56,13 +119,14 @@ object Shell {
     var done = false
     while (!done && line != null) {
       buf.append(line).append('\n')
-      // execute every complete (';'-terminated) statement in the buffer
-      while (!done && buf.indexOf(";") >= 0) {
-        val cut = buf.indexOf(";")
+      // execute every complete (unquoted-';'-terminated) statement
+      var cut = statementEnd(buf)
+      while (!done && cut >= 0) {
         val stmt = buf.substring(0, cut).trim
         buf.delete(0, cut + 1)
         if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit")) done = true
         else if (stmt.nonEmpty) runStatement(spark, dir, stmt)
+        cut = statementEnd(buf)
       }
       if (!done) {
         print(if (buf.toString.trim.isEmpty) "graft> " else "    -> "); Console.flush()
@@ -71,8 +135,9 @@ object Shell {
     }
   }
 
+  /** Run one statement; false iff it failed. */
   private def runStatement(spark: org.apache.spark.sql.SparkSession,
-      dir: String, stmt: String): Unit =
+      dir: String, stmt: String): Boolean =
     try {
       if (stmt == "\\d") {
         // force registration with a no-op query, then describe the views
@@ -92,7 +157,8 @@ object Shell {
         val secs = (System.nanoTime() - t0) / 1e9
         println(f"($secs%.2f s)")
       }
+      true
     } catch {
-      case e: Exception => println(s"error: ${e.getMessage}")
+      case e: Exception => println(s"error: ${e.getMessage}"); false
     }
 }

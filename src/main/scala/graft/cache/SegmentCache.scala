@@ -119,7 +119,16 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
       entries.get(key) match {
         case Some(e) => // losing racer: the key was admitted while we loaded
           e.hits += 1; e.lastAccess = clock
-          if (policy == MeasuredWLFU) df.unpersist(blocking = false)
+          // Spark's CacheManager keys cached data by CANONICALIZED plan:
+          // when the two racers' plans are plan-equal, the loser's
+          // persist() was a no-op against the winner's entry and an
+          // unpersist() here would silently drop the winner's cached
+          // data (the entry would look resident while every "hit"
+          // re-reads storage). Only a genuinely different plan — a
+          // distinct CacheManager entry — may be released.
+          if (policy == MeasuredWLFU &&
+              !df.queryExecution.analyzed.sameResult(e.df.queryExecution.analyzed))
+            df.unpersist(blocking = false)
           e.df
         case None =>
           policy match {

@@ -190,13 +190,16 @@ object Similarity {
       val emb = Tables.spread(Tables.embeddings(s, dir))
       val fit = emb.withColumn("features", array_to_vector($"embedding"))
       val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(fit)
+      // centroids stay double precision: truncating to float could flip
+      // the distance order near ties and break the documented "rk = 1 is
+      // the model's own assignment" equivalence with KMeansModel.transform
       val cdf = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }.toDF("cell", "cvec")
+        .map { case (v, i) => (i, v.toArray) }.toDF("cell", "cvec")
       val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell")
       emb.crossJoin(broadcast(cdf))
         .withColumn("d2", aggregate(
           zip_with($"embedding", $"cvec",
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (a, x) => a + x))
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= IvfProbes)

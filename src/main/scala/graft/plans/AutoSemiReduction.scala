@@ -112,18 +112,26 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
     *    order — a sample, biased iff selectivity correlates with file
     *    order, which the 0.5 gate tolerates).
     *
-    * Cache: bounded access-order LRU keyed per session. Deliberately
-    * never invalidated on data change — overwriting a table's files can
-    * leave a stale ratio steering rewrites until the entry ages out of
-    * the LRU or the session is replaced; re-probing per query would cost
-    * more than a stale, merely-heuristic gate can lose. */
+    * Cache: one bounded access-order LRU per session, held in a
+    * [[graft.util.SessionCache]] (keying by the session REFERENCE — an
+    * identity hash could be reused by a later session after GC and serve
+    * it a stranger's ratios; the SessionCache's own LRU also stops dead
+    * sessions' plans accumulating). Deliberately never invalidated on
+    * data change — overwriting a table's files can leave a stale ratio
+    * steering rewrites until the entry ages out of the LRU or the
+    * session is replaced; re-probing per query would cost more than a
+    * stale, merely-heuristic gate can lose. */
   private val SelCacheMax = 256
-  private val selCache =
-    new java.util.LinkedHashMap[(String, LogicalPlan), java.lang.Double](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, LogicalPlan), java.lang.Double]): Boolean =
-        size() > SelCacheMax
-    }
+  private val selCaches =
+    new graft.util.SessionCache[java.util.LinkedHashMap[LogicalPlan, java.lang.Double]]()
+
+  private def cacheFor(spark: SparkSession): java.util.LinkedHashMap[LogicalPlan, java.lang.Double] =
+    selCaches.getOrBuild(spark, "semi-reduction-selectivity")(
+      new java.util.LinkedHashMap[LogicalPlan, java.lang.Double](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[LogicalPlan, java.lang.Double]): Boolean =
+          size() > SelCacheMax
+      })
 
   /** True on a thread that is currently executing a selectivity probe. */
   private val probing = new ThreadLocal[java.lang.Boolean] {
@@ -138,8 +146,9 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
   private def measuredSelectivity(dim: LogicalPlan): Double = {
     SparkSession.getActiveSession match {
       case Some(spark) if !dim.isStreaming =>
-        val key = (System.identityHashCode(spark).toString, dim.canonicalized)
-        val hit = selCache.synchronized(selCache.get(key))
+        val cache = cacheFor(spark)
+        val key = dim.canonicalized
+        val hit = cache.synchronized(cache.get(key))
         if (hit != null) return hit.doubleValue()
         val sel = try {
           probing.set(java.lang.Boolean.TRUE)
@@ -150,7 +159,7 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
         } catch {
           case e: Throwable => logWarning(s"selectivity probe failed: $e"); 1.0
         } finally probing.set(java.lang.Boolean.FALSE)
-        selCache.synchronized(selCache.put(key, sel))
+        cache.synchronized(cache.put(key, sel))
         sel
       case _ => 1.0
     }

@@ -160,7 +160,13 @@ class CacheSpec extends SparkSpec {
     val threads = dfs.map(new Thread(_))
     threads.foreach(_.start()); threads.foreach(_.join(60000))
     val results = dfs.map(_.get())
-    assert(cache.keys.count(_ == k1) == 1, "exactly one resident entry for the raced key")
+    assert(cache.keys.contains(k1), "the raced key must be resident")
+    // the central claim: the loser's cleanup must NOT have uncached the
+    // winner's data (Spark's CacheManager keys by canonicalized plan, so
+    // a naive loser-unpersist drops the shared entry while the map still
+    // shows the key as resident)
+    assert(results.forall(_.storageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "raced segment must remain actually persisted after the race")
     assert(results.forall(_.count() > 0), "both racers get a usable result")
     cache.invalidateAll()
   }

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Statement splitting for the SQL client — pure-function tests (the
+  * end-to-end client is exercised via bin/graft-sql; here we pin the
+  * quote-aware boundary scan that a raw split(';') would get wrong). */
+class ShellSpec extends AnyFunSuite {
+
+  test("splits on unquoted semicolons, keeps trailing unterminated text") {
+    assert(Shell.splitStatements("select 1; select 2 ;  select 3") ==
+      Seq("select 1", "select 2", "select 3"))
+  }
+
+  test("semicolons inside string literals do not end a statement") {
+    assert(Shell.splitStatements("SELECT ';' AS x; SELECT 2") ==
+      Seq("SELECT ';' AS x", "SELECT 2"))
+    assert(Shell.splitStatements("SELECT \"a;b\", `c;d` FROM t") ==
+      Seq("SELECT \"a;b\", `c;d` FROM t"))
+  }
+
+  test("doubled-quote escape stays inside the literal") {
+    // 'it''s; fine' — the '' reads as close+reopen, the ';' is quoted either way
+    assert(Shell.splitStatements("SELECT 'it''s; fine'; SELECT 2") ==
+      Seq("SELECT 'it''s; fine'", "SELECT 2"))
+  }
+
+  test("statementEnd reports -1 for an open literal spanning the buffer") {
+    assert(Shell.statementEnd("SELECT 'unclosed; still quoted") == -1)
+    assert(Shell.statementEnd("SELECT 1") == -1)
+    assert(Shell.statementEnd("a;b") == 1)
+  }
+}

@@ -640,15 +640,30 @@ object Dedup {
     * pairwise cosine ≈ 0.51, random-pair mass ends ≈ 0.4). */
   val SemDedupTau = 0.45
 
+  /** Exact near-dup id set (vectors with an earlier neighbor above
+    * [[SemDedupTau]]) — the one O(n²) scan of the semantic-dedup family,
+    * computed once per (session, dir) and materialized: d11 anti-joins
+    * it for survivors, d11b uses it as the recall denominator. Like the
+    * IVF index and the dup-group artifact, recomputing it per query
+    * would double the family's dominant cost for no semantic reason. */
+  private val semDupCache = new graft.util.SessionCache[DataFrame]
+
+  private def exactSemDups(s: SparkSession, dir: String): DataFrame =
+    semDupCache.getOrBuild(s, dir)({
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val a = Tables.spread(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
+      val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
+      a.join(b, $"vec_a" < $"vec_b")
+        .filter(graft.functions.CosineSimilarity.column($"ea", $"eb") > SemDedupTau)
+        .select($"vec_b".as("dup_id")).distinct()
+        .localCheckpoint()
+    })
+
   private def d11SemDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val a = Tables.spread(emb.select($"vec_id".as("vec_a"), $"embedding".as("ea")))
-    val b = emb.select($"vec_id".as("vec_b"), $"embedding".as("eb"))
-    val dups = a.join(b, $"vec_a" < $"vec_b")
-      .filter(graft.functions.CosineSimilarity.column($"ea", $"eb") > SemDedupTau)
-      .select($"vec_b".as("dup_id")).distinct()
-    emb.join(dups, $"vec_id" === $"dup_id", "left_anti")
+    Tables.embeddings(s, dir)
+      .join(exactSemDups(s, dir), $"vec_id" === $"dup_id", "left_anti")
       .select($"vec_id", $"label")
       .orderBy($"vec_id")
   }
@@ -686,12 +701,7 @@ object Dedup {
     val ivfDups = ca.join(cb, $"cell" === $"cellb" && ($"a" < $"b"))
       .filter(graft.functions.CosineSimilarity.column($"ea", $"eb") > SemDedupTau)
       .select($"b".as("dup_id")).distinct()
-    val emb = Tables.embeddings(s, dir)
-    val ea = Tables.spread(emb.select($"vec_id".as("a"), $"embedding".as("ea")))
-    val exactDups = ea
-      .join(emb.select($"vec_id".as("b"), $"embedding".as("eb")), $"a" < $"b")
-      .filter(graft.functions.CosineSimilarity.column($"ea", $"eb") > SemDedupTau)
-      .select($"b".as("xdup_id")).distinct()
+    val exactDups = exactSemDups(s, dir).select($"dup_id".as("xdup_id"))
     exactDups.join(ivfDups, $"xdup_id" === $"dup_id", "left")
       .agg((count($"dup_id").cast("double") / count(lit(1))).as("recall"))
       .select((coalesce($"recall", lit(1.0)) >= SemDedupRecallFloor).as("recall_ok"))

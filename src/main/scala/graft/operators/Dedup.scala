@@ -709,6 +709,38 @@ object Dedup {
 
   private val d11bSql = "SELECT true AS recall_ok"
 
+  /** d12 — the composed embedding-curation pipeline (d10's twin for the
+    * vector side, the embeddings user story end to end): semantic-dedup
+    * survivors (the shared d11 artifact) → deterministic train/holdout
+    * split (t06's md5 definition, on vec_id) → per-split corpus stats.
+    * One declarative plan: anti-join + narrow split map + a two-row
+    * aggregate — the dedup artifact's pair scan stays the only heavy
+    * stage, shared with d11/d11b. */
+  private def d12EmbedPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .join(exactSemDups(s, dir), $"vec_id" === $"dup_id", "left_anti")
+      .withColumn("split", TextAnalysis.splitAssign($"vec_id"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct($"label").as("n_labels"),
+        avg(Similarity.norm($"embedding")).as("avg_norm"))
+      .orderBy($"split")
+  }
+
+  private val d12Sql =
+    s"""WITH n AS (SELECT vec_id, embedding, label, ${Similarity.duckNorm} AS nrm
+       |           FROM embeddings),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS dup_id
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ${Similarity.duckDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > $SemDedupTau)
+       |SELECT ${TextAnalysis.duckSplitAssignOn("vec_id")} AS split,
+       |  count(*) AS n_vecs, count(DISTINCT label) AS n_labels, avg(nrm) AS avg_norm
+       |FROM n LEFT JOIN dups d ON n.vec_id = d.dup_id
+       |WHERE d.dup_id IS NULL
+       |GROUP BY 1 ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -725,6 +757,7 @@ object Dedup {
     "d10_pipeline"      -> d10Pipeline _,
     "d11_semdedup"      -> d11SemDedup _,
     "d11b_semdedup_ivf" -> d11bSemDedupIvf _,
+    "d12_embed_pipeline" -> d12EmbedPipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -743,5 +776,6 @@ object Dedup {
     "d10_pipeline"      -> d10Sql,
     "d11_semdedup"      -> d11Sql,
     "d11b_semdedup_ivf" -> d11bSql,
+    "d12_embed_pipeline" -> d12Sql,
   )
 }

@@ -964,6 +964,24 @@ object Relational {
   private def q44NotIn(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir, q44Sql)
 
+  /** q45 — GROUPING SETS, the general form behind q42's CUBE / q25's
+    * ROLLUP: three arbitrary grouping lattices (per-flag, per-status,
+    * grand total) in ONE aggregate pass — Spark expands the sets into a
+    * single Expand + shuffle, not an N-pass union. Run as SQL text
+    * through the engine; the SAME string is the oracle (NULLS FIRST is
+    * explicit because ASC null placement is the one ORDER BY default the
+    * two engines disagree on). */
+  private val q45Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+      |  CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS TINYINT) AS g_ls
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private def q45GroupingSets(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q45Sql)
+
   /** q42 — CUBE: all four grouping combinations of (returnflag,
     * linestatus) in one pass (q25 covers ROLLUP's prefix lattice; CUBE is
     * the full powerset — Spark expands both into a single expanded
@@ -1105,6 +1123,7 @@ object Relational {
     "q42_cube"           -> q42Cube _,
     "q43_salted_join"    -> q43SaltedJoin _,
     "q44_not_in"         -> q44NotIn _,
+    "q45_grouping_sets"  -> q45GroupingSets _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1152,5 +1171,6 @@ object Relational {
     "q42_cube"           -> q42Sql,
     "q43_salted_join"    -> q43Sql,
     "q44_not_in"         -> q44Sql,
+    "q45_grouping_sets"  -> q45Sql,
   )
 }

@@ -214,12 +214,13 @@ object TextAnalysis {
   }
 
   /** DuckDB twin (no conv(); strpos arithmetic like the simhash oracle). */
-  val duckSplitAssign: String = {
-    val h = "md5('split:' || doc_id::VARCHAR)"
+  def duckSplitAssignOn(idCol: String): String = {
+    val h = s"md5('split:' || $idCol::VARCHAR)"
     val b = s"((strpos('0123456789abcdef', substr($h, 1, 1)) - 1) * 16" +
       s" + strpos('0123456789abcdef', substr($h, 2, 1)) - 1)"
     s"CASE WHEN $b < 230 THEN 'train' ELSE 'holdout' END"
   }
+  val duckSplitAssign: String = duckSplitAssignOn("doc_id")
 
   private def t06HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

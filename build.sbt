@@ -14,6 +14,11 @@ run / fork := true
 // forward sbt's stdin to the forked JVM — graft.Shell reads statements
 // from it (harmless for the other mains, which never read stdin)
 run / connectInput := true
+// pass the forked JVM's stdout through UNPREFIXED: sbt's default logged
+// output strategy prepends "[info] " to every line, and the bench driver
+// recognizes the result line by "starts with '{'" — rounds 3 and 4 lost
+// their official per-query record (BENCH parsed: null) to that prefix
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench driver keeps only the tail of run output; sbt's "[success]"
 // epilogue would eat into the JSON line's 2000-char budget.
 ThisBuild / showSuccess := false
@@ -32,5 +37,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 122-entry bench runs in ONE JVM whose storage
+  // pool holds the session artifacts (IVF index, dup-group pairs, cache
+  // segments); at 8g the late t-entries ran under GC pressure (driver
+  // round-4 bench measured t04 at 18.8s vs 2.3s in isolation)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

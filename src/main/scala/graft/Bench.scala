@@ -47,6 +47,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench") // cpus from SPARK_GRAFT_CPUS
+    // keep the driver-captured tail clean: INFO/WARN chatter (and
+    // shutdown-hook logging) otherwise competes with the JSON line for
+    // the ~2000-char capture window
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runToNoop(name: String): Double = {
       val t0 = System.nanoTime()
@@ -136,7 +140,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","queries":$qs$modes,"sf":"$sfName","keys":"prefix; full map in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
-    println(out)
+    // stop Spark BEFORE printing: the driver keeps the tail of the output
+    // and recognizes the result by "line starts with '{'", so shutdown
+    // log lines must not trail (or displace) the JSON line
     spark.stop()
+    println(out)
+    System.out.flush()
   }
 }

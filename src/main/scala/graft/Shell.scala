@@ -67,14 +67,21 @@ object Shell {
   }
 
   /** Index of the first ';' outside '…'/"…" literals and `…` identifiers,
-    * or -1. A doubled quote inside a literal (the SQL escape) reads as
-    * close-then-reopen — equivalent for finding the unquoted ';'. */
+    * or -1. A doubled quote inside a literal (the ANSI escape) reads as
+    * close-then-reopen — equivalent for finding the unquoted ';'. Spark
+    * SQL additionally accepts backslash escapes in string literals by
+    * default (`escapedStringLiterals=false`), so `\'` / `\"` inside a
+    * literal must not close it — the char after a backslash is skipped.
+    * Backticked identifiers have no backslash escape. */
   private[graft] def statementEnd(text: CharSequence): Int = {
     var i = 0
     var quote: Char = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
+      if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < text.length) i += 1
+        else if (c == quote) quote = 0
+      }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return i
       i += 1

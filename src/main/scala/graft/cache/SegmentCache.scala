@@ -118,6 +118,12 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
     synchronized {
       entries.get(key) match {
         case Some(e) => // losing racer: the key was admitted while we loaded
+          // this records a second access event (the first was counted as
+          // the miss at entry), so advance the clock with it — reusing the
+          // stale tick would skew LRU ordering. The plain-miss admit below
+          // does NOT tick: its access was already counted at entry, and
+          // Belady's trace positions assume clock = accesses so far.
+          clock += 1
           e.hits += 1; e.lastAccess = clock
           // Spark's CacheManager keys cached data by CANONICALIZED plan:
           // when the two racers' plans are plan-equal, the loser's
@@ -133,8 +139,16 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
         case None =>
           policy match {
             case MeasuredWLFU =>
-              if (admit(key, size, cost)) entries.put(key, Entry(df, size, 1L, clock, cost))
-              else df.unpersist(blocking = false)
+              if (admit(key, size, cost)) {
+                // re-assert residency: if a racing winner was admitted AND
+                // evicted while we loaded, that eviction unpersisted the
+                // shared plan-equal CacheManager entry — our own earlier
+                // persist() with it. persist() is a no-op when still
+                // registered and re-registers (lazily) when not, so the
+                // admitted entry is never a looks-resident ghost.
+                df.persist(StorageLevel.MEMORY_AND_DISK)
+                entries.put(key, Entry(df, size, 1L, clock, cost))
+              } else df.unpersist(blocking = false)
             case _ =>
               if (admit(key, size)) {
                 df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -172,7 +172,11 @@ object Similarity {
   /** (vec_id, embedding, cell, rk): each vector with its [[IvfProbes]]
     * nearest centroids ranked by squared euclidean distance — ties to the
     * lowest cell id, matching KMeansModel.transform's first-minimum rule,
-    * so `rk = 1` IS the model's own assignment. Train the quantizer,
+    * so `rk = 1` matches the model's own assignment up to floating-point
+    * near-ties (transform goes through MLlib's norm-based
+    * fastSquaredDistance, this pass computes the exact sum of squares —
+    * a vector equidistant to two centroids can land either way; nothing
+    * downstream depends on exact equivalence). Train the quantizer,
     * broadcast the 16-row centroid table, rank cells in one narrow pass
     * over the corpus, materialize.
     *
@@ -191,8 +195,8 @@ object Similarity {
       val fit = emb.withColumn("features", array_to_vector($"embedding"))
       val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5).fit(fit)
       // centroids stay double precision: truncating to float could flip
-      // the distance order near ties and break the documented "rk = 1 is
-      // the model's own assignment" equivalence with KMeansModel.transform
+      // the distance order near ties and drift further from
+      // KMeansModel.transform's assignment than fp near-ties already allow
       val cdf = model.clusterCenters.zipWithIndex.toSeq
         .map { case (v, i) => (i, v.toArray) }.toDF("cell", "cvec")
       val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cell")

@@ -143,6 +143,40 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
       GlobalLimit(Literal(ProbeRowCap.toInt), LocalLimit(Literal(ProbeRowCap.toInt), leaf))
   }
 
+  /** Count base and filtered rows in ONE job over ONE limited sample.
+    * Two separate limited jobs would each take "the first 100k rows" of
+    * their own run — only the same rows if GlobalLimit's partition
+    * traversal is deterministic across runs — so numerator and
+    * denominator must come from a single pass over a single sample.
+    *
+    * Eligibility ([[safeToCopy]]) already guarantees an alias-free,
+    * join-free dim: every Filter predicate references leaf attributes
+    * directly, so the conjunction can be re-evaluated as a `count_if`
+    * over the bare limited leaf. Shapes the guard cannot prove (multiple
+    * leaves, predicate over non-leaf attrs) fall back to the two-job
+    * probe — a heuristic input, never a correctness one. */
+  private def probeOnce(spark: SparkSession, dim: LogicalPlan): Double = {
+    val conds = dim.collect { case Filter(c, _) =>
+      splitConjunctivePredicates(c) }.flatten
+    dim.collectLeaves() match {
+      case Seq(leaf) if conds.nonEmpty &&
+          conds.forall(_.references.subsetOf(leaf.outputSet)) =>
+        import org.apache.spark.sql.functions.{count, lit, when}
+        val sample = GlobalLimit(Literal(ProbeRowCap.toInt),
+          LocalLimit(Literal(ProbeRowCap.toInt), leaf))
+        val row = GraftBridge.ofRows(spark, sample)
+          .agg(count(lit(1)), count(when(GraftBridge.column(conds.reduce(And)), lit(1))))
+          .head()
+        val base = row.getLong(0)
+        if (base == 0L) 1.0 else row.getLong(1).toDouble / base.toDouble
+      case _ =>
+        val unfiltered = dim.transformUp { case Filter(_, child) => child }
+        val base = GraftBridge.ofRows(spark, limited(unfiltered)).count()
+        if (base == 0L) 1.0
+        else GraftBridge.ofRows(spark, limited(dim)).count().toDouble / base.toDouble
+    }
+  }
+
   private def measuredSelectivity(dim: LogicalPlan): Double = {
     SparkSession.getActiveSession match {
       case Some(spark) if !dim.isStreaming =>
@@ -152,10 +186,7 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
         if (hit != null) return hit.doubleValue()
         val sel = try {
           probing.set(java.lang.Boolean.TRUE)
-          val unfiltered = dim.transformUp { case Filter(_, child) => child }
-          val base = GraftBridge.ofRows(spark, limited(unfiltered)).count()
-          if (base == 0L) 1.0
-          else GraftBridge.ofRows(spark, limited(dim)).count().toDouble / base.toDouble
+          probeOnce(spark, dim)
         } catch {
           case e: Throwable => logWarning(s"selectivity probe failed: $e"); 1.0
         } finally probing.set(java.lang.Boolean.FALSE)

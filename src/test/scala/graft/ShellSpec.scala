@@ -25,6 +25,21 @@ class ShellSpec extends AnyFunSuite {
       Seq("SELECT 'it''s; fine'", "SELECT 2"))
   }
 
+  test("backslash-escaped quote stays inside the literal (Spark default)") {
+    // escapedStringLiterals=false: \' does not close the literal
+    assert(Shell.splitStatements("SELECT 'it\\'s; x'; SELECT 2") ==
+      Seq("SELECT 'it\\'s; x'", "SELECT 2"))
+    assert(Shell.splitStatements("SELECT \"a\\\";b\"; SELECT 2") ==
+      Seq("SELECT \"a\\\";b\"", "SELECT 2"))
+    // backticked identifiers have no backslash escape: `a\` closes at the
+    // second backtick, the following ';' splits
+    assert(Shell.splitStatements("SELECT `a\\`; SELECT 2") ==
+      Seq("SELECT `a\\`", " SELECT 2").map(_.trim))
+    // a trailing backslash as the literal's last char must not read past
+    // the buffer
+    assert(Shell.statementEnd("SELECT 'abc\\") == -1)
+  }
+
   test("statementEnd reports -1 for an open literal spanning the buffer") {
     assert(Shell.statementEnd("SELECT 'unclosed; still quoted") == -1)
     assert(Shell.statementEnd("SELECT 1") == -1)

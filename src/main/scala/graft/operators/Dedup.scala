@@ -741,6 +741,61 @@ object Dedup {
        |WHERE d.dup_id IS NULL
        |GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** d13 — chunk-level exact substring dedup (the span-level counterpart
+    * of d01's whole-document hash): documents are cut into fixed 20-word
+    * chunks, each chunk keyed by md5, and every chunk that already
+    * occurred earlier in corpus order (doc_id, then chunk position) is
+    * flagged as a duplicate span. This is the operator that strips
+    * repeated boilerplate/templated spans from a web corpus — repeated
+    * license headers, navigation text, quoted passages — where
+    * whole-document dedup (d01) and near-dup LSH (d03/d05) both miss
+    * span-level repetition. Fixed word windows stand in for paragraph
+    * boundaries (the synthetic corpus is single-line).
+    *
+    * Scale shape: explode is a narrow map bounded by total corpus words /
+    * 20; the only shuffle carries (16-byte md5, doc_id, idx) triples —
+    * never chunk text — and first-occurrence ranking is a window over
+    * that hash key, the same partial-shuffle shape as d01. Chunk-hash
+    * skew (one viral chunk) is a window skew, not a join blowup: the
+    * per-hash group holds occurrence ids only. */
+  private def d13ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ChunkWords = 20
+    val chunks = Tables.spread(Tables.documents(s, dir))
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        floor((size($"ws") - lit(1)) / lit(ChunkWords)).cast("int"))))
+      .select($"doc_id", $"chunk_idx",
+        md5(array_join(
+          slice($"ws", $"chunk_idx" * ChunkWords + 1, lit(ChunkWords)), " "))
+          .as("h"))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id", $"chunk_idx")
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .orderBy($"doc_id")
+  }
+
+  private val d13Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) > 0),
+      |c AS (SELECT doc_id,
+      |        unnest(generate_series(0, (len(ws) - 1) // 20)) AS chunk_idx, ws
+      |      FROM w),
+      |h AS (SELECT doc_id, chunk_idx,
+      |        md5(array_to_string(ws[chunk_idx*20+1:chunk_idx*20+20], ' ')) AS h
+      |      FROM c),
+      |r AS (SELECT doc_id, chunk_idx,
+      |        row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+      |      FROM h)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -758,6 +813,7 @@ object Dedup {
     "d11_semdedup"      -> d11SemDedup _,
     "d11b_semdedup_ivf" -> d11bSemDedupIvf _,
     "d12_embed_pipeline" -> d12EmbedPipeline _,
+    "d13_chunk_dedup"   -> d13ChunkDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -777,5 +833,6 @@ object Dedup {
     "d11_semdedup"      -> d11Sql,
     "d11b_semdedup_ivf" -> d11bSql,
     "d12_embed_pipeline" -> d12Sql,
+    "d13_chunk_dedup"   -> d13Sql,
   )
 }

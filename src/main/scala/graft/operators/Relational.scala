@@ -1003,6 +1003,41 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
 
+  /** q46 — mergeable distinct-count sketches: per-(flag, month) partial
+    * HLL sketches union-merged into per-flag totals, then checked against
+    * the exact distinct count computed in the same query. THE pattern for
+    * distinct counts at 100 TB: partial sketches build map-side per
+    * partition/day/shard, the merge is a tiny shuffle of fixed-size
+    * binary sketches (vs q41's one-shot approx_count_distinct, and vs an
+    * exact countDistinct whose shuffle carries every distinct value), and
+    * sketches persist as incremental daily artifacts. Datasketches HLL at
+    * the default lgConfigK=12 holds ~1.6% relative error, so the ±5%
+    * contract is a real bound, not jitter tolerance; the oracle
+    * hash-checks the exact counts and the boolean every round
+    * (the boolean-contract pattern of q37/q41/s06). */
+  private def q46HllMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val partials = li
+      .groupBy($"l_returnflag", month($"l_shipdate").as("m"))
+      .agg(hll_sketch_agg($"l_partkey").as("sk"))
+    val merged = partials
+      .groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_parts"))
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    merged.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") <=
+          $"exact_parts".cast("double") * 0.05).as("within_tol"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q46Sql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  true AS within_tol
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
     * the key salted 8 ways and orders replicated — the manual weapon for
     * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
@@ -1124,6 +1159,7 @@ object Relational {
     "q43_salted_join"    -> q43SaltedJoin _,
     "q44_not_in"         -> q44NotIn _,
     "q45_grouping_sets"  -> q45GroupingSets _,
+    "q46_hll_merge"      -> q46HllMerge _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1172,5 +1208,6 @@ object Relational {
     "q43_salted_join"    -> q43Sql,
     "q44_not_in"         -> q44Sql,
     "q45_grouping_sets"  -> q45Sql,
+    "q46_hll_merge"      -> q46Sql,
   )
 }

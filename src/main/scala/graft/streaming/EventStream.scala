@@ -400,6 +400,74 @@ object EventStream {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  /** ev11 — interval OVERLAP join, banded: which pairs of sessions (from
+    * different users) were active at the same time. The naive form is a
+    * theta join (`a.start <= b.end AND b.start <= a.end`) — quadratic,
+    * and in Spark a BroadcastNestedLoopJoin/CartesianProduct. The scale
+    * form used here is band-bucketing: each session interval is exploded
+    * to the hour buckets it covers, candidates meet on an EQUI join over
+    * the bucket, the exact overlap predicate filters in-bucket, and
+    * `distinct` collapses pairs that share several buckets (same banding
+    * idea as d05's pigeonhole LSH, applied to time ranges). Cost is
+    * linear in total covered hours, not quadratic in sessions; a hot
+    * bucket (everyone online at 9am) is an AQE-splittable skew, and the
+    * bucket width is the knob trading expansion factor vs in-bucket
+    * pair count. The oracle runs the theta join directly — any pair
+    * lost to banding or duplicated by multi-bucket overlap breaks the
+    * hash.
+    *
+    * Sessions are the same 30-minute-gap intervals as ev03 (per user,
+    * min/max event second); session identity is (user_id, start_s),
+    * unique per user by construction. */
+  private def ev11SessionOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val iv = Tables.events(s, dir)
+      .withColumn("sec", unix_timestamp($"ts"))
+      .withColumn("prev_s", lag($"sec", 1).over(byUser))
+      .withColumn("ns",
+        when($"prev_s".isNull || $"sec" - $"prev_s" > 1800, 1).otherwise(0))
+      .withColumn("sid", sum($"ns").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg(min($"sec").as("start_s"), max($"sec").as("end_s"))
+    val bucketed = iv.withColumn("bucket",
+      explode(sequence(floor($"start_s" / 3600L).cast("long"),
+        floor($"end_s" / 3600L).cast("long"))))
+    val a = bucketed.select($"bucket", $"user_id".as("u1"),
+      $"start_s".as("start1"), $"end_s".as("end1"))
+    val b = bucketed.select($"bucket".as("bucket2"), $"user_id".as("u2"),
+      $"start_s".as("start2"), $"end_s".as("end2"))
+    a.join(b, $"bucket" === $"bucket2" && $"u1" < $"u2" &&
+        $"start1" <= $"end2" && $"start2" <= $"end1")
+      .select($"u1", $"start1", $"u2", $"start2")
+      .distinct()
+      .orderBy($"u1", $"start1", $"u2", $"start2")
+  }
+
+  private val ev11Sql =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS sec,
+      |    CASE WHEN lag(epoch_ns(ts) // 1000000000) OVER w IS NULL
+      |           OR (epoch_ns(ts) // 1000000000)
+      |              - lag(epoch_ns(ts) // 1000000000) OVER w > 1800
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, sec,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g),
+      |iv AS (
+      |  SELECT user_id, sid, min(sec) AS start_s, max(sec) AS end_s
+      |  FROM s GROUP BY 1, 2)
+      |SELECT a.user_id AS u1, a.start_s AS start1,
+      |       b.user_id AS u2, b.start_s AS start2
+      |FROM iv a JOIN iv b
+      |  ON a.user_id < b.user_id
+      | AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+      |ORDER BY u1, start1, u2, start2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -411,6 +479,7 @@ object EventStream {
     "ev08_outliers"     -> ev08Outliers _,
     "ev09_rolling_1h"   -> ev09Rolling _,
     "ev10_enrich"       -> ev10Enrich _,
+    "ev11_session_overlap" -> ev11SessionOverlap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -424,5 +493,6 @@ object EventStream {
     "ev08_outliers"     -> ev08Sql,
     "ev09_rolling_1h"   -> ev09Sql,
     "ev10_enrich"       -> ev10Sql,
+    "ev11_session_overlap" -> ev11Sql,
   )
 }

@@ -215,4 +215,16 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch, "one AvailableNow pass must equal the batch result")
   }
+
+  test("ev11 interval overlap join is a banded equi-join, never a theta join") {
+    // the whole point of the hour-bucket expansion: candidates must meet
+    // on an EQUI key (hash/sort-merge join), not via the quadratic
+    // BroadcastNestedLoopJoin a raw `a.start <= b.end AND ...` would plan
+    val plan = SparkEntry.queries("ev11_session_overlap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join fell back to a nested loop:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"overlap join fell back to a cartesian product:\n${plan.take(2000)}")
+  }
 }

@@ -1038,6 +1038,43 @@ object Relational {
       |  true AS within_tol
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q47 — mergeable heavy-hitters sketch (q46's counterpart for
+    * frequency, not cardinality): per-month partial `approx_top_k
+    * _accumulate` states over l_partkey, `approx_top_k_combine`d into one
+    * corpus sketch, `approx_top_k_estimate`d to the top-5 hot keys. Same
+    * 100 TB shape as q46 — partials build map-side per partition/day,
+    * the merge shuffles fixed-size sketch states, never per-key counts,
+    * and daily states persist as incremental artifacts.
+    *
+    * Contract: with maxItemsTracked ≥ the distinct-key count the sketch
+    * counts are EXACT, so the in-query check compares the sketch's top-5
+    * count MULTISET (ties at the rank boundary make the picked keys
+    * arbitrary — counts are the well-defined part) against the exact
+    * group-by top-5, plus the top-1 count the oracle recomputes. At
+    * corpus scale beyond the tracked capacity the counts turn
+    * approximate and the equality gate would relax to a tolerance —
+    * capacity is the documented knob. */
+  private def q47HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val sketchTop = li
+      .groupBy(month($"l_shipdate").as("m"))
+      .agg(expr("approx_top_k_accumulate(l_partkey, 100000)").as("st"))
+      .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 100000), 5)").as("top"))
+      .select(sort_array(expr("transform(top, x -> bigint(x.count))"), asc = false)
+        .as("sketch_counts"))
+    val exactTop = li.groupBy($"l_partkey").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc).limit(5)
+      .agg(sort_array(collect_list($"c"), asc = false).as("exact_counts"))
+    sketchTop.crossJoin(exactTop)
+      .select(element_at($"exact_counts", 1).as("top1_count"),
+        ($"sketch_counts" === $"exact_counts").as("top5_counts_match"))
+  }
+
+  private val q47Sql =
+    """SELECT max(c) AS top1_count, true AS top5_counts_match
+      |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)""".stripMargin
+
   /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
     * the key salted 8 ways and orders replicated — the manual weapon for
     * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
@@ -1160,6 +1197,7 @@ object Relational {
     "q44_not_in"         -> q44NotIn _,
     "q45_grouping_sets"  -> q45GroupingSets _,
     "q46_hll_merge"      -> q46HllMerge _,
+    "q47_heavy_hitters"  -> q47HeavyHitters _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1209,5 +1247,6 @@ object Relational {
     "q44_not_in"         -> q44Sql,
     "q45_grouping_sets"  -> q45Sql,
     "q46_hll_merge"      -> q46Sql,
+    "q47_heavy_hitters"  -> q47Sql,
   )
 }

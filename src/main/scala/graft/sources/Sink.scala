@@ -22,4 +22,46 @@ object Sink {
     * prune directories at plan time. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a parquet directory to ~`targetBytes` files — the
+    * small-files maintenance op every long-lived ingest needs: streaming
+    * micro-batches and per-task writers leave thousands of KB-sized
+    * files, and at 100 TB the file count (listing, per-file open cost,
+    * one scan task per tiny file) dominates scan time long before data
+    * size does.
+    *
+    * File count is sized from the table's actual on-disk bytes, and the
+    * rewrite uses a round-robin `repartition(n)` — an even-width shuffle
+    * with no skew risk (coalesce(n) is cheaper but inherits upstream
+    * skew and can underfill). The rewrite goes through a temp directory
+    * and an atomic-as-possible rename swap, never reading and
+    * overwriting the same path in one job (Spark reads lazily — an
+    * in-place overwrite truncates its own input mid-scan).
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(d: Path) =
+      fs.listStatus(d).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val afterCount = dataFiles(tmp).length
+    val bak = new Path(p.getParent, s".${p.getName}.compact.bak")
+    fs.delete(bak, true)
+    if (!fs.rename(p, bak)) sys.error(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) { // restore on failure — never leave the table missing
+      fs.rename(bak, p)
+      sys.error(s"compact: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+    (before.length, afterCount)
+  }
 }

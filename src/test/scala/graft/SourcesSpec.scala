@@ -126,6 +126,30 @@ class SourcesSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("compact rewrites a fragmented table to few files, content-identical") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val out = s"$tmp/orders_fragmented"
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    // simulate micro-batch litter: 64 tiny files
+    orders.repartition(64).write.parquet(out)
+    // order-independent content fingerprint: row count + summed row hash
+    val fingerprint = (df: org.apache.spark.sql.DataFrame) =>
+      df.agg(count(lit(1)),
+        sum(hash(df.columns.map(col): _*).cast("long")))
+        .collect().head.toSeq
+    val before = fingerprint(spark.read.parquet(out))
+    val (nBefore, nAfter) = graft.sources.Sink.compact(spark, out)
+    assert(nBefore == 64, s"fixture should fragment to 64 files, got $nBefore")
+    assert(nAfter < nBefore && nAfter >= 1,
+      s"compaction must reduce the file count ($nBefore -> $nAfter)")
+    val dir = new java.io.File(out)
+    assert(dir.listFiles().count(f => f.getName.endsWith(".parquet")) == nAfter,
+      "swapped-in directory must hold exactly the compacted files")
+    assert(fingerprint(spark.read.parquet(out)) == before,
+      "compaction must preserve content exactly")
+  }
+
   test("contradictory predicate prunes everything and yields empty") {
     import spark.implicits._
     val shards = Seq(

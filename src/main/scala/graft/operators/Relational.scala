@@ -446,6 +446,65 @@ object Relational {
       |) t WHERE rn <= 2
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** q48 — the rest of the window-function family in one plan: lag/lead
+    * (neighbor access), ntile (equi-depth bucketing), percent_rank and
+    * cume_dist (relative standing) over the per-customer order history —
+    * q19 covers row_number + running frames; together the two span the
+    * ranking/offset/distribution classes. One shuffle on the partition
+    * key serves all five functions (same window spec → one Window node);
+    * at scale this is the canonical "per-entity history" pass, skew =
+    * hottest customer. Bounded to custkey < 100 to keep the oracle diff
+    * readable. */
+  private def q48WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" < 100)
+      .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+      .withColumn("next_price", lead($"o_totalprice", 1).over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"prev_price", $"next_price", $"quartile", $"pr", $"cd")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q48Sql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** q49 — PIVOT: long-to-wide reshaping with EXPLICIT pivot values
+    * (groupBy.pivot(col, values)) — with the value list given, Spark
+    * plans ONE aggregate pass with no discovery pre-query, the form that
+    * scales (value-discovery pivot runs a distinct scan first and breaks
+    * at high cardinality). The oracle states the same reshape as
+    * conditional aggregation — what PIVOT desugars to in both engines. */
+  private def q49Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum($"l_quantity"))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy($"l_linestatus")
+  }
+
+  private val q49Sql =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+      |  sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+      |  sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** TPC-H Q12-style: join + conditional aggregation (CASE inside SUM —
     * agg over arbitrary expression, deserializer `:618-641`). */
   private def q20CondAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1198,6 +1257,8 @@ object Relational {
     "q45_grouping_sets"  -> q45GroupingSets _,
     "q46_hll_merge"      -> q46HllMerge _,
     "q47_heavy_hitters"  -> q47HeavyHitters _,
+    "q48_window_suite"   -> q48WindowSuite _,
+    "q49_pivot"          -> q49Pivot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1248,5 +1309,7 @@ object Relational {
     "q45_grouping_sets"  -> q45Sql,
     "q46_hll_merge"      -> q46Sql,
     "q47_heavy_hitters"  -> q47Sql,
+    "q48_window_suite"   -> q48Sql,
+    "q49_pivot"          -> q49Sql,
   )
 }

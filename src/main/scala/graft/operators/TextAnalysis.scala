@@ -439,6 +439,66 @@ object TextAnalysis {
       |    AS n_masked_chars
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** t12 — statistical LM quality score: a bigram language model with
+    * add-one smoothing is trained ON the corpus itself, then every
+    * document is scored by its mean log-probability under that model —
+    * the CCNet/RefinedWeb-style "perplexity filter" that separates
+    * natural-looking text from gibberish and boilerplate, self-contained
+    * (no external model artifact).
+    *
+    * Scale shape: two corpus passes. Pass 1 builds the model — bigram and
+    * prefix-unigram counts, both map-side-combined aggregations keyed by
+    * (at most) vocab² short strings, plus a 1-row vocab size broadcast.
+    * Pass 2 scores — the exploded corpus bigrams shuffle-join the model
+    * table on the bigram key (t07's vocabulary-join shape: the model
+    * outgrows any broadcast, the join key is the right partitioner), then
+    * one per-doc aggregate. Nothing is driver-side; the model table is a
+    * reusable artifact a production pipeline would persist.
+    *
+    * The interpreted `transform` lambda is bounded per row (bigrams of a
+    * pre-split, pre-bound array — no captured regex re-evaluation; see
+    * the t04 note), and multiplicity is REQUIRED (an LM counts
+    * occurrences, not WordShingles' distinct shingle sets). */
+  private def t12LmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigrams = Tables.spread(Tables.documents(s, dir))
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
+    val bgCounts = bigrams.groupBy($"bg").agg(count(lit(1)).as("c12"))
+    val w1Counts = bigrams
+      .groupBy(substring_index($"bg", " ", 1).as("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = bigrams
+      .select(explode(split($"bg", " ")).as("w"))
+      .agg(countDistinct($"w").as("v"))
+    val model = bgCounts
+      .join(w1Counts, substring_index(bgCounts("bg"), " ", 1) === w1Counts("w1"))
+      .crossJoin(vocab)
+      .select($"bg".as("mbg"),
+        log(($"c12" + lit(1.0)) / ($"c1" + $"v")).as("logp"))
+    bigrams.join(model, $"bg" === $"mbg")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), avg($"logp").as("avg_logp"))
+      .orderBy($"doc_id")
+  }
+
+  private val t12Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |i AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws FROM w),
+      |b AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg FROM i),
+      |bc AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+      |uc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM b GROUP BY 1),
+      |v AS (SELECT count(DISTINCT x.w) AS v
+      |      FROM (SELECT unnest(string_split(bg, ' ')) AS w FROM b) x),
+      |m AS (SELECT bc.bg, ln((c12 + 1.0) / (c1 + v.v)) AS logp
+      |      FROM bc JOIN uc ON split_part(bc.bg, ' ', 1) = uc.w1, v)
+      |SELECT doc_id, count(*) AS n_bigrams, avg(logp) AS avg_logp
+      |FROM b JOIN m ON b.bg = m.bg
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -451,6 +511,7 @@ object TextAnalysis {
     "t09_seq_pack"    -> t09SequencePack _,
     "t10_contamination" -> t10Contamination _,
     "t11_redact"      -> t11Redact _,
+    "t12_lm_score"    -> t12LmScore _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -465,5 +526,6 @@ object TextAnalysis {
     "t09_seq_pack"    -> t09Sql,
     "t10_contamination" -> t10Sql,
     "t11_redact"      -> t11Sql,
+    "t12_lm_score"    -> t12Sql,
   )
 }

@@ -1134,6 +1134,58 @@ object Relational {
     """SELECT max(c) AS top1_count, true AS top5_counts_match
       |FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)""".stripMargin
 
+  /** MERGE/upsert semantics, Spark-first: rows of `updates` replace
+    * same-key rows of `base`, new keys append — i.e. `updates ∪ (base
+    * ANTI-JOIN updates)`. The anti join probes only the updates' KEY
+    * projection (broadcastable for a typical CDC batch against a huge
+    * base, so the base is never shuffled), and the union is narrow. The
+    * output is a DataFrame: sink-agnostic merge, the engine analog of
+    * MERGE INTO for plain parquet tables (no transactional table format
+    * required — pair with [[graft.sources.Sink]] to rewrite). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"))
+
+  /** q50 — the upsert verified end to end: a deterministic CDC batch
+    * (every 10th order re-priced and re-prioritized, plus brand-new
+    * synthetic keys) merged into orders, then rolled up per priority so
+    * the oracle hash proves rows were replaced (not duplicated), new
+    * rows landed, and untouched rows survived bit-exact. Arithmetic is
+    * `+ 100.0` — IEEE-identical across engines (a multiply-and-round
+    * would hang the hash on rounding-mode differences). */
+  private def q50Upsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+    val upd = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", ($"o_totalprice" + 100.0).as("o_totalprice"),
+        lit("0-MERGED").as("o_orderpriority"))
+    val ins = base.filter($"o_orderkey" % 7 === 3)
+      .select(($"o_orderkey" + 100000000L).as("o_orderkey"),
+        $"o_totalprice", lit("6-INSERTED").as("o_orderpriority"))
+    upsert(base, upd.unionByName(ins), "o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q50Sql =
+    """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+      |upd AS (SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+      |               '0-MERGED' AS o_orderpriority
+      |        FROM base WHERE o_orderkey % 10 = 0),
+      |ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_totalprice,
+      |               '6-INSERTED' AS o_orderpriority
+      |        FROM base WHERE o_orderkey % 7 = 3),
+      |merged AS (
+      |  SELECT * FROM upd UNION ALL SELECT * FROM ins
+      |  UNION ALL
+      |  SELECT * FROM base
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM ins))
+      |SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
     * the key salted 8 ways and orders replicated — the manual weapon for
     * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
@@ -1259,6 +1311,7 @@ object Relational {
     "q47_heavy_hitters"  -> q47HeavyHitters _,
     "q48_window_suite"   -> q48WindowSuite _,
     "q49_pivot"          -> q49Pivot _,
+    "q50_upsert"         -> q50Upsert _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1311,5 +1364,6 @@ object Relational {
     "q47_heavy_hitters"  -> q47Sql,
     "q48_window_suite"   -> q48Sql,
     "q49_pivot"          -> q49Sql,
+    "q50_upsert"         -> q50Sql,
   )
 }

@@ -468,6 +468,80 @@ object EventStream {
       | AND a.start_s <= b.end_s AND b.start_s <= a.end_s
       |ORDER BY u1, start1, u2, start2""".stripMargin
 
+  /** Session aggregation via Spark's NATIVE `session_window` — the
+    * declarative form of sessionization, shared verbatim between batch
+    * and streaming (ev03 derives the same sessions by hand with lag;
+    * `sessionize` keeps them in custom `mapGroupsWithState` state —
+    * this is the form Structured Streaming merges and expires
+    * incrementally with watermark-bounded state, no hand-written state
+    * machine). Boundary rule: an event at EXACTLY gap distance starts a
+    * NEW session (event windows are end-exclusive `[ts, ts+gap)`), i.e.
+    * "new iff diff >= gap" — the lag formulation's `> gap` differs on
+    * exact-gap pairs; the shipped datasets contain none (verified at all
+    * three SFs), and the ev12 oracle mirrors the `>=` rule exactly. */
+  def sessionWindowStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+  }
+
+  /** ev12 — the batch twin (oracle-checked); StreamingSpec runs the same
+    * transform as a real streaming aggregation. */
+  private def ev12SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sessionWindowStats(Tables.events(s, dir))
+      .select($"user_id",
+        unix_timestamp($"sw.start").as("start_s"),
+        unix_timestamp($"sw.end").as("end_s"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"start_s")
+  }
+
+  private val ev12Sql =
+    """WITH g AS (
+      |  SELECT user_id, value, event_id, ts, epoch_ns(ts) // 1000 AS us,
+      |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL
+      |           OR (epoch_ns(ts) // 1000)
+      |              - lag(epoch_ns(ts) // 1000) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS ns
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, value, us,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      |  min(us) // 1000000 AS start_s,
+      |  (max(us) + 1800000000) // 1000000 AS end_s,
+      |  count(*) AS n_events, sum(value) AS total_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, start_s""".stripMargin
+
+  /** ev13 — schema-driven JSON parsing: `from_json` with a declared
+    * schema turns the semi-structured props column into typed fields
+    * inside codegen (ev02 reads the same field with a regexp — the quick
+    * hack; this is the real parser a pipeline uses, and the declared
+    * schema is what lets Catalyst prune unparsed fields at 100 TB).
+    * Malformed/empty objects yield NULL fields (PERMISSIVE mode), dropped
+    * here by the post-parse filter. */
+  private def ev13JsonParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(from_json($"props",
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").cast("long").as("k"), $"value")
+      .filter($"k".isNotNull)
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), avg($"value").as("avg_value"))
+      .orderBy($"k")
+  }
+
+  private val ev13Sql =
+    """SELECT json_extract(props, '$.k')::BIGINT AS k,
+      |  count(*) AS n, avg(value) AS avg_value
+      |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+      |GROUP BY 1 ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -480,6 +554,8 @@ object EventStream {
     "ev09_rolling_1h"   -> ev09Rolling _,
     "ev10_enrich"       -> ev10Enrich _,
     "ev11_session_overlap" -> ev11SessionOverlap _,
+    "ev12_session_window" -> ev12SessionWindow _,
+    "ev13_json_parse"   -> ev13JsonParse _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -494,5 +570,7 @@ object EventStream {
     "ev09_rolling_1h"   -> ev09Sql,
     "ev10_enrich"       -> ev10Sql,
     "ev11_session_overlap" -> ev11Sql,
+    "ev12_session_window" -> ev12Sql,
+    "ev13_json_parse"   -> ev13Sql,
   )
 }

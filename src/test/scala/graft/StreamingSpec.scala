@@ -216,6 +216,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, "one AvailableNow pass must equal the batch result")
   }
 
+  test("native session_window aggregates a stream identically to batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStream.sessionWindowStats(
+        input.toDF().withWatermark("ts", "2 hours"))
+      .writeStream.format("memory").queryName("sw_test")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      df.select($"user_id", $"sw.start", $"sw.end", $"n_events", $"total_value")
+        .collect().map(_.toSeq).toSet
+    val streamed = norm(spark.table("sw_test"))
+    val batch = norm(EventStream.sessionWindowStats(sample.toDF()))
+    assert(streamed == batch,
+      "streaming session_window must merge the same sessions as batch")
+    // the fixture's 60-minute gap splits user 10's events at minute 5/20
+    // from the one at minute 70 — 2 sessions for user 10, 2 for user 11
+    assert(batch.count(_.head == 10L) == 2 && batch.count(_.head == 11L) == 2)
+  }
+
   test("ev11 interval overlap join is a banded equi-join, never a theta join") {
     // the whole point of the hour-bucket expansion: candidates must meet
     // on an EQUI key (hash/sort-merge join), not via the quadratic

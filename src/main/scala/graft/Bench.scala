@@ -142,8 +142,10 @@ object Bench {
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1800).getOrElse(line(1))
     // stop Spark BEFORE printing: the driver keeps the tail of the output
     // and recognizes the result by "line starts with '{'", so shutdown
-    // log lines must not trail (or displace) the JSON line
-    spark.stop()
+    // log lines must not trail (or displace) the JSON line. A failing
+    // stop() must not cost the record — the measurements exist either way.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
     println(out)
     System.out.flush()
   }

@@ -120,10 +120,16 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
         case Some(e) => // losing racer: the key was admitted while we loaded
           // this records a second access event (the first was counted as
           // the miss at entry), so advance the clock with it — reusing the
-          // stale tick would skew LRU ordering. The plain-miss admit below
-          // does NOT tick: its access was already counted at entry, and
-          // Belady's trace positions assume clock = accesses so far.
-          clock += 1
+          // stale tick would skew LRU ordering. Exception: Belady's
+          // priority searches the trace FROM the clock position
+          // (trace.indexWhere(_, clock)), so its clock must stay exactly
+          // "get() calls so far" — an extra tick would skip a trace slot
+          // and invert evictions. The plain-miss admit below never ticks:
+          // its access was already counted at entry.
+          policy match {
+            case Belady(_) => ()
+            case _         => clock += 1
+          }
           e.hits += 1; e.lastAccess = clock
           // Spark's CacheManager keys cached data by CANONICALIZED plan:
           // when the two racers' plans are plan-equal, the loser's

@@ -1186,6 +1186,50 @@ object Relational {
       |SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q51 — regression/correlation aggregates: per-group least-squares
+    * slope/intercept/R², plus Pearson correlation — the built-in
+    * statistical aggregate family (each is a single-pass partial-merged
+    * moment computation: sums of x, y, x², y², xy — exactly the shape
+    * that scales, no per-group buffering). */
+  private def q51Regression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        regr_slope($"l_extendedprice", $"l_quantity").as("slope"),
+        regr_intercept($"l_extendedprice", $"l_quantity").as("intercept"),
+        regr_r2($"l_extendedprice", $"l_quantity").as("r2"),
+        corr($"l_quantity", $"l_extendedprice").as("qty_price_corr"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q51Sql =
+    """SELECT l_returnflag,
+      |  regr_slope(l_extendedprice, l_quantity) AS slope,
+      |  regr_intercept(l_extendedprice, l_quantity) AS intercept,
+      |  regr_r2(l_extendedprice, l_quantity) AS r2,
+      |  corr(l_quantity, l_extendedprice) AS qty_price_corr
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q52 — ordered string aggregation: `LISTAGG ... WITHIN GROUP (ORDER
+    * BY ...)` (ANSI; Spark 4's listagg) — within-group ordering makes the
+    * concatenation deterministic, which is what lets the oracle
+    * hash-check it at all (an unordered collect+join varies by partition
+    * arrival). Run as SQL text through the engine. */
+  private val q52Sql =
+    """SELECT r_name, listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  private def q52Listagg(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q52Sql)
+
+  /** DuckDB's ordered string aggregate spells the same thing string_agg. */
+  private val q52OracleSql =
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
     * the key salted 8 ways and orders replicated — the manual weapon for
     * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
@@ -1312,6 +1356,8 @@ object Relational {
     "q48_window_suite"   -> q48WindowSuite _,
     "q49_pivot"          -> q49Pivot _,
     "q50_upsert"         -> q50Upsert _,
+    "q51_regression"     -> q51Regression _,
+    "q52_listagg"        -> q52Listagg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1365,5 +1411,7 @@ object Relational {
     "q48_window_suite"   -> q48Sql,
     "q49_pivot"          -> q49Sql,
     "q50_upsert"         -> q50Sql,
+    "q51_regression"     -> q51Sql,
+    "q52_listagg"        -> q52OracleSql,
   )
 }

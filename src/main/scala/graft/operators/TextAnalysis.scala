@@ -446,10 +446,11 @@ object TextAnalysis {
     * natural-looking text from gibberish and boilerplate, self-contained
     * (no external model artifact).
     *
-    * Scale shape: two corpus passes. Pass 1 builds the model — bigram and
-    * prefix-unigram counts, both map-side-combined aggregations keyed by
-    * (at most) vocab² short strings, plus a 1-row vocab size broadcast.
-    * Pass 2 scores — the exploded corpus bigrams shuffle-join the model
+    * Scale shape: two corpus passes. Pass 1 builds the model — ONE
+    * map-side-combined bigram-count aggregation (its shuffled exchange
+    * reused across consumers); prefix-unigram counts and the 1-row vocab
+    * size derive from the already-reduced model table, never re-reading
+    * the corpus. Pass 2 scores — the exploded corpus bigrams shuffle-join the model
     * table on the bigram key (t07's vocabulary-join shape: the model
     * outgrows any broadcast, the join key is the right partitioner), then
     * one per-doc aggregate. Nothing is driver-side; the model table is a
@@ -467,10 +468,16 @@ object TextAnalysis {
       .select($"doc_id", explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
+    // ONE corpus-scale aggregation; prefix counts and vocabulary then
+    // derive from the already-reduced model table (sum of c12 per first
+    // word ≡ counting prefixes over raw bigrams; distinct words over the
+    // distinct-bg keys ≡ distinct over all bigram occurrences) — without
+    // this the unshareable `bigrams` subplan re-explodes the corpus once
+    // per consumer
     val bgCounts = bigrams.groupBy($"bg").agg(count(lit(1)).as("c12"))
-    val w1Counts = bigrams
-      .groupBy(substring_index($"bg", " ", 1).as("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = bigrams
+    val w1Counts = bgCounts
+      .groupBy(substring_index($"bg", " ", 1).as("w1")).agg(sum($"c12").as("c1"))
+    val vocab = bgCounts
       .select(explode(split($"bg", " ")).as("w"))
       .agg(countDistinct($"w").as("v"))
     val model = bgCounts

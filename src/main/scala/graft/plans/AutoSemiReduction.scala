@@ -158,8 +158,17 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
   private def probeOnce(spark: SparkSession, dim: LogicalPlan): Double = {
     val conds = dim.collect { case Filter(c, _) =>
       splitConjunctivePredicates(c) }.flatten
+    // the count_if-over-leaf rewrite is only row-for-row faithful when
+    // every interior node is Filter/Project — an alias-free
+    // cardinality-changing node (Distinct = Aggregate without aliases)
+    // passes safeToCopy but measures a different population
+    val chainIsFilterProject = dim.collect {
+      case n if n.children.nonEmpty => n }.forall {
+      case _: Filter | _: Project => true
+      case _ => false
+    }
     dim.collectLeaves() match {
-      case Seq(leaf) if conds.nonEmpty &&
+      case Seq(leaf) if chainIsFilterProject && conds.nonEmpty &&
           conds.forall(_.references.subsetOf(leaf.outputSet)) =>
         import org.apache.spark.sql.functions.{count, lit, when}
         val sample = GlobalLimit(Literal(ProbeRowCap.toInt),

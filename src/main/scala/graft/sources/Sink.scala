@@ -47,6 +47,13 @@ object Sink {
     def dataFiles(d: Path) =
       fs.listStatus(d).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(p)
+    // flat directories only: on a hive-partitioned table (data files in
+    // partition subdirs) a flat rewrite would silently demote partition
+    // columns to data columns and destroy directory pruning; an empty
+    // listing also covers the nothing-to-do case
+    if (before.isEmpty) sys.error(
+      s"compact: no top-level .parquet files in $path — " +
+        "partitioned or empty table? compact() operates on flat directories")
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")

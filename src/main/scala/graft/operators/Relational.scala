@@ -1230,6 +1230,29 @@ object Relational {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** q53 — RECURSIVE CTE (Spark 4's UnionLoop): generate the 1995 month
+    * calendar by recursion and LEFT-join order counts onto it — the
+    * gap-filling report shape where empty buckets must appear as zeros
+    * (a plain GROUP BY silently drops them). Spark executes the
+    * recursion as iterated micro-plans, so the step count is the cost
+    * knob — bounded here to 12 by the literal range (an unbounded
+    * data-derived range would run one tiny job per step). One string,
+    * both engines: run as SQL text through the engine, oracle-identical. */
+  private val q53Sql =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL
+      |  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+      |  WHERE m < DATE '1995-12-01'
+      |)
+      |SELECT m, count(o_orderkey) AS n_orders
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  private def q53RecursiveCte(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q53Sql)
+
   /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
     * the key salted 8 ways and orders replicated — the manual weapon for
     * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
@@ -1358,6 +1381,7 @@ object Relational {
     "q50_upsert"         -> q50Upsert _,
     "q51_regression"     -> q51Regression _,
     "q52_listagg"        -> q52Listagg _,
+    "q53_recursive_cte"  -> q53RecursiveCte _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1413,5 +1437,6 @@ object Relational {
     "q50_upsert"         -> q50Sql,
     "q51_regression"     -> q51Sql,
     "q52_listagg"        -> q52OracleSql,
+    "q53_recursive_cte"  -> q53Sql,
   )
 }

@@ -506,6 +506,34 @@ object TextAnalysis {
       |FROM b JOIN m ON b.bg = m.bg
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** t13 — weighted dataset mixing: replicate each source's documents by
+    * its epoch weight (here derived deterministically from the source id;
+    * in production a curated weights table) — the upsampling half of
+    * dataset mixing, where high-quality sources see N epochs per training
+    * pass. `explode(sequence(1, w))` is a narrow map whose output factor
+    * is exactly the mix ratio — no shuffle, no RNG, bit-reproducible on
+    * any cluster shape; the (doc, epoch) stream feeds t09-style packing
+    * downstream. The oracle checks the replication arithmetic per source
+    * (count × weight) against the engine's ACTUAL post-explode counts. */
+  private def t13Mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.spread(Tables.documents(s, dir))
+      .withColumn("weight",
+        (regexp_extract($"source", "src([0-9]+)", 1).cast("int") % 3 + 1).cast("long"))
+      .withColumn("epoch", explode(sequence(lit(1L), $"weight")))
+      .groupBy($"source", $"weight")
+      .agg(countDistinct($"doc_id").as("n_docs"), count(lit(1)).as("n_mixed"))
+      .select($"source", $"n_docs", $"weight", $"n_mixed")
+      .orderBy($"source")
+  }
+
+  private val t13Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  (regexp_extract(source, 'src([0-9]+)', 1)::INT % 3 + 1)::BIGINT AS weight,
+      |  (count(*) * (regexp_extract(source, 'src([0-9]+)', 1)::INT % 3 + 1))::BIGINT
+      |    AS n_mixed
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -519,6 +547,7 @@ object TextAnalysis {
     "t10_contamination" -> t10Contamination _,
     "t11_redact"      -> t11Redact _,
     "t12_lm_score"    -> t12LmScore _,
+    "t13_mixture"     -> t13Mixture _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -534,5 +563,6 @@ object TextAnalysis {
     "t10_contamination" -> t10Sql,
     "t11_redact"      -> t11Sql,
     "t12_lm_score"    -> t12Sql,
+    "t13_mixture"     -> t13Sql,
   )
 }

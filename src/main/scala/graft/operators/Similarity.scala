@@ -316,6 +316,59 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY qid, rank""".stripMargin
 
+  /** s07 — kNN over int8 scalar-quantized codes, the memory-side scale
+    * lever (a float32 corpus quantized to int8 is 4× smaller, so 4× more
+    * index per executor — orthogonal to the candidate-pruning levers in
+    * s02/s04/s05, and the two compose): per-vector symmetric quantization
+    * code_i = round(x_i / (max|x| / 127)), then cosine OVER THE CODES —
+    * the per-vector scales cancel in cosine, so no dequantization is
+    * needed at scoring time and the hot loop is integer arithmetic.
+    * Every step is deterministic arithmetic (unlike the k-means IVF), so
+    * the whole pipeline — quantize, score, rank — is DuckDB-expressible
+    * and fully hash-checked, approximation error included. */
+  private def s07KnnInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    // max|x|/127 in double; codes are exact small ints, so every later
+    // product/sum is exactly representable in double — bit-identical to
+    // the oracle regardless of accumulation order.
+    val scale = aggregate(
+      transform($"embedding", x => abs(x.cast("double"))),
+      lit(0.0), (a, x) => greatest(a, x)) / 127.0
+    val coded = emb.select($"vec_id",
+      transform($"embedding", x => round(x.cast("double") / scale).cast("int")).as("code"))
+    val q = coded.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"code".as("qc"))
+    val n = Tables.spread(coded.select($"vec_id".as("nid"), $"code".as("nc")))
+    def cdot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x * y).cast("double")), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy($"qid").orderBy($"qcosine".desc, $"nid")
+    broadcast(q).crossJoin(n)
+      .withColumn("qcosine", cdot($"qc", $"nc") / (sqrt(cdot($"qc", $"qc")) * sqrt(cdot($"nc", $"nc"))))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"qcosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val s07Sql = {
+    def cdot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> ($a[i] * $b[i])::DOUBLE))"
+    s"""WITH c AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |      x -> CAST(round(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)) AS INTEGER)) AS code
+       |  FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+       |        ${cdot("q.code", "n.code")}
+       |          / (sqrt(${cdot("q.code", "q.code")}) * sqrt(${cdot("n.code", "n.code")})) AS qcosine
+       |      FROM c q CROSS JOIN c n WHERE q.vec_id < 20)
+       |SELECT qid, rank, nid, qcosine FROM (
+       |  SELECT qid, nid, qcosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY qcosine DESC, nid) AS rank
+       |  FROM p) r
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
@@ -323,6 +376,7 @@ object Similarity {
     "s04_ann_ivf"    -> s04AnnIvf _,
     "s05_ann_multiprobe" -> s05AnnMultiprobe _,
     "s06_ann_ivf_recall" -> s06AnnIvfRecall _,
+    "s07_knn_int8"       -> s07KnnInt8 _,
   )
 
   /** s04's raw output is omitted (KMeans has no SQL oracle; rows-only
@@ -333,5 +387,6 @@ object Similarity {
     "s03_knn_expr"   -> s03Sql,
     "s05_ann_multiprobe" -> s05Sql,
     "s06_ann_ivf_recall" -> s06Sql,
+    "s07_knn_int8"       -> s07Sql,
   )
 }

@@ -445,6 +445,59 @@ object EventStream {
       .orderBy($"u1", $"start1", $"u2", $"start2")
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) history build: each change
+    * record becomes a version row with a validity interval
+    * [valid_from, valid_to), closed by the NEXT change on the same key
+    * (lead over a key-partitioned window — one shuffle on the key, linear
+    * work) and left open (NULL) on the current version. The standard
+    * warehouse shape for dimension history; `orderCol` must be unique per
+    * key for the interval chain to be deterministic. */
+  def scd2History(changes: DataFrame, key: String, ts: String,
+      orderCol: String): DataFrame = {
+    import changes.sparkSession.implicits._
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(orderCol))
+    changes
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** ev14 — SCD2 build + point-in-time lookup: the events table as the
+    * change feed of a per-user `value` attribute, versioned by
+    * [[scd2History]], then the dimension state AS OF 2024-01-15 read back
+    * with the interval predicate `valid_from <= T < valid_to` (open
+    * current version matches any later T). n_versions carries the size of
+    * each user's history chain so the build itself is checked, not just
+    * the one version the lookup picks. Zero-width versions (two changes
+    * at the same timestamp) lose to the later change — the strict
+    * `valid_to > T` bound — matching the oracle's window arithmetic
+    * exactly. */
+  private def ev14Scd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t0 = lit("2024-01-15 00:00:00").cast("timestamp")
+    val hist = scd2History(
+      Tables.events(s, dir).select($"user_id", $"ts", $"event_id", $"value"),
+      "user_id", "ts", "event_id")
+    val nv = hist.groupBy($"user_id").agg(count(lit(1)).as("n_versions"))
+    hist.filter($"valid_from" <= t0 && ($"valid_to".isNull || $"valid_to" > t0))
+      .select($"user_id", $"value".as("value_at"), $"valid_from", $"is_current")
+      .join(nv, Seq("user_id"))
+      .orderBy($"user_id")
+  }
+
+  private val ev14Sql =
+    """WITH hist AS (
+      |  SELECT user_id, value, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM events),
+      |nv AS (SELECT user_id, count(*) AS n_versions FROM hist GROUP BY 1)
+      |SELECT h.user_id, h.value AS value_at, h.valid_from,
+      |       h.valid_to IS NULL AS is_current, nv.n_versions
+      |FROM hist h JOIN nv USING (user_id)
+      |WHERE h.valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+      |  AND (h.valid_to IS NULL OR h.valid_to > TIMESTAMP '2024-01-15 00:00:00')
+      |ORDER BY user_id""".stripMargin
+
   private val ev11Sql =
     """WITH g AS (
       |  SELECT user_id, event_id, ts, epoch_ns(ts) // 1000000000 AS sec,
@@ -556,6 +609,7 @@ object EventStream {
     "ev11_session_overlap" -> ev11SessionOverlap _,
     "ev12_session_window" -> ev12SessionWindow _,
     "ev13_json_parse"   -> ev13JsonParse _,
+    "ev14_scd2"         -> ev14Scd2 _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -572,5 +626,6 @@ object EventStream {
     "ev11_session_overlap" -> ev11Sql,
     "ev12_session_window" -> ev12Sql,
     "ev13_json_parse"   -> ev13Sql,
+    "ev14_scd2"         -> ev14Sql,
   )
 }

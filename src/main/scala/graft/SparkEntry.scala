@@ -23,11 +23,13 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
       graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
+      graft.sources.BloomPruner.queries ++
       TpchCorpus.queries ++ SsbCorpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
       graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
+      graft.sources.BloomPruner.oracleSql ++
       TpchCorpus.oracleSql ++ SsbCorpus.oracleSql
 }

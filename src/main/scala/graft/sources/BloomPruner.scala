@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-shard Bloom-filter sidecar: plan-time shard pruning for EQUALITY
+  * lookups on columns with no range correlation to the shard layout —
+  * exactly where [[ZoneMapPruner]] is blind. A hash-bucketed table (the
+  * common data-lake layout) gives every shard a (min, max) spanning the
+  * whole key domain, so zone maps prune nothing; but each key lives in
+  * few shards, so a membership sketch prunes almost all of them. The two
+  * sidecars are complements: zone maps answer range predicates on
+  * range-correlated layouts, blooms answer point predicates on hashed
+  * layouts. Reference analog: the same `zoneMap.json`-style
+  * catalogue-sidecar slot (`fpdb-catalogue/include/fpdb/catalogue/
+  * Partition.h:23-41`), with a sketch instead of min/max scalars.
+  *
+  * At 100 TB the sidecar stays tiny relative to data (1 bloom per file,
+  * ~100 KB at 1% fpp for 100k keys) and pruning happens before the file
+  * list reaches `spark.read` — skipped shards never become input splits,
+  * the same contract as the reference's plan-construction-time pruner
+  * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`).
+  */
+object BloomPruner {
+
+  /** One shard's membership sketch over a long key column. False
+    * positives only — a bloom says "maybe here" or "definitely not". */
+  case class ShardBloom(path: String, keyCol: String, bloom: BloomFilter)
+
+  /** Build the sidecar in ONE distributed pass: Spark's own
+    * `BloomFilterAggregate` (the expression behind runtime join filters)
+    * grouped by `input_file_name()` — no per-file driver loop, so ingest
+    * cost is a single scan however many shards exist. */
+  def build(df: DataFrame, keyCol: String, expectedItems: Long = 100000L): Seq[ShardBloom] = {
+    val agg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(col(keyCol).cast("long")), expectedItems)
+        .toAggregateExpression())
+    df.groupBy(input_file_name().as("__file")).agg(agg.as("__bloom"))
+      .collect() // one row per shard — sidecar construction, not a data path
+      .map(r => ShardBloom(r.getAs[String]("__file"), keyCol,
+        BloomFilter.readFrom(r.getAs[Array[Byte]]("__bloom"))))
+      .toSeq
+  }
+
+  /** Shards that may contain `key` (false positives possible, never false
+    * negatives — pruning is always sound). */
+  def prune(shards: Seq[ShardBloom], key: Long): Seq[ShardBloom] =
+    shards.filter(_.bloom.mightContainLong(key))
+
+  /** Read only the shards whose bloom admits `key`, then re-apply the
+    * exact equality (false positives make the residual mandatory). */
+  def readPruned(spark: SparkSession, spec: TableSpec,
+      shards: Seq[ShardBloom], key: Long): DataFrame = {
+    val keep = prune(shards, key).map(_.path)
+    val df =
+      if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent
+      else Catalog.read(spark, spec.copy(paths = keep))
+    df.filter(col(shards.head.keyCol) === key)
+  }
+
+  // ---- end-to-end demonstration entry ------------------------------------
+
+  /** Ingest-once artifact: `orders` hash-sharded 8 ways by o_custkey into
+    * CSV (each custkey lands in exactly one shard; every shard's key
+    * RANGE spans the whole domain, so zone maps cannot prune this layout
+    * at all) with one bloom per shard built in a single pass. */
+  private val artifact = new graft.util.SessionCache[(TableSpec, Seq[ShardBloom])]
+
+  private[graft] def shardedByCustkey(s: SparkSession, dir: String): (TableSpec, Seq[ShardBloom]) =
+    artifact.getOrBuild(s, dir) {
+      val out = s"/tmp/graft-bloom/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_csv"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .option("delimiter", "|").option("header", "false")
+        .csv(out)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.toString).sorted.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_custkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
+      val spec = TableSpec("orders_bloom_csv", "csv", files, Some(schema), "|")
+      (spec, build(Catalog.read(s, spec), "o_custkey"))
+    }
+
+  /** z02 — bloom-sidecar point lookup end-to-end: `o_custkey = 42`
+    * against the hash-sharded CSV table reads only the (expectedly 1 of
+    * 8, ± false positives — `SourcesSpec` asserts the count) shards whose
+    * bloom admits the key; the result must equal DuckDB running the same
+    * predicate over the parquet original. */
+  private def z02BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val (spec, blooms) = shardedByCustkey(s, dir)
+    readPruned(s, spec, blooms, 42L)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val z02Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS total_price
+      |FROM orders WHERE o_custkey = 42
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "z02_bloom_prune" -> z02BloomPrune _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "z02_bloom_prune" -> z02Sql,
+  )
+}

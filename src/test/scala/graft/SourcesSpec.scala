@@ -2,8 +2,8 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sources.{Catalog, TableSpec, ZoneMapPruner}
-import graft.sources.ZoneMapPruner.{Between, Ge, Gt, Lt}
+import graft.sources.{BloomPruner, Catalog, TableSpec, ZoneMapPruner}
+import graft.sources.ZoneMapPruner.{Between, EqTo, Ge, Gt, Lt}
 import graft.sources.Tables
 
 /** Catalog layer: CSV round-trip with declared schemas, schema.json
@@ -106,6 +106,31 @@ class SourcesSpec extends SparkSpec {
     val expected = graft.sources.Tables.orders(spark, sfDir)
       .filter(col("o_orderkey") <= 1000L).count()
     assert(pruned.count() == expected)
+  }
+
+  test("bloom sidecar prunes hash-sharded files where zone maps cannot") {
+    import org.apache.spark.sql.functions._
+    val (spec, blooms) = BloomPruner.shardedByCustkey(spark, sfDir)
+    assert(spec.paths.size == 8, s"expected 8 CSV shards, got ${spec.paths.size}")
+    // the layout defeats zone maps: every shard's custkey range spans
+    // nearly the whole domain, so a min/max pruner keeps all 8
+    val zones = ZoneMapPruner.build(Catalog.read(spark, spec), Seq("o_custkey"))
+    val zoneKept = ZoneMapPruner.prune(zones, Seq(EqTo("o_custkey", 42.0)))
+    assert(zoneKept.size == spec.paths.size,
+      s"hash layout should be zone-map-blind (kept ${zoneKept.size} of ${spec.paths.size})")
+    // the bloom prunes to the one shard hash(42) landed in (+ rare fps)
+    val kept = BloomPruner.prune(blooms, 42L)
+    assert(kept.size >= 1 && kept.size <= 2,
+      s"bloom should keep ~1 of 8 shards, kept ${kept.size}")
+    val pruned = BloomPruner.readPruned(spark, spec, blooms, 42L)
+    assert(pruned.inputFiles.length == kept.size)
+    val expected = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === 42L).count()
+    assert(pruned.count() == expected)
+    // soundness on a definitely-absent key: no shard may contain it, and
+    // the read must return empty without scanning anything
+    val absent = BloomPruner.readPruned(spark, spec, blooms, -12345L)
+    assert(absent.count() == 0L)
   }
 
   test("partitioned parquet sink prunes directories on read-back") {

@@ -126,6 +126,28 @@ object EventStream {
       $"e_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
   }
 
+  /** LEFT OUTER stream-stream join — clicks with their correlated errors
+    * OR a null row if none arrived in the window. The semantics Spark
+    * gates on watermarks: an unmatched click can only be emitted once the
+    * combined watermark proves no matching error can still arrive, so the
+    * null rows trail the matched ones by up to the watermark delay (the
+    * batch twin, ev15, emits them immediately — same rows, different
+    * latency). State stays bounded exactly as in the inner variant. */
+  def clickErrorLeftOuter(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val isStreaming = events.isStreaming
+    def side(df: DataFrame) = if (isStreaming) df.withWatermark("ts", "1 hour") else df
+    val clicks = side(events.filter($"event_type" === "click"))
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val errors = side(events.filter($"event_type" === "error"))
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    clicks.join(errors,
+      $"c_user" === $"e_user" &&
+      $"e_ts" >= $"c_ts" &&
+      $"e_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `right.ts <= left.ts` on the same key — the temporal-alignment
     * operator Spark has no built-in for (financial quotes-to-trades,
@@ -445,6 +467,24 @@ object EventStream {
       .orderBy($"u1", $"start1", $"u2", $"start2")
   }
 
+  /** ev15 — the batch twin of [[clickErrorLeftOuter]] (oracle-checked);
+    * StreamingSpec proves the streaming run emits the same rows, null
+    * rows included, once the watermark passes. */
+  private def ev15ClickErrorOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clickErrorLeftOuter(Tables.events(s, dir))
+      .select($"c_user", $"c_id", $"e_id")
+      .orderBy($"c_id", $"e_id")
+  }
+
+  private val ev15Sql =
+    """SELECT c.user_id AS c_user, c.event_id AS c_id, e.event_id AS e_id
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY c_id, e_id""".stripMargin
+
   /** SCD2 (type-2 slowly-changing-dimension) history build: each change
     * record becomes a version row with a validity interval
     * [valid_from, valid_to), closed by the NEXT change on the same key
@@ -610,6 +650,7 @@ object EventStream {
     "ev12_session_window" -> ev12SessionWindow _,
     "ev13_json_parse"   -> ev13JsonParse _,
     "ev14_scd2"         -> ev14Scd2 _,
+    "ev15_click_error_outer" -> ev15ClickErrorOuter _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -627,5 +668,6 @@ object EventStream {
     "ev12_session_window" -> ev12Sql,
     "ev13_json_parse"   -> ev13Sql,
     "ev14_scd2"         -> ev14Sql,
+    "ev15_click_error_outer" -> ev15Sql,
   )
 }

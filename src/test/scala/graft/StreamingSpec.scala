@@ -95,6 +95,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT OUTER join emits null rows after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      Event(1L, ts(0), 1L, "click", 0, "{}"),   // matched by event 2
+      Event(2L, ts(5), 1L, "error", 0, "{}"),
+      Event(3L, ts(20), 2L, "click", 0, "{}"),  // no error in window -> null row
+      Event(4L, ts(40), 1L, "error", 0, "{}"))  // outside click 1's window
+    val input = MemoryStream[Event]
+    input.addData(data: _*)
+    val q = EventStream.clickErrorLeftOuter(input.toDF())
+      .writeStream.format("memory").queryName("outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // an unmatched click is only emittable once the combined watermark
+      // proves no partner can arrive: push both sides' event time far past
+      // click 3's window + the 1h delay with flush events (user 99, which
+      // joins with nothing in the comparison set)
+      input.addData(
+        Event(90L, ts(600), 99L, "click", 0, "{}"),
+        Event(91L, ts(600), 99L, "error", 0, "{}"))
+      q.processAllAvailable()
+      input.addData(
+        Event(92L, ts(1200), 99L, "click", 0, "{}"),
+        Event(93L, ts(1200), 99L, "error", 0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"c_user" < 99L)
+      .select($"c_id", $"e_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]))).toSet
+    val streamed = pairs(spark.table("outer_test"))
+    val batch = pairs(EventStream.clickErrorLeftOuter(data.toDF()))
+    assert(batch == Set((1L, Some(2L)), (3L, None)))
+    assert(streamed == batch,
+      s"streaming outer join must emit the unmatched click: $streamed")
+  }
+
   test("asofJoin picks the latest right row at or before each left row") {
     import spark.implicits._
     def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)

@@ -67,6 +67,25 @@ class SimilaritySpec extends SparkSpec {
       "k-means IVF single-probe recall@3 fell below the 0.45 floor")
   }
 
+  test("PQ codes cover every (vector, subspace) pair exactly once") {
+    import spark.implicits._
+    val (codes, cdf) = graft.operators.Similarity.pqArtifact(spark, sfDir)
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(codes.count() == nVec * graft.operators.Similarity.PqM)
+    assert(codes.groupBy($"vec_id", $"m").count().filter($"count" =!= 1).isEmpty,
+      "each (vector, subspace) must carry exactly one code")
+    assert(cdf.count() == graft.operators.Similarity.PqM * graft.operators.Similarity.PqK)
+    val codeRange = codes.agg(min($"code"), max($"code")).head()
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) < graft.operators.Similarity.PqK)
+  }
+
+  test("PQ/ADC ANN clears the measured recall@3 floor vs exact ground truth") {
+    val res = SparkEntry.queries("s09_ann_pq_recall")(spark, sfDir).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Boolean]("recall_ok"),
+      "PQ/ADC recall@3 fell below the 0.30 floor")
+  }
+
   test("bucketed ANN only pairs vectors within the same sign-LSH cell") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

@@ -23,6 +23,44 @@ object Sink {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Apply a CDC batch to a plain-parquet table: last-writer-wins within
+    * the batch (CDC batches legitimately carry several updates per key —
+    * `orderCol`, e.g. an offset or event id, picks the survivor), then
+    * [[graft.operators.Relational.upsert]] against the current table
+    * contents, rewritten through a temp dir + rename swap (the compact()
+    * discipline: never read and overwrite one path in a single lazy job,
+    * restore the old table if the swap fails). Replay-idempotent:
+    * re-applying the same batch re-picks the same survivors and replaces
+    * the same keys with the same rows — exactly what a restarted
+    * streaming query needs from its sink (see
+    * [[graft.streaming.EventStream.cdcUpsertStream]]). */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, orderCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
+    val latest = updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
+      else latest
+    val tmp = new Path(p.getParent, s".${p.getName}.merge.tmp")
+    fs.delete(tmp, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val bak = new Path(p.getParent, s".${p.getName}.merge.bak")
+    fs.delete(bak, true)
+    val hadTable = fs.exists(p)
+    if (hadTable && !fs.rename(p, bak)) sys.error(s"mergeInto: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      if (hadTable) fs.rename(bak, p) // restore — never leave the table missing
+      sys.error(s"mergeInto: cannot swap in $tmp")
+    }
+    fs.delete(bak, true)
+  }
+
   /** Compact a parquet directory to ~`targetBytes` files — the
     * small-files maintenance op every long-lived ingest needs: streaming
     * micro-batches and per-task writers leave thousands of KB-sized

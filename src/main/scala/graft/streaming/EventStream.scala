@@ -467,6 +467,22 @@ object EventStream {
       .orderBy($"u1", $"start1", $"u2", $"start2")
   }
 
+  /** Continuous MERGE: a CDC stream applied to a plain-parquet table,
+    * one [[graft.sources.Sink.mergeInto]] per micro-batch through
+    * `foreachBatch` — the streaming face of q50's upsert, giving an
+    * always-current dimension table with no transactional format
+    * required. Exactly-once to the reader's eye: the checkpoint replays
+    * at-least-once, and mergeInto's last-writer-wins key replacement is
+    * idempotent under replay. */
+  def cdcUpsertStream(updates: DataFrame, tablePath: String, key: String,
+      orderCol: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sink.mergeInto(batch.sparkSession, tablePath, batch.toDF(), key, orderCol)
+      }
+      .start()
+
   /** ev15 — the batch twin of [[clickErrorLeftOuter]] (oracle-checked);
     * StreamingSpec proves the streaming run emits the same rows, null
     * rows included, once the watermark passes. */
@@ -635,6 +651,71 @@ object EventStream {
       |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
       |GROUP BY 1 ORDER BY k""".stripMargin
 
+  /** ev16 — gap-filled time series with LINEAR INTERPOLATION: per-user
+    * hourly averages where silent hours get the straight-line value
+    * between the surrounding observed hours (q53's calendar fill puts
+    * zeros; sensor/metric pipelines need the interpolated reading). The
+    * per-user hour calendar comes from an explode(sequence) over the
+    * user's own [min, max] span; observed hours left-join on; the two
+    * window passes carry (last observed value/hour) backward and (first
+    * observed value/hour) forward, and the fill is pure arithmetic —
+    * every step is a narrow map or a key-partitioned window, linear at
+    * any scale. Users < 50 bound the output. */
+  private def ev16Interpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val obs = Tables.events(s, dir)
+      .filter($"user_id" < 50)
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg(avg($"value").as("v"))
+    val cal = obs.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("hour"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"hour")
+    val before = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    cal.join(obs, Seq("user_id", "hour"), "left")
+      .withColumn("pv", last($"v", ignoreNulls = true).over(before))
+      .withColumn("ph", last(when($"v".isNotNull, $"hour"), ignoreNulls = true).over(before))
+      .withColumn("nv", first($"v", ignoreNulls = true).over(after))
+      .withColumn("nh", first(when($"v".isNotNull, $"hour"), ignoreNulls = true).over(after))
+      .withColumn("filled", when($"v".isNotNull, $"v").otherwise(
+        $"pv" + ($"nv" - $"pv")
+          * (unix_timestamp($"hour") - unix_timestamp($"ph")).cast("double")
+          / (unix_timestamp($"nh") - unix_timestamp($"ph")).cast("double")))
+      .select($"user_id", $"hour", $"filled", $"v".isNull.as("interpolated"))
+      .orderBy($"user_id", $"hour")
+  }
+
+  private val ev16Sql =
+    """WITH obs AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour, avg(value) AS v
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |cal AS (
+      |  SELECT user_id, unnest(generate_series(min(hour), max(hour),
+      |                                         INTERVAL 1 HOUR)) AS hour
+      |  FROM obs GROUP BY user_id),
+      |j AS (
+      |  SELECT c.user_id, c.hour, o.v,
+      |    last_value(o.v IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN o.v IS NOT NULL THEN c.hour END IGNORE NULLS)
+      |      OVER wb AS ph,
+      |    first_value(o.v IGNORE NULLS) OVER wa AS nv,
+      |    first_value(CASE WHEN o.v IS NOT NULL THEN c.hour END IGNORE NULLS)
+      |      OVER wa AS nh
+      |  FROM cal c LEFT JOIN obs o USING (user_id, hour)
+      |  WINDOW
+      |    wb AS (PARTITION BY c.user_id ORDER BY c.hour
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (PARTITION BY c.user_id ORDER BY c.hour
+      |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, hour,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) * (epoch(hour) - epoch(ph))
+      |                           / (epoch(nh) - epoch(ph)) END AS filled,
+      |  v IS NULL AS interpolated
+      |FROM j ORDER BY user_id, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -651,6 +732,7 @@ object EventStream {
     "ev13_json_parse"   -> ev13JsonParse _,
     "ev14_scd2"         -> ev14Scd2 _,
     "ev15_click_error_outer" -> ev15ClickErrorOuter _,
+    "ev16_interpolate"  -> ev16Interpolate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -669,5 +751,6 @@ object EventStream {
     "ev13_json_parse"   -> ev13Sql,
     "ev14_scd2"         -> ev14Sql,
     "ev15_click_error_outer" -> ev15Sql,
+    "ev16_interpolate"  -> ev16Sql,
   )
 }

@@ -134,6 +134,44 @@ class StreamingSpec extends SparkSpec {
       s"streaming outer join must emit the unmatched click: $streamed")
   }
 
+  test("CDC stream keeps a parquet table current via per-batch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toFile.getAbsolutePath
+    val table = s"$dir/users"
+    val input = MemoryStream[Event]
+    val q = EventStream.cdcUpsertStream(
+      input.toDF().select($"user_id", $"value", $"event_id"),
+      table, "user_id", "event_id", s"$dir/ckpt")
+    try {
+      input.addData(
+        Event(1L, ts(0), 1L, "u", 10.0, "{}"),
+        Event(2L, ts(1), 2L, "u", 20.0, "{}"),
+        Event(3L, ts(2), 3L, "u", 30.0, "{}"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).count() == 3)
+      // second batch: two updates for user 2 in ONE batch (intra-batch
+      // last-writer-wins by event_id) plus a brand-new key
+      input.addData(
+        Event(4L, ts(3), 2L, "u", 21.0, "{}"),
+        Event(6L, ts(4), 2L, "u", 22.0, "{}"),
+        Event(5L, ts(5), 4L, "u", 40.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(table)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 22.0, 3L -> 30.0, 4L -> 40.0),
+      s"merged table drifted: $rows")
+    // replaying the same batch must not change the table (idempotence)
+    graft.sources.Sink.mergeInto(spark, table,
+      Seq((2L, 21.0, 4L), (2L, 22.0, 6L), (4L, 40.0, 5L))
+        .toDF("user_id", "value", "event_id"),
+      "user_id", "event_id")
+    val replayed = spark.read.parquet(table)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(replayed == rows, "replaying a CDC batch must be a no-op")
+  }
+
   test("asofJoin picks the latest right row at or before each left row") {
     import spark.implicits._
     def L(v: Long): java.lang.Long = java.lang.Long.valueOf(v)

@@ -1253,6 +1253,92 @@ object Relational {
   private def q53RecursiveCte(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir, q53Sql)
 
+  /** q54 — declarative data-quality constraint checking (the
+    * deequ/expectations pattern a training-data pipeline gates ingest
+    * on): each constraint is an aggregate over the SAME single scan —
+    * count_if violations for nullness/range/set-membership, a
+    * count-vs-distinct comparison for key uniqueness — unpivoted to one
+    * (constraint, n_violations) row each so the gate is data, not code.
+    * One pass over the table regardless of constraint count; every
+    * check is map-side-combinable. A real deployment compares
+    * n_violations against thresholds; the entry ships the counts so the
+    * oracle pins every constraint's exact violation arithmetic. */
+  private def q54QualityChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = Tables.orders(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count_distinct($"o_orderkey").as("n_keys"),
+      count(when($"o_custkey".isNull, 1)).as("null_custkey"),
+      count(when($"o_totalprice" <= 0.0, 1)).as("nonpos_price"),
+      count(when(!$"o_orderstatus".isin("O", "F", "P"), 1)).as("bad_status"),
+      count(when($"o_orderdate" < to_date(lit("1995-01-01"))
+        || $"o_orderdate" > to_date(lit("2001-12-31")), 1)).as("bad_date"))
+    agg.select(
+      struct(lit("unique_orderkey").as("check_name"),
+        ($"n_rows" - $"n_keys").as("n_violations")).as("c1"),
+      struct(lit("custkey_not_null").as("check_name"),
+        $"null_custkey".as("n_violations")).as("c2"),
+      struct(lit("price_positive").as("check_name"),
+        $"nonpos_price".as("n_violations")).as("c3"),
+      struct(lit("status_in_set").as("check_name"),
+        $"bad_status".as("n_violations")).as("c4"),
+      struct(lit("date_in_range").as("check_name"),
+        $"bad_date".as("n_violations")).as("c5"))
+      .select(explode(array($"c1", $"c2", $"c3", $"c4", $"c5")).as("c"))
+      .select($"c.check_name".as("check_name"), $"c.n_violations".as("n_violations"))
+      .orderBy($"check_name")
+  }
+
+  private val q54Sql =
+    """WITH a AS (
+      |  SELECT count(*) AS n_rows,
+      |         count(DISTINCT o_orderkey) AS n_keys,
+      |         count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+      |         count(CASE WHEN o_totalprice <= 0.0 THEN 1 END) AS nonpos_price,
+      |         count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END) AS bad_status,
+      |         count(CASE WHEN o_orderdate < DATE '1995-01-01'
+      |                      OR o_orderdate > DATE '2001-12-31' THEN 1 END) AS bad_date
+      |  FROM orders)
+      |SELECT c.check_name, c.n_violations FROM a,
+      |  LATERAL (VALUES ('unique_orderkey', n_rows - n_keys),
+      |                  ('custkey_not_null', null_custkey),
+      |                  ('price_positive', nonpos_price),
+      |                  ('status_in_set', bad_status),
+      |                  ('date_in_range', bad_date)) AS c(check_name, n_violations)
+      |ORDER BY c.check_name""".stripMargin
+
+  /** q55 — incremental (algebraic) aggregate maintenance: the
+    * materialized-view pattern that avoids rescanning history at 100 TB.
+    * The "materialized" per-(month, priority) counts/sums over orders
+    * before the cutoff are combined with an aggregate over only the
+    * post-cutoff delta by RE-AGGREGATING THE PARTIALS (sum of sums, sum
+    * of counts — every algebraic aggregate decomposes this way; AVG is
+    * derived at read time, never maintained directly). The oracle
+    * aggregates the whole table from scratch — any partial the
+    * combination loses or double-counts breaks the hash. */
+  private def q55IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = to_date(lit("1999-01-01"))
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(date_trunc("month", $"o_orderdate").as("month"), $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("total"))
+    val orders = Tables.orders(s, dir)
+    val matView = partial(orders.filter($"o_orderdate" < cutoff)) // "stored"
+    val delta = partial(orders.filter($"o_orderdate" >= cutoff))  // new data only
+    matView.unionByName(delta)
+      .groupBy($"month", $"o_orderpriority")
+      .agg(sum($"n").as("n"), sum($"total").as("total"),
+        (sum($"total") / sum($"n")).as("avg_price"))
+      .orderBy($"month", $"o_orderpriority")
+  }
+
+  private val q55Sql =
+    """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
+      |       count(*) AS n, sum(o_totalprice) AS total,
+      |       sum(o_totalprice) / count(*) AS avg_price
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY month, o_orderpriority""".stripMargin
+
   /** q43 — salted skew join (`plans.SkewJoin`): lineitem ⋈ orders with
     * the key salted 8 ways and orders replicated — the manual weapon for
     * a hot key no AQE split can fix. Salting is a pure plan rewrite, so
@@ -1382,6 +1468,8 @@ object Relational {
     "q51_regression"     -> q51Regression _,
     "q52_listagg"        -> q52Listagg _,
     "q53_recursive_cte"  -> q53RecursiveCte _,
+    "q54_quality_checks" -> q54QualityChecks _,
+    "q55_incremental_agg" -> q55IncrementalAgg _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1438,5 +1526,7 @@ object Relational {
     "q51_regression"     -> q51Sql,
     "q52_listagg"        -> q52OracleSql,
     "q53_recursive_cte"  -> q53Sql,
+    "q54_quality_checks" -> q54Sql,
+    "q55_incremental_agg" -> q55Sql,
   )
 }

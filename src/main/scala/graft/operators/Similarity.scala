@@ -396,22 +396,92 @@ object Similarity {
     transform(sequence(lit(0), lit(PqM - 1)),
       m => slice(e, m * lit(PqDim / PqM) + 1, lit(PqDim / PqM)))
 
+  /** Seeded Lloyd's k-means with k-means++ init, run ON THE DRIVER.
+    * PQ codebooks train on a bounded sample BY DESIGN (a few 8-dim
+    * points per centroid suffice; FAISS trains its quantizers locally
+    * the same way), so the training set fits on the driver at any corpus
+    * scale — only encode and scoring must be distributed. Replacing the
+    * 8 MLlib fits removed ~1 s of per-fit job-scheduling overhead each
+    * (the fits were scheduling-bound at every shipped SF: 13–28 s → ms).
+    * Deterministic: seeded init over input sorted by caller, ties to the
+    * lowest centroid index, fixed iteration count; an empty cluster
+    * keeps its previous centroid. */
+  private[graft] def kmeansLloyd(points: Array[Array[Double]], k: Int,
+      seed: Long, iters: Int): Array[Array[Double]] = {
+    require(points.length >= k, s"need >= $k training points")
+    val rnd = new scala.util.Random(seed)
+    val dim = points.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = Array.ofDim[Array[Double]](k)
+    centers(0) = points(rnd.nextInt(points.length)).clone()
+    val minD2 = points.map(d2(_, centers(0)))
+    for (c <- 1 until k) {
+      val total = minD2.sum
+      var target = rnd.nextDouble() * total
+      var idx = 0
+      while (idx < points.length - 1 && target > minD2(idx)) {
+        target -= minD2(idx); idx += 1
+      }
+      centers(c) = points(idx).clone()
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), centers(c))
+        if (d < minD2(i)) minD2(i) = d
+        i += 1
+      }
+    }
+    // Lloyd iterations
+    val assign = Array.ofDim[Int](points.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = d2(points(i), centers(0)); var c = 1
+        while (c < k) {
+          val d = d2(points(i), centers(c))
+          if (d < bestD) { bestD = d; best = c } // strict: ties keep lowest c
+          c += 1
+        }
+        assign(i) = best; i += 1
+      }
+      val sums = Array.fill(k)(Array.ofDim[Double](dim))
+      val counts = Array.ofDim[Int](k)
+      i = 0
+      while (i < points.length) {
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k if counts(c) > 0) {
+        var j = 0
+        while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
+      }
+    }
+    centers
+  }
+
   private[graft] def pqArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     pqCache.getOrBuild(s, dir) {
       import s.implicits._
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val emb = Tables.spread(Tables.embeddings(s, dir))
+      val emb = Tables.embeddings(s, dir)
       val sub = emb.select($"vec_id", posexplode(subvectors($"embedding")))
         .toDF("vec_id", "m", "subvec")
-      // per-subspace codebooks; full-corpus fit for the same determinism
-      // reasons as the IVF artifact (see ivfMultiAssigned's scaladoc)
-      val models = (0 until PqM).map { m =>
-        val fit = sub.filter($"m" === m).withColumn("features", array_to_vector($"subvec"))
-        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5).fit(fit)
+      // training set to the driver (see kmeansLloyd: bounded by design;
+      // a 100 TB ingest caps it with sample() first). Sorted for an
+      // order-independent, deterministic training input.
+      val train = sub.as[(Long, Int, Array[Float])].collect()
+        .map { case (v, m, a) => (m, v, a.map(_.toDouble)) }
+      val codebooks = (0 until PqM).map { m =>
+        val pts = train.filter(_._1 == m).sortBy(_._2).map(_._3)
+        kmeansLloyd(pts, PqK, seed = 42L + m, iters = 10)
       }
-      val cdf = models.zipWithIndex.flatMap { case (model, m) =>
-        model.clusterCenters.zipWithIndex.map { case (v, c) => (m, c, v.toArray) }
+      val cdf = codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, cell) => (m, cell, c) }
       }.toDF("cm", "cell", "cvec")
       val w = Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"cell")
       val codes = sub.join(broadcast(cdf), $"m" === $"cm")
@@ -466,7 +536,7 @@ object Similarity {
 
   /** s09 — measured recall@3 of PQ/ADC against exact brute force over the
     * same 50 probes (the s06 contract for the PQ index): floor 0.30 sits
-    * under the measured 0.44–0.49 across sf0.001–0.1 (deterministic:
+    * under the measured 0.41–0.47 across sf0.001–0.1 (deterministic:
     * fixed seeds) but far above the ~1% a broken codebook would score. PQ recall is intrinsically below
     * IVF's here — 4-byte codes on unclustered synthetic vectors is an
     * aggressive 64× compression — and rank-1 self-retrieval (cosine 1.0

@@ -1307,6 +1307,26 @@ object Relational {
       |                  ('date_in_range', bad_date)) AS c(check_name, n_violations)
       |ORDER BY c.check_name""".stripMargin
 
+  /** q56 — LATERAL correlated table subquery (SQL:2016; Spark 3.4+ and
+    * DuckDB both plan it): top-3 orders PER CUSTOMER by a per-outer-row
+    * ORDER BY ... LIMIT inside the lateral — the greatest-n-per-group
+    * shape as its standard SQL spelling (the window formulation is q14/
+    * q19's). One SQL string runs in both engines through the text entry;
+    * Catalyst decorrelates the lateral into a ranked window join rather
+    * than executing it row-at-a-time, so the plan scales like any
+    * windowed top-k. */
+  private val q56Sql =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+      |WHERE c.c_custkey < 100
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  private def q56Lateral(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q56Sql)
+
   /** q55 — incremental (algebraic) aggregate maintenance: the
     * materialized-view pattern that avoids rescanning history at 100 TB.
     * The "materialized" per-(month, priority) counts/sums over orders
@@ -1470,6 +1490,7 @@ object Relational {
     "q53_recursive_cte"  -> q53RecursiveCte _,
     "q54_quality_checks" -> q54QualityChecks _,
     "q55_incremental_agg" -> q55IncrementalAgg _,
+    "q56_lateral"        -> q56Lateral _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1528,5 +1549,6 @@ object Relational {
     "q53_recursive_cte"  -> q53Sql,
     "q54_quality_checks" -> q54Sql,
     "q55_incremental_agg" -> q55Sql,
+    "q56_lateral"        -> q56Sql,
   )
 }

@@ -142,15 +142,52 @@ object Multimodal {
       |WHERE length(substr(text, frame_idx * frame_len + 1, frame_len)) > 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** m04 — exact binary-asset dedup: identical payloads (the same image
+    * cross-posted under different ids/kinds) grouped by md5 of the RAW
+    * BYTES — no decode needed, so it runs at scan speed before any codec
+    * and the shuffle carries 16-byte digests, never payloads (d01's
+    * contract applied to media). Cross-posting is synthesized
+    * deterministically (every 10th asset re-posted under a high id, the
+    * q50 synthetic-CDC pattern) because the shipped corpora only carry
+    * natural text duplicates at sf0.1 — a 0-row result would gate
+    * nothing at the driver's sf0.01. Canonical copy = lowest media_id;
+    * singleton groups are dropped (the duplication IS the output). */
+  private def m04PayloadDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+    val reposts = media.filter($"media_id" % 10 === 0)
+      .withColumn("media_id", $"media_id" + 100000000L)
+    media.unionByName(reposts)
+      .groupBy(md5($"payload").as("payload_md5"))
+      .agg(count(lit(1)).as("n_copies"), min($"media_id").as("canonical_id"))
+      .filter($"n_copies" > 1)
+      .select($"payload_md5", $"n_copies", $"canonical_id")
+      .orderBy($"canonical_id")
+  }
+
+  private val m04Sql =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000000 AS media_id, text FROM documents
+      |  WHERE doc_id % 10 = 0)
+      |SELECT md5(text) AS payload_md5, count(*) AS n_copies,
+      |       min(media_id) AS canonical_id
+      |FROM media
+      |GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta"      -> m01Meta _,
     "m02_decode_features" -> m02DecodeFeatures _,
     "m03_frame_sample"    -> m03FrameSample _,
+    "m04_payload_dedup"   -> m04PayloadDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "m01_media_meta"      -> m01Sql,
     "m02_decode_features" -> m02Sql,
     "m03_frame_sample"    -> m03Sql,
+    "m04_payload_dedup"   -> m04Sql,
   )
 }

@@ -1327,6 +1327,35 @@ object Relational {
   private def q56Lateral(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir, q56Sql)
 
+  /** q57 — UNPIVOT (wide → long), the inverse of q49's PIVOT: per-status
+    * totals computed as three conditional aggregates in ONE pass (a wide
+    * row), then unpivoted to (flag, status_label, total) rows via
+    * `stack` — Spark's codegen'd UNPIVOT primitive (the SQL UNPIVOT
+    * clause plans to the same Expand). The oracle spells it UNION ALL,
+    * the engine-portable long form. */
+  private def q57Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag".as("flag"))
+      .agg(
+        sum(when($"l_linestatus" === "O", $"l_quantity").otherwise(0.0)).as("qty_o"),
+        sum(when($"l_linestatus" === "F", $"l_quantity").otherwise(0.0)).as("qty_f"))
+      .select($"flag", expr(
+        "stack(2, 'O', qty_o, 'F', qty_f) AS (status_label, total)"))
+      .orderBy($"flag", $"status_label")
+  }
+
+  private val q57Sql =
+    """WITH wide AS (
+      |  SELECT l_returnflag AS flag,
+      |    sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END) AS qty_o,
+      |    sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END) AS qty_f
+      |  FROM lineitem GROUP BY 1)
+      |SELECT flag, 'O' AS status_label, qty_o AS total FROM wide
+      |UNION ALL
+      |SELECT flag, 'F' AS status_label, qty_f AS total FROM wide
+      |ORDER BY flag, status_label""".stripMargin
+
   /** q55 — incremental (algebraic) aggregate maintenance: the
     * materialized-view pattern that avoids rescanning history at 100 TB.
     * The "materialized" per-(month, priority) counts/sums over orders
@@ -1491,6 +1520,7 @@ object Relational {
     "q54_quality_checks" -> q54QualityChecks _,
     "q55_incremental_agg" -> q55IncrementalAgg _,
     "q56_lateral"        -> q56Lateral _,
+    "q57_unpivot"        -> q57Unpivot _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1550,5 +1580,6 @@ object Relational {
     "q54_quality_checks" -> q54Sql,
     "q55_incremental_agg" -> q55Sql,
     "q56_lateral"        -> q56Sql,
+    "q57_unpivot"        -> q57Sql,
   )
 }

@@ -15,7 +15,8 @@ object ProfilePqRecall {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
     dirs.foreach { dir =>
-      val pq = SparkEntry.queries("s08_ann_pq")(spark, dir).select($"qid", $"nid")
+      Seq("s08_ann_pq", "s10_ann_ivfpq").foreach { entry =>
+      val pq = SparkEntry.queries(entry)(spark, dir).select($"qid", $"nid")
       val emb = Tables.embeddings(spark, dir)
       val q = emb.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"embedding".as("qe"))
       val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
@@ -27,7 +28,8 @@ object ProfilePqRecall {
         .select($"qid", $"nid")
       val hits = exact.join(pq, Seq("qid", "nid"), "left_semi").count()
       val total = exact.count()
-      println(f"PQ recall@3 at $dir: ${hits.toDouble / total}%.3f ($hits / $total)")
+      println(f"$entry recall@3 at $dir: ${hits.toDouble / total}%.3f ($hits / $total)")
+      }
     }
     spark.stop()
   }

@@ -86,6 +86,13 @@ class SimilaritySpec extends SparkSpec {
       "PQ/ADC recall@3 fell below the 0.30 floor")
   }
 
+  test("composed IVF-PQ ANN clears its end-to-end recall@3 floor") {
+    val res = SparkEntry.queries("s11_ann_ivfpq_recall")(spark, sfDir).collect()
+    assert(res.length == 1)
+    assert(res.head.getAs[Boolean]("recall_ok"),
+      "IVF-PQ composed recall@3 fell below the 0.25 floor")
+  }
+
   test("bucketed ANN only pairs vectors within the same sign-LSH cell") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

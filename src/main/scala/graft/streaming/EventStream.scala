@@ -716,6 +716,49 @@ object EventStream {
       |  v IS NULL AS interpolated
       |FROM j ORDER BY user_id, hour""".stripMargin
 
+  /** ev17 — ordered funnel analysis (view → click → purchase): a user
+    * counts for stage N only with an event AT OR AFTER their stage-N−1
+    * time AND within the stage's conversion window (first-touch
+    * semantics with a 12-hour deadline per step: t1 = first view, t2 =
+    * first click in [t1, t1+12h], t3 = first purchase in [t2, t2+12h] —
+    * without the deadline every user of this 30-day-dense corpus
+    * converts and the gate checks nothing). Each stage is a filtered
+    * aggregate plus an equi-join on the user key — same-key shuffles
+    * that co-partition, so the funnel costs one wide stage per step at
+    * any scale, never a per-user sort of all history. Stage populations
+    * are monotone by construction; the oracle runs the same three
+    * CTEs. */
+  private def ev17Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click").select($"user_id", $"ts".as("cts"))
+      .join(v, Seq("user_id"))
+      .filter($"cts" >= $"t1" && $"cts" <= $"t1" + expr("INTERVAL 12 HOURS"))
+      .groupBy($"user_id").agg(min($"cts").as("t2"))
+    val p = ev.filter($"event_type" === "purchase").select($"user_id", $"ts".as("pts"))
+      .join(c, Seq("user_id"))
+      .filter($"pts" >= $"t2" && $"pts" <= $"t2" + expr("INTERVAL 12 HOURS"))
+      .groupBy($"user_id").agg(min($"pts").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  private val ev17Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+      |      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      |        AND e.ts <= v.t1 + INTERVAL 12 HOUR GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      |        AND e.ts <= c.t2 + INTERVAL 12 HOUR GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -733,6 +776,7 @@ object EventStream {
     "ev14_scd2"         -> ev14Scd2 _,
     "ev15_click_error_outer" -> ev15ClickErrorOuter _,
     "ev16_interpolate"  -> ev16Interpolate _,
+    "ev17_funnel"       -> ev17Funnel _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -752,5 +796,6 @@ object EventStream {
     "ev14_scd2"         -> ev14Sql,
     "ev15_click_error_outer" -> ev15Sql,
     "ev16_interpolate"  -> ev16Sql,
+    "ev17_funnel"       -> ev17Sql,
   )
 }

@@ -534,6 +534,58 @@ object TextAnalysis {
       |    AS n_mixed
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** t14 — quality-WEIGHTED sampling: each document is kept with
+    * probability equal to its t02 quality score, decided by comparing the
+    * score against a hash-derived uniform (first 4 md5 hex chars of the
+    * salted doc key over 65536) — t06's deterministic-split idea extended
+    * from a fixed rate to a PER-ROW rate. This is how a pipeline
+    * downsamples low-quality text without an RNG: bit-reproducible across
+    * engines, runs, and partitionings, trivially parallel (a narrow map),
+    * and auditable (the oracle re-derives every keep decision — one
+    * boundary flip breaks n_kept's hash). kept_avg_quality > avg_quality
+    * by construction: the selection effect is the visible output. */
+  private def t14WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words(col("text"))
+    val nWords = size(w)
+    val stopRatio = stopwordHits(w).cast("double") / nWords
+    val q = least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
+      least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)
+    val bucket = conv(
+      substring(md5(concat(lit("wsample:"), $"doc_id".cast("string"))), 1, 4),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .withColumn("q", q)
+      .withColumn("keep", bucket.cast("double") < $"q" * 65536.0)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        avg($"q").as("avg_quality"),
+        avg(when($"keep", $"q")).as("kept_avg_quality"))
+      .orderBy($"source")
+  }
+
+  private val t14Sql = {
+    val stops = stopwords.map(x => s"'$x'").mkString(", ")
+    val h = "md5('wsample:' || doc_id::VARCHAR)"
+    def hex(i: Int) = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+    val bucket = s"(((${hex(1)} * 16 + ${hex(2)}) * 16 + ${hex(3)}) * 16 + ${hex(4)})"
+    s"""WITH scored AS (
+       |  SELECT source,
+       |    least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       |      + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |          / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5 AS q,
+       |    $bucket::DOUBLE < (least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       |      + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |          / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5) * 65536.0 AS keep
+       |  FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  avg(q) AS avg_quality,
+       |  avg(CASE WHEN keep THEN q END) AS kept_avg_quality
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -548,6 +600,7 @@ object TextAnalysis {
     "t11_redact"      -> t11Redact _,
     "t12_lm_score"    -> t12LmScore _,
     "t13_mixture"     -> t13Mixture _,
+    "t14_weighted_sample" -> t14WeightedSample _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -564,5 +617,6 @@ object TextAnalysis {
     "t11_redact"      -> t11Sql,
     "t12_lm_score"    -> t12Sql,
     "t13_mixture"     -> t13Sql,
+    "t14_weighted_sample" -> t14Sql,
   )
 }

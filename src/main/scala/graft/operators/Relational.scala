@@ -1368,8 +1368,12 @@ object Relational {
   private def q55IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cutoff = to_date(lit("1999-01-01"))
+    // cast to DATE: Spark's date_trunc returns timestamp, DuckDB's
+    // returns DATE — the driver's hash compare is representation-
+    // sensitive (q53 sets the convention)
     def partial(df: DataFrame): DataFrame = df
-      .groupBy(date_trunc("month", $"o_orderdate").as("month"), $"o_orderpriority")
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"),
+        $"o_orderpriority")
       .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("total"))
     val orders = Tables.orders(s, dir)
     val matView = partial(orders.filter($"o_orderdate" < cutoff)) // "stored"

@@ -247,9 +247,16 @@ object Similarity {
     * (0.45) sits under the measured 0.56–0.60 across sf0.001–0.1
     * (deterministic: fixed k-means seed) but far above the ~1% a broken
     * index would score. */
-  private def s06AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
+  /** Shared recall@3 gate: mean overlap of `approx` (qid, nid) with the
+    * exact brute-force top-3 over the 50 probes, one boolean row — ONE
+    * definition of the ground truth for every gated index (s06/s09/s11),
+    * so a tie-break or probe-count change can never make the gates
+    * measure different ground truths. Probes whose entire exact top-3 is
+    * missed don't appear in the overlap; the average runs over all 50
+    * probes, not just the ones with hits. */
+  private def recallGate(s: SparkSession, dir: String, approx: DataFrame,
+      floor: Double): DataFrame = {
     import s.implicits._
-    val ivf = ivfTop3(ivfAssigned(s, dir)).select($"qid", $"nid")
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter($"vec_id" < 50)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
@@ -260,15 +267,18 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"qid", $"nid")
-    val overlap = exact.join(ivf, Seq("qid", "nid"), "left_semi")
+    val overlap = exact.join(approx, Seq("qid", "nid"), "left_semi")
       .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
-    // probes whose entire exact top-3 is missed don't appear in `overlap`;
-    // average over all 50 probes, not just the ones with hits
     exact.select($"qid").distinct()
       .join(overlap, Seq("qid"), "left")
       .agg((sum(coalesce($"n_hits", lit(0L))).cast("double")
         / (count(lit(1)) * 3)).as("recall"))
-      .select(($"recall" >= 0.45).as("recall_ok"))
+      .select(($"recall" >= floor).as("recall_ok"))
+  }
+
+  private def s06AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    recallGate(s, dir, ivfTop3(ivfAssigned(s, dir)).select($"qid", $"nid"), 0.45)
   }
 
   private val s06Sql = "SELECT true AS recall_ok"
@@ -385,6 +395,9 @@ object Similarity {
   val PqK = 16
   private val PqDim = 64
 
+  /** Driver-side training-set cap (vectors), see [[pqArtifact]]. */
+  val PqTrainVectors = 100000
+
   /** Train-once-per-(session, dir) artifact, like the IVF quantizer:
     * (codes, codebook) where codes = one (vec_id, m, code) row per
     * subspace and codebook = (cm, cell, cvec) with PqM·PqK rows. Encoding
@@ -471,10 +484,14 @@ object Similarity {
       val emb = Tables.embeddings(s, dir)
       val sub = emb.select($"vec_id", posexplode(subvectors($"embedding")))
         .toDF("vec_id", "m", "subvec")
-      // training set to the driver (see kmeansLloyd: bounded by design;
-      // a 100 TB ingest caps it with sample() first). Sorted for an
+      // training set to the driver, CAPPED so "bounded by design" is a
+      // property of the code, not the shipped data: the deterministic
+      // lowest-[[PqTrainVectors]] ids (far above every shipped corpus, so
+      // measured recalls are unaffected; a few hundred 8-dim points per
+      // centroid is already more than PQ training needs). Sorted for an
       // order-independent, deterministic training input.
-      val train = sub.as[(Long, Int, Array[Float])].collect()
+      val train = sub.sort($"vec_id", $"m").limit(PqTrainVectors * PqM)
+        .as[(Long, Int, Array[Float])].collect()
         .map { case (v, m, a) => (m, v, a.map(_.toDouble)) }
       val codebooks = (0 until PqM).map { m =>
         val pts = train.filter(_._1 == m).sortBy(_._2).map(_._3)
@@ -504,26 +521,53 @@ object Similarity {
     * The reconstruction norm comes from the same table (centroid
     * self-dots), making the approximate cosine self-contained in code
     * space. */
-  private def pqTop3(s: SparkSession, dir: String): DataFrame = {
+  /** The 50 probes with exact norms: (qid, qe, qnorm). */
+  private def pqProbes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val (codes, cdf) = pqArtifact(s, dir)
-    val probes = withNorm(Tables.embeddings(s, dir).filter($"vec_id" < 50))
+    withNorm(Tables.embeddings(s, dir).filter($"vec_id" < 50))
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"norm".as("qnorm"))
-    val qsub = probes.select($"qid", $"qnorm", posexplode(subvectors($"qe")))
-      .toDF("qid", "qnorm", "qm", "qsubvec")
-    val table = qsub.join(broadcast(cdf), $"qm" === $"cm")
-      .select($"qid", $"qnorm", $"qm", $"cell",
+  }
+
+  /** Per-query ADC lookup table — (tqid, qm, tcell, pdot, pnorm2), one
+    * row per (probe, subspace, centroid): the partial dot of the probe's
+    * exact subvector with each centroid, plus the centroid self-dot for
+    * the reconstruction norm. ONE definition shared by s08 and s10 — the
+    * two indexes must score with the same approximation or the recall
+    * gates stop being comparable. PqM·PqK rows per probe; always
+    * broadcast. */
+  private def adcTable(probes: DataFrame, cdf: DataFrame): DataFrame = {
+    import probes.sparkSession.implicits._
+    probes.select($"qid", posexplode(subvectors($"qe")))
+      .toDF("qid", "qm", "qsubvec")
+      .join(broadcast(cdf), $"qm" === $"cm")
+      .select($"qid".as("tqid"), $"qm", $"cell".as("tcell"),
         aggregate(zip_with($"qsubvec", $"cvec", (x, y) => x.cast("double") * y),
           lit(0.0), (a, x) => a + x).as("pdot"),
         aggregate(transform($"cvec", y => y * y), lit(0.0), (a, x) => a + x).as("pnorm2"))
+  }
+
+  /** Rank ADC-scored pairs and keep the top 3 per probe: `scored` must
+    * carry (qid, nid, adot, anorm2); probe norms join in here. */
+  private def adcTop3(scored: DataFrame, probes: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
     val w = Window.partitionBy($"qid").orderBy($"qcosine".desc, $"nid")
-    codes.join(broadcast(table), codes("m") === table("qm") && codes("code") === table("cell"))
-      .groupBy($"qid", codes("vec_id").as("nid"))
-      .agg(first($"qnorm").as("qnorm"), sum($"pdot").as("adot"), sum($"pnorm2").as("anorm2"))
+    scored.join(broadcast(probes.select($"qid", $"qnorm")), Seq("qid"))
       .withColumn("qcosine", $"adot" / ($"qnorm" * sqrt($"anorm2")))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 3)
       .select($"qid", $"rank", $"nid")
+  }
+
+  private def pqTop3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (codes, cdf) = pqArtifact(s, dir)
+    val probes = pqProbes(s, dir)
+    val table = adcTable(probes, cdf)
+    val scored = codes
+      .join(broadcast(table), $"m" === $"qm" && $"code" === $"tcell")
+      .groupBy($"tqid".as("qid"), codes("vec_id").as("nid"))
+      .agg(sum($"pdot").as("adot"), sum($"pnorm2").as("anorm2"))
+    adcTop3(scored, probes)
   }
 
   /** IVF-PQ composed top-3 — the two levers TOGETHER, the standard
@@ -538,29 +582,18 @@ object Similarity {
     import s.implicits._
     val assigned = ivfAssigned(s, dir)
     val (codes, cdf) = pqArtifact(s, dir)
-    val probes = withNorm(Tables.embeddings(s, dir).filter($"vec_id" < 50))
-      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"norm".as("qnorm"))
+    val probes = pqProbes(s, dir)
     val cand = probes
       .join(assigned.select($"vec_id".as("qid"), $"cell".as("qcell")), Seq("qid"))
       .join(assigned.select($"vec_id".as("nid"), $"cell".as("ncell")), $"qcell" === $"ncell")
-      .select($"qid", $"qnorm", $"nid")
-    val qsub = probes.select($"qid", posexplode(subvectors($"qe")))
-      .toDF("qid", "qm", "qsubvec")
-    val table = qsub.join(broadcast(cdf), $"qm" === $"cm")
-      .select($"qid".as("tqid"), $"qm", $"cell".as("tcell"),
-        aggregate(zip_with($"qsubvec", $"cvec", (x, y) => x.cast("double") * y),
-          lit(0.0), (a, x) => a + x).as("pdot"),
-        aggregate(transform($"cvec", y => y * y), lit(0.0), (a, x) => a + x).as("pnorm2"))
-    val w = Window.partitionBy($"qid").orderBy($"qcosine".desc, $"nid")
-    cand.join(codes, cand("nid") === codes("vec_id"))
+      .select($"qid", $"nid")
+    val table = adcTable(probes, cdf)
+    val scored = cand.join(codes, cand("nid") === codes("vec_id"))
       .join(broadcast(table),
         $"qid" === $"tqid" && $"m" === $"qm" && $"code" === $"tcell")
       .groupBy($"qid", $"nid")
-      .agg(first($"qnorm").as("qnorm"), sum($"pdot").as("adot"), sum($"pnorm2").as("anorm2"))
-      .withColumn("qcosine", $"adot" / ($"qnorm" * sqrt($"anorm2")))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"qid", $"rank", $"nid")
+      .agg(sum($"pdot").as("adot"), sum($"pnorm2").as("anorm2"))
+    adcTop3(scored, probes)
   }
 
   /** s10 — IVF-PQ ANN (rows-only, like s04/s08; s11 is the gate). */
@@ -578,24 +611,7 @@ object Similarity {
     * end to end, not just each half. */
   private def s11AnnIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val got = ivfPqTop3(s, dir).select($"qid", $"nid")
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter($"vec_id" < 50)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
-    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-    val exact = broadcast(q).crossJoin(n)
-      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"qid", $"nid")
-    val overlap = exact.join(got, Seq("qid", "nid"), "left_semi")
-      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
-    exact.select($"qid").distinct()
-      .join(overlap, Seq("qid"), "left")
-      .agg((sum(coalesce($"n_hits", lit(0L))).cast("double")
-        / (count(lit(1)) * 3)).as("recall"))
-      .select(($"recall" >= 0.25).as("recall_ok"))
+    recallGate(s, dir, ivfPqTop3(s, dir).select($"qid", $"nid"), 0.25)
   }
 
   private val s11Sql = "SELECT true AS recall_ok"
@@ -618,24 +634,7 @@ object Similarity {
     * failure modes (dead codebook, wrong table join). */
   private def s09AnnPqRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pq = pqTop3(s, dir).select($"qid", $"nid")
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter($"vec_id" < 50)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
-    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-    val exact = broadcast(q).crossJoin(n)
-      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"qid", $"nid")
-    val overlap = exact.join(pq, Seq("qid", "nid"), "left_semi")
-      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
-    exact.select($"qid").distinct()
-      .join(overlap, Seq("qid"), "left")
-      .agg((sum(coalesce($"n_hits", lit(0L))).cast("double")
-        / (count(lit(1)) * 3)).as("recall"))
-      .select(($"recall" >= 0.30).as("recall_ok"))
+    recallGate(s, dir, pqTop3(s, dir).select($"qid", $"nid"), 0.30)
   }
 
   private val s09Sql = "SELECT true AS recall_ok"

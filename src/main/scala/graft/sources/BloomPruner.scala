@@ -50,9 +50,12 @@ object BloomPruner {
     shards.filter(_.bloom.mightContainLong(key))
 
   /** Read only the shards whose bloom admits `key`, then re-apply the
-    * exact equality (false positives make the residual mandatory). */
+    * exact equality (false positives make the residual mandatory). An
+    * empty sidecar (a table with no shards at build time) reads
+    * nothing — no key column to consult. */
   def readPruned(spark: SparkSession, spec: TableSpec,
       shards: Seq[ShardBloom], key: Long): DataFrame = {
+    if (shards.isEmpty) return Catalog.read(spark, spec).limit(0)
     val keep = prune(shards, key).map(_.path)
     val df =
       if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent

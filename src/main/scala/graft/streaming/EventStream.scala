@@ -759,6 +759,45 @@ object EventStream {
       |       (SELECT count(*) FROM c) AS n_click_after_view,
       |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
 
+  /** ev18 — weekly cohort retention: users grouped by signup week (first
+    * signup event), activity = distinct (user, week) pairs, output =
+    * cohort × week-offset active-user counts — the retention triangle
+    * every growth dashboard runs. Two aggregations and one user-key
+    * join; the distinct collapses per-user event volume BEFORE the join,
+    * so the joined side is bounded by users × weeks, not by events.
+    * Pre-signup activity (negative offsets) is excluded, classic
+    * retention semantics. */
+  private def ev18Cohort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(min(date_trunc("week", $"ts")).cast("date").as("cohort_week"))
+    val active = ev
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+      .distinct()
+    cohort.join(active, Seq("user_id"))
+      .withColumn("week_offset", (datediff($"week", $"cohort_week") / 7).cast("int"))
+      .filter($"week_offset" >= 0)
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count_distinct($"user_id").as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+
+  private val ev18Sql =
+    """WITH cohort AS (
+      |  SELECT user_id, min(date_trunc('week', ts))::DATE AS cohort_week
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |active AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS week
+      |  FROM events)
+      |SELECT c.cohort_week,
+      |       ((a.week - c.cohort_week) // 7)::INT AS week_offset,
+      |       count(DISTINCT c.user_id) AS n_active
+      |FROM cohort c JOIN active a USING (user_id)
+      |WHERE a.week >= c.cohort_week
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -777,6 +816,7 @@ object EventStream {
     "ev15_click_error_outer" -> ev15ClickErrorOuter _,
     "ev16_interpolate"  -> ev16Interpolate _,
     "ev17_funnel"       -> ev17Funnel _,
+    "ev18_cohort"       -> ev18Cohort _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -797,5 +837,6 @@ object EventStream {
     "ev15_click_error_outer" -> ev15Sql,
     "ev16_interpolate"  -> ev16Sql,
     "ev17_funnel"       -> ev17Sql,
+    "ev18_cohort"       -> ev18Sql,
   )
 }

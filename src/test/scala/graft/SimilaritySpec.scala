@@ -67,6 +67,29 @@ class SimilaritySpec extends SparkSpec {
       "k-means IVF single-probe recall@3 fell below the 0.45 floor")
   }
 
+  test("driver-side Lloyd k-means is deterministic and centroid-sound") {
+    // fixed synthetic input: 3 well-separated clusters in 2-D
+    val pts = (0 until 30).toArray.map { i =>
+      val c = i % 3
+      Array(c * 10.0 + (i % 5) * 0.1, c * 10.0 - (i % 7) * 0.1)
+    }
+    val a = Similarity.kmeansLloyd(pts, 3, seed = 7L, iters = 10)
+    val b = Similarity.kmeansLloyd(pts, 3, seed = 7L, iters = 10)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "same seed + input must reproduce identical centroids")
+    val c = Similarity.kmeansLloyd(pts, 3, seed = 8L, iters = 10)
+    assert(a.length == 3 && c.length == 3)
+    // with separated clusters every centroid must sit inside one cluster's
+    // x-range regardless of seed
+    Seq(a, c).foreach(_.foreach { ctr =>
+      assert(Seq(0.0, 10.0, 20.0).exists(x => math.abs(ctr(0) - x) < 1.0),
+        s"centroid ${ctr.toSeq} far from every true cluster")
+    })
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(pts.take(2), 3, seed = 1L, iters = 1)
+    }
+  }
+
   test("PQ codes cover every (vector, subspace) pair exactly once") {
     import spark.implicits._
     val (codes, cdf) = graft.operators.Similarity.pqArtifact(spark, sfDir)

@@ -48,6 +48,13 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q54 quality checks run all constraints in ONE table scan") {
+    val plan = SparkEntry.queries("q54_quality_checks")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 scan, found $scans:\n${plan.take(2000)}")
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val intended = Set("q12_cross_join") // tiny dims, explicit cross join
     SparkEntry.queries.foreach { case (name, fn) =>

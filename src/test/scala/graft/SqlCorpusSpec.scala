@@ -9,8 +9,8 @@ import graft.operators.{SsbCorpus, TpchCorpus}
   * Spark side of the workflow end to end at the smallest scale factor. */
 class SqlCorpusSpec extends SparkSpec {
 
-  test("corpus covers at least 15 of the 22 stock queries") {
-    assert(TpchCorpus.ids.size >= 15, s"only ${TpchCorpus.ids.size} adapted")
+  test("corpus is complete: all 22 stock queries") {
+    assert(TpchCorpus.ids == (1 to 22), s"corpus ids: ${TpchCorpus.ids}")
     assert(TpchCorpus.queries.size == TpchCorpus.ids.size)
     assert(TpchCorpus.oracleSql.keySet == TpchCorpus.queries.keySet)
   }

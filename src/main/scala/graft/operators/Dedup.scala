@@ -796,6 +796,66 @@ object Dedup {
       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Bottom-k sketch size for the containment candidate generator. */
+  val BottomK = 8
+
+  /** d14 — CONTAINMENT near-dup: pairs where the smaller document's
+    * shingle set is mostly inside the larger's (|A∩B| / min(|A|,|B|)) —
+    * the quotation/partial-copy relation that whole-set Jaccard (d06)
+    * under-scores (a doc fully quoted inside a 10× larger one has
+    * J ≈ 0.1 but containment 1.0) and chunk dedup (d13) only catches at
+    * fixed alignments. Candidates come from a bottom-[[BottomK]] sketch
+    * (the k smallest shingle md5s per doc — order statistics, so a
+    * contained doc's sketch overlaps the container's): docs sharing ≥ 2
+    * sketch hashes meet on an equi-join over 8 rows/doc, never all
+    * pairs; the exact containment then runs only on candidates. The
+    * oracle runs the SAME algorithm (sketch rule included), so the
+    * measurement is well-defined — pairs below the sketch's reach are
+    * excluded by definition, as with d03's banding. */
+  private def d14Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = withSh3(Tables.documents(s, dir)).select($"doc_id", $"sh")
+    val sketched = sh.withColumn("bottom",
+      slice(array_sort(transform($"sh", x => md5(x))), 1, BottomK))
+    val ex = sketched.select($"doc_id", explode($"bottom").as("h"))
+    val cand = ex.select($"h", $"doc_id".as("doc_a"))
+      .join(ex.select($"h".as("h2"), $"doc_id".as("doc_b")),
+        $"h" === $"h2" && $"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .select($"doc_a", $"doc_b")
+    cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .withColumn("containment",
+        size(array_intersect($"sh_a", $"sh_b")).cast("double")
+          / least(size($"sh_a"), size($"sh_b")))
+      .filter($"containment" >= 0.5)
+      .select($"doc_a", $"doc_b", $"containment")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val d14Sql =
+    s"""WITH sh AS (SELECT doc_id, ${duckShingles(3)} AS sh FROM documents),
+       |sk AS (SELECT doc_id, sh,
+       |         list_sort(list_transform(sh, x -> md5(x)))[1:$BottomK] AS bottom
+       |       FROM sh),
+       |ex AS (SELECT doc_id, unnest(bottom) AS h FROM sk),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT doc_a, doc_b,
+       |  len(list_intersect(ha.sh, hb.sh))::DOUBLE
+       |    / least(len(ha.sh), len(hb.sh)) AS containment
+       |FROM cand
+       |JOIN sk ha ON ha.doc_id = doc_a
+       |JOIN sk hb ON hb.doc_id = doc_b
+       |WHERE len(list_intersect(ha.sh, hb.sh))::DOUBLE
+       |    / least(len(ha.sh), len(hb.sh)) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -814,6 +874,7 @@ object Dedup {
     "d11b_semdedup_ivf" -> d11bSemDedupIvf _,
     "d12_embed_pipeline" -> d12EmbedPipeline _,
     "d13_chunk_dedup"   -> d13ChunkDedup _,
+    "d14_containment"   -> d14Containment _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -834,5 +895,6 @@ object Dedup {
     "d11b_semdedup_ivf" -> d11bSql,
     "d12_embed_pipeline" -> d12Sql,
     "d13_chunk_dedup"   -> d13Sql,
+    "d14_containment"   -> d14Sql,
   )
 }

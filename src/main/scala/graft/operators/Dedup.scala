@@ -814,9 +814,13 @@ object Dedup {
     * excluded by definition, as with d03's banding. */
   private def d14Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = withSh3(Tables.documents(s, dir)).select($"doc_id", $"sh")
-    val sketched = sh.withColumn("bottom",
-      slice(array_sort(transform($"sh", x => md5(x))), 1, BottomK))
+    // shingle once, reuse for sketch AND exact joins (the oracle's `sk`
+    // CTE shape) — each reference below would otherwise re-run
+    // WordShingles over every document
+    val sketched = withSh3(Tables.documents(s, dir)).select($"doc_id", $"sh")
+      .withColumn("bottom",
+        slice(array_sort(transform($"sh", x => md5(x))), 1, BottomK))
+      .localCheckpoint()
     val ex = sketched.select($"doc_id", explode($"bottom").as("h"))
     val cand = ex.select($"h", $"doc_id".as("doc_a"))
       .join(ex.select($"h".as("h2"), $"doc_id".as("doc_b")),
@@ -826,8 +830,8 @@ object Dedup {
       .filter($"n_shared" >= 2)
       .select($"doc_a", $"doc_b")
     cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .join(sketched.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sketched.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("containment",
         size(array_intersect($"sh_a", $"sh_b")).cast("double")
           / least(size($"sh_a"), size($"sh_b")))

@@ -237,25 +237,15 @@ object Similarity {
     ivfTop3(ivfAssigned(s, dir)).orderBy($"qid", $"rank")
   }
 
-  /** s06 — measured recall of the k-means IVF (s04) against exact
-    * brute-force ground truth, computed IN the query: both top-3 sets are
-    * built over the same 50 probes, matched on (qid, nid), and the mean
-    * per-probe overlap must clear a floor. The k-means quantizer is not
-    * SQL-expressible, but this contract is — the oracle expects `true`, so
-    * the driver hash-checks the index quality every round (the answer to
-    * "self-retrieval at rank 1 does not validate the index"). The floor
-    * (0.45) sits under the measured 0.56–0.60 across sf0.001–0.1
-    * (deterministic: fixed k-means seed) but far above the ~1% a broken
-    * index would score. */
-  /** Shared recall@3 gate: mean overlap of `approx` (qid, nid) with the
-    * exact brute-force top-3 over the 50 probes, one boolean row — ONE
-    * definition of the ground truth for every gated index (s06/s09/s11),
-    * so a tie-break or probe-count change can never make the gates
-    * measure different ground truths. Probes whose entire exact top-3 is
-    * missed don't appear in the overlap; the average runs over all 50
-    * probes, not just the ones with hits. */
-  private def recallGate(s: SparkSession, dir: String, approx: DataFrame,
-      floor: Double): DataFrame = {
+  /** Measured recall@3 of `approx` (qid, nid) against the exact
+    * brute-force top-3 over the 50 probes, as a one-row (recall) frame —
+    * ONE definition of the ground truth for every gated index
+    * (s06/s09/s11) AND the profiling tool, so a tie-break or probe-count
+    * change can never make gates and recorded floors measure different
+    * ground truths. Probes whose entire exact top-3 is missed don't
+    * appear in the overlap; the average runs over all 50 probes, not
+    * just the ones with hits. */
+  private[graft] def recallAt3(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter($"vec_id" < 50)
@@ -273,9 +263,26 @@ object Similarity {
       .join(overlap, Seq("qid"), "left")
       .agg((sum(coalesce($"n_hits", lit(0L))).cast("double")
         / (count(lit(1)) * 3)).as("recall"))
-      .select(($"recall" >= floor).as("recall_ok"))
   }
 
+  /** The boolean gate over [[recallAt3]] — the driver-hash-checked
+    * contract (oracle expects `true`). */
+  private def recallGate(s: SparkSession, dir: String, approx: DataFrame,
+      floor: Double): DataFrame = {
+    import s.implicits._
+    recallAt3(s, dir, approx).select(($"recall" >= floor).as("recall_ok"))
+  }
+
+  /** s06 — measured recall of the k-means IVF (s04) against exact
+    * brute-force ground truth, computed IN the query: both top-3 sets are
+    * built over the same 50 probes, matched on (qid, nid), and the mean
+    * per-probe overlap must clear a floor. The k-means quantizer is not
+    * SQL-expressible, but this contract is — the oracle expects `true`, so
+    * the driver hash-checks the index quality every round (the answer to
+    * "self-retrieval at rank 1 does not validate the index"). The floor
+    * (0.45) sits under the measured 0.56–0.60 across sf0.001–0.1
+    * (deterministic: fixed k-means seed) but far above the ~1% a broken
+    * index would score. */
   private def s06AnnIvfRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     recallGate(s, dir, ivfTop3(ivfAssigned(s, dir)).select($"qid", $"nid"), 0.45)
@@ -349,10 +356,17 @@ object Similarity {
     // ≤ 127 are exact in float AND double, so the codegen'd loop computes
     // the same rationals as the oracle's integer arithmetic — and one
     // fused pass per pair replaces three interpreted zip_with/aggregate
-    // trees (measured 5.2 s → ~1 s at sf0.1)
-    val coded = emb.select($"vec_id",
-      transform($"embedding",
-        x => round(x.cast("double") / scale).cast("float")).as("code"))
+    // trees (measured 5.2 s → ~1 s at sf0.1). All-zero vectors are
+    // excluded up front: their scale is 0 and x/0 diverges between
+    // engines (Spark NaN vs DuckDB NULL) — cosine is undefined for them
+    // anyway, and dropping them on BOTH sides keeps the hash contract
+    // valid on arbitrary corpora (none exist in the shipped SFs).
+    val coded = emb
+      .filter(aggregate(transform($"embedding", x => abs(x.cast("double"))),
+        lit(0.0), (a, x) => greatest(a, x)) > 0.0)
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast("double") / scale).cast("float")).as("code"))
     val q = coded.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"code".as("qc"))
     val n = Tables.spread(coded.select($"vec_id".as("nid"), $"code".as("nc")))
     val w = Window.partitionBy($"qid").orderBy($"qcosine".desc, $"nid")
@@ -370,7 +384,8 @@ object Similarity {
     s"""WITH c AS (
        |  SELECT vec_id, list_transform(embedding,
        |      x -> CAST(round(x::DOUBLE / (list_max(list_transform(embedding, y -> abs(y::DOUBLE))) / 127.0)) AS INTEGER)) AS code
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE list_max(list_transform(embedding, y -> abs(y::DOUBLE))) > 0),
        |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
        |        ${cdot("q.code", "n.code")}
        |          / (sqrt(${cdot("q.code", "q.code")}) * sqrt(${cdot("n.code", "n.code")})) AS qcosine

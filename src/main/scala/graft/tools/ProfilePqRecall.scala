@@ -16,19 +16,11 @@ object ProfilePqRecall {
     import spark.implicits._
     dirs.foreach { dir =>
       Seq("s08_ann_pq", "s10_ann_ivfpq").foreach { entry =>
-      val pq = SparkEntry.queries(entry)(spark, dir).select($"qid", $"nid")
-      val emb = Tables.embeddings(spark, dir)
-      val q = emb.filter($"vec_id" < 50).select($"vec_id".as("qid"), $"embedding".as("qe"))
-      val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-      val exact = broadcast(q).crossJoin(n)
-        .withColumn("cosine", graft.functions.CosineSimilarity.column($"qe", $"ne"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 3)
-        .select($"qid", $"nid")
-      val hits = exact.join(pq, Seq("qid", "nid"), "left_semi").count()
-      val total = exact.count()
-      println(f"$entry recall@3 at $dir: ${hits.toDouble / total}%.3f ($hits / $total)")
+        // the SAME ground-truth definition the s09/s11 gates use
+        val approx = SparkEntry.queries(entry)(spark, dir).select($"qid", $"nid")
+        val r = graft.operators.Similarity.recallAt3(spark, dir, approx)
+          .head().getAs[Double]("recall")
+        println(f"$entry recall@3 at $dir: $r%.3f")
       }
     }
     spark.stop()

@@ -48,6 +48,14 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q56 LATERAL decorrelates to a ranked window join, not a loop") {
+    val plan = SparkEntry.queries("q56_lateral")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"correlated ORDER BY/LIMIT lateral must plan as WindowGroupLimit:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q54 quality checks run all constraints in ONE table scan") {
     val plan = SparkEntry.queries("q54_quality_checks")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -860,6 +860,67 @@ object Dedup {
        |    / least(len(ha.sh), len(hb.sh)) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d15 — the MinHash signatures AS AN ESTIMATOR, measured: for every
+    * LSH candidate pair, the 16-stream match-fraction estimate of J next
+    * to the exact shingle-set J and the absolute error — the
+    * collision-probability identity E[est] = J made visible (and
+    * hash-checked: both engines compute both numbers per pair, so a
+    * broken stream constant or band wiring shows up as a value diff, not
+    * just a weaker recall). The exact side joins shingle sets only for
+    * candidate pairs — the estimator's whole point is that the full
+    * corpus never pays the exact-J cost. */
+  private def d15MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pairs = minhashCandidates(docs)
+    val sig = minhashSignatures(docs)
+    val sh = withSh3(docs).select($"doc_id", $"sh")
+    val matches = (0 until NumHashes)
+      .map(k => when(col(f"a.m$k%02d") === col(f"b.m$k%02d"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    pairs
+      .join(sig.as("a"), $"doc_a" === $"a.doc_id")
+      .join(sig.as("b"), $"doc_b" === $"b.doc_id")
+      .withColumn("est_j", matches.cast("double") / NumHashes)
+      .select($"doc_a", $"doc_b", $"est_j")
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
+      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
+      .withColumn("exact_j",
+        inter.cast("double") / (size($"sh_a") + size($"sh_b") - inter))
+      .select($"doc_a", $"doc_b", $"est_j", $"exact_j",
+        abs($"est_j" - $"exact_j").as("abs_err"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private val d15Sql = {
+    val est = (0 until NumHashes)
+      .map(k => f"CASE WHEN sa.m$k%02d = sb.m$k%02d THEN 1 ELSE 0 END")
+      .mkString("(", " + ", s")::DOUBLE / $NumHashes")
+    s"""WITH $duckKeysCte,
+       |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
+       |banded AS ($duckBands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |    AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT p.doc_a, p.doc_b, $est AS est_j
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b)
+       |SELECT e.doc_a, e.doc_b, e.est_j,
+       |  len(list_intersect(x.sh, y.sh))::DOUBLE
+       |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS exact_j,
+       |  abs(e.est_j - len(list_intersect(x.sh, y.sh))::DOUBLE
+       |    / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS abs_err
+       |FROM est e
+       |JOIN s x ON x.doc_id = e.doc_a
+       |JOIN s y ON y.doc_id = e.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -879,6 +940,7 @@ object Dedup {
     "d12_embed_pipeline" -> d12EmbedPipeline _,
     "d13_chunk_dedup"   -> d13ChunkDedup _,
     "d14_containment"   -> d14Containment _,
+    "d15_minhash_estimate" -> d15MinhashEstimate _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -900,5 +962,6 @@ object Dedup {
     "d12_embed_pipeline" -> d12Sql,
     "d13_chunk_dedup"   -> d13Sql,
     "d14_containment"   -> d14Sql,
+    "d15_minhash_estimate" -> d15Sql,
   )
 }

@@ -15,9 +15,18 @@ object Verify {
     // never sets it, so its 2-arg full-dump contract is untouched
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    // sorted order + artifact release at family boundaries: families
+    // share session artifacts (dup groups, IVF index); releasing them
+    // when a family completes keeps the suite's storage footprint at
+    // one family's worth instead of the whole run's (see Bench)
+    var lastFamily = ""
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      if (name.takeWhile(!_.isDigit) != lastFamily) {
+        graft.util.SessionCache.releaseAll(spark)
+        lastFamily = name.takeWhile(!_.isDigit)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

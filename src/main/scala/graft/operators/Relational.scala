@@ -1262,7 +1262,13 @@ object Relational {
     * One pass over the table regardless of constraint count; every
     * check is map-side-combinable. A real deployment compares
     * n_violations against thresholds; the entry ships the counts so the
-    * oracle pins every constraint's exact violation arithmetic. */
+    * oracle pins every constraint's exact violation arithmetic.
+    *
+    * The date_in_range bounds [1995-01-01, 2001-12-31] are THIS
+    * testdata's o_orderdate domain (min 1995-01-01, max 2001-08-01 —
+    * the driver generator does not use stock TPC-H's 1992–1998 dates),
+    * so the constraint models a plausible ingest gate: ~0 violations on
+    * clean data, counting anything outside the generator's domain. */
   private def q54QualityChecks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = Tables.orders(s, dir).agg(

@@ -161,7 +161,8 @@ object Similarity {
     * re-clustering per query. Bounded LRU (weak keys can't work here — a
     * cached DataFrame strongly references its session, which would
     * re-reach a weak key via the map). */
-  private val ivfCache = new graft.util.SessionCache[DataFrame]
+  private val ivfCache = new graft.util.SessionCache[DataFrame](
+    releaseValue = graft.util.SessionCache.releaseFrame)
 
   /** Cells materialized per vector in the IVF artifact: rk = 1 is the
     * classic single-cell assignment (s04); ranks 2..IvfProbes feed
@@ -418,7 +419,8 @@ object Similarity {
     * subspace and codebook = (cm, cell, cvec) with PqM·PqK rows. Encoding
     * is ONE pass: explode each vector into its subvectors, broadcast-join
     * the 128-row codebook, keep the nearest cell per (vec_id, m). */
-  private val pqCache = new graft.util.SessionCache[(DataFrame, DataFrame)]
+  private val pqCache = new graft.util.SessionCache[(DataFrame, DataFrame)](
+    releaseValue = { case (codes, _) => graft.util.SessionCache.releaseFrame(codes) })
 
   private def subvectors(e: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)),

@@ -482,7 +482,9 @@ object TextAnalysis {
       .agg(countDistinct($"w").as("v"))
     val model = bgCounts
       .join(w1Counts, substring_index(bgCounts("bg"), " ", 1) === w1Counts("w1"))
-      .crossJoin(vocab)
+      // vocab is a 1-row aggregate; the explicit hint pins the broadcast
+      // in the plan instead of trusting AQE to discover the cardinality
+      .crossJoin(broadcast(vocab))
       .select($"bg".as("mbg"),
         log(($"c12" + lit(1.0)) / ($"c1" + $"v")).as("logp"))
     bigrams.join(model, $"bg" === $"mbg")

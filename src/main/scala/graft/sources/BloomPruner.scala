@@ -69,7 +69,7 @@ object BloomPruner {
     * CSV (each custkey lands in exactly one shard; every shard's key
     * RANGE spans the whole domain, so zone maps cannot prune this layout
     * at all) with one bloom per shard built in a single pass. */
-  private val artifact = new graft.util.SessionCache[(TableSpec, Seq[ShardBloom])]
+  private val artifact = new graft.util.SessionCache[(TableSpec, Seq[ShardBloom])]()
 
   private[graft] def shardedByCustkey(s: SparkSession, dir: String): (TableSpec, Seq[ShardBloom]) =
     artifact.getOrBuild(s, dir) {

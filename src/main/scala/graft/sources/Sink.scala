@@ -33,24 +33,43 @@ object Sink {
     * re-applying the same batch re-picks the same survivors and replaces
     * the same keys with the same rows — exactly what a restarted
     * streaming query needs from its sink (see
-    * [[graft.streaming.EventStream.cdcUpsertStream]]). */
+    * [[graft.streaming.EventStream.cdcUpsertStream]]).
+    *
+    * `orderCol` should be unique per key (a log offset or event id is —
+    * the same requirement scd2History states). If it is not, ties fall
+    * back to a content-hash tiebreak so the survivor is still a
+    * deterministic function of the batch, not of partition order — a
+    * nondeterministic tie survivor would silently break the
+    * replay-idempotence contract above.
+    *
+    * Crash recovery: the two-rename swap has a window — a process dying
+    * after rename(table → .bak) but before rename(tmp → table) leaves
+    * the table path missing. The next mergeInto (or any caller invoking
+    * [[recoverSwap]]) restores the `.merge.bak` snapshot first, so the
+    * window is self-healing rather than silent (a single atomic
+    * overwrite-rename would need HDFS FileContext semantics that
+    * local/object-store filesystems don't all honor). */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
       key: String, orderCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc)
+    val tieBreak = md5(to_json(struct(updates.columns.map(col): _*)))
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, tieBreak.asc)
     val latest = updates.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(p.getParent, s".${p.getName}.merge.bak")
+    // heal a previous run that died inside its swap window
+    if (!fs.exists(p) && fs.exists(bak) && !fs.rename(bak, p))
+      sys.error(s"mergeInto: cannot restore $bak after an interrupted swap")
     val merged =
       if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
       else latest
     val tmp = new Path(p.getParent, s".${p.getName}.merge.tmp")
     fs.delete(tmp, true)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    val bak = new Path(p.getParent, s".${p.getName}.merge.bak")
     fs.delete(bak, true)
     val hadTable = fs.exists(p)
     if (hadTable && !fs.rename(p, bak)) sys.error(s"mergeInto: cannot move $p aside")
@@ -59,6 +78,19 @@ object Sink {
       sys.error(s"mergeInto: cannot swap in $tmp")
     }
     fs.delete(bak, true)
+  }
+
+  /** Restore a table whose last mergeInto/compact died between its two
+    * swap renames (table path missing, `.bak` snapshot present). Returns
+    * true if a restore happened. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(s".${p.getName}.merge.bak", s".${p.getName}.compact.bak").exists { b =>
+      val bak = new Path(p.getParent, b)
+      !fs.exists(p) && fs.exists(bak) && fs.rename(bak, p)
+    }
   }
 
   /** Compact a parquet directory to ~`targetBytes` files — the

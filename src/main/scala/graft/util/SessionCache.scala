@@ -1,6 +1,7 @@
 package graft.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Small bounded per-(session, key) artifact cache.
   *
@@ -10,25 +11,42 @@ import org.apache.spark.sql.SparkSession
   * value→key pitfall). So retention is bounded instead: access-ordered
   * LRU over (session, key) with a small capacity — the worst case is
   * `maxEntries` retained artifacts, not one per session×dir ever seen.
-  * Evicting an entry drops the only strong reference to its value, so a
-  * checkpointed frame's blocks become ContextCleaner-reclaimable (Spark's
-  * normal path for unreferenced RDD storage; there is no public API to
-  * free localCheckpoint blocks eagerly).
+  *
+  * Eviction — and the explicit [[SessionCache.releaseAll]] below — runs
+  * the instance's `releaseValue` hook, so a checkpointed frame's storage
+  * blocks are freed EAGERLY (unpersist) rather than waiting for the
+  * ContextCleaner to notice the dropped reference after a GC. Artifacts
+  * pinned for a whole benchmark suite were measured evicting working
+  * memory out from under unrelated late-suite queries (q03 0.34→1.7 s
+  * with an identical plan); on a cluster the same pinning steals executor
+  * storage from the running job, so callers that know a family of queries
+  * is done should release its artifacts.
   *
   * Builds run OUTSIDE the monitor: a multi-second artifact build (k-means
   * training, label propagation) must not block cache hits for other
   * entries. Two racing builders for the same key both build; the first
   * insert wins and the loser's value is discarded (artifacts here are
-  * idempotent and side-effect-free, so the duplicate work is benign).
+  * idempotent and side-effect-free, so the duplicate work is benign —
+  * but the loser's value IS released, it would otherwise leak storage).
   */
-final class SessionCache[V](maxEntries: Int = 8) {
+final class SessionCache[V](maxEntries: Int = 8,
+    releaseValue: V => Unit = (_: V) => ()) {
+
+  SessionCache.register(this)
 
   private val map = new java.util.LinkedHashMap[(SparkSession, String), V](
     16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
-      size() > maxEntries
+        e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict) releaseQuietly(e.getValue)
+      evict
+    }
   }
+
+  private def releaseQuietly(v: V): Unit =
+    try releaseValue(v)
+    catch { case _: Throwable => () } // release is best-effort bookkeeping
 
   def getOrBuild(s: SparkSession, key: String)(build: => V): V = {
     val k = (s, key)
@@ -39,11 +57,67 @@ final class SessionCache[V](maxEntries: Int = 8) {
     val v = build
     synchronized {
       val cur = map.get(k)
-      if (cur != null) cur
-      else {
+      if (cur != null) {
+        releaseQuietly(v) // losing racer: free its storage, keep the winner
+        cur
+      } else {
         map.put(k, v)
         v
       }
+    }
+  }
+
+  /** Drop (and release) every entry belonging to `s`. */
+  def releaseSession(s: SparkSession): Unit = synchronized {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) { releaseQuietly(e.getValue); it.remove() }
+    }
+  }
+
+  /** Number of live entries for `s` (spec hook). */
+  def liveEntries(s: SparkSession): Int = synchronized {
+    var n = 0
+    map.keySet().forEach(k => if (k._1 eq s) n += 1)
+    n
+  }
+}
+
+object SessionCache {
+
+  // Registry of every instance, so a suite runner can release one
+  // session's artifacts across ALL families without knowing which
+  // operator objects hold caches. Instances are singletons held by
+  // `object`s (never collected), so strong references don't leak.
+  private val instances = new java.util.concurrent.CopyOnWriteArrayList[SessionCache[_]]
+
+  private def register(c: SessionCache[_]): Unit = instances.add(c)
+
+  /** Release every cached artifact of `s` in every [[SessionCache]] —
+    * unpersists checkpoint/persist blocks eagerly. Safe mid-session: the
+    * next `getOrBuild` for a released key simply rebuilds. */
+  def releaseAll(s: SparkSession): Unit =
+    instances.forEach(_.releaseSession(s))
+
+  /** Total live entries for `s` across all caches (spec hook). */
+  def totalLiveEntries(s: SparkSession): Int = {
+    var n = 0
+    instances.forEach(c => n += c.liveEntries(s))
+    n
+  }
+
+  /** Eagerly free a materialized frame's storage: the Dataset-level cache
+    * entry (if persisted) AND the block-manager blocks behind any
+    * `localCheckpoint()` in its plan. A locally-checkpointed Dataset's
+    * data lives in the persisted RDD wrapped by its [[LogicalRDD]] leaf —
+    * `Dataset.unpersist()` alone never reaches it, which is why dropped
+    * artifacts otherwise linger until ContextCleaner + GC. */
+  def releaseFrame(df: DataFrame): Unit = {
+    df.unpersist(blocking = false)
+    df.queryExecution.analyzed.foreach {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _              => ()
     }
   }
 }

@@ -225,8 +225,10 @@ class DedupSpec extends SparkSpec {
   test("connected components throws instead of returning unconverged labels") {
     import spark.implicits._
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    // star contraction needs ~log(diameter) rounds plus the confirming
+    // round; one round can never certify a fixpoint from a chain
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 2)
+      Dedup.connectedComponents(chain, maxIters = 1)
     }
     val ok = Dedup.connectedComponents(chain).collect().map(r => r.getLong(1)).distinct
     assert(ok.sameElements(Array(1L)), "chain is one component labeled by its min id")

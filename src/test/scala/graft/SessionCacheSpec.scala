@@ -29,4 +29,40 @@ class SessionCacheSpec extends SparkSpec {
     assert(c.getOrBuild(spark, "c")({ rebuiltC = true; "x" }) == "vc" && !rebuiltC,
       "recently used entry must survive")
   }
+
+  test("eviction and releaseSession run the release hook") {
+    var released = List.empty[String]
+    val c = new SessionCache[String](maxEntries = 2, releaseValue = v => released ::= v)
+    c.getOrBuild(spark, "a")("va")
+    c.getOrBuild(spark, "b")("vb")
+    c.getOrBuild(spark, "c")("vc") // evicts a
+    assert(released == List("va"), "LRU eviction must release the evicted value")
+    c.releaseSession(spark)
+    assert(released.toSet == Set("va", "vb", "vc"))
+    assert(c.liveEntries(spark) == 0)
+  }
+
+  /** The round-5 regression pin: pinned session artifacts (dup groups,
+    * IVF index, semantic-dup sets) degraded UNRELATED late-suite entries
+    * 2–5× through storage-memory pressure alone — their plans never
+    * referenced the artifacts. Two invariants keep that fixed: (1) no
+    * q-family plan embeds cached-artifact lineage (a LogicalRDD/
+    * InMemoryRelation leaf), so releasing artifacts can never change a
+    * q-entry's result or plan; (2) releaseAll actually empties every
+    * registered cache for the session, freeing the pinned blocks. */
+  test("q-family plans are artifact-free; releaseAll empties the registry") {
+    // build a real artifact first so the assertions are non-vacuous
+    SparkEntry.queries("d08_dup_groups")(spark, sfDir)
+    assert(SessionCache.totalLiveEntries(spark) > 0, "d08 must register an artifact")
+    val artifactLeaves = Set("LogicalRDD", "InMemoryRelation")
+    for ((name, fn) <- SparkEntry.queries if name.startsWith("q")) {
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case p if artifactLeaves(p.getClass.getSimpleName) => p.getClass.getSimpleName
+      }
+      assert(bad.isEmpty, s"$name plan references session-artifact lineage: $bad")
+    }
+    SessionCache.releaseAll(spark)
+    assert(SessionCache.totalLiveEntries(spark) == 0, "releaseAll must drop every entry")
+  }
 }

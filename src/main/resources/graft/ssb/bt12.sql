@@ -1,0 +1,15 @@
+-- SSB typed variant of Q1.2 (reference resources/query/ssb/
+-- typed/1.2.sql): the reference re-casts its all-string CSV
+-- schema at every measure/filter use site and moves the date dimension
+-- first in FROM; this adaptation keeps the explicit per-use-site CAST
+-- structure (exercising the cast path in the same expression positions)
+-- with value-preserving target types -- a double->int cast here would
+-- be engine-divergent (DuckDB rounds, Spark truncates) and is not what
+-- the original computes on SSB's integer-typed data anyway. Base
+-- adaptation deltas: see q1_2.sql.
+select sum(cast(l_extendedprice as double) * cast(l_discount as double)) as revenue
+from lineitem, orders
+where l_orderkey = o_orderkey
+  and o_orderdate >= date '1996-04-01' and o_orderdate < date '1996-05-01'
+  and cast(l_discount as double) between 0.04 and 0.06
+  and cast(l_quantity as double) between 26 and 35

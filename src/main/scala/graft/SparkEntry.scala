@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, SsbCorpus, TextAnalysis, TpchCorpus}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, SsbCorpus, TextAnalysis, TpchCorpus, VariantCorpus}
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -24,12 +24,12 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
       graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
       graft.sources.BloomPruner.queries ++
-      TpchCorpus.queries ++ SsbCorpus.queries
+      TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
       graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
       graft.sources.BloomPruner.oracleSql ++
-      TpchCorpus.oracleSql ++ SsbCorpus.oracleSql
+      TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql
 }

@@ -98,3 +98,60 @@ object SsbCorpus {
   val oracleSql: Map[String, String] =
     names.map(n => entryName(n) -> sql(n)).toMap
 }
+
+/** The reference's query-VARIANT corpora — its own plan-robustness
+  * harness, run the same way as the originals (plain SQL text through
+  * [[Engine.executeQuery]], same-string DuckDB oracle):
+  *
+  *  - `resources/query/tpch/modified/`: join-order rewrites of Q5/Q9
+  *    (05-jo1/jo2, 09-jo1/jo2 — the corpus `fpdb-calcite`'s join-order
+  *    heuristics are tested through); here they exercise Catalyst's
+  *    join reordering on FROM-reordered, alias-rewritten forms whose
+  *    results must equal the canonical queries'.
+  *  - `resources/query/tpch/synthetic/`: the co-located fact-fact joins
+  *    (co-join-2/3-table) the reference's storage-side co-located join
+  *    runs on; graft's equivalent mechanism is the bucketed-write path
+  *    (plans/Bucketing, zero-Exchange join asserted by BucketingSpec) —
+  *    these entries pin the queries' semantics through the text path.
+  *  - `resources/query/ssb/generated/`: five machine-generated SSB
+  *    star queries at month grain (d_yearmonthnum) with drawn literal
+  *    predicates.
+  *  - `resources/query/ssb/typed/`: the originals with explicit CASTs
+  *    at every measure/filter use site (the reference's all-string CSV
+  *    schema exercise; see the bt* file headers for the
+  *    value-preserving-cast adaptation note).
+  *
+  * Each .sql file documents its testdata-schema deltas in its header. */
+object VariantCorpus {
+
+  /** (entry name, classpath resource) — hv = TPC-H variants,
+    * bv/bt = SSB generated/typed variants. */
+  private val files: Seq[(String, String)] =
+    Seq(
+      "hv01_tpch_co" -> "/graft/tpch/hv01.sql",
+      "hv02_tpch_co" -> "/graft/tpch/hv02.sql",
+      "hv51_tpch_jo" -> "/graft/tpch/hv51.sql",
+      "hv52_tpch_jo" -> "/graft/tpch/hv52.sql",
+      "hv91_tpch_jo" -> "/graft/tpch/hv91.sql",
+      "hv92_tpch_jo" -> "/graft/tpch/hv92.sql") ++
+    (1 to 5).map(i => f"bv$i%02d_ssb_gen" -> f"/graft/ssb/bv$i%02d.sql") ++
+    Seq("11", "12", "13", "21", "22", "23", "31", "32", "33", "34",
+        "41", "42", "43")
+      .map(n => s"bt${n}_ssb_typed" -> s"/graft/ssb/bt$n.sql")
+
+  private def read(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing corpus resource $path")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    files.map { case (name, path) =>
+      name -> ((s: SparkSession, dir: String) => Engine.executeQuery(s, dir, read(path)))
+    }.toMap
+
+  /** Same text, same engine-equivalence contract as the originals. */
+  val oracleSql: Map[String, String] =
+    files.map { case (name, path) => name -> read(path) }.toMap
+}

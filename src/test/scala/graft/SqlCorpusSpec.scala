@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{SsbCorpus, TpchCorpus}
+import graft.operators.{SsbCorpus, TpchCorpus, VariantCorpus}
 
 /** The reference's TPC-H corpus as plain SQL text through the engine:
   * every adapted file must parse, analyze against the registered catalog,
@@ -49,5 +49,47 @@ class SqlCorpusSpec extends SparkSpec {
       if (ssbEmptyAtSf0001(n)) assert(df.count() >= 0)
       else assert(df.count() > 0, s"ssb q$n returned no rows at $sfDir")
     }
+  }
+
+  test("variant corpus is complete: 6 tpch + 5 generated + 13 typed") {
+    assert(VariantCorpus.queries.size == 24)
+    assert(VariantCorpus.oracleSql.keySet == VariantCorpus.queries.keySet)
+  }
+
+  /** Narrow literal draws that may select nothing among sf0.001's 6k
+    * lines (single brand × region × month, two-nation pairs, month-grain
+    * drills); the driver's sf0.01 gate checks them against data. */
+  private val variantEmptyAtSf0001 = Set(
+    "bv02_ssb_gen", "bv03_ssb_gen", "bv04_ssb_gen", "bv05_ssb_gen",
+    "bt33_ssb_typed", "bt34_ssb_typed")
+
+  VariantCorpus.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"variant $name executes through Engine.executeQuery and returns rows") {
+      val df = VariantCorpus.queries(name)(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      if (variantEmptyAtSf0001(name)) assert(df.count() >= 0)
+      else assert(df.count() > 0, s"$name returned no rows at $sfDir")
+    }
+  }
+
+  /** The join-order variants must agree with each other — the point of
+    * the reference's modified/ corpus: a reordered FROM clause is plan
+    * freedom, not semantics. Double sums are compared with the driver's
+    * relative tolerance (1e-9): a different join order legitimately
+    * accumulates floating-point sums in a different order, so last-ulp
+    * drift is plan freedom too. */
+  test("join-order variants agree with each other (Q5, Q9 families)") {
+    def rows(name: String): Seq[Seq[Any]] =
+      VariantCorpus.queries(name)(spark, sfDir).collect().toSeq
+        .map(_.toSeq).sortBy(_.mkString("|"))
+    def close(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+      a.size == b.size && a.zip(b).forall { case (ra, rb) =>
+        ra.zip(rb).forall {
+          case (x: Double, y: Double) => math.abs(x - y) <= 1e-9 * math.max(math.abs(x), 1.0)
+          case (x, y)                 => x == y
+        }
+      }
+    assert(close(rows("hv51_tpch_jo"), rows("hv52_tpch_jo")), "Q5 join-order variants diverge")
+    assert(close(rows("hv91_tpch_jo"), rows("hv92_tpch_jo")), "Q9 join-order variants diverge")
   }
 }

@@ -108,6 +108,37 @@ class PropertySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("property: star-contraction CC == driver union-find on random graphs") {
+    import spark.implicits._
+    // random edge sets over a small id space force chains, cycles, stars,
+    // self-loops, parallel edges and isolated-pair mixes — the shapes the
+    // large-star/small-star alternation must contract identically to the
+    // obvious sequential union-find
+    val edgeGen: Gen[(Long, Long)] =
+      Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 30L))
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(1, 50).flatMap(n => Gen.listOfN(n, edgeGen))
+    samples(graphGen, 4, seed = 101L).foreach { edges =>
+      val df = edges.toDF("src", "dst")
+      val got = graft.operators.Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // sequential union-find with min-label extraction
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      // CC labels only nodes that appear in edges; union-find roots are
+      // already component minima because unions always point max -> min
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
   test("property: zone-map pruning is sound (never drops a matching shard)") {
     import ZoneMapPruner._
     val valuesGen = Gen.chooseNum(1, 8).flatMap(n =>

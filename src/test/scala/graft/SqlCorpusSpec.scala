@@ -72,6 +72,17 @@ class SqlCorpusSpec extends SparkSpec {
     }
   }
 
+  /** Comma-list FROM clauses + WHERE equi-predicates must all plan as
+    * real joins: a missed join condition in an adapted file would
+    * silently plan a CartesianProduct and still "return rows". */
+  test("variant plans contain no cartesian products") {
+    VariantCorpus.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = VariantCorpus.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   /** The join-order variants must agree with each other — the point of
     * the reference's modified/ corpus: a reordered FROM clause is plan
     * freedom, not semantics. Double sums are compared with the driver's

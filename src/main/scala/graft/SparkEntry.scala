@@ -23,13 +23,13 @@ object SparkEntry {
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
       graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
-      graft.sources.BloomPruner.queries ++
+      graft.sources.BloomPruner.queries ++ graft.sources.Layout.queries ++
       TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
       graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
-      graft.sources.BloomPruner.oracleSql ++
+      graft.sources.BloomPruner.oracleSql ++ graft.sources.Layout.oracleSql ++
       TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql
 }

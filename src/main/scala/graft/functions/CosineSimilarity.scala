@@ -122,6 +122,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }))
     }
     ext.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_lcg"),
       new ExpressionInfo(classOf[MinHashLcg].getName, "minhash_lcg"),
       (children: Seq[Expression]) => {

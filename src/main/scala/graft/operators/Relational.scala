@@ -1362,6 +1362,47 @@ object Relational {
       |SELECT flag, 'F' AS status_label, qty_f AS total FROM wide
       |ORDER BY flag, status_label""".stripMargin
 
+  /** q58 — heavy hitters via a Count-Min sketch (Cormode-Muthukrishnan),
+    * the mergeable-sketch answer to "which keys exceed a support
+    * threshold" at 100 TB. Three stages, none of which shuffles raw keys:
+    * (1) ONE fixed-size sketch aggregated over the fact table —
+    * partitions combine ~150 KB counter arrays, not keys; the finished
+    * sketch is fetched driver-side (bounded by construction, the PQ-
+    * codebook convention) and re-enters the plan as a literal;
+    * (2) a distributed probe of the distinct keys through the native
+    * [[graft.functions.CmsEstimate]] expression keeps keys whose ESTIMATE
+    * meets the threshold — CMS never underestimates, so no true heavy key
+    * is lost, and the eps·N overcount only admits a few extra candidates;
+    * (3) exact counting runs ONLY over rows of candidate keys (broadcast
+    * semi-join — at scale the exact pass touches a sliver of the table)
+    * and re-applies the threshold, discarding the false positives.
+    * The no-false-negative property makes the result EXACTLY the true
+    * heavy-hitter set — hash-checked against a plain GROUP BY/HAVING
+    * oracle, unlike the tolerance-style sketch gates (q37, q41). The
+    * reference's aggregate surface stops at Sum/Count/MinMax/Avg
+    * (`fpdb-plan/src/prephysical/AggregatePrePOp.cpp`); sketches are
+    * pipeline-engine green-field alongside q41/q46's HLL. */
+  private def q58HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val threshold = 600L
+    val li = Tables.lineitem(s, dir)
+    val sk = li.select(
+      expr("count_min_sketch(l_suppkey, 0.001d, 0.999d, 42)").as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val candidates = li.select($"l_suppkey").distinct()
+      .filter(graft.functions.CmsEstimate.column(lit(sk), $"l_suppkey") >= threshold)
+    li.join(broadcast(candidates), Seq("l_suppkey"), "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_items"))
+      .filter($"n_items" >= threshold)
+      .orderBy($"l_suppkey")
+  }
+
+  private val q58Sql =
+    """SELECT l_suppkey, count(*) AS n_items
+      |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 600
+      |ORDER BY l_suppkey""".stripMargin
+
   /** q55 — incremental (algebraic) aggregate maintenance: the
     * materialized-view pattern that avoids rescanning history at 100 TB.
     * The "materialized" per-(month, priority) counts/sums over orders
@@ -1531,6 +1572,7 @@ object Relational {
     "q55_incremental_agg" -> q55IncrementalAgg _,
     "q56_lateral"        -> q56Lateral _,
     "q57_unpivot"        -> q57Unpivot _,
+    "q58_heavy_hitters"  -> q58HeavyHitters _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1591,5 +1633,6 @@ object Relational {
     "q55_incremental_agg" -> q55Sql,
     "q56_lateral"        -> q56Sql,
     "q57_unpivot"        -> q57Sql,
+    "q58_heavy_hitters"  -> q58Sql,
   )
 }

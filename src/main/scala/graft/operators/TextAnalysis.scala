@@ -588,6 +588,58 @@ object TextAnalysis {
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** t15 — per-source document cap: keep at most `SourceCap` documents
+    * per source, ranked by t02 quality (doc_id as the deterministic
+    * tiebreak — quality plateaus at the score's 1.0 cap, so ties are the
+    * common case, and an undefined survivor would break replay
+    * idempotence). The per-domain cap is how web-scale corpora stop one
+    * crawl-happy domain from dominating the mixture (CommonCrawl
+    * pipelines cap per-registered-domain for exactly this reason);
+    * t13's mixture weights rebalance what survives, t14's weighted
+    * sample thins globally — this bounds each source absolutely.
+    *
+    * Scale shape: `rank <= k` over a partitioned window triggers
+    * Spark's WindowGroupLimit pushdown (spec-asserted) — each shuffle
+    * partition keeps a k-row heap per source BEFORE the full sort, so
+    * the shuffle carries at most k rows per (source, partition), never a
+    * source's whole document set. The skewed-domain case (one source =
+    * half the corpus) is exactly where the pushdown earns its keep. */
+  private def t15SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = words(col("text"))
+    val nWords = size(w)
+    val stopRatio = stopwordHits(w).cast("double") / nWords
+    val q = least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
+      least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
+    Tables.documents(s, dir)
+      .withColumn("q", q)
+      .withColumn("rnk", row_number().over(byQuality))
+      .filter($"rnk" <= SourceCap)
+      .select($"source", $"doc_id", $"q".as("quality_score"), $"rnk")
+      .orderBy($"source", $"rnk")
+  }
+
+  private[graft] val SourceCap = 10
+
+  private val t15Sql = {
+    val stops = stopwords.map(x => s"'$x'").mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT source, doc_id,
+       |    least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       |      + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |          / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5 AS q
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, q AS quality_score,
+       |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT source, doc_id, quality_score, rnk
+       |FROM ranked WHERE rnk <= $SourceCap
+       |ORDER BY source, rnk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -603,6 +655,7 @@ object TextAnalysis {
     "t12_lm_score"    -> t12LmScore _,
     "t13_mixture"     -> t13Mixture _,
     "t14_weighted_sample" -> t14WeightedSample _,
+    "t15_source_cap"  -> t15SourceCap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -620,5 +673,6 @@ object TextAnalysis {
     "t12_lm_score"    -> t12Sql,
     "t13_mixture"     -> t13Sql,
     "t14_weighted_sample" -> t14Sql,
+    "t15_source_cap"  -> t15Sql,
   )
 }

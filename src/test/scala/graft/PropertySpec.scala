@@ -163,4 +163,30 @@ class PropertySpec extends SparkSpec {
         s"pruned a shard containing a match: values=$values preds=$preds")
     }
   }
+
+  test("property: CMS estimate never underestimates; verified candidates = exact heavies") {
+    import spark.implicits._
+    // skewed keys: key k appears ~k times (triangular), so thresholds
+    // split the key set nontrivially
+    val keyGen = Gen.chooseNum(1L, 40L).flatMap(k => Gen.listOfN(k.toInt, Gen.const(k)))
+    val rows = samples(keyGen, 200, seed = 91L).flatten
+    val df = rows.toDF("k")
+    val sk = df.select(expr("count_min_sketch(k, 0.01d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val exact = df.groupBy($"k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = df.select($"k").distinct()
+      .select($"k", graft.functions.CmsEstimate.column(lit(sk), $"k").as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated key $k: est=${est(k)} < exact=$n")
+    }
+    // the q58 contract: estimate-filtered candidates, exactly counted and
+    // re-thresholded, are EXACTLY the true heavy-hitter set
+    val threshold = 25L
+    val heavies = exact.filter(_._2 >= threshold).keySet
+    val viaSketch = est.filter(_._2 >= threshold).keySet // no false negatives
+      .filter(k => exact(k) >= threshold)                // exact verify
+    assert(viaSketch == heavies)
+  }
 }

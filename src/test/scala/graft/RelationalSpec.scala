@@ -56,6 +56,22 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("t15 per-source cap pushes the rank limit into the shuffle (WindowGroupLimit)") {
+    val plan = SparkEntry.queries("t15_source_cap")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k over a partitioned window must push per-group limits:\n${plan.take(2000)}")
+  }
+
+  test("q58 heavy hitters: exact pass runs only over broadcast candidates") {
+    val df = SparkEntry.queries("q58_heavy_hitters")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate restriction must be a broadcast semi join:\n${plan.take(2000)}")
+    assert(plan.contains("cms_estimate"),
+      s"candidate filter must probe the sketch natively:\n${plan.take(2000)}")
+  }
+
   test("q54 quality checks run all constraints in ONE table scan") {
     val plan = SparkEntry.queries("q54_quality_checks")(spark, sfDir)
       .queryExecution.executedPlan.toString

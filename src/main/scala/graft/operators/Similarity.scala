@@ -82,7 +82,7 @@ object Similarity {
   }
 
   private def knnOracle(probePred: String, k: Int): String =
-    s"""WITH n AS (SELECT vec_id, embedding, $duckNorm AS nrm FROM embeddings),
+    s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm FROM embeddings),
        |p AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
        |        ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
        |      FROM n q CROSS JOIN n e WHERE $probePred)
@@ -656,6 +656,42 @@ object Similarity {
 
   private val s09Sql = "SELECT true AS recall_ok"
 
+  /** s12 — filtered vector search: exact top-5 among ONLY the corpus
+    * vectors matching a metadata predicate (`label = 3` here; "docs in
+    * this language / after this date / from this source" in production).
+    * This is PRE-filtering: the predicate lands on the corpus scan
+    * (parquet `PushedFilters`, spec-asserted) BEFORE any distance is
+    * computed, so top-k is exact over the filtered set. The alternative
+    * — post-filtering an unfiltered ANN's top-k — silently returns
+    * FEWER than k (or zero) rows whenever the predicate is selective,
+    * which is the classic filtered-search bug in vector stores.
+    *
+    * Scale shape: selectivity decides the plan. A selective predicate
+    * (here ~10%) shrinks the corpus to where brute-force-over-filtered
+    * is both exact and cheaper than index probing (100 TB × 1% = 1 TB
+    * scored straight off the pruned scan); a non-selective one keeps
+    * the IVF path (s04) with the predicate applied inside each probed
+    * cell — same cells, one extra pushed filter. Both compose from the
+    * pieces already here; this entry pins the exact-filtered semantics
+    * an index-filtered variant must reproduce. */
+  private def s12KnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val n = Tables.spread(emb.filter($"label" === 3)
+      .select($"vec_id".as("nid"), $"embedding".as("ne")))
+    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+    broadcast(q).crossJoin(n)
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val s12Sql = knnOracle("q.vec_id < 20 AND e.label = 3", 5)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
@@ -668,6 +704,7 @@ object Similarity {
     "s09_ann_pq_recall"  -> s09AnnPqRecall _,
     "s10_ann_ivfpq"      -> s10AnnIvfPq _,
     "s11_ann_ivfpq_recall" -> s11AnnIvfPqRecall _,
+    "s12_knn_filtered"   -> s12KnnFiltered _,
   )
 
   /** s04's raw output is omitted (KMeans has no SQL oracle; rows-only
@@ -681,5 +718,6 @@ object Similarity {
     "s07_knn_int8"       -> s07Sql,
     "s09_ann_pq_recall"  -> s09Sql,
     "s11_ann_ivfpq_recall" -> s11Sql,
+    "s12_knn_filtered"   -> s12Sql,
   )
 }

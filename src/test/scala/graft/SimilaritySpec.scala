@@ -116,6 +116,25 @@ class SimilaritySpec extends SparkSpec {
       "IVF-PQ composed recall@3 fell below the 0.25 floor")
   }
 
+  test("filtered knn pre-filters: predicate pushed to the corpus scan, k rows kept") {
+    val df = SparkEntry.queries("s12_knn_filtered")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the metadata predicate must reach parquet BEFORE any distance math —
+    // post-filtering top-k would silently drop result rows
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,3)")
+      || plan.contains("EqualTo(label,3)"), s"label predicate not pushed:\n${plan.take(2000)}")
+    val rows = df.collect()
+    // every probe keeps a FULL top-5 (the filtered corpus has >> 5 vectors)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"probe $qid returned ${rs.length} of 5 rows")
+    }
+    // and every neighbor satisfies the predicate
+    import spark.implicits._
+    val label3 = Tables.embeddings(spark, sfDir).filter($"label" === 3)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    rows.foreach(r => assert(label3.contains(r.getAs[Long]("nid"))))
+  }
+
   test("bucketed ANN only pairs vectors within the same sign-LSH cell") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Write-time data clustering — the layout lever the read-side pruners
@@ -66,6 +66,101 @@ object Layout {
       out
     })
 
+  /** Spread the low 16 bits of `x` so bit i lands at position 2i — the
+    * standard Morton bit-twiddle (4 mask-shift rounds), expressed as
+    * codegen'd column arithmetic so z-value computation rides the scan. */
+  private def spreadBits(x: Column): Column = {
+    var v = x.bitwiseAND(lit(0xFFFFL))
+    v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x33333333L))
+    v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Morton (Z-order) interleave of two 16-bit keys: a 1-D value whose
+    * contiguous ranges are 2-D tiles, so range-partitioning on it gives
+    * every output file a narrow min/max box in BOTH dimensions.
+    *
+    * Inputs MUST be pre-scaled to the full 16-bit range ([[scale16]]) —
+    * interleaving RAW keys lets the wider domain monopolize the morton
+    * high bits (measured here: partkey 0..199 × suppkey 0..9 raw-
+    * interleaved put every top-4-bit boundary on partkey bits alone, so
+    * the 16-file split was a plain partkey sort and suppkey predicates
+    * pruned nothing). Equal bit budget per dimension is what makes
+    * z-order multi-column at all. */
+  private[graft] def morton2(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Scale `x` from [lo, hi] to the full 16-bit range (rank-less linear
+    * normalization; a production writer uses the same min/max it already
+    * gathers for footer stats). */
+  private[graft] def scale16(x: Column, lo: Long, hi: Long): Column =
+    ((x - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L))).cast("long")
+
+  /** Path of the (l_partkey, l_suppkey) z-ordered copy of `dir`'s
+    * lineitem — the multi-column generalization of [[clusteredLineitem]]
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`): linear clustering serves ONE
+    * predicate column and leaves any other unprunable, while z-order
+    * trades a little locality in each dimension for prunable stats in
+    * all of them — every file covers a Morton tile, so its footer
+    * min/max is a narrow box over part AND supplier keys. The z-value
+    * is compute-and-drop: readers see the original schema; the layout
+    * alone carries the benefit (`LayoutSpec` measures both axes). */
+  private[graft] def zorderedLineitem(s: SparkSession, dir: String): String =
+    cache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
+    ).computeIfAbsent(dir + "#z", { _ =>
+      val out = s"/tmp/graft-layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_zorder"
+      // 64 files, not 16: an N-file z-layout gives each axis ~log2(N)/2
+      // bits of resolution, and at 16 a 2-bit (25%-wide) tile axis barely
+      // out-prunes the predicate widths worth demonstrating. Production
+      // sizes by target file size; more files = finer tiles = better
+      // per-axis pruning, the opposite of linear clustering where file
+      // count only changes granularity along ONE axis.
+      val li = Tables.lineitem(s, dir)
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
+      li.withColumn("__z", morton2(
+          scale16(col("l_partkey"), b.getLong(0), b.getLong(1)),
+          scale16(col("l_suppkey"), b.getLong(2), b.getLong(3))))
+        .repartitionByRange(64, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  // Box bounds sit in the low key range because the testdata's key
+  // domains scale with SF (sf0.001 tops out at partkey 199 / suppkey 9);
+  // the box is non-empty at every shipped SF and increasingly selective
+  // at larger ones — exactly how a fixed point-lookup behaves as a
+  // table grows under it.
+  private[graft] val PartLo = 50L; private[graft] val PartHi = 150L
+  private[graft] val SuppLo = 2L;  private[graft] val SuppHi = 7L
+
+  private[graft] def boxQuery(df: DataFrame): DataFrame =
+    df.filter(col("l_partkey") >= PartLo && col("l_partkey") < PartHi &&
+        col("l_suppkey") >= SuppLo && col("l_suppkey") < SuppHi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("l_returnflag"))
+
+  /** z04 — a two-column key-box scan over the z-ordered copy; the oracle
+    * runs the same SQL over the ORIGINAL parquet (layout must change
+    * bytes read, never results — the z03 contract, second dimension). */
+  private def z04ZorderScan(s: SparkSession, dir: String): DataFrame =
+    boxQuery(s.read.parquet(zorderedLineitem(s, dir)))
+
+  private val z04Sql =
+    s"""SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
+       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+       |FROM lineitem
+       |WHERE l_partkey >= $PartLo AND l_partkey < $PartHi
+       |  AND l_suppkey >= $SuppLo AND l_suppkey < $SuppHi
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** One month of a seven-year domain: reads ~1/84th of a clustered
     * table, all of an arrival-ordered one. */
   private[graft] val RangeLo = "1996-03-01"
@@ -103,9 +198,11 @@ object Layout {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z03_clustered_scan" -> z03ClusteredScan _,
+    "z04_zorder_scan"    -> z04ZorderScan _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "z03_clustered_scan" -> z03Sql,
+    "z04_zorder_scan"    -> z04Sql,
   )
 }

@@ -61,6 +61,60 @@ class LayoutSpec extends SparkSpec {
       s"clustered scan decoded $pruned of $total rows — stats did not prune")
   }
 
+  test("z04 equals the same box aggregate over the unclustered original") {
+    val z = SparkEntry.queries("z04_zorder_scan")(spark, sfDir).collect()
+    val o = Layout.boxQuery(Tables.lineitem(spark, sfDir)).collect()
+    assert(z.length == o.length && z.length > 0)
+    z.zip(o).foreach { case (a, b) =>
+      (0 until a.length).foreach { i =>
+        (a.get(i), b.get(i)) match {
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)), s"col $i: $x vs $y")
+          case (x, y) => assert(x == y, s"col $i: $x vs $y")
+        }
+      }
+    }
+  }
+
+  test("z-order prunes on BOTH key dimensions; linear clustering only on one") {
+    val total = Tables.lineitem(spark, sfDir).count()
+    val zpath = Layout.zorderedLineitem(spark, sfDir)
+    val z = spark.read.parquet(zpath)
+    // a ~10%-per-axis box relative to THIS sf's key domain (the entry's
+    // fixed bounds are domain-fraction-dependent, so pruning assertions
+    // scale the box instead)
+    val Array(maxPart, maxSupp) = Tables.lineitem(spark, sfDir)
+      .agg(max(col("l_partkey")), max(col("l_suppkey")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long].toDouble).toArray
+    val partPred = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("l_partkey") >= (maxPart * 0.25).toLong &&
+        col("l_partkey") < (maxPart * 0.35).toLong)
+    val suppPred = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("l_suppkey") >= (maxSupp * 0.2).toLong &&
+        col("l_suppkey") < (maxSupp * 0.3).toLong)
+    // single-column predicates each skip tiles on their own axis
+    val zPart = scanOutputRows(partPred(z))
+    val zSupp = scanOutputRows(suppPred(z))
+    assert(zPart <= total / 2, s"z-order did not prune on l_partkey: $zPart of $total")
+    assert(zSupp <= total / 2, s"z-order did not prune on l_suppkey: $zSupp of $total")
+    // the two-column box lands in few tiles
+    val zBox = scanOutputRows(partPred(suppPred(z)))
+    assert(zBox <= total / 4, s"z-order did not prune the 2-D box: $zBox of $total")
+
+    // control: linear clustering on l_partkey serves partkey queries but
+    // leaves suppkey queries unprunable — the gap z-order closes
+    val linPath = "/tmp/graft-layout/spec_linear_partkey"
+    Tables.lineitem(spark, sfDir)
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linPath)
+    val lin = spark.read.parquet(linPath)
+    assert(scanOutputRows(partPred(lin)) <= total / 4)
+    assert(scanOutputRows(suppPred(lin)) == total,
+      "expected the partkey-sorted layout to decode ALL rows for a suppkey " +
+        "predicate — if this starts pruning, the control is no longer a control")
+  }
+
   test("the unclustered original cannot prune (row group spans the domain)") {
     val total = Tables.lineitem(spark, sfDir).count()
     val unpruned = scanOutputRows(rangeFilter(Tables.lineitem(spark, sfDir)))

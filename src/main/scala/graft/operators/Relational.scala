@@ -1403,6 +1403,43 @@ object Relational {
       |FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 600
       |ORDER BY l_suppkey""".stripMargin
 
+  /** q59 — recursive CTE (`WITH RECURSIVE`, new SQL surface in Spark 4):
+    * per-document ancestor-path aggregation over a tree derived from
+    * doc_id (parent = floor((id-1)/2), the implicit-heap encoding — the
+    * testdata has no parent column, so the hierarchy is derived
+    * identically in both engines). The recursion walks each document's
+    * ancestor chain to the root, accumulating path length and char sum —
+    * the bill-of-materials / org-rollup query shape that window functions
+    * cannot express (unbounded, data-dependent depth).
+    *
+    * Scale shape: Spark executes the recursion as iterated hash joins
+    * with a per-step union — iteration count is the TREE DEPTH (log n for
+    * this balanced derivation: ~9 at 500 docs, ~24 at 10M), not the row
+    * count, and each step shuffles only the frontier (rows still above
+    * the root), which shrinks as chains complete. Same primitive family
+    * as d08's star-contraction connected components; the engine-level
+    * iteration-limit guard (`spark.sql.cteRecursionLevelLimit`, default
+    * 100) bounds runaway recursion the way d08's fixpoint throw does.
+    * Integer division is spelled CAST(FLOOR(x / 2.0) AS BIGINT) because
+    * bare `/` on integers is double division in Spark's ANSI mode and
+    * HUGEINT division in DuckDB — the one portability trap in the text. */
+  private val q59Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id, doc_id AS node, n_chars AS path_chars, 0 AS depth
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT a.doc_id, CAST(FLOOR((a.node - 1) / 2.0) AS BIGINT) AS node,
+      |         a.path_chars + d.n_chars, a.depth + 1
+      |  FROM anc a JOIN documents d
+      |    ON d.doc_id = CAST(FLOOR((a.node - 1) / 2.0) AS BIGINT)
+      |  WHERE a.node > 0
+      |)
+      |SELECT doc_id, max(depth) AS depth, max(path_chars) AS root_path_chars
+      |FROM anc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def q59Recursive(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, dir, q59Sql)
+
   /** q55 — incremental (algebraic) aggregate maintenance: the
     * materialized-view pattern that avoids rescanning history at 100 TB.
     * The "materialized" per-(month, priority) counts/sums over orders
@@ -1573,6 +1610,7 @@ object Relational {
     "q56_lateral"        -> q56Lateral _,
     "q57_unpivot"        -> q57Unpivot _,
     "q58_heavy_hitters"  -> q58HeavyHitters _,
+    "q59_recursive"      -> q59Recursive _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1634,5 +1672,6 @@ object Relational {
     "q56_lateral"        -> q56Sql,
     "q57_unpivot"        -> q57Sql,
     "q58_heavy_hitters"  -> q58Sql,
+    "q59_recursive"      -> q59Sql,
   )
 }

@@ -72,6 +72,18 @@ class RelationalSpec extends SparkSpec {
       s"candidate filter must probe the sketch natively:\n${plan.take(2000)}")
   }
 
+  test("q59 recursive CTE walks each ancestor chain to the root") {
+    val rows = SparkEntry.queries("q59_recursive")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // implicit-heap closed form: depth(i) = floor(log2(i + 1))
+      val expected = 63 - java.lang.Long.numberOfLeadingZeros(id + 1)
+      assert(r.getAs[Int]("depth") == expected,
+        s"doc $id: depth ${r.getAs[Int]("depth")} != $expected")
+    }
+  }
+
   test("q54 quality checks run all constraints in ONE table scan") {
     val plan = SparkEntry.queries("q54_quality_checks")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -519,8 +519,13 @@ object Dedup {
     * unconverged labels would split duplicate groups. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val release = graft.util.SessionCache.releaseFrame _
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // checkpoint the (possibly expensive) edge-producing pipeline ONCE;
+    // nodes and the symmetrized working set both derive from the
+    // checkpointed frame — deriving each from `edges` directly would
+    // re-execute the upstream candidate generation three times
+    val base = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = base.select(col("src").as("node"))
+      .union(base.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     // bit_xor, not sum: order-independent, and immune to the ANSI-mode
     // long-overflow a sum of full-range hashes trips
@@ -529,9 +534,10 @@ object Dedup {
         coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    var e = edges.select(greatest(col("src"), col("dst")).as("src"),
+    var e = base.select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    release(base)
     var sum0 = checksum(e)
     var iter = 0
     var converged = false
@@ -768,7 +774,7 @@ object Dedup {
   /** The sampled exact ground truth: which of the K sampled vectors have
     * an earlier neighbor above [[SemDedupTau]] — broadcast the K probes,
     * stream the corpus once. */
-  private def sampledSemDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sampledSemDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
     val sample = emb
@@ -781,14 +787,22 @@ object Dedup {
       .select($"b".as("dup_id")).distinct()
   }
 
-  private def d11bSemDedupIvf(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF-bucketed dup set d11b gates (shared with
+    * `tools/ProfileSemDedupRecall`, which must profile THIS pipeline,
+    * not a copy that can drift from it). */
+  private[graft] def ivfSemDups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val asg = Similarity.ivfMultiAssigned(s, dir)
     val ca = asg.select($"vec_id".as("a"), $"embedding".as("ea"), $"cell")
     val cb = asg.select($"vec_id".as("b"), $"embedding".as("eb"), $"cell".as("cellb"))
-    val ivfDups = ca.join(cb, $"cell" === $"cellb" && ($"a" < $"b"))
+    ca.join(cb, $"cell" === $"cellb" && ($"a" < $"b"))
       .filter(graft.functions.CosineSimilarity.column($"ea", $"eb") > SemDedupTau)
       .select($"b".as("dup_id")).distinct()
+  }
+
+  private def d11bSemDedupIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ivfDups = ivfSemDups(s, dir)
     val exactDups = sampledSemDups(s, dir).select($"dup_id".as("xdup_id"))
     exactDups.join(ivfDups, $"xdup_id" === $"dup_id", "left")
       .agg((count($"dup_id").cast("double") / count(lit(1))).as("recall"))

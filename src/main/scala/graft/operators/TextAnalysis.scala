@@ -29,6 +29,26 @@ object TextAnalysis {
   def stopwordHits(w: Column): Column =
     size(filter(w, x => x.isInCollection(stopwords)))
 
+  /** The t02 quality score in [0,1] — length knee at 50 words + natural
+    * stopword density, weighted evenly. ONE definition shared by every
+    * entry that ranks or weighs by quality (t02, t14, t15); its DuckDB
+    * spelling is [[qualityScoreSql]] and the two must change together. */
+  private[graft] def qualityScore: Column = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val stopRatio = stopwordHits(w).cast("double") / nWords
+    least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
+      least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)
+  }
+
+  /** [[qualityScore]]'s oracle-side spelling (DuckDB, over `text`). */
+  private[graft] def qualityScoreSql: String = {
+    val stops = stopwords.map(x => s"'$x'").mkString(", ")
+    s"""least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
+       |    + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
+       |        / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5""".stripMargin
+  }
+
   /** t01 — token counting: whitespace tokens and BPE-ish regex tokens
     * (letter runs / digit runs / single punctuation, the pre-tokenizer split
     * most BPE vocabularies assume). */
@@ -67,9 +87,7 @@ object TextAnalysis {
         nWords.as("n_words"),
         (sumLen.cast("double") / nWords).as("avg_word_len"),
         stopRatio.as("stopword_ratio"),
-        // score: in [0,1]; long-enough docs with natural stopword density win
-        (least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5)
-          + least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)).as("quality_score"))
+        qualityScore.as("quality_score"))
       .orderBy($"doc_id")
   }
 
@@ -82,9 +100,7 @@ object TextAnalysis {
        |    / len(string_split(text, ' ')) AS avg_word_len,
        |  len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
        |    / len(string_split(text, ' ')) AS stopword_ratio,
-       |  least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
-       |    + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
-       |        / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5 AS quality_score
+       |  $qualityScoreSql AS quality_score
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -548,11 +564,7 @@ object TextAnalysis {
     * by construction: the selection effect is the visible output. */
   private def t14WeightedSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words(col("text"))
-    val nWords = size(w)
-    val stopRatio = stopwordHits(w).cast("double") / nWords
-    val q = least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
-      least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)
+    val q = qualityScore
     val bucket = conv(
       substring(md5(concat(lit("wsample:"), $"doc_id".cast("string"))), 1, 4),
       16, 10).cast("long")
@@ -574,12 +586,8 @@ object TextAnalysis {
     val bucket = s"(((${hex(1)} * 16 + ${hex(2)}) * 16 + ${hex(3)}) * 16 + ${hex(4)})"
     s"""WITH scored AS (
        |  SELECT source,
-       |    least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
-       |      + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
-       |          / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5 AS q,
-       |    $bucket::DOUBLE < (least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
-       |      + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
-       |          / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5) * 65536.0 AS keep
+       |    $qualityScoreSql AS q,
+       |    $bucket::DOUBLE < ($qualityScoreSql) * 65536.0 AS keep
        |  FROM documents)
        |SELECT source, count(*) AS n_docs,
        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
@@ -606,11 +614,7 @@ object TextAnalysis {
     * half the corpus) is exactly where the pushdown earns its keep. */
   private def t15SourceCap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = words(col("text"))
-    val nWords = size(w)
-    val stopRatio = stopwordHits(w).cast("double") / nWords
-    val q = least(nWords.cast("double") / lit(50.0), lit(1.0)) * lit(0.5) +
-      least(stopRatio * lit(10.0), lit(1.0)) * lit(0.5)
+    val q = qualityScore
     val byQuality = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"q".desc, $"doc_id".asc)
     Tables.documents(s, dir)
@@ -627,9 +631,7 @@ object TextAnalysis {
     val stops = stopwords.map(x => s"'$x'").mkString(", ")
     s"""WITH scored AS (
        |  SELECT source, doc_id,
-       |    least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.5
-       |      + least(len(list_filter(string_split(text, ' '), x -> x IN ($stops)))::DOUBLE
-       |          / len(string_split(text, ' ')) * 10.0, 1.0) * 0.5 AS q
+       |    $qualityScoreSql AS q
        |  FROM documents),
        |ranked AS (
        |  SELECT source, doc_id, q AS quality_score,

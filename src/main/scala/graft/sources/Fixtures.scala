@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Write-once derived-copy discipline shared by [[Layout]] and
+  * [[JsonLines]]: a fixture directory derived from a source dir, built
+  * at most once per JVM and REUSED across JVMs.
+  *
+  * Two hazards this centralizes away:
+  *  - path collision: a readable sanitization of the source dir alone is
+  *    lossy (`sf0.1` and `sf0_1` both sanitize to `sf0_1`), so the path
+  *    carries an md5 suffix of the exact dir string;
+  *  - overwrite-vs-read race: `mode("overwrite")` DELETES the directory
+  *    first, so a second JVM rebuilding a fixture (its own in-process
+  *    guard is empty) would yank files out from under the first JVM's
+  *    lazy scans. A completed write is detected by Spark's `_SUCCESS`
+  *    marker and reused — concurrent JVMs converge to one writer and
+  *    many readers. (Two JVMs racing the FIRST build of the same fixture
+  *    remain unsynchronized — acceptable for derived test fixtures; a
+  *    production writer would take a filesystem lease.)
+  *
+  * When a fixture's DEFINITION changes (different columns, different
+  * clustering), rename its `name` — the marker check cannot distinguish
+  * a stale layout from a current one.
+  */
+private[sources] object Fixtures {
+
+  private val Root = "/tmp/graft-fixtures"
+
+  def path(dir: String, name: String): String = {
+    val readable = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val exact = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(8)
+    s"$Root/$readable-$exact/$name"
+  }
+
+  /** Return `out` with the fixture present: reuse a completed write,
+    * else run `write` (which must produce a Spark `_SUCCESS` marker). */
+  def ensure(s: SparkSession, out: String)(write: => Unit): String = {
+    val marker = new org.apache.hadoop.fs.Path(out, "_SUCCESS")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) write
+    out
+  }
+}

@@ -54,9 +54,10 @@ object JsonLines {
     cache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, String]
     ).computeIfAbsent(dir, { _ =>
-      val out = s"/tmp/graft-jsonl/${dir.replaceAll("[^A-Za-z0-9]", "_")}/documents"
-      Tables.documents(s, dir).write.mode("overwrite").json(out)
-      out
+      Fixtures.ensure(s, Fixtures.path(dir, "documents_jsonl")) {
+        Tables.documents(s, dir).write.mode("overwrite")
+          .json(Fixtures.path(dir, "documents_jsonl"))
+      }
     })
 
   /** Declared-schema JSONL read with corrupt-line quarantine. */

@@ -32,9 +32,10 @@ object Layout {
     * is a function of target file size (e.g. 1 GiB), not a constant. */
   private val NumFiles = 16
 
-  // per-(session, dir) clustered copy of lineitem, built once (files on
-  // local disk — no Spark storage to release, so a plain weak-keyed map
-  // rather than a SessionCache of persisted frames)
+  // per-(session, dir) clustered copy of lineitem, built once per JVM
+  // and reused across JVMs via Fixtures (files on local disk — no Spark
+  // storage to release, so a plain weak-keyed map rather than a
+  // SessionCache of persisted frames)
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]])
@@ -57,13 +58,13 @@ object Layout {
     cache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, String]
     ).computeIfAbsent(dir, { _ =>
-      val out = s"/tmp/graft-layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_by_shipday"
-      Tables.lineitem(s, dir)
-        .withColumn("l_shipday", col("l_shipdate").cast("date"))
-        .repartitionByRange(NumFiles, col("l_shipday"))
-        .sortWithinPartitions("l_shipday")
-        .write.mode("overwrite").parquet(out)
-      out
+      Fixtures.ensure(s, Fixtures.path(dir, "lineitem_by_shipday")) {
+        Tables.lineitem(s, dir)
+          .withColumn("l_shipday", col("l_shipdate").cast("date"))
+          .repartitionByRange(NumFiles, col("l_shipday"))
+          .sortWithinPartitions("l_shipday")
+          .write.mode("overwrite").parquet(Fixtures.path(dir, "lineitem_by_shipday"))
+      }
     })
 
   /** Spread the low 16 bits of `x` so bit i lands at position 2i — the
@@ -110,24 +111,25 @@ object Layout {
     cache.computeIfAbsent(s,
       _ => new java.util.concurrent.ConcurrentHashMap[String, String]
     ).computeIfAbsent(dir + "#z", { _ =>
-      val out = s"/tmp/graft-layout/${dir.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_zorder"
+      val out = Fixtures.path(dir, "lineitem_zorder")
       // 64 files, not 16: an N-file z-layout gives each axis ~log2(N)/2
       // bits of resolution, and at 16 a 2-bit (25%-wide) tile axis barely
       // out-prunes the predicate widths worth demonstrating. Production
       // sizes by target file size; more files = finer tiles = better
       // per-axis pruning, the opposite of linear clustering where file
       // count only changes granularity along ONE axis.
-      val li = Tables.lineitem(s, dir)
-      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
-        min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
-      li.withColumn("__z", morton2(
-          scale16(col("l_partkey"), b.getLong(0), b.getLong(1)),
-          scale16(col("l_suppkey"), b.getLong(2), b.getLong(3))))
-        .repartitionByRange(64, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite").parquet(out)
-      out
+      Fixtures.ensure(s, out) {
+        val li = Tables.lineitem(s, dir)
+        val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
+        li.withColumn("__z", morton2(
+            scale16(col("l_partkey"), b.getLong(0), b.getLong(1)),
+            scale16(col("l_suppkey"), b.getLong(2), b.getLong(3))))
+          .repartitionByRange(64, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+          .write.mode("overwrite").parquet(out)
+      }
     })
 
   // Box bounds sit in the low key range because the testdata's key

@@ -61,9 +61,14 @@ object Sink {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new Path(p.getParent, s".${p.getName}.merge.bak")
-    // heal a previous run that died inside its swap window
-    if (!fs.exists(p) && fs.exists(bak) && !fs.rename(bak, p))
-      sys.error(s"mergeInto: cannot restore $bak after an interrupted swap")
+    // heal a previous run that died inside its swap window — a COMPACT
+    // swap as well as a merge swap: healing only .merge.bak here would
+    // make a crashed compact() look like a missing table and silently
+    // rebuild it from this batch alone, dropping every pre-existing row
+    if (!fs.exists(p) && (fs.exists(bak) ||
+        fs.exists(new Path(p.getParent, s".${p.getName}.compact.bak")))
+        && !recoverSwap(spark, path))
+      sys.error(s"mergeInto: cannot restore $path after an interrupted swap")
     val merged =
       if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
       else latest

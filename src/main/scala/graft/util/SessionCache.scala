@@ -12,15 +12,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   * LRU over (session, key) with a small capacity — the worst case is
   * `maxEntries` retained artifacts, not one per session×dir ever seen.
   *
-  * Eviction — and the explicit [[SessionCache.releaseAll]] below — runs
-  * the instance's `releaseValue` hook, so a checkpointed frame's storage
-  * blocks are freed EAGERLY (unpersist) rather than waiting for the
-  * ContextCleaner to notice the dropped reference after a GC. Artifacts
-  * pinned for a whole benchmark suite were measured evicting working
-  * memory out from under unrelated late-suite queries (q03 0.34→1.7 s
-  * with an identical plan); on a cluster the same pinning steals executor
-  * storage from the running job, so callers that know a family of queries
-  * is done should release its artifacts.
+  * The explicit [[SessionCache.releaseAll]] below runs the instance's
+  * `releaseValue` hook, so a checkpointed frame's storage blocks are
+  * freed EAGERLY (unpersist) rather than waiting for the ContextCleaner
+  * to notice the dropped reference after a GC. Artifacts pinned for a
+  * whole benchmark suite were measured evicting working memory out from
+  * under unrelated late-suite queries (q03 0.34→1.7 s with an identical
+  * plan); on a cluster the same pinning steals executor storage from the
+  * running job, so callers that know a family of queries is done should
+  * release its artifacts. Capacity eviction, by contrast, only drops the
+  * reference (see the map) — eager release is safe exclusively at the
+  * caller-declared quiescence points.
   *
   * Builds run OUTSIDE the monitor: a multi-second artifact build (k-means
   * training, label propagation) must not block cache hits for other
@@ -34,14 +36,19 @@ final class SessionCache[V](maxEntries: Int = 8,
 
   SessionCache.register(this)
 
+  // Capacity eviction drops the REFERENCE only — it must NOT run the
+  // release hook: an evicted frame may still be mid-consumption by the
+  // caller that just built it (builds run outside the monitor), and
+  // unpersisting a localCheckpoint's blocks under a running job is a
+  // use-after-free (lineage is truncated; blocks can't be recomputed).
+  // Eager release is reserved for the explicit releaseSession/releaseAll
+  // calls, whose contract is "this family of queries is DONE", and for
+  // the losing racer below (whose value was never handed out).
   private val map = new java.util.LinkedHashMap[(SparkSession, String), V](
     16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
-      val evict = size() > maxEntries
-      if (evict) releaseQuietly(e.getValue)
-      evict
-    }
+        e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
+      size() > maxEntries
   }
 
   private def releaseQuietly(v: V): Unit =
@@ -88,24 +95,35 @@ object SessionCache {
 
   // Registry of every instance, so a suite runner can release one
   // session's artifacts across ALL families without knowing which
-  // operator objects hold caches. Instances are singletons held by
-  // `object`s (never collected), so strong references don't leak.
-  private val instances = new java.util.concurrent.CopyOnWriteArrayList[SessionCache[_]]
+  // operator objects hold caches. Shipped instances are singletons held
+  // by `object`s, but nothing enforces that (specs construct throwaway
+  // caches), so the registry holds them WEAKLY — a dead cache and its
+  // retained values must not be pinned for the JVM lifetime.
+  private val instances = new java.util.concurrent.CopyOnWriteArrayList[
+    java.lang.ref.WeakReference[SessionCache[_]]]
 
-  private def register(c: SessionCache[_]): Unit = instances.add(c)
+  private def register(c: SessionCache[_]): Unit = {
+    instances.removeIf(r => r.get == null) // purge collected caches
+    instances.add(new java.lang.ref.WeakReference(c))
+  }
+
+  private def live(): Iterator[SessionCache[_]] = {
+    import scala.jdk.CollectionConverters._
+    instances.iterator().asScala.flatMap(r => Option(r.get))
+  }
 
   /** Release every cached artifact of `s` in every [[SessionCache]] —
-    * unpersists checkpoint/persist blocks eagerly. Safe mid-session: the
+    * unpersists checkpoint/persist blocks eagerly. Call ONLY at a
+    * quiescence point for `s`'s artifact consumers (e.g. a query family
+    * just completed): a released frame mid-consumption elsewhere is a
+    * use-after-free, since checkpoint blocks can't be recomputed. The
     * next `getOrBuild` for a released key simply rebuilds. */
   def releaseAll(s: SparkSession): Unit =
-    instances.forEach(_.releaseSession(s))
+    live().foreach(_.releaseSession(s))
 
   /** Total live entries for `s` across all caches (spec hook). */
-  def totalLiveEntries(s: SparkSession): Int = {
-    var n = 0
-    instances.forEach(c => n += c.liveEntries(s))
-    n
-  }
+  def totalLiveEntries(s: SparkSession): Int =
+    live().map(_.liveEntries(s)).sum
 
   /** Eagerly free a materialized frame's storage: the Dataset-level cache
     * entry (if persisted) AND the block-manager blocks behind any

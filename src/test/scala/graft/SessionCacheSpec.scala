@@ -30,15 +30,22 @@ class SessionCacheSpec extends SparkSpec {
       "recently used entry must survive")
   }
 
-  test("eviction and releaseSession run the release hook") {
+  test("capacity eviction only drops the reference; releaseSession runs the hook") {
     var released = List.empty[String]
     val c = new SessionCache[String](maxEntries = 2, releaseValue = v => released ::= v)
     c.getOrBuild(spark, "a")("va")
     c.getOrBuild(spark, "b")("vb")
     c.getOrBuild(spark, "c")("vc") // evicts a
-    assert(released == List("va"), "LRU eviction must release the evicted value")
+    // eviction must NOT release: the evicted frame may be mid-consumption
+    // by the caller that just built it (checkpoint blocks can't be
+    // recomputed) — eager release belongs to the explicit quiescence-point
+    // calls only
+    assert(released.isEmpty,
+      "LRU eviction ran the release hook on a value a caller may still hold")
+    assert(c.liveEntries(spark) == 2)
     c.releaseSession(spark)
-    assert(released.toSet == Set("va", "vb", "vc"))
+    assert(released.toSet == Set("vb", "vc"),
+      "releaseSession must release exactly the still-cached values")
     assert(c.liveEntries(spark) == 0)
   }
 

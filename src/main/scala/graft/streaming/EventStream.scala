@@ -102,10 +102,15 @@ object EventStream {
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen,
     * with state bounded by the watermark (the streaming twin of Dedup's
-    * d01: at-least-once sources → exactly-once facts). */
+    * d01: at-least-once sources → exactly-once facts). In batch — where
+    * the analyzer rejects the WithinWatermark variant outright — the
+    * same semantics are a plain hash dedup, since a finite input has no
+    * "arrived too late to matter" rows to age out. */
   def dedupStream(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Stream-stream interval join: errors within 10 minutes after a click
     * by the same user. Watermarks bound both sides' join state; the range
@@ -798,6 +803,40 @@ object EventStream {
       |WHERE a.week >= c.cohort_week
       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** ev19 — the batch twin of [[dedupStream]] (oracle-checked; StreamingSpec
+    * drives the same operator incrementally): at-least-once delivery
+    * simulated by redelivering every 20th event, then exact dedup on
+    * `event_id`, reported as delivered-vs-unique counts per event type.
+    *
+    * The dedup is [[dedupStream]] itself (which plans a plain hash dedup
+    * in batch — see its scaladoc), so one definition serves both
+    * executions. The operator choice IS the scale story: streaming
+    * `dropDuplicates` retains every
+    * key ever seen (state grows with the corpus, unbounded at 100 TB);
+    * the WithinWatermark variant evicts keys older than the watermark,
+    * bounding state by delivery lag × event rate — the right contract
+    * for at-least-once sources, whose redeliveries arrive within the
+    * delivery window, not arbitrarily late. The shuffle carries only the
+    * 8-byte `event_id` grouping key per row either way. */
+  private def ev19StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val delivered = ev.unionAll(ev.filter($"event_id" % 20 === 0))
+    val deduped = dedupStream(delivered)
+    delivered.groupBy($"event_type").agg(count(lit(1)).as("n_delivered"))
+      .join(deduped.groupBy($"event_type").agg(count(lit(1)).as("n_unique")),
+        Seq("event_type"))
+      .orderBy($"event_type")
+  }
+
+  private val ev19Sql =
+    """WITH delivered AS (
+      |  SELECT * FROM events
+      |  UNION ALL SELECT * FROM events WHERE event_id % 20 = 0)
+      |SELECT event_type, count(*) AS n_delivered,
+      |       count(DISTINCT event_id) AS n_unique
+      |FROM delivered GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev01_hourly_stats" -> ev01Hourly _,
     "ev02_json_props"   -> ev02Props _,
@@ -817,6 +856,7 @@ object EventStream {
     "ev16_interpolate"  -> ev16Interpolate _,
     "ev17_funnel"       -> ev17Funnel _,
     "ev18_cohort"       -> ev18Cohort _,
+    "ev19_stream_dedup" -> ev19StreamDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -838,5 +878,6 @@ object EventStream {
     "ev16_interpolate"  -> ev16Sql,
     "ev17_funnel"       -> ev17Sql,
     "ev18_cohort"       -> ev18Sql,
+    "ev19_stream_dedup" -> ev19Sql,
   )
 }

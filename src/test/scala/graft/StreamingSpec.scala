@@ -69,6 +69,12 @@ class StreamingSpec extends SparkSpec {
     val ids = spark.table("dedup_test").select($"event_id")
       .collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"got ${ids.toSeq}")
+    // the batch execution of the SAME definition (ev19's dedup) must
+    // collapse the replayed delivery to the identical survivor set
+    val batch = EventStream.dedupStream((sample ++ sample.take(3)).toDF())
+      .select($"event_id").collect().map(_.getLong(0)).sorted
+    assert(batch.toSeq == ids.toSeq,
+      s"batch twin diverged from streaming dedup: got ${batch.toSeq}")
   }
 
   test("stream-stream interval join matches its batch twin") {

@@ -59,10 +59,18 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
   private var clock = 0L
   private var hitCount = 0L
   private var missCount = 0L
+  private var evictCount = 0L
 
   def usedBytes: Long = entries.valuesIterator.map(_.sizeBytes).sum
   def hits: Long = hitCount
   def misses: Long = missCount
+  /** Capacity evictions (admission displacing residents) — invalidateAll
+    * is a teardown, not an eviction, and is not counted. The reference's
+    * cache metrics report hit/miss/eviction per run
+    * (`fpdb-cache` policy bookkeeping); [[graft.Bench]] surfaces these
+    * three counters in its `modes` block so a cache-policy regression
+    * shows up in the round record, not only in CacheSpec. */
+  def evictions: Long = evictCount
   def keys: Seq[SegmentKey] = entries.keys.toSeq
 
   private def sizeOf(df: DataFrame): Long =
@@ -201,6 +209,7 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
     victims.foreach { case (vk, ve) =>
       ve.df.unpersist(blocking = false)
       entries.remove(vk)
+      evictCount += 1
     }
     true
   }

@@ -43,15 +43,23 @@ case class CmsEstimate(left: Expression, right: Expression)
   // identity check makes every probe after the first a pure array read.
   // Falls back to re-deserializing if a non-literal sketch column ever
   // feeds this (correct, just slower).
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedSketch: CountMinSketch = _
+  //
+  // The (bytes, sketch) pairing lives in ONE immutable tuple behind a
+  // single volatile field: two separately-mutated vars could tear if an
+  // expression instance were ever shared across threads with two distinct
+  // sketches (bytesX paired with sketchY → silently wrong estimates).
+  // Per-task plan deserialization makes sharing unlikely, but nothing
+  // enforces it — the single-reference publish makes tearing impossible
+  // either way (worst case under a race: a redundant re-deserialize).
+  @volatile @transient private[this] var cached: (Array[Byte], CountMinSketch) = _
 
   def estimate(bytes: Array[Byte], key: Long): Long = {
-    if (!(bytes eq cachedBytes)) {
-      cachedSketch = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+    var c = cached
+    if (c == null || !(bytes eq c._1)) {
+      c = (bytes, CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes)))
+      cached = c
     }
-    cachedSketch.estimateCount(java.lang.Long.valueOf(key))
+    c._2.estimateCount(java.lang.Long.valueOf(key))
   }
 
   override def nullSafeEval(sk: Any, key: Any): Any =

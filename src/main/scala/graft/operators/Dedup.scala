@@ -973,11 +973,13 @@ object Dedup {
     * corpus never pays the exact-J cost.
     *
     * Candidate generation is the Spark-side [[minhashCandidates]] with
-    * its [[MaxBucketSize]] degenerate-bucket cap; the oracle's pairs CTE
-    * carries no cap (the d03 convention), so the two sides agree only
-    * while no band bucket exceeds the cap — true of every shipped
-    * corpus, and a capped bucket would surface as a row-count diff, not
-    * a silent value drift. */
+    * its [[MaxBucketSize]] degenerate-bucket cap, and the oracle's pairs
+    * CTE applies the SAME cap (`ok` CTE: buckets kept only while
+    * `count(*) <= cap`) — so the two sides agree by construction at any
+    * corpus scale, including one with a degenerate >cap band bucket.
+    * This closes the last known input-dependent divergence in the
+    * matrix (round-6 verdict item 3): before the guard, a capped bucket
+    * would have surfaced as a row-count diff at the next scale-up. */
   private def d15MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -1009,11 +1011,14 @@ object Dedup {
     s"""WITH $duckKeysCte,
        |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
        |banded AS ($duckBands),
+       |ok AS (SELECT band_idx, band_hash FROM banded
+       |       GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id
+       |  JOIN ok o ON o.band_idx = a.band_idx AND o.band_hash = a.band_hash),
        |est AS (
        |  SELECT p.doc_a, p.doc_b, $est AS est_j
        |  FROM pairs p

@@ -21,16 +21,34 @@ import org.apache.spark.sql.SparkSession
   *
   * When a fixture's DEFINITION changes (different columns, different
   * clustering), rename its `name` — the marker check cannot distinguish
-  * a stale layout from a current one.
+  * a stale layout from a current one. Source-DATA changes need no such
+  * discipline: the path carries a fingerprint of the source dir's
+  * file names, sizes, and mtimes, so regenerating the testdata under
+  * the same path lands fixtures in a fresh directory instead of
+  * silently reusing derived copies of the old data.
   */
-private[sources] object Fixtures {
+private[graft] object Fixtures {
 
   private val Root = "/tmp/graft-fixtures"
+
+  /** Fingerprint of the SOURCE data the fixture derives from: every
+    * file's (relative name, length, mtime) under `dir`, one level deep —
+    * the testdata layout is flat parquet files (TESTDATA.md). Listing a
+    * handful of entries is plan-time cheap; hashing contents would scan
+    * the corpus. */
+  private def sourceStamp(dir: String): String = {
+    val f = new java.io.File(dir)
+    val entries = Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).sortBy(_.getName)
+      .map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+    entries.mkString("|")
+  }
 
   def path(dir: String, name: String): String = {
     val readable = dir.replaceAll("[^A-Za-z0-9]", "_")
     val exact = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(8)
+      .digest(s"$dir ${sourceStamp(dir)}".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8)
     s"$Root/$readable-$exact/$name"
   }
 

@@ -23,12 +23,16 @@ object ProbeLayout {
     val path = Layout.clusteredLineitem(spark, dir)
     val df = spark.read.parquet(path)
 
-    // control: cluster by a LONG column and range-filter on it
-    val longPath = "/tmp/graft-layout/probe_by_orderkey"
-    Tables.lineitem(spark, dir)
-      .repartitionByRange(16, col("l_orderkey"))
-      .sortWithinPartitions("l_orderkey")
-      .write.mode("overwrite").parquet(longPath)
+    // control: cluster by a LONG column and range-filter on it.
+    // Fixtures.ensure, not a fixed overwrite path: a concurrent JVM's
+    // delete-then-write must not yank files out from under a lazy scan.
+    val longPath = graft.sources.Fixtures.path(dir, "probe_by_orderkey")
+    graft.sources.Fixtures.ensure(spark, longPath) {
+      Tables.lineitem(spark, dir)
+        .repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(longPath)
+    }
     val dfL = spark.read.parquet(longPath)
     println("LONG filter scan rows:    " +
       scanRows(dfL.filter(col("l_orderkey") >= 100L && col("l_orderkey") < 500L)))
@@ -52,12 +56,14 @@ object ProbeLayout {
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
 
     // DATE-column clustered copy
-    val datePath = "/tmp/graft-layout/probe_by_shipday"
-    Tables.lineitem(spark, dir)
-      .withColumn("l_shipday", col("l_shipdate").cast("date"))
-      .repartitionByRange(16, col("l_shipday"))
-      .sortWithinPartitions("l_shipday")
-      .write.mode("overwrite").parquet(datePath)
+    val datePath = graft.sources.Fixtures.path(dir, "probe_by_shipday")
+    graft.sources.Fixtures.ensure(spark, datePath) {
+      Tables.lineitem(spark, dir)
+        .withColumn("l_shipday", col("l_shipdate").cast("date"))
+        .repartitionByRange(16, col("l_shipday"))
+        .sortWithinPartitions("l_shipday")
+        .write.mode("overwrite").parquet(datePath)
+    }
     val dfD = spark.read.parquet(datePath)
     println("DATE column filter rows:  " +
       scanRows(dfD.filter(col("l_shipday") >= lit(Layout.RangeLo).cast("date") &&

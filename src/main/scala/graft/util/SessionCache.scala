@@ -20,9 +20,10 @@ import org.apache.spark.sql.execution.LogicalRDD
   * under unrelated late-suite queries (q03 0.34→1.7 s with an identical
   * plan); on a cluster the same pinning steals executor storage from the
   * running job, so callers that know a family of queries is done should
-  * release its artifacts. Capacity eviction, by contrast, only drops the
-  * reference (see the map) — eager release is safe exclusively at the
-  * caller-declared quiescence points.
+  * release its artifacts. Capacity eviction, by contrast, defers: the
+  * evicted value parks on a bounded list and is released at the NEXT
+  * quiescence-point call (see the map) — eager release is safe
+  * exclusively at the caller-declared quiescence points.
   *
   * Builds run OUTSIDE the monitor: a multi-second artifact build (k-means
   * training, label propagation) must not block cache hits for other
@@ -36,19 +37,32 @@ final class SessionCache[V](maxEntries: Int = 8,
 
   SessionCache.register(this)
 
-  // Capacity eviction drops the REFERENCE only — it must NOT run the
-  // release hook: an evicted frame may still be mid-consumption by the
-  // caller that just built it (builds run outside the monitor), and
-  // unpersisting a localCheckpoint's blocks under a running job is a
-  // use-after-free (lineage is truncated; blocks can't be recomputed).
-  // Eager release is reserved for the explicit releaseSession/releaseAll
-  // calls, whose contract is "this family of queries is DONE", and for
-  // the losing racer below (whose value was never handed out).
+  // Capacity eviction must NOT run the release hook inline: an evicted
+  // frame may still be mid-consumption by the caller that just built it
+  // (builds run outside the monitor), and unpersisting a localCheckpoint's
+  // blocks under a running job is a use-after-free (lineage is truncated;
+  // blocks can't be recomputed). But dropping ONLY the reference leaves
+  // the blocks to GC + ContextCleaner — under key churn, executor storage
+  // fills with unreachable checkpoint blocks between release calls. So an
+  // evicted value goes onto a DEFERRED list instead, drained (released)
+  // at the next explicit releaseSession/releaseAll — the caller-declared
+  // quiescence point where eager release is safe. The list is bounded
+  // ([[DeferredCap]]): if no release point ever comes, the oldest deferred
+  // values fall back to the old drop-the-reference/GC path rather than
+  // pinning storage forever. Inline eager release remains only for the
+  // losing racer below (whose value was never handed out).
+  private val DeferredCap = 64
+  private val deferred =
+    new java.util.ArrayDeque[(SparkSession, V)]() // monitor-protected
   private val map = new java.util.LinkedHashMap[(SparkSession, String), V](
     16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(SparkSession, String), V]): Boolean =
-      size() > maxEntries
+        e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
+      if (size() <= maxEntries) return false
+      deferred.addLast((e.getKey._1, e.getValue()))
+      while (deferred.size() > DeferredCap) deferred.pollFirst() // → GC path
+      true
+    }
   }
 
   private def releaseQuietly(v: V): Unit =
@@ -74,13 +88,26 @@ final class SessionCache[V](maxEntries: Int = 8,
     }
   }
 
-  /** Drop (and release) every entry belonging to `s`. */
+  /** Drop (and release) every entry belonging to `s`, including values
+    * capacity-evicted since the last release (deferred list). */
   def releaseSession(s: SparkSession): Unit = synchronized {
     val it = map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._1 eq s) { releaseQuietly(e.getValue); it.remove() }
     }
+    val dit = deferred.iterator()
+    while (dit.hasNext) {
+      val (ds, v) = dit.next()
+      if (ds eq s) { releaseQuietly(v); dit.remove() }
+    }
+  }
+
+  /** Deferred (capacity-evicted, not yet released) values for `s` (spec hook). */
+  def deferredEntries(s: SparkSession): Int = synchronized {
+    var n = 0
+    deferred.forEach { case (ds, _) => if (ds eq s) n += 1 }
+    n
   }
 
   /** Number of live entries for `s` (spec hook). */

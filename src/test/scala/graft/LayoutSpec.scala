@@ -102,12 +102,18 @@ class LayoutSpec extends SparkSpec {
     assert(zBox <= total / 4, s"z-order did not prune the 2-D box: $zBox of $total")
 
     // control: linear clustering on l_partkey serves partkey queries but
-    // leaves suppkey queries unprunable — the gap z-order closes
-    val linPath = "/tmp/graft-layout/spec_linear_partkey"
-    Tables.lineitem(spark, sfDir)
-      .repartitionByRange(16, col("l_partkey"))
-      .sortWithinPartitions("l_partkey")
-      .write.mode("overwrite").parquet(linPath)
+    // leaves suppkey queries unprunable — the gap z-order closes.
+    // Written through Fixtures.ensure like every derived layout: a fixed
+    // path with mode(overwrite) (delete-then-write) would let two
+    // concurrent test JVMs yank files out from under each other — the
+    // exact race Fixtures exists to prevent.
+    val linPath = graft.sources.Fixtures.path(sfDir, "spec_linear_partkey")
+    graft.sources.Fixtures.ensure(spark, linPath) {
+      Tables.lineitem(spark, sfDir)
+        .repartitionByRange(16, col("l_partkey"))
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(linPath)
+    }
     val lin = spark.read.parquet(linPath)
     assert(scanOutputRows(partPred(lin)) <= total / 4)
     assert(scanOutputRows(suppPred(lin)) == total,

@@ -30,23 +30,26 @@ class SessionCacheSpec extends SparkSpec {
       "recently used entry must survive")
   }
 
-  test("capacity eviction only drops the reference; releaseSession runs the hook") {
+  test("capacity eviction defers the hook to the next releaseSession") {
     var released = List.empty[String]
     val c = new SessionCache[String](maxEntries = 2, releaseValue = v => released ::= v)
     c.getOrBuild(spark, "a")("va")
     c.getOrBuild(spark, "b")("vb")
-    c.getOrBuild(spark, "c")("vc") // evicts a
-    // eviction must NOT release: the evicted frame may be mid-consumption
-    // by the caller that just built it (checkpoint blocks can't be
-    // recomputed) — eager release belongs to the explicit quiescence-point
-    // calls only
+    c.getOrBuild(spark, "c")("vc") // evicts a → deferred, not released
+    // eviction must NOT release inline: the evicted frame may be
+    // mid-consumption by the caller that just built it (checkpoint blocks
+    // can't be recomputed) — eager release belongs to the explicit
+    // quiescence-point calls only. The evicted value parks on the
+    // deferred list so the quiescence point can free its storage.
     assert(released.isEmpty,
       "LRU eviction ran the release hook on a value a caller may still hold")
     assert(c.liveEntries(spark) == 2)
+    assert(c.deferredEntries(spark) == 1, "evicted value must be deferred")
     c.releaseSession(spark)
-    assert(released.toSet == Set("vb", "vc"),
-      "releaseSession must release exactly the still-cached values")
+    assert(released.toSet == Set("va", "vb", "vc"),
+      "releaseSession must release the cached AND the deferred values")
     assert(c.liveEntries(spark) == 0)
+    assert(c.deferredEntries(spark) == 0, "deferred list must drain")
   }
 
   /** The round-5 regression pin: pinned session artifacts (dup groups,

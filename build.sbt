@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkContext (getOrCreate); LayoutSpec brackets
+// task-level input metrics around single queries, which is only a valid
+// measurement when no other suite's jobs interleave.
+Test / parallelExecution := false
 run / fork := true
 // forward sbt's stdin to the forked JVM — graft.Shell reads statements
 // from it (harmless for the other mains, which never read stdin)

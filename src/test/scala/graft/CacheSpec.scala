@@ -35,12 +35,19 @@ class CacheSpec extends SparkSpec {
 
   test("LRU evicts the least recently used segment under pressure") {
     val cache = twoSegmentCache(LRU)
+    assert(cache.evictions == 0)
     cache.get(k1)(proj("orders", k1.columns))
     cache.get(k2)(proj("orders", k2.columns))
     cache.get(k1)(proj("orders", k1.columns))      // touch k1 (k2 becomes LRU)
     cache.get(k3)(proj("orders", k3.columns))      // must evict k2
     assert(cache.keys.contains(k1) && !cache.keys.contains(k2))
+    // the counter the bench's modes block reports (round-6 verdict item
+    // 6): one capacity eviction happened and invalidateAll (teardown)
+    // must not inflate it
+    assert(cache.evictions == 1, s"eviction counter: ${cache.evictions}")
+    assert(cache.hits == 1 && cache.misses == 3)
     cache.invalidateAll()
+    assert(cache.evictions == 1)
   }
 
   test("LFU keeps the hot segment") {

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 import graft.sources.{Layout, Tables}
 
@@ -10,15 +9,14 @@ import graft.sources.{Layout, Tables}
   * table's answer. */
 class LayoutSpec extends SparkSpec {
 
-  /** Rows surviving parquet row-group/file pruning at the scan node.
-    * The probe query is filter-only (no exchange), so AQE leaves the
-    * FileSourceScanExec directly in the executed plan. */
-  private def scanOutputRows(df: DataFrame): Long = {
-    df.collect()
-    df.queryExecution.executedPlan
-      .collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }
-      .sum
-  }
+  /** Rows surviving parquet row-group/file pruning at the scan node —
+    * the same harvest the bench records per entry (`BENCH_DETAIL.json`
+    * `io` block, `scan_rows`), so a pruning regression trips here AND
+    * shows in the round record. Decoded rows — not filesystem byte
+    * counters — are the assertable in-file pruning measure on local
+    * parquet (see [[graft.util.ScanStats]]'s measured caveat). */
+  private def scanOutputRows(df: DataFrame): Long =
+    graft.util.ScanStats.ofCollected(df)._3
 
   /** The z03 range predicate: on the clustered copy it lands on the
     * materialized DATE column (prunable stats); on the original it derives
@@ -59,6 +57,13 @@ class LayoutSpec extends SparkSpec {
     assert(pruned >= matching, s"pruning dropped matching rows: $pruned < $matching")
     assert(pruned <= total / 4,
       s"clustered scan decoded $pruned of $total rows — stats did not prune")
+    // the pruning ratio the bench's io block records for z03: the
+    // clustered copy decodes ≤1/4 of what the arrival-ordered original
+    // decodes for the same predicate (the original's unprunability is
+    // pinned by its own test below)
+    val unpruned = scanOutputRows(rangeFilter(Tables.lineitem(spark, sfDir)))
+    assert(pruned * 4 <= unpruned,
+      s"pruning ratio regressed: clustered decodes $pruned vs original $unpruned")
   }
 
   test("z04 equals the same box aggregate over the unclustered original") {
@@ -100,6 +105,12 @@ class LayoutSpec extends SparkSpec {
     // the two-column box lands in few tiles
     val zBox = scanOutputRows(partPred(suppPred(z)))
     assert(zBox <= total / 4, s"z-order did not prune the 2-D box: $zBox of $total")
+    // the io-block ratio for z04: the unclustered original decodes the
+    // whole table for the same box (no stats to skip on), so the z-order
+    // tile win is at least 4× in decoded rows
+    val oBox = scanOutputRows(partPred(suppPred(Tables.lineitem(spark, sfDir))))
+    assert(zBox * 4 <= oBox,
+      s"z-order box pruning ratio regressed: $zBox vs unclustered $oBox")
 
     // control: linear clustering on l_partkey serves partkey queries but
     // leaves suppkey queries unprunable — the gap z-order closes.

@@ -148,7 +148,7 @@ object Bench {
 
     var lastFamily = ""
     val gcByEntry = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
-    val ioByEntry = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long)]
+    val ioByEntry = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long, Long)]
     val allRuns: Seq[(String, Seq[Double])] = wanted.map { n =>
       if (family(n) != lastFamily) {
         graft.util.SessionCache.releaseAll(spark)
@@ -163,9 +163,10 @@ object Bench {
         t
       }
       val (fsBytes, _) = ioTap.snapshot()
+      val shuffleBytes = ioTap.shuffleBytes()
       val (files, filesBytes, scanRows) = planTap.snapshot()
       gcByEntry(n) = gcs.toSeq
-      ioByEntry(n) = (files, filesBytes, scanRows, fsBytes)
+      ioByEntry(n) = (files, filesBytes, scanRows, fsBytes, shuffleBytes)
       n -> runs
     }
     graft.util.SessionCache.releaseAll(spark)
@@ -285,9 +286,10 @@ object Bench {
          |"queries_median":${medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"runs":${allRuns.map { case (k, rs) => "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")},
          |"gc_ms":${gcByEntry.map { case (k, gs) => "\"" + k + "\":[" + gs.mkString(",") + "]" }.mkString("{", ",", "}")},
-         |"io":${ioByEntry.map { case (k, (f, fb, sr, b)) =>
+         |"io":${ioByEntry.map { case (k, (f, fb, sr, b, sh)) =>
              "\"" + k + "\":{\"files\":" + f + ",\"files_bytes\":" + fb +
-               ",\"scan_rows\":" + sr + ",\"fs_bytes\":" + b + "}" }.mkString("{", ",", "}")},
+               ",\"scan_rows\":" + sr + ",\"fs_bytes\":" + b +
+               ",\"shuffle_bytes\":" + sh + "}" }.mkString("{", ",", "}")},
          |"modes":{"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warm.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_load":${loads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},

@@ -33,7 +33,18 @@ object GraftSession {
       // (reference: BloomFilterCreate/UsePOp, SURVEY.md §2.2).
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+      // Cost-based optimization incl. stats-driven join reordering — the
+      // Spark-native analog of the reference's Calcite heuristic join
+      // ordering over its own row-count metadata
+      // (fpdb-calcite/java/.../Optimizer.java:156-175, FPDBRelMdRowCount).
+      // Both confs are inert until a relation carries catalog statistics:
+      // the corpus entries read parquet through temp views (no rowCount),
+      // so their plans are unchanged; tables registered in the catalog
+      // and ANALYZEd get cost-ordered joins regardless of the FROM
+      // clause's declared order (pinned by CboReorderSpec on the
+      // reference's own Q5/Q9 join-order variant pairs).
       .config("spark.sql.cbo.enabled", "true")
+      .config("spark.sql.cbo.joinReorder.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -154,4 +154,10 @@ object VariantCorpus {
   /** Same text, same engine-equivalence contract as the originals. */
   val oracleSql: Map[String, String] =
     files.map { case (name, path) => name -> read(path) }.toMap
+
+  /** The raw corpus text of one entry — CboReorderSpec runs the
+    * join-order variant pairs against ANALYZEd catalog tables (not the
+    * Engine's stat-less temp views) to pin plan convergence. */
+  def sqlText(entry: String): String =
+    read(files.toMap.apply(entry))
 }

@@ -42,10 +42,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object ScanStats {
 
-  /** Task-metric totals since `reset()`: actual bytes/records read. */
+  /** Task-metric totals since `reset()`: filesystem-statistics input
+    * bytes (see the caveat above) and SHUFFLE bytes written — the second
+    * 100 TB cost axis. Shuffle metrics are JVM-internal counters, exact
+    * on every deployment: the per-entry `shuffle_bytes` record is what
+    * proves "shuffles carry hashes/partials, not text" as a number. */
   final class Tap private[ScanStats] (spark: SparkSession) {
     private val bytes = new LongAdder
     private val records = new LongAdder
+    private val shuffle = new LongAdder
 
     private val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
@@ -53,6 +58,7 @@ object ScanStats {
         if (m != null) {
           bytes.add(m.inputMetrics.bytesRead)
           records.add(m.inputMetrics.recordsRead)
+          shuffle.add(m.shuffleWriteMetrics.bytesWritten)
         }
       }
     }
@@ -62,10 +68,13 @@ object ScanStats {
     def flush(): Unit =
       GraftCoreBridge.flushListenerBus(spark.sparkContext)
 
-    def reset(): Unit = { flush(); bytes.reset(); records.reset() }
+    def reset(): Unit = { flush(); bytes.reset(); records.reset(); shuffle.reset() }
 
     /** (bytesRead, recordsRead) accumulated since the last reset. */
     def snapshot(): (Long, Long) = { flush(); (bytes.sum(), records.sum()) }
+
+    /** Shuffle bytes written since the last reset. */
+    def shuffleBytes(): Long = { flush(); shuffle.sum() }
 
     def detach(): Unit =
       try spark.sparkContext.removeSparkListener(listener)

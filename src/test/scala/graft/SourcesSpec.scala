@@ -175,6 +175,58 @@ class SourcesSpec extends SparkSpec {
       "compaction must preserve content exactly")
   }
 
+  test("mergeInto heals a swap interrupted between its two renames") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val tmp = Files.createTempDirectory("graft_swapcrash").toFile.getAbsolutePath
+    val table = s"$tmp/users"
+    graft.sources.Sink.mergeInto(spark, table,
+      Seq((1L, 10.0, 1L), (2L, 20.0, 2L)).toDF("k", "v", "ord"), "k", "ord")
+    // simulate a process dying INSIDE the swap window: the current table
+    // has been moved aside to the .merge.bak snapshot, the new tmp dir
+    // never swapped in — the exact state mergeInto's two-rename sequence
+    // can leave behind (Sink.scala swap discipline)
+    val p = new Path(table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new Path(p.getParent, s".${p.getName}.merge.bak")
+    assert(fs.rename(p, bak) && !fs.exists(p), "failed to stage the crash state")
+    // the next merge must first restore the snapshot, then apply itself —
+    // NOT treat the missing table as empty (which would silently drop
+    // every pre-existing row)
+    graft.sources.Sink.mergeInto(spark, table,
+      Seq((2L, 21.0, 3L)).toDF("k", "v", "ord"), "k", "ord")
+    val rows = spark.read.parquet(table)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == Map(1L -> 10.0, 2L -> 21.0),
+      s"recovery lost pre-crash rows or the merge: $rows")
+    // recoverSwap alone is also safe to call when nothing is wrong
+    assert(!graft.sources.Sink.recoverSwap(spark, table),
+      "recoverSwap must be a no-op on a healthy table")
+  }
+
+  test("orderCol ties resolve to one deterministic survivor") {
+    import spark.implicits._
+    // two updates for key 1 with the SAME orderCol value but different
+    // payloads: last-writer-wins has no winner by order alone. The
+    // survivor must be a pure function of the batch CONTENT (md5
+    // tiebreak), not of input row order or partitioning — otherwise a
+    // replayed batch could flip the row and break the CDC sink's
+    // replay-idempotence contract.
+    val batch = Seq((1L, "x", 5L), (1L, "y", 5L), (2L, "z", 1L))
+    def apply(rows: Seq[(Long, String, Long)], parts: Int): Map[Long, String] = {
+      val dir = Files.createTempDirectory("graft_tie").toFile.getAbsolutePath
+      val table = s"$dir/t"
+      graft.sources.Sink.mergeInto(spark, table,
+        rows.toDF("k", "v", "ord").repartition(parts), "k", "ord")
+      spark.read.parquet(table).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    val a = apply(batch, 1)
+    val b = apply(batch.reverse, 4) // reversed order, different partitioning
+    assert(a == b, s"tie survivor depends on input order/partitioning: $a vs $b")
+    assert(a.keySet == Set(1L, 2L) && (a(1L) == "x" || a(1L) == "y"))
+  }
+
   test("contradictory predicate prunes everything and yields empty") {
     import spark.implicits._
     val shards = Seq(

@@ -24,7 +24,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ EventStream.queries ++
       graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
       graft.sources.BloomPruner.queries ++ graft.sources.Layout.queries ++
-      graft.sources.JsonLines.queries ++
+      graft.sources.JsonLines.queries ++ graft.sources.Orc.queries ++
       TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries
 
   def oracleSql: Map[String, String] =
@@ -32,6 +32,6 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++ EventStream.oracleSql ++
       graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
       graft.sources.BloomPruner.oracleSql ++ graft.sources.Layout.oracleSql ++
-      graft.sources.JsonLines.oracleSql ++
+      graft.sources.JsonLines.oracleSql ++ graft.sources.Orc.oracleSql ++
       TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql
 }

@@ -275,4 +275,32 @@ class DedupSpec extends SparkSpec {
     assert(trueHigh.subsetOf(cands),
       s"missed near-dups: ${trueHigh -- cands}")
   }
+
+  test("LSH candidate shuffle volume is independent of document length") {
+    // The 100 TB design claim, as a measured number instead of prose:
+    // minhashCandidates' shuffles carry (band, hash, doc_id) tuples and
+    // pair ids — never text — so growing every document ~6× must leave
+    // shuffle bytes within noise while a text-carrying shuffle would grow
+    // ~6×. Uses the same task-metric tap the bench records per entry
+    // (shuffle_bytes in BENCH_DETAIL.json io block; suites run serially,
+    // so the bracket sees only this test's jobs).
+    import spark.implicits._
+    val tap = graft.util.ScanStats.attach(spark)
+    def shuffleOf(df: org.apache.spark.sql.DataFrame): Long = {
+      tap.reset()
+      Dedup.minhashCandidates(df).collect()
+      tap.shuffleBytes()
+    }
+    val thin = graft.sources.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text")
+    val fat = thin.withColumn("text",
+      concat_ws(" ", (1 to 6).map(_ => $"text"): _*))
+    val a = shuffleOf(thin)
+    val b = shuffleOf(fat)
+    assert(a > 0, "expected the bucket groupBy to shuffle something")
+    assert(b <= a * 2,
+      s"shuffle grew with document length ($a B thin vs $b B at ~6× text) — " +
+        "a shuffle in the LSH path is carrying text")
+    tap.detach()
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, SsbCorpus, TextAnalysis, TpchCorpus, VariantCorpus}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, Similarity, SsbCorpus, TextAnalysis, TpchCorpus, VariantCorpus}
 import graft.sources.Tables
 import graft.streaming.EventStream
 
@@ -25,7 +25,8 @@ object SparkEntry {
       graft.plans.PredicateTransfer.queries ++ graft.sources.ZoneMapPruner.queries ++
       graft.sources.BloomPruner.queries ++ graft.sources.Layout.queries ++
       graft.sources.JsonLines.queries ++ graft.sources.Orc.queries ++
-      TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries
+      TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries ++
+      Graph.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.plans.PredicateTransfer.oracleSql ++ graft.sources.ZoneMapPruner.oracleSql ++
       graft.sources.BloomPruner.oracleSql ++ graft.sources.Layout.oracleSql ++
       graft.sources.JsonLines.oracleSql ++ graft.sources.Orc.oracleSql ++
-      TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql
+      TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql ++
+      Graph.oracleSql
 }

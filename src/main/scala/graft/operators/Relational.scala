@@ -1422,13 +1422,27 @@ object Relational {
     * 100) bounds runaway recursion the way d08's fixpoint throw does.
     * Integer division is spelled CAST(FLOOR(x / 2.0) AS BIGINT) because
     * bare `/` on integers is double division in Spark's ANSI mode and
-    * HUGEINT division in DuckDB — the one portability trap in the text. */
+    * HUGEINT division in DuckDB — the one portability trap in the text.
+    *
+    * The recursive member carries a BROADCAST hint on the dimension side
+    * (`documents`, 2 pruned columns): each iteration is then a broadcast
+    * hash join and the frontier never shuffles. At shipped SFs size-based
+    * planning already picks the broadcast (the measured win is marginal —
+    * per-iteration cost is stage scheduling, which is the price of the
+    * operator's iterated-join execution, ~depth × per-stage constant);
+    * the hint makes the choice CONFIG-INDEPENDENT — a deployment with a
+    * lowered or disabled autoBroadcastJoinThreshold would otherwise
+    * two-side-shuffle every round. At 100 TB the hinted side is the
+    * joined-to node table; if it outgrows broadcast, dropping the hint
+    * restores the shuffle join with no other change. DuckDB reads the
+    * hint as a plain block comment, so the oracle text is unchanged. */
   private val q59Sql =
     """WITH RECURSIVE anc AS (
       |  SELECT doc_id, doc_id AS node, n_chars AS path_chars, 0 AS depth
       |  FROM documents
       |  UNION ALL
-      |  SELECT a.doc_id, CAST(FLOOR((a.node - 1) / 2.0) AS BIGINT) AS node,
+      |  SELECT /*+ BROADCAST(d) */
+      |         a.doc_id, CAST(FLOOR((a.node - 1) / 2.0) AS BIGINT) AS node,
       |         a.path_chars + d.n_chars, a.depth + 1
       |  FROM anc a JOIN documents d
       |    ON d.doc_id = CAST(FLOOR((a.node - 1) / 2.0) AS BIGINT)

@@ -140,6 +140,25 @@ object Dedup {
       .select(col("pa"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("pb"))
 
+  /** The LSH banding of a (doc_id, text) frame: one (doc_id, band_idx,
+    * band_hash) row per band per doc. ':'-separated concat (plain concat,
+    * so ANY null stream nulls the band — shingle-less docs must not all
+    * collide on one bucket), then md5 — bit-identical in DuckDB with
+    * ::VARCHAR casts. Shared by the self-join candidates (d03/d15) and
+    * the incremental new-vs-seen join (d17). */
+  def bandHashes(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bandCols = (0 until NumBands).map { b =>
+      val parts = (0 until RowsPerBand)
+        .map(r => col(f"m${b * RowsPerBand + r}%02d").cast("string"))
+        .flatMap(c => Seq(c, lit(":"))).dropRight(1)
+      md5(concat(parts: _*))
+    }
+    sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+      .filter(col("band_hash").isNotNull) // shingle-less docs can't collide
+  }
+
   /** LSH candidate pairs for any (doc_id, text) frame.
     *
     * Shape: signature → band hashes → groupBy(bucket) → explode in-bucket
@@ -149,19 +168,7 @@ object Dedup {
     * k²/2 pairs — the all-dups-identical worst case — and are dropped above
     * [[MaxBucketSize]] (see [[bucketPairs]]). */
   def minhashCandidates(docs: DataFrame, maxBucket: Int = MaxBucketSize): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    // ':'-separated concat (plain concat, so ANY null stream nulls the
-    // band — shingle-less docs must not all collide on one bucket), then
-    // md5 — bit-identical in DuckDB with ::VARCHAR casts
-    val bandCols = (0 until NumBands).map { b =>
-      val parts = (0 until RowsPerBand)
-        .map(r => col(f"m${b * RowsPerBand + r}%02d").cast("string"))
-        .flatMap(c => Seq(c, lit(":"))).dropRight(1)
-      md5(concat(parts: _*))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-      .filter(col("band_hash").isNotNull) // shingle-less docs can't collide
+    val buckets = bandHashes(docs)
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -1035,6 +1042,141 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The deterministic "already ingested" corpus for the incremental
+    * entries (d16/d17): even-id documents plus synthetic cross-posts of
+    * the id%4==1 half of the batch (the m04 device — natural cross-split
+    * duplicates only exist at sf0.1, and an incremental-dedup entry whose
+    * duplicate set is empty at the oracle SF would never exercise the
+    * match path). The batch is the odd-id half; its id%4==1 docs are
+    * known duplicates, its id%4==3 docs are genuinely new. */
+  private def seenHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    docs.filter(pmod($"doc_id", lit(2)) === 0).select(md5($"text").as("h"))
+      .union(docs.filter(pmod($"doc_id", lit(4)) === 1).select(md5($"text").as("h")))
+      .distinct()
+  }
+
+  private def batchDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).filter(pmod($"doc_id", lit(2)) === 1)
+  }
+
+  /** d16 — incremental exact dedup, bloom-gated: which documents of an
+    * incoming batch are NEW against an already-ingested corpus. The
+    * 100 TB shape: the seen corpus is answered by a BLOOM SIDECAR (one
+    * `BloomFilterAggregate` pass, the z02 machinery on the content-hash
+    * domain), so the batch never joins the full corpus — a bloom NO is
+    * definitely-new (no false negatives) and passes through with zero
+    * join work; only the bloom's YES slice (true duplicates + the ~fpp
+    * false positives) pays the exact anti-join that removes false
+    * positives. Per batch the corpus-sized work is one stationary sketch
+    * probe per row; the join's left side is duplicate-sized, not
+    * batch-sized. Exactness does NOT depend on the sketch: the result is
+    * identical to the plain anti-join by construction (bloom-negative ∪
+    * exactly-verified positive), which is what the oracle checks — any
+    * false negative in the sketch path would surface as a missing row.
+    *
+    * The sketch travels as a literal into a codegen'd probe — the q58
+    * CMS device; `xxhash64` keys the bloom (collisions only ever ADD
+    * false positives, which the verify join removes). */
+  /** The bloom-gated anti-join core: rows of `batch` (doc_id, h) whose
+    * `h` is absent from `seen` (h) — result identical to a plain
+    * anti-join; the sketch only bounds how much of the batch pays the
+    * join. Exposed for the spec's equivalence proof on crafted data. */
+  def bloomNew(seen: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    // sidecar construction: one distributed pass, one driver-held sketch
+    // (the z02/q58 pattern — sketches are artifacts, not data paths)
+    val bloomBytes: Array[Byte] = seen
+      .agg(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), 100000L)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    def might(c: Column): Column = GraftBridge.column(new BloomFilterMightContain(
+      GraftBridge.expression(lit(bloomBytes)),
+      GraftBridge.expression(xxhash64(c))))
+    val definitelyNew = batch.filter(!might(col("h")))
+    val verifiedNew = batch.filter(might(col("h")))
+      .join(seen, Seq("h"), "left_anti")
+    definitelyNew.unionByName(verifiedNew)
+  }
+
+  private def d16BloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batch = batchDocs(s, dir).select($"doc_id", md5($"text").as("h"))
+    bloomNew(seenHashes(s, dir), batch)
+      .select($"doc_id", $"h".as("content_hash"))
+      .orderBy($"doc_id")
+  }
+
+  private val d16Sql =
+    """WITH seen AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents
+      |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1)
+      |SELECT doc_id, md5(text) AS content_hash
+      |FROM documents b
+      |WHERE doc_id % 2 = 1
+      |  AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text))
+      |ORDER BY doc_id""".stripMargin
+
+  /** d17 — incremental LSH near-dup: candidate (new, seen) pairs of an
+    * incoming batch against the already-ingested corpus's band index.
+    * The production ingestion shape for MinHash dedup: the seen side's
+    * (band_idx, band_hash, doc_id) index is a STATIONARY artifact
+    * maintained across batches (here derived in-query; in production a
+    * bucketed table partitioned by band hash); per batch only the new
+    * documents' signatures are computed (a narrow map) and the join
+    * shuffles batch-sized bands into the index's partitioning — the
+    * corpus is never re-banded, never self-joined. Same degenerate-
+    * bucket economics as d03: a seen bucket above [[MaxBucketSize]] is
+    * excluded (boilerplate that hot belongs to exact dedup), and the
+    * oracle applies the identical cap in its `ok` CTE (the d15 parity
+    * convention), so both sides agree at any corpus scale. */
+  /** The incremental candidate core: (new_doc, seen_doc) pairs whose
+    * bands collide, with the seen-side bucket cap applied BEFORE the
+    * batch join. Exposed for the spec's cap-behavior test. */
+  def incrementalLshPairs(seenDocs: DataFrame, newDocs: DataFrame,
+      maxBucket: Int = MaxBucketSize): DataFrame = {
+    val seenB = bandHashes(seenDocs)
+    val newB = bandHashes(newDocs)
+    val okBuckets = seenB.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .select(col("band_idx"), col("band_hash"))
+    // cap applied to the INDEX side before the batch join — a degenerate
+    // bucket never expands, matching bucketPairs' drop-then-pair order
+    val seenOk = seenB.join(okBuckets, Seq("band_idx", "band_hash"), "left_semi")
+    newB.join(seenOk.select(col("band_idx"), col("band_hash"), col("doc_id").as("seen_doc")),
+        Seq("band_idx", "band_hash"))
+      .select(col("doc_id").as("new_doc"), col("seen_doc"))
+      .distinct()
+  }
+
+  private def d17IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    incrementalLshPairs(
+      docs.filter(pmod($"doc_id", lit(2)) === 0),
+      docs.filter(pmod($"doc_id", lit(2)) === 1))
+      .orderBy($"new_doc", $"seen_doc")
+  }
+
+  private val d17Sql =
+    s"""WITH $duckKeysCte,
+       |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
+       |banded AS ($duckBands),
+       |sb AS (SELECT * FROM banded WHERE doc_id % 2 = 0),
+       |nb AS (SELECT * FROM banded WHERE doc_id % 2 = 1),
+       |ok AS (SELECT band_idx, band_hash FROM sb
+       |       GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize)
+       |SELECT DISTINCT n.doc_id AS new_doc, s.doc_id AS seen_doc
+       |FROM nb n
+       |JOIN sb s ON n.band_idx = s.band_idx AND n.band_hash = s.band_hash
+       |JOIN ok o ON o.band_idx = s.band_idx AND o.band_hash = s.band_hash
+       |ORDER BY new_doc, seen_doc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -1055,6 +1197,8 @@ object Dedup {
     "d13_chunk_dedup"   -> d13ChunkDedup _,
     "d14_containment"   -> d14Containment _,
     "d15_minhash_estimate" -> d15MinhashEstimate _,
+    "d16_bloom_incremental" -> d16BloomIncremental _,
+    "d17_incremental_lsh" -> d17IncrementalLsh _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1077,5 +1221,7 @@ object Dedup {
     "d13_chunk_dedup"   -> d13Sql,
     "d14_containment"   -> d14Sql,
     "d15_minhash_estimate" -> d15Sql,
+    "d16_bloom_incremental" -> d16Sql,
+    "d17_incremental_lsh" -> d17Sql,
   )
 }

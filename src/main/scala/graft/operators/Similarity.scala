@@ -692,6 +692,107 @@ object Similarity {
 
   private val s12Sql = knnOracle("q.vec_id < 20 AND e.label = 3", 5)
 
+  /** Binary sign code: 63 sign bits of the embedding packed into one
+    * BIGINT (bit j set ⇔ component j+1 > 0). 63, not 64: the sum of
+    * distinct powers of two stays inside the positive range of a signed
+    * 64-bit integer, so neither engine's ANSI overflow check can fire —
+    * the 64th component simply doesn't vote. 8 bytes per vector ≈ 32×
+    * smaller than the float64[64] row: the compression regime where a
+    * 100 TB corpus's code table fits a cluster's memory. */
+  def signCode(e: Column): Column =
+    (0 until 63).map(j => when(element_at(e, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private val duckSignCode: String =
+    """list_sum(list_transform(generate_series(1, 63),
+      |  j -> CASE WHEN embedding[j] > 0 THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))::BIGINT"""
+      .stripMargin
+
+  /** s13 — kNN over binary sign codes by HAMMING distance: the
+    * binary-embedding baseline (SimHash-for-vectors). Distance =
+    * `bit_count(qcode XOR ncode)` — one codegen'd instruction pair per
+    * comparison over 8-byte codes, no floating point at all, which is
+    * why binary first-stage retrieval is the cheapest filter a vector
+    * pipeline has. Exact integer arithmetic end to end → hash-checked,
+    * approximation included (same contract as s07's int8 path).
+    * Sign-random-projection theory: E[hamming/bits] = angle/π, so the
+    * hamming ranking estimates the cosine ranking; s14 measures how well. */
+  private def s13KnnHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val codes = emb.select($"vec_id", signCode($"embedding").as("code"))
+    val q = codes.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"code".as("qc"))
+    val n = Tables.spread(codes.select($"vec_id".as("nid"), $"code".as("nc")))
+    val w = Window.partitionBy($"qid").orderBy($"hamming".asc, $"nid")
+    broadcast(q).crossJoin(n)
+      .withColumn("hamming", bit_count($"qc".bitwiseXOR($"nc")))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"hamming")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val s13Sql =
+    s"""WITH c AS (SELECT vec_id, $duckSignCode AS code FROM embeddings),
+       |p AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |        bit_count(xor(q.code, e.code)) AS hamming
+       |      FROM c q CROSS JOIN c e WHERE q.vec_id < 20)
+       |SELECT qid, rank, nid, hamming FROM (
+       |  SELECT qid, nid, hamming,
+       |    row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS rank
+       |  FROM p) r
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** s14 — the binary two-stage pipeline: Hamming SHORTLIST (top-32 by
+    * code distance — integer work over 8-byte codes) then exact cosine
+    * RERANK of only the shortlist (float work on 32 candidates per probe
+    * instead of the whole corpus). This is the production shape for
+    * binary codes — the code stage bounds the float stage's input by
+    * construction, and at 100 TB the full-precision vectors are fetched
+    * for 32 rows per query, not scanned. Both stages are deterministic
+    * (hamming ties → nid), so the oracle reproduces the exact shortlist
+    * and the result hash-checks — unlike a recall-gated index, the
+    * approximation here is pinned pair-for-pair. */
+  private def s14HammingRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val coded = emb.select($"vec_id", $"embedding", signCode($"embedding").as("code"))
+    val q = coded.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"code".as("qc"))
+    val n = Tables.spread(coded.select($"vec_id".as("nid"), $"embedding".as("ne"), $"code".as("nc")))
+    val wH = Window.partitionBy($"qid").orderBy($"hamming".asc, $"nid")
+    val wC = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+    broadcast(q).crossJoin(n)
+      .withColumn("hamming", bit_count($"qc".bitwiseXOR($"nc")))
+      .withColumn("hrank", row_number().over(wH))
+      .filter($"hrank" <= 32)
+      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+      .withColumn("rank", row_number().over(wC))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"cosine")
+      .orderBy($"qid", $"rank")
+  }
+
+  private val s14Sql =
+    s"""WITH c AS (SELECT vec_id, embedding, $duckNorm AS nrm, $duckSignCode AS code
+       |           FROM embeddings),
+       |h AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |        bit_count(xor(q.code, e.code)) AS hamming,
+       |        ${duckDot("q.embedding", "e.embedding")} / (q.nrm * e.nrm) AS cosine
+       |      FROM c q CROSS JOIN c e WHERE q.vec_id < 20),
+       |short AS (SELECT qid, nid, cosine FROM (
+       |    SELECT qid, nid, cosine,
+       |      row_number() OVER (PARTITION BY qid ORDER BY hamming, nid) AS hrank
+       |    FROM h) x
+       |  WHERE hrank <= 32)
+       |SELECT qid, rank, nid, cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+       |  FROM short) r
+       |WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
@@ -705,6 +806,8 @@ object Similarity {
     "s10_ann_ivfpq"      -> s10AnnIvfPq _,
     "s11_ann_ivfpq_recall" -> s11AnnIvfPqRecall _,
     "s12_knn_filtered"   -> s12KnnFiltered _,
+    "s13_knn_hamming"    -> s13KnnHamming _,
+    "s14_hamming_rerank" -> s14HammingRerank _,
   )
 
   /** s04's raw output is omitted (KMeans has no SQL oracle; rows-only
@@ -719,5 +822,7 @@ object Similarity {
     "s09_ann_pq_recall"  -> s09Sql,
     "s11_ann_ivfpq_recall" -> s11Sql,
     "s12_knn_filtered"   -> s12Sql,
+    "s13_knn_hamming"    -> s13Sql,
+    "s14_hamming_rerank" -> s14Sql,
   )
 }

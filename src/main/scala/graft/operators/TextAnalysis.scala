@@ -659,6 +659,80 @@ object TextAnalysis {
        |ORDER BY source, rnk""".stripMargin
   }
 
+  /** t16 — Gopher-style repetition-free quality RULE GATE (Rae et al.
+    * 2021, §A1.1 "quality filtering" — the published rule battery later
+    * reused by MassiveText/RefinedWeb derivatives): hard per-document
+    * bounds rather than t02's soft score. Rules here (the subset whose
+    * signals exist in a single-line corpus): word count in [50, 100000],
+    * mean word length in [3, 10], symbol-to-word ratio ('#' or '…'/'...')
+    * ≤ 0.1, ≥ 80 % of words contain an alphabetic character, ≥ 2 distinct
+    * stopwords present (the "real sentence structure" proxy). Output =
+    * the measured signals + per-rule verdicts + the conjunction — a
+    * downstream filter keys on `pass`, an auditor reads WHICH rule
+    * killed a document (per-rule accounting is the operational
+    * requirement; a bare boolean can't be debugged at corpus scale).
+    * One narrow scan, no shuffle but the oracle-determinism sort. */
+  /** The rule battery over any (doc_id, text) frame — exposed so the
+    * spec can flip each rule independently on crafted documents. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val nWords = size(w)
+    val meanLen = aggregate(transform(w, x => length(x)), lit(0), (a, x) => a + x)
+      .cast("double") / nWords
+    val symbols = occurrences(col("text"), "#") + occurrences(col("text"), "...")
+    val symbolRatio = symbols.cast("double") / nWords
+    val alphaRatio = size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("double") / nWords
+    val nStopDistinct = size(array_intersect(array_distinct(w),
+      array(stopwords.map(lit): _*)))
+    val okWords = nWords >= 50 && nWords <= 100000
+    val okLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSym = symbolRatio <= 0.1
+    val okAlpha = alphaRatio >= 0.8
+    val okStop = nStopDistinct >= 2
+    docs
+      .select(col("doc_id"),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), alphaRatio.as("alpha_word_ratio"),
+        nStopDistinct.as("n_stop_distinct"),
+        okWords.as("ok_words"), okLen.as("ok_len"), okSym.as("ok_sym"),
+        okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+        (okWords && okLen && okSym && okAlpha && okStop).as("pass"))
+  }
+
+  private def t16GopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  private val t16Sql = {
+    val stops = stopwords.map(x => s"'$x'").mkString(", ")
+    // the replace-and-measure occurrence identity, as [[occurrences]]
+    val sym = "((length(text) - length(replace(text, '#', ''))) / 1" +
+      " + (length(text) - length(replace(text, '...', ''))) / 3)"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    list_sum(list_transform(string_split(text, ' '), x -> length(x)))::DOUBLE
+       |      / len(string_split(text, ' ')) AS mean_word_len,
+       |    $sym::DOUBLE / len(string_split(text, ' ')) AS symbol_ratio,
+       |    len(list_filter(string_split(text, ' '),
+       |        x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+       |      / len(string_split(text, ' ')) AS alpha_word_ratio,
+       |    len(list_intersect(list_distinct(string_split(text, ' ')),
+       |        [$stops])) AS n_stop_distinct
+       |  FROM documents)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+       |  n_stop_distinct,
+       |  (n_words >= 50 AND n_words <= 100000) AS ok_words,
+       |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_len,
+       |  (symbol_ratio <= 0.1) AS ok_sym,
+       |  (alpha_word_ratio >= 0.8) AS ok_alpha,
+       |  (n_stop_distinct >= 2) AS ok_stop,
+       |  (n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_ratio <= 0.1 AND alpha_word_ratio >= 0.8
+       |    AND n_stop_distinct >= 2) AS pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -675,6 +749,7 @@ object TextAnalysis {
     "t13_mixture"     -> t13Mixture _,
     "t14_weighted_sample" -> t14WeightedSample _,
     "t15_source_cap"  -> t15SourceCap _,
+    "t16_gopher_rules" -> t16GopherRules _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -693,5 +768,6 @@ object TextAnalysis {
     "t13_mixture"     -> t13Sql,
     "t14_weighted_sample" -> t14Sql,
     "t15_source_cap"  -> t15Sql,
+    "t16_gopher_rules" -> t16Sql,
   )
 }

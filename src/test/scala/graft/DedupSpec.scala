@@ -303,4 +303,37 @@ class DedupSpec extends SparkSpec {
         "a shuffle in the LSH path is carrying text")
     tap.detach()
   }
+
+  test("d16 bloom-gated incremental dedup is exactly the plain anti-join") {
+    import spark.implicits._
+    // seen: A, B; batch: one dup (B), one new (C). The sketch path must
+    // return precisely the anti-join's rows — a bloom false negative
+    // would lose a duplicate, a skipped verify would keep one.
+    val seen = Seq("text aaa", "text bbb").toDF("text").select(md5($"text").as("h"))
+    val batch = Seq((10L, "text bbb"), (11L, "text ccc")).toDF("doc_id", "text")
+      .select($"doc_id", md5($"text").as("h"))
+    val got = Dedup.bloomNew(seen, batch).select($"doc_id").as[Long].collect().toSet
+    val plain = batch.join(seen, Seq("h"), "left_anti")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == plain && got == Set(11L),
+      s"bloom path $got must equal anti-join $plain = {11}")
+  }
+
+  test("d17 incremental LSH: batch meets its seen near-dup; seen-side cap bounds the join") {
+    val edited = base.replace("dog", "cat")
+    val seen = docs(2L -> base,
+      4L -> "completely different words about spark engines and columnar scans today")
+    val batch = docs(1L -> edited)
+    val pairs = Dedup.incrementalLshPairs(seen, batch)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "one-word edit must collide with its seen original")
+    assert(!pairs.contains((1L, 4L)), "unrelated seen doc must not pair")
+    // a degenerate seen bucket (4 identical docs) above the cap is
+    // excluded BEFORE the batch join — the d03/d15 economics, applied to
+    // the stationary index side
+    val hotSeen = docs(2L -> base, 4L -> base, 6L -> base, 8L -> base)
+    assert(Dedup.incrementalLshPairs(hotSeen, docs(1L -> base)).count() == 4 * 1)
+    assert(Dedup.incrementalLshPairs(hotSeen, docs(1L -> base), maxBucket = 3).count() == 0,
+      "a seen bucket over the cap must never expand against the batch")
+  }
 }

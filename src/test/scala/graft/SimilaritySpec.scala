@@ -144,4 +144,45 @@ class SimilaritySpec extends SparkSpec {
       assert(buckets(r.getAs[Long]("qid")) == buckets(r.getAs[Long]("nid")))
     }
   }
+
+  test("signCode packs exactly the 63 component signs, low bit first") {
+    import spark.implicits._
+    // +,-,+,-,… alternating: bits 0,2,4,…,62 set → 0x5555… over 63 bits;
+    // component 64 positive must NOT contribute (bit 63 stays clear).
+    val alt = (1 to 64).map(i => if (i % 2 == 1) 1.0f else -1.0f).toArray
+    val expected = (0 until 63 by 2).map(1L << _).sum
+    val got = Seq(Tuple1(alt)).toDF("embedding")
+      .select(Similarity.signCode($"embedding").as("code"))
+      .head.getLong(0)
+    assert(got == expected, f"code $got%x != $expected%x")
+    assert(got >= 0, "codes must stay in the signed-positive range (ANSI-safe)")
+  }
+
+  test("hamming knn ranks by bit_count of code xor; rerank keeps top-5 of the shortlist") {
+    import spark.implicits._
+    val codes = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", Similarity.signCode($"embedding").as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val s13 = SparkEntry.queries("s13_knn_hamming")(spark, sfDir).collect()
+    s13.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.length == 5, s"probe $qid returned ${rs.length} of 5")
+      // brute-force the true top-5 on the driver and compare
+      val brute = codes.toSeq
+        .map { case (nid, c) => (java.lang.Long.bitCount(codes(qid) ^ c), nid) }
+        .sorted.take(5)
+      val got = rs.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Int]("hamming"), r.getAs[Long]("nid"))).toSeq
+      assert(got == brute, s"probe $qid: $got != $brute")
+    }
+    // s14: every reranked neighbor must come from the probe's hamming-top-32
+    val s14 = SparkEntry.queries("s14_hamming_rerank")(spark, sfDir).collect()
+    s14.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.length == 5)
+      val short = codes.toSeq
+        .map { case (nid, c) => (java.lang.Long.bitCount(codes(qid) ^ c), nid) }
+        .sorted.take(32).map(_._2).toSet
+      rs.foreach(r => assert(short.contains(r.getAs[Long]("nid")),
+        s"probe $qid reranked a neighbor outside its hamming shortlist"))
+    }
+  }
 }

@@ -38,16 +38,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; read it as raw nanos (legacy conf) and
-    * truncate to Spark's native microsecond timestamps — the same floor
-    * DuckDB applies when it narrows nanos. */
+  /** `events.ts` has shipped under three physical parquet encodings across
+    * testdata generations: TIMESTAMP(NANOS) (vectorized reader rejects it;
+    * surfaced as raw-nanos LongType under the legacy conf), timestamp[us]
+    * with no UTC adjustment (surfaced as TIMESTAMP_NTZ — which
+    * `withWatermark` rejects and parquet min/max stats pruning mishandles),
+    * and plain UTC-adjusted TIMESTAMP. Normalize all three to TimestampType
+    * at the source boundary; the session runs in UTC so the NTZ→TZ cast is
+    * value-preserving. */
+  def normalizeEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(s"unexpected events.ts type: $other")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(path(d, "events"))
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    normalizeEventTime(s.read.parquet(path(d, "events")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -47,24 +47,25 @@ object EventStream {
   /** Open a parquet-backed event stream (file source; in production this is
     * a Kafka source with the same downstream plan).
     *
-    * The stream source must be declared with the file's RAW schema — `ts`
-    * is parquet TIMESTAMP(NANOS), surfaced as `LongType` under the
-    * nanosAsLong conf — and the micros conversion applied as a projection
-    * AFTER the source (declaring the post-conversion TimestampType against
-    * the raw file fails at read time). Mirrors `Tables.events`. */
+    * The stream source must be declared with the file's RAW schema — e.g.
+    * parquet TIMESTAMP(NANOS) surfaces as `LongType` under the nanosAsLong
+    * conf, timestamp[us] without UTC adjustment as TIMESTAMP_NTZ — and the
+    * conversion to watermark-compatible TimestampType applied as a
+    * projection AFTER the source (declaring the post-conversion type
+    * against the raw file fails at read time). Shares
+    * `Tables.normalizeEventTime` with the batch path so the two can never
+    * diverge on a testdata re-encode. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val p = Tables.path(dir, "events")
-    val rawSchema = spark.read.parquet(p).schema // footer schema, ts as raw nanos
+    val rawSchema = spark.read.parquet(p).schema // footer schema, raw encoding
     // The path must be a GLOB: for a non-glob path FileStreamSource silently
     // rewrites basePath to the path itself, which for a single-file table is
     // not a directory and fails every micro-batch. events*.parquet also
     // covers the multi-shard layout.
     val stream = spark.readStream.schema(rawSchema)
       .option("basePath", dir).parquet(s"$dir/events*.parquet")
-    if (stream.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    Tables.normalizeEventTime(stream)
   }
 
   /** Streaming sessionization via typed state: 30-minute inactivity gap,

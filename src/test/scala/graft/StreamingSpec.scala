@@ -205,6 +205,39 @@ class StreamingSpec extends SparkSpec {
       "e" -> None))     // NULL join keys never match, even against NULL-key rights
   }
 
+  test("event-time normalizes to TimestampType for all three physical encodings") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // The testdata's events.ts has shipped as TIMESTAMP(NANOS) (raw-nanos
+    // LongType under the legacy conf), timestamp[us]/NTZ, and UTC TIMESTAMP
+    // across generations; a re-encode must never re-break withWatermark.
+    val base = "/tmp/graft-ts-encodings"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val wallclock = "2024-03-01 12:34:56"
+    val micros = java.sql.Timestamp.valueOf(wallclock).getTime * 1000L
+    Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/nanos_long/events.parquet")
+    val typed = Seq((1L, java.sql.Timestamp.valueOf(wallclock), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    typed.withColumn("ts", $"ts".cast("timestamp_ntz"))
+      .write.parquet(s"$base/micros_ntz/events.parquet")
+    typed.write.parquet(s"$base/micros_tz/events.parquet")
+    for (enc <- Seq("nanos_long", "micros_ntz", "micros_tz")) {
+      val dir = s"$base/$enc"
+      val batch = graft.sources.Tables.events(spark, dir)
+      assert(batch.schema("ts").dataType == TimestampType, s"$enc batch type")
+      assert(batch.select($"ts".cast("string")).head.getString(0) == wallclock,
+        s"$enc: normalization must preserve the wall-clock instant (UTC session)")
+      val stream = EventStream.readEventStream(spark, dir)
+      assert(stream.isStreaming && stream.schema("ts").dataType == TimestampType,
+        s"$enc stream type")
+      // analysis succeeding proves withWatermark accepts the normalized column
+      val agg = EventStream.streamingHourlyStats(stream)
+      assert(agg.schema.fieldNames.contains("n_events"), s"$enc watermark plan")
+    }
+  }
+
   test("parquet-backed readStream plans incrementally with a watermark") {
     val stream = EventStream.readEventStream(spark, sfDir)
     assert(stream.isStreaming)

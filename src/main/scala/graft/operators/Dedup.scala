@@ -1084,20 +1084,44 @@ object Dedup {
     * `h` is absent from `seen` (h) — result identical to a plain
     * anti-join; the sketch only bounds how much of the batch pays the
     * join. Exposed for the spec's equivalence proof on crafted data. */
-  def bloomNew(seen: DataFrame, batch: DataFrame): DataFrame = {
+  /** Build the seen-corpus bloom sidecar: one distributed pass, one
+    * driver-held sketch (the z02/q58 pattern — sketches are artifacts,
+    * not data paths). Returns null when `seen` contributed zero non-null
+    * hashes (BloomFilterAggregate's empty-input result). */
+  def bloomSidecar(seen: DataFrame, expectedItems: Long): Array[Byte] = {
     import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    // sidecar construction: one distributed pass, one driver-held sketch
-    // (the z02/q58 pattern — sketches are artifacts, not data paths)
-    val bloomBytes: Array[Byte] = seen
-      .agg(GraftBridge.column(
-        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), 100000L)
+    seen.agg(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))),
+          math.max(1L, expectedItems))
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
-    def might(c: Column): Column = GraftBridge.column(new BloomFilterMightContain(
+  }
+
+  /** Sketch membership probe as a codegen'd Column (xxhash64-keyed —
+    * collisions only ever ADD false positives, which the verify join
+    * removes). */
+  def bloomMight(bloomBytes: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    GraftBridge.column(new BloomFilterMightContain(
       GraftBridge.expression(lit(bloomBytes)),
       GraftBridge.expression(xxhash64(c))))
+  }
+
+  def bloomNew(seen: DataFrame, batch: DataFrame,
+      expectedItems: Option[Long] = None): DataFrame = {
+    // Size the sketch from the seen side (a maintained corpus stat in
+    // production; one count agg here) — a fixed capacity would saturate
+    // as the corpus grows, fpp→1, and the gate would silently degrade to
+    // the full anti-join it exists to avoid.
+    val n = expectedItems.getOrElse(seen.count())
+    val bloomBytes = if (n == 0) null else bloomSidecar(seen, n)
+    // Empty corpus ⇒ BloomFilterAggregate yields a NULL sketch and a NULL
+    // probe would three-valued-logic away EVERY batch row; the correct
+    // answer needs no sketch at all: everything is definitely new.
+    if (bloomBytes == null) return batch
+    def might(c: Column): Column = bloomMight(bloomBytes, c)
     val definitelyNew = batch.filter(!might(col("h")))
     val verifiedNew = batch.filter(might(col("h")))
       .join(seen, Seq("h"), "left_anti")
@@ -1107,7 +1131,11 @@ object Dedup {
   private def d16BloomIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val batch = batchDocs(s, dir).select($"doc_id", md5($"text").as("h"))
-    bloomNew(seenHashes(s, dir), batch)
+    // capacity: the corpus row count is a parquet-metadata-only agg and a
+    // guaranteed upper bound on the seen-hash cardinality — overprovision
+    // (lower fpp) rather than re-derive the distinct seen set for a count
+    val cap = Tables.documents(s, dir).count()
+    bloomNew(seenHashes(s, dir), batch, expectedItems = Some(cap))
       .select($"doc_id", $"h".as("content_hash"))
       .orderBy($"doc_id")
   }

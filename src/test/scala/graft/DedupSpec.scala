@@ -319,6 +319,38 @@ class DedupSpec extends SparkSpec {
       s"bloom path $got must equal anti-join $plain = {11}")
   }
 
+  test("d16 empty seen corpus: every batch row is new (null sketch guarded)") {
+    import spark.implicits._
+    // BloomFilterAggregate over zero rows yields a NULL sketch; an
+    // unguarded NULL probe would three-valued-logic away the whole batch.
+    val seen = Seq.empty[String].toDF("text").select(md5($"text").as("h"))
+    val batch = Seq((10L, "text bbb"), (11L, "text ccc")).toDF("doc_id", "text")
+      .select($"doc_id", md5($"text").as("h"))
+    val got = Dedup.bloomNew(seen, batch).select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L), s"empty corpus must pass the whole batch through, got $got")
+  }
+
+  test("d16 sketch sized from the corpus still gates at 10x the old fixed capacity") {
+    import spark.implicits._
+    // seen = 1M hashes (10x the previously hard-coded 100k capacity). A
+    // saturated sketch would answer YES for nearly everything and the
+    // gate would silently become the full anti-join; sized correctly,
+    // the bloom-negative fraction of truly-new rows stays ≈ 1 - fpp.
+    val n = 1000000L
+    val seen = spark.range(n).select(md5(concat(lit("seen-"), $"id")).as("h"))
+    val newRows = 1000
+    val batch = spark.range(newRows).select(md5(concat(lit("new-"), $"id")).as("h"))
+    val bytes = Dedup.bloomSidecar(seen, n)
+    assert(bytes != null)
+    val negatives = batch.filter(!Dedup.bloomMight(bytes, $"h")).count()
+    assert(negatives >= (newRows * 0.9).toLong,
+      s"only $negatives/$newRows truly-new rows short-circuited the anti-join — " +
+        "the sketch is saturated (capacity not tracking the corpus)")
+    // and no false negatives: every seen hash must answer YES
+    val fn = seen.limit(1000).filter(!Dedup.bloomMight(bytes, $"h")).count()
+    assert(fn == 0, s"$fn bloom false negatives — must be impossible")
+  }
+
   test("d17 incremental LSH: batch meets its seen near-dup; seen-side cap bounds the join") {
     val edited = base.replace("dog", "cat")
     val seen = docs(2L -> base,

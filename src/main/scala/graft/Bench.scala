@@ -29,6 +29,24 @@ import graft.sources.Tables
   *    in BENCH_DETAIL.json (`runs`, `gc_ms`) so tail behavior stays
   *    visible, and the median is recorded alongside (`queries_median`)
   *    for continuity with rounds ≤6;
+  *  - the N runs are INTERLEAVED PASSES over the whole sorted suite
+  *    (pass = outer loop), not back-to-back per entry (round-8 verdict
+  *    item 2): back-to-back runs share one ~3×-entry time window, so a
+  *    sustained host stall poisons ALL runs of an entry and its
+  *    neighbors — r8's h10/h11/h12 regressed 2–4× with byte-identical IO
+  *    and ~zero GC, exactly that signature. Under passes, the same
+  *    entry's runs are separated by a full suite traversal (~2 min), so
+  *    a stall must persist across the entire bench to corrupt a min.
+  *    Same total work. Family artifacts are released at family
+  *    boundaries during pass 1 ONLY (pass 1 thereby reproduces the old
+  *    protocol's cold-per-family measurement exactly); later passes
+  *    reuse resident artifacts, keeping artifact-entry minima at their
+  *    steady-state (artifacts-resident) cost — the r8 semantics, where
+  *    e.g. d08's build showed in run 1 [4.05, 0.08, 0.07] and the min
+  *    priced the plan, not the shared build. At sf0.1 the full artifact
+  *    set is far below the storage fraction, so cross-family residency
+  *    in passes 2+ cannot re-create the r6 q03 eviction incident — and
+  *    pass 1's released-state times bound the damage if it ever did;
   *  - per-entry scan IO is recorded from each entry's FINAL run into the
   *    detail `io` block ([[graft.util.ScanStats]]): files listed +
   *    listing bytes (what partition/shard pruning saved), rows decoded
@@ -146,29 +164,34 @@ object Bench {
     val ioTap = graft.util.ScanStats.attach(spark)
     val planTap = graft.util.ScanStats.attachPlans(spark)
 
-    var lastFamily = ""
-    val gcByEntry = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+    val timesByEntry = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    val gcByEntry = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Long]]
     val ioByEntry = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long, Long)]
-    val allRuns: Seq[(String, Seq[Double])] = wanted.map { n =>
-      if (family(n) != lastFamily) {
-        graft.util.SessionCache.releaseAll(spark)
-        lastFamily = family(n)
-      }
-      val gcs = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val runs = (1 to benchRuns).map { i =>
-        if (i == benchRuns) { ioTap.reset(); planTap.reset() }
+    for (pass <- 1 to benchRuns) {
+      val finalPass = pass == benchRuns
+      var lastFamily = ""
+      wanted.foreach { n =>
+        if (pass == 1 && family(n) != lastFamily) {
+          graft.util.SessionCache.releaseAll(spark)
+          lastFamily = family(n)
+        }
+        if (finalPass) { ioTap.reset(); planTap.reset() }
         val g0 = gcMillis()
         val t = runToNoop(n)
-        gcs += gcMillis() - g0
-        t
+        gcByEntry.getOrElseUpdate(n,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += gcMillis() - g0
+        timesByEntry.getOrElseUpdate(n,
+          scala.collection.mutable.ArrayBuffer.empty[Double]) += t
+        if (finalPass) {
+          val (fsBytes, _) = ioTap.snapshot()
+          val shuffleBytes = ioTap.shuffleBytes()
+          val (files, filesBytes, scanRows) = planTap.snapshot()
+          ioByEntry(n) = (files, filesBytes, scanRows, fsBytes, shuffleBytes)
+        }
       }
-      val (fsBytes, _) = ioTap.snapshot()
-      val shuffleBytes = ioTap.shuffleBytes()
-      val (files, filesBytes, scanRows) = planTap.snapshot()
-      gcByEntry(n) = gcs.toSeq
-      ioByEntry(n) = (files, filesBytes, scanRows, fsBytes, shuffleBytes)
-      n -> runs
     }
+    val allRuns: Seq[(String, Seq[Double])] =
+      wanted.map(n => n -> timesByEntry(n).toSeq)
     graft.util.SessionCache.releaseAll(spark)
     val results = allRuns.map { case (n, rs) => n -> rep(rs) }
     val medians = allRuns.map { case (n, rs) => n -> median(rs) }

@@ -664,7 +664,9 @@ object TextAnalysis {
     * reused by MassiveText/RefinedWeb derivatives): hard per-document
     * bounds rather than t02's soft score. Rules here (the subset whose
     * signals exist in a single-line corpus): word count in [50, 100000],
-    * mean word length in [3, 10], symbol-to-word ratio ('#' or '…'/'...')
+    * mean word length in [3, 10], symbol-to-word ratio ('#' and ASCII
+    * '...' occurrences; the Unicode ellipsis '…' is deliberately out —
+    * the corpus is ASCII and the oracle counts the same two tokens)
     * ≤ 0.1, ≥ 80 % of words contain an alphabetic character, ≥ 2 distinct
     * stopwords present (the "real sentence structure" proxy). Output =
     * the measured signals + per-rule verdicts + the conjunction — a

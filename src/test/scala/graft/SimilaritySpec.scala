@@ -185,4 +185,18 @@ class SimilaritySpec extends SparkSpec {
         s"probe $qid reranked a neighbor outside its hamming shortlist"))
     }
   }
+
+  test("s13/s14 per-probe top-k plans as WindowGroupLimit, never a full per-group sort") {
+    // row_number <= k over Window.partitionBy(qid) must push per-group
+    // limits into the shuffle (the t15 assertion pattern). Without this a
+    // Spark regression would silently sort the whole corpus per probe
+    // group on <=20 tasks — the exact failure mode the binary pipeline
+    // exists to avoid at 100 TB.
+    for (entry <- Seq("s13_knn_hamming", "s14_hamming_rerank")) {
+      val plan = SparkEntry.queries(entry)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$entry: rank<=k window must plan per-partition group limits:\n${plan.take(2000)}")
+    }
+  }
 }

@@ -1167,9 +1167,14 @@ object Dedup {
     * bands collide, with the seen-side bucket cap applied BEFORE the
     * batch join. Exposed for the spec's cap-behavior test. */
   def incrementalLshPairs(seenDocs: DataFrame, newDocs: DataFrame,
-      maxBucket: Int = MaxBucketSize): DataFrame = {
-    val seenB = bandHashes(seenDocs)
-    val newB = bandHashes(newDocs)
+      maxBucket: Int = MaxBucketSize): DataFrame =
+    pairsAgainstIndex(bandHashes(seenDocs), bandHashes(newDocs), maxBucket)
+
+  /** The join core shared by the in-query (d17) and persistent-index
+    * (d18) incremental variants: `seenB` is a (doc_id, band_idx,
+    * band_hash) band index, `newB` the batch's bands. */
+  private def pairsAgainstIndex(seenB: DataFrame, newB: DataFrame,
+      maxBucket: Int): DataFrame = {
     val okBuckets = seenB.groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
       .select(col("band_idx"), col("band_hash"))
@@ -1182,12 +1187,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Persist a corpus's band index as a parquet table BUCKETED by the
+    * full clustering key (band_idx, band_hash) — the cross-run form of
+    * d17's "stationary index" claim. Bucketing pins
+    * HashPartitioning(band_idx, band_hash) into the table layout, which
+    * is exactly the clustering of every downstream operator, so the
+    * ENTIRE index side of an incremental batch plans with zero
+    * Exchange: the cap aggregation, the semi-join, and the batch join
+    * all reuse the on-disk partitioning, and only the (small) batch
+    * shuffles — into the index's partitioning. (Both keys, not just
+    * band_hash: Spark's co-partition check requires the bucket keys to
+    * cover the join's full clustering set.) At 100 TB the index is the
+    * corpus-sized side; never moving it is the whole economics of
+    * ingestion-time dedup. Maintenance is append-shaped: a processed
+    * batch's bands append into the same bucket scheme. */
+  def writeBandIndex(seenDocs: DataFrame, table: String, buckets: Int): Unit =
+    graft.plans.Bucketing.writeBucketedMulti(bandHashes(seenDocs), table, buckets,
+      Seq("band_idx", "band_hash"))
+
+  /** Incremental LSH pairs against a [[writeBandIndex]] table. Same
+    * result as [[incrementalLshPairs]] on the same corpus split, by
+    * construction — the spec asserts the plan property (index side
+    * shuffle-free), the oracle pins the rows. */
+  def indexedLshPairs(s: SparkSession, indexTable: String, newDocs: DataFrame,
+      maxBucket: Int = MaxBucketSize): DataFrame =
+    pairsAgainstIndex(s.table(indexTable), bandHashes(newDocs), maxBucket)
+
   private def d17IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     incrementalLshPairs(
       docs.filter(pmod($"doc_id", lit(2)) === 0),
       docs.filter(pmod($"doc_id", lit(2)) === 1))
+      .orderBy($"new_doc", $"seen_doc")
+  }
+
+  /** The d18 index table is a catalog object, so its lifecycle rides the
+    * SessionCache like every other artifact — built once per (session,
+    * dir), DROPped at release points. The name carries the session's
+    * identity hash: catalog tables are shared across sessions of one
+    * SparkContext, and two sessions indexing the same dir must not
+    * overwrite (or release) each other's index. */
+  private val bandIndexCache = new graft.util.SessionCache[(SparkSession, String)](
+    releaseValue = { case (s, t) =>
+      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } })
+
+  private def d18IndexTable(s: SparkSession, dir: String): String =
+    bandIndexCache.getOrBuild(s, s"$dir#d18index") {
+      val name = "d18_band_index_" +
+        Integer.toHexString(System.identityHashCode(s)) + "_" +
+        Integer.toHexString(dir.hashCode).replace('-', 'n')
+      writeBandIndex(
+        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+        name, math.max(4, s.sparkContext.defaultParallelism))
+      (s, name)
+    }._2
+
+  /** d18 — d17 against the PERSISTENT bucketed band index: identical
+    * pairs (same oracle), but the seen side is a cross-run catalog table
+    * whose layout already matches the join — the measured form of the
+    * "stationary index" design. */
+  private def d18IndexedLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    indexedLshPairs(s, d18IndexTable(s, dir),
+      Tables.documents(s, dir).filter(pmod($"doc_id", lit(2)) === 1))
       .orderBy($"new_doc", $"seen_doc")
   }
 
@@ -1227,6 +1290,7 @@ object Dedup {
     "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d16_bloom_incremental" -> d16BloomIncremental _,
     "d17_incremental_lsh" -> d17IncrementalLsh _,
+    "d18_indexed_lsh"   -> d18IndexedLsh _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1251,5 +1315,6 @@ object Dedup {
     "d15_minhash_estimate" -> d15Sql,
     "d16_bloom_incremental" -> d16Sql,
     "d17_incremental_lsh" -> d17Sql,
+    "d18_indexed_lsh"   -> d17Sql, // identical pairs, persistent-index path
   )
 }

@@ -18,11 +18,21 @@ object Bucketing {
 
   /** Persist `df` as a bucketed managed table (parquet). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedMulti(df, table, buckets, Seq(key))
+
+  /** Multi-key form: bucket (and sort) by ALL of `keys`. Joins and
+    * aggregations clustering on exactly these keys reuse the on-disk
+    * partitioning with zero Exchange. The keys must be the FULL
+    * clustering set of the consuming operator: Spark's co-partition
+    * check (`spark.sql.requireAllClusterKeysForCoPartition`, default
+    * true) does not let a bucket-key subset stand in for compound join
+    * keys. */
+  def writeBucketedMulti(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
     df.write
       .format("parquet")
       .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
   /** Read a bucketed table back (bucket metadata comes from the catalog). */

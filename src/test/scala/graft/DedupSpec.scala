@@ -351,6 +351,59 @@ class DedupSpec extends SparkSpec {
     assert(fn == 0, s"$fn bloom false negatives — must be impossible")
   }
 
+  test("d18 persistent band index: index side never shuffles; pairs equal the in-query variant") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // no broadcast (force a real distribution decision) and no AQE (a
+      // statically traversable plan tree for the subtree assertion)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edited = base.replace("dog", "cat")
+      val seen = docs(2L -> base,
+        4L -> "completely different words about spark engines and columnar scans today")
+      Dedup.writeBandIndex(seen, "d18_spec_idx", 4)
+      val got = Dedup.indexedLshPairs(spark, "d18_spec_idx", docs(1L -> edited))
+      val plan = got.queryExecution.executedPlan
+      def readsIndex(p: SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec => f }
+          .exists(_.toString.contains("d18_spec_idx"))
+      assert(readsIndex(plan), "plan must scan the persistent index table")
+      assert(plan.toString.contains("Bucketed: true"),
+        s"index scan must use the bucket layout:\n${plan.toString.take(2000)}")
+      // THE claim: between the index scan and the batch join, zero
+      // shuffle — the cap groupBy, the semi-join, and the batch join all
+      // reuse the on-disk HashPartitioning(band_idx, band_hash); only
+      // the batch side moves (and the post-join distinct shuffles pairs,
+      // which are result-sized, not corpus-sized)
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      import org.apache.spark.sql.catalyst.plans.Inner
+      val batchJoin = plan.collect {
+        case j: BaseJoinExec if j.joinType == Inner && readsIndex(j) => j
+      }
+      assert(batchJoin.nonEmpty, s"no batch-vs-index join found:\n${plan.toString.take(2000)}")
+      val indexSides = Seq(batchJoin.head.left, batchJoin.head.right).filter(readsIndex)
+      assert(indexSides.nonEmpty)
+      indexSides.foreach { side =>
+        val shuffles = side.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty,
+          s"index side must plan shuffle-free:\n${side.toString.take(3000)}")
+      }
+      // and the rows are exactly the in-query d17 variant's
+      val expected = Dedup.incrementalLshPairs(seen, docs(1L -> edited))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rows = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == expected && rows.contains((1L, 2L)),
+        s"indexed pairs $rows must equal in-query pairs $expected")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS d18_spec_idx")
+    }
+  }
+
   test("d17 incremental LSH: batch meets its seen near-dup; seen-side cap bounds the join") {
     val edited = base.replace("dog", "cat")
     val seen = docs(2L -> base,

@@ -58,16 +58,26 @@ object Engine {
   private val partsuppCache = new graft.util.SessionCache[DataFrame](
     releaseValue = graft.util.SessionCache.releaseFrame)
 
+  /** Materialize the session's derived artifacts and register their
+    * views — currently the derived-partsupp table. Used by the CTE
+    * rewrite below and by [[Server]], whose JDBC clients query
+    * `partsupp` as a base table the way the reference's clients do.
+    * Requires the session's views to already point at `dir`. */
+  private[graft] def registerDerived(spark: SparkSession, dir: String): Unit =
+    partsuppCte.foreach { case (_, body) =>
+      partsuppCache
+        .getOrBuild(spark, s"$dir#partsupp")(spark.sql(body).localCheckpoint())
+        .createOrReplaceTempView("partsupp")
+    }
+
   /** Strip the derived-partsupp CTE and point the `partsupp` view at the
     * session's materialized artifact. Must run under the registration
     * lock with views already pointing at `dir`. Queries without the
     * exact CTE block pass through untouched. */
   private def rewritePartsupp(spark: SparkSession, dir: String, sql: String): String =
     partsuppCte match {
-      case Some((block, body)) if sql.contains(block) =>
-        partsuppCache
-          .getOrBuild(spark, s"$dir#partsupp")(spark.sql(body).localCheckpoint())
-          .createOrReplaceTempView("partsupp")
+      case Some((block, _)) if sql.contains(block) =>
+        registerDerived(spark, dir)
         sql.replace(block, "")
       case _ => sql
     }

@@ -53,6 +53,12 @@ object GraftSession {
       // managed (bucketed) tables land outside the repo checkout
       .config("spark.sql.warehouse.dir",
         sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft-warehouse"))
+      // one shared catalog across thrift-server JDBC connections (the
+      // reference's server model: N client sessions, one engine —
+      // `fpdb-main/src/Server.cpp`). Static conf, so it lives here: a
+      // [[graft.Server]] mounted on any engine session serves that
+      // session's views to every connection. Inert without the server.
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
 
   /** Surfaces the engine's observed metrics (e.g. the LSH bucket-cap drop
     * counters `graft.lsh.cap*` from `Dedup.bucketPairs`) in the log: a

@@ -1213,6 +1213,28 @@ object Dedup {
       maxBucket: Int = MaxBucketSize): DataFrame =
     pairsAgainstIndex(s.table(indexTable), bandHashes(newDocs), maxBucket)
 
+  /** The maintenance half of the ingestion loop: once a batch is
+    * processed (its near-dups resolved), its bands APPEND into the same
+    * bucket scheme so the next batch sees it as corpus — no rebuild, no
+    * re-banding of anything already indexed. The bucket spec is read
+    * back from the catalog and mirrored, so an append can never silently
+    * change the table's partitioning (Spark validates the layouts
+    * match); each append adds one file per touched bucket, and the scan
+    * stays bucketed (compaction folds small files per plain
+    * [[graft.sources.Sink]] economics, outside this operator). */
+  def appendBandIndex(s: SparkSession, table: String, processedDocs: DataFrame): Unit = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not a band index table"))
+    bandHashes(processedDocs).write
+      .format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .saveAsTable(table)
+  }
+
   private def d17IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)

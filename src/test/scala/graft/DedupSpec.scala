@@ -404,6 +404,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d18 append maintenance: processed batches join the index under the same bucket scheme") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edited = base.replace("dog", "cat")
+      // round 1: index holds only doc 4; the batch (doc 1 ~ doc 2) has
+      // no near-dup in the corpus yet
+      Dedup.writeBandIndex(
+        docs(4L -> "completely different words about spark engines and columnar scans today"),
+        "d18_spec_append", 4)
+      val before = Dedup.indexedLshPairs(spark, "d18_spec_append", docs(1L -> edited))
+        .collect()
+      assert(!before.exists(r => r.getLong(1) == 2L), "doc 2 is not indexed yet")
+      // maintenance: doc 2's batch was processed — append its bands
+      Dedup.appendBandIndex(spark, "d18_spec_append", docs(2L -> base))
+      val after = Dedup.indexedLshPairs(spark, "d18_spec_append", docs(1L -> edited))
+      assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .contains((1L, 2L)), "the appended corpus must be visible to the next batch")
+      // the append preserved the layout: the index side still plans
+      // shuffle-free (multiple files per bucket is fine, re-partitioning
+      // would not be)
+      val plan = after.queryExecution.executedPlan
+      assert(plan.toString.contains("Bucketed: true"),
+        s"appended index must still scan bucketed:\n${plan.toString.take(2000)}")
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      import org.apache.spark.sql.catalyst.plans.Inner
+      def readsIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p.collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+          .exists(_.toString.contains("d18_spec_append"))
+      val join = plan.collect {
+        case j: BaseJoinExec if j.joinType == Inner && readsIndex(j) => j
+      }.head
+      Seq(join.left, join.right).filter(readsIndex).foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"appended index side must stay shuffle-free:\n${side.toString.take(2000)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS d18_spec_append")
+    }
+  }
+
   test("d17 incremental LSH: batch meets its seen near-dup; seen-side cap bounds the join") {
     val edited = base.replace("dog", "cat")
     val seen = docs(2L -> base,

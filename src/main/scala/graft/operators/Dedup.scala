@@ -1233,6 +1233,11 @@ object Dedup {
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .saveAsTable(table)
+    // the write invalidates the WRITING session's relation cache only —
+    // when `processedDocs` belongs to another session (a foreachBatch
+    // micro-batch clone, [[ingestStream]]), `s`'s cached file listing
+    // would silently keep serving the pre-append index
+    s.catalog.refreshTable(table)
   }
 
   private def d17IncrementalLsh(s: SparkSession, dir: String): DataFrame = {
@@ -1243,6 +1248,37 @@ object Dedup {
       docs.filter(pmod($"doc_id", lit(2)) === 1))
       .orderBy($"new_doc", $"seen_doc")
   }
+
+  /** The full ingestion loop as a STREAM: each arriving micro-batch of
+    * documents is (1) banded — a narrow per-row map, stream-compatible —
+    * and joined against the persistent index for its corpus-side
+    * near-dup candidates, then (2) its own bands are appended into the
+    * index, so the NEXT batch sees it as corpus. Candidates are computed
+    * strictly before the append: a document must never match itself
+    * through its own just-written bands. In-batch pairs are deliberately
+    * out of scope here (two near-dups arriving in one batch pair with
+    * the corpus, not each other) — run [[minhashCandidates]] on the
+    * batch inside `onCandidates` when in-batch detection is wanted;
+    * batch-vs-corpus is this operator's contract, and it is exactly
+    * [[incrementalLshPairs]]' semantics applied per micro-batch (the
+    * spec pins stream output == d17's batch result on the same split).
+    * foreachBatch rather than a stream-static join in the plan: the
+    * maintenance append is a table write, and per-batch batch-semantics
+    * processing + explicit sink callback is the Structured Streaming
+    * idiom for exactly that (the ev17 CDC-merge shape). Replay
+    * tolerance: a crash-replayed micro-batch appends its bands AGAIN —
+    * tolerated rather than prevented, because duplicate index bands can
+    * only produce duplicate candidate pairs, which the join core's
+    * final `distinct` already removes; the index is a candidate
+    * generator, never a count authority. */
+  def ingestStream(s: SparkSession, indexTable: String, docStream: DataFrame,
+      onCandidates: (DataFrame, Long) => Unit,
+      maxBucket: Int = MaxBucketSize): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val pairs = pairsAgainstIndex(s.table(indexTable), bandHashes(batch), maxBucket)
+      onCandidates(pairs, batchId)
+      appendBandIndex(s, indexTable, batch)
+    }
 
   /** The d18 index table is a catalog object, so its lifecycle rides the
     * SessionCache like every other artifact — built once per (session,

@@ -355,6 +355,49 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count(_.head == 10L) == 2 && batch.count(_.head == 11L) == 2)
   }
 
+  test("streaming ingestion dedup: batch candidates against the persistent index, then append") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    spark.sql("DROP TABLE IF EXISTS ingest_idx")
+    val ckptRoot = "/tmp/graft-ingest-stream"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      val evens = docs.filter(pmod($"doc_id", lit(2)) === 0)
+      val odds = docs.filter(pmod($"doc_id", lit(2)) === 1)
+      Dedup.writeBandIndex(evens, "ingest_idx", 4)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("basePath", sfDir).parquet(s"$sfDir/documents*.parquet")
+        .filter(pmod($"doc_id", lit(2)) === 1)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = Dedup.ingestStream(spark, "ingest_idx", stream,
+          (pairs, _) => got.synchronized {
+            got ++= pairs.collect().map(r => (r.getLong(0), r.getLong(1))) })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$ckptRoot/ckpt")
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+      // the streamed candidates are exactly d17's batch semantics
+      val expect = Dedup.incrementalLshPairs(evens, odds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == expect,
+        s"streamed candidates ${got.toSet} must equal the batch twin $expect")
+      // maintenance: the processed batch IS corpus now — the same
+      // document queried again matches itself through the index
+      val probe = odds.limit(1)
+      val probeId = probe.select($"doc_id").as[Long].head
+      val self = Dedup.indexedLshPairs(spark, "ingest_idx", probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(self.contains((probeId, probeId)),
+        s"appended batch must be visible as corpus (got $self for doc $probeId)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_idx")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    }
+  }
+
   test("ev11 interval overlap join is a banded equi-join, never a theta join") {
     // the whole point of the hour-bucket expansion: candidates must meet
     // on an EQUI key (hash/sort-merge join), not via the quadratic

@@ -189,4 +189,28 @@ class PropertySpec extends SparkSpec {
       .filter(k => exact(k) >= threshold)                // exact verify
     assert(viaSketch == heavies)
   }
+
+  test("property: bloomNew == plain anti-join on generated seen/batch overlaps") {
+    import spark.implicits._
+    // d16's exactness claim, adversarially: random overlap structure,
+    // including empty seen, empty batch, full overlap, and duplicate
+    // batch rows. The sketch may false-positive freely (verify join
+    // removes it); a false NEGATIVE would surface as a missing row here.
+    val hashGen = Gen.chooseNum(0, 60).map(i => s"k$i")
+    for ((seedBase, caseName) <- Seq(11L -> "mixed", 5000L -> "mixed2")) {
+      val seen = samples(hashGen, 40, seed = seedBase).distinct
+      val batch = samples(hashGen, 50, seed = seedBase + 1000) // dups kept
+      for (seenSet <- Seq(seen, Seq.empty[String], batch.distinct)) {
+        val seenDf = seenSet.toDF("h")
+        val batchDf = batch.zipWithIndex
+          .map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "h")
+        val got = graft.operators.Dedup.bloomNew(seenDf, batchDf)
+          .select($"doc_id").as[Long].collect().toSet
+        val expect = batchDf.join(seenDf, Seq("h"), "left_anti")
+          .select($"doc_id").as[Long].collect().toSet
+        assert(got == expect,
+          s"$caseName/seen=${seenSet.size}: bloom path $got != anti-join $expect")
+      }
+    }
+  }
 }

@@ -154,8 +154,10 @@ object Bench {
 
     // optional args: run only the named queries (dev loop for targeted
     // timings; skips the mode-comparison pass)
+    // distinct: a duplicated arg would share one run buffer under the
+    // pass-outer loop and silently report a min over the merged runs
     val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
-                 else args.toSeq.filter(SparkEntry.queries.contains)
+                 else args.toSeq.distinct.filter(SparkEntry.queries.contains)
 
     // IO + GC instrumentation: taps bracket each entry's FINAL run (the
     // steady-state one — artifacts resident, codegen compiled), entirely

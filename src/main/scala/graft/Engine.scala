@@ -55,8 +55,18 @@ object Engine {
     }
   }
 
+  // Release must ALSO drop the temp view: after the checkpoint blocks are
+  // unpersisted they cannot be recomputed, so a view still pointing at the
+  // dead artifact would fail with missing-block errors instead of
+  // resolving-or-rebuilding. With the view gone, a CTE query re-registers
+  // (getOrBuild rebuilds) and a direct `partsupp` reference fails honestly
+  // at analysis ("table not found") rather than mid-execution.
   private val partsuppCache = new graft.util.SessionCache[DataFrame](
-    releaseValue = graft.util.SessionCache.releaseFrame)
+    releaseValue = { df =>
+      graft.util.SessionCache.releaseFrame(df)
+      try df.sparkSession.catalog.dropTempView("partsupp")
+      catch { case _: Throwable => () }
+    })
 
   /** Materialize the session's derived artifacts and register their
     * views — currently the derived-partsupp table. Used by the CTE
@@ -100,6 +110,13 @@ object Engine {
     r.synchronized {
       if (r.dir != dir) {
         Tables.registerAll(spark, dir)
+        // registerAll re-points the 10 base views; the derived partsupp
+        // view must not survive pointing at the PREVIOUS dir's artifact —
+        // a non-CTE query naming partsupp would silently read stale rows
+        // (the exact mixed-views hazard this lock exists to prevent). The
+        // artifact itself stays cached under its (session, olddir) key.
+        try spark.catalog.dropTempView("partsupp")
+        catch { case _: Throwable => () }
         r.dir = dir
       }
       spark.sql(rewritePartsupp(spark, dir, sql))

@@ -1091,9 +1091,22 @@ object Dedup {
   def bloomSidecar(seen: DataFrame, expectedItems: Long): Array[Byte] = {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val s = seen.sparkSession
+    val n = math.max(1L, expectedItems)
+    // BloomFilterAggregate silently CLAMPS to the session's runtime-filter
+    // caps (4M items / 67M bits by default) — the construction-time size
+    // would quietly saturate again at corpus scale, the exact failure the
+    // corpus-derived capacity exists to prevent. Raise the caps to cover
+    // n before building (measured ~7.3 bits/item ≈ 0.9 bytes/item in the
+    // driver-held sketch — beyond driver memory the sidecar's scale path
+    // is partitioning the hash domain, not a bigger single filter).
+    val needBits = math.min(n * 10, Int.MaxValue.toLong - 8)
+    val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (s.conf.get(itemsCap).toLong < n) s.conf.set(itemsCap, n.toString)
+    if (s.conf.get(bitsCap).toLong < needBits) s.conf.set(bitsCap, needBits.toString)
     seen.agg(GraftBridge.column(
-        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))),
-          math.max(1L, expectedItems))
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), n)
           .toAggregateExpression()).as("bf"))
       .head.getAs[Array[Byte]](0)
   }
@@ -1265,20 +1278,42 @@ object Dedup {
     * foreachBatch rather than a stream-static join in the plan: the
     * maintenance append is a table write, and per-batch batch-semantics
     * processing + explicit sink callback is the Structured Streaming
-    * idiom for exactly that (the ev17 CDC-merge shape). Replay
-    * tolerance: a crash-replayed micro-batch appends its bands AGAIN —
-    * tolerated rather than prevented, because duplicate index bands can
-    * only produce duplicate candidate pairs, which the join core's
-    * final `distinct` already removes; the index is a candidate
-    * generator, never a count authority. */
+    * idiom for exactly that (the ev17 CDC-merge shape).
+    *
+    * Replay safety is STRUCTURAL, not sequencing-dependent: the
+    * candidate frame anti-joins the batch's own doc_ids out of the
+    * index side, so even when the index already contains this batch's
+    * bands — a crash-replayed micro-batch re-running after its append
+    * committed, or a lazy `onCandidates` that evaluates the frame after
+    * the append — no document can match itself or a same-batch
+    * neighbor. (Sequencing alone was the first design; the review
+    * killed it: a replay after a committed append, or any callback that
+    * defers evaluation, would have emitted self-pairs the first attempt
+    * never produced.) A replayed append itself is tolerated: duplicate
+    * index bands only make duplicate candidates for FUTURE batches, and
+    * the join core's `distinct` removes those. */
   def ingestStream(s: SparkSession, indexTable: String, docStream: DataFrame,
       onCandidates: (DataFrame, Long) => Unit,
       maxBucket: Int = MaxBucketSize): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val pairs = pairsAgainstIndex(s.table(indexTable), bandHashes(batch), maxBucket)
-      onCandidates(pairs, batchId)
+      onCandidates(batchCandidates(s, indexTable, batch, maxBucket), batchId)
       appendBandIndex(s, indexTable, batch)
     }
+
+  /** One micro-batch's corpus-side candidates: index pairs with the
+    * batch's OWN doc_ids excluded from the seen side (the replay-safety
+    * core of [[ingestStream]] — correct whether or not the batch's
+    * bands already reached the index, and whenever the frame is
+    * evaluated). The exclusion is a broadcast anti-join against the
+    * batch's ids — batch-sized, never corpus-sized. */
+  def batchCandidates(s: SparkSession, indexTable: String, batch: DataFrame,
+      maxBucket: Int = MaxBucketSize): DataFrame =
+    pairsAgainstIndex(s.table(indexTable), bandHashes(batch), maxBucket)
+      .join(broadcast(batch.select(col("doc_id").as("seen_doc"))),
+        Seq("seen_doc"), "left_anti")
+      // the equi-join key moves to column 0 — restore the (new, seen)
+      // contract shared with incrementalLshPairs
+      .select(col("new_doc"), col("seen_doc"))
 
   /** The d18 index table is a catalog object, so its lifecycle rides the
     * SessionCache like every other artifact — built once per (session,
@@ -1292,9 +1327,13 @@ object Dedup {
 
   private def d18IndexTable(s: SparkSession, dir: String): String =
     bandIndexCache.getOrBuild(s, s"$dir#d18index") {
+      // dir identity via md5, not String.hashCode: 32-bit hash collisions
+      // across two dirs in one session would silently overwrite (and then
+      // serve) the other dir's index
+      val dirId = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val name = "d18_band_index_" +
-        Integer.toHexString(System.identityHashCode(s)) + "_" +
-        Integer.toHexString(dir.hashCode).replace('-', 'n')
+        Integer.toHexString(System.identityHashCode(s)) + "_" + dirId
       writeBandIndex(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
         name, math.max(4, s.sparkContext.defaultParallelism))

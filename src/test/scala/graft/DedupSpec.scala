@@ -450,6 +450,33 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("batchCandidates stays self-free even when the index already holds the batch (replay)") {
+    try {
+      val edited = base.replace("dog", "cat")
+      Dedup.writeBandIndex(docs(2L -> base), "d18_spec_replay", 4)
+      val batch = docs(1L -> edited, 3L -> edited) // 1 and 3 are in-batch near-dups
+      // the crash-replay state: this batch's append committed, candidates re-run
+      Dedup.appendBandIndex(spark, "d18_spec_replay", batch)
+      val pairs = Dedup.batchCandidates(spark, "d18_spec_replay", batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (3L, 2L)),
+        s"replayed batch must still see ONLY corpus-side pairs, got $pairs — " +
+          "self/in-batch matches through its own committed bands are forbidden")
+    } finally spark.sql("DROP TABLE IF EXISTS d18_spec_replay")
+  }
+
+  test("d16 sketch capacity raises Spark's runtime-filter caps instead of silently clamping") {
+    import spark.implicits._
+    // 10M expected items exceeds both default caps (4M items / 67M bits);
+    // a clamped sketch serializes to ≤ 67108864/8 ≈ 8.39 MB — anything
+    // larger proves the capacity actually took effect (measured: ~9.1 MB,
+    // Spark's ~7.3 bits/item at its default fpp)
+    val seen = Seq("a", "b").toDF("text").select(md5($"text").as("h"))
+    val bytes = Dedup.bloomSidecar(seen, 10000000L)
+    assert(bytes.length > 67108864 / 8,
+      s"sketch is ${bytes.length} B — capacity was clamped by the session caps")
+  }
+
   test("d17 incremental LSH: batch meets its seen near-dup; seen-side cap bounds the join") {
     val edited = base.replace("dog", "cat")
     val seen = docs(2L -> base,

@@ -71,6 +71,33 @@ class EngineSpec extends SparkSpec {
       "second partsupp consumer must reuse the artifact")
   }
 
+  test("the partsupp view neither leaks across dir switches nor outlives its artifact") {
+    val s = spark.newSession()
+    Engine.executeQuery(s, dirA, operators.TpchCorpus.sql(11)).collect()
+    // dir switch: the derived view must NOT survive pointing at dirA —
+    // a silent stale read is the mixed-views hazard; an analysis error
+    // ("table not found") is the honest outcome for a non-CTE reference
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Engine.executeQuery(s, dirB, "SELECT count(*) AS n FROM partsupp").collect()
+    }
+    // a CTE query on the new dir re-materializes it FOR that dir
+    Engine.executeQuery(s, dirB, operators.TpchCorpus.sql(11)).collect()
+    val nB = Engine.executeQuery(s, dirB, "SELECT count(*) AS n FROM partsupp")
+      .collect()(0).getLong(0)
+    val expectB = graft.sources.Tables.lineitem(s, dirB)
+      .select("l_partkey", "l_suppkey").distinct().count()
+    assert(nB == expectB, s"partsupp must reflect the CURRENT dir ($nB vs $expectB)")
+    // artifact release drops the view too: the checkpoint blocks are
+    // gone, so a surviving view would die mid-execution on missing
+    // blocks instead of failing at analysis or rebuilding
+    graft.util.SessionCache.releaseAll(s)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT count(*) FROM partsupp").collect()
+    }
+    // and the CTE path simply rebuilds
+    assert(Engine.executeQuery(s, dirB, operators.TpchCorpus.sql(11)).collect().nonEmpty)
+  }
+
   /** The reference's MultiQueryTest shape (`fpdb-calcite/java/main/test/
     * .../MultiQueryTest.java`; `Server.cpp` serves concurrent sessions
     * over one shared segment cache): N threads push a mixed workload

@@ -214,11 +214,16 @@ class StreamingSpec extends SparkSpec {
     val base = "/tmp/graft-ts-encodings"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     val wallclock = "2024-03-01 12:34:56"
-    val micros = java.sql.Timestamp.valueOf(wallclock).getTime * 1000L
+    // build the instant from an explicit UTC offset — Timestamp.valueOf
+    // would read the string in the JVM default zone, and this test must
+    // pass on hosts where user.timezone is not UTC
+    val instant = java.time.LocalDateTime.parse(wallclock.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC)
+    val micros = instant.getEpochSecond * 1000000L
     Seq((1L, micros * 1000L, 7L, "click", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.parquet(s"$base/nanos_long/events.parquet")
-    val typed = Seq((1L, java.sql.Timestamp.valueOf(wallclock), 7L, "click", 1.0, "{}"))
+    val typed = Seq((1L, java.sql.Timestamp.from(instant), 7L, "click", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     typed.withColumn("ts", $"ts".cast("timestamp_ntz"))
       .write.parquet(s"$base/micros_ntz/events.parquet")

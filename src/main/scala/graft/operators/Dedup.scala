@@ -1315,6 +1315,59 @@ object Dedup {
       // contract shared with incrementalLshPairs
       .select(col("new_doc"), col("seen_doc"))
 
+  /** Fold an appended index's per-batch files back to one file per
+    * bucket: every [[appendBandIndex]] adds a file to each touched
+    * bucket, and at ingestion cadence the scan's file count (and its
+    * open/footer overhead) grows linearly with batch count while the
+    * bucket LAYOUT stays correct. Compaction is a self-rewrite under
+    * the same bucket spec via the rename ladder (the Sink.compact
+    * discipline, on catalog tables): write the compacted copy to a tmp
+    * table, move the original aside, promote, drop the backup — a crash
+    * between the renames leaves the backup table intact for manual
+    * recovery, never a half-written index serving queries. */
+  def compactBandIndex(s: SparkSession, table: String): Unit = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not a band index table"))
+    val tmp = table + "_compact_tmp"
+    val bak = table + "_compact_bak"
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    // bucketed writes emit one file per (task, bucket), so the read
+    // tasks must align with buckets or the "compacted" table still
+    // carries read-parallelism × buckets files. The trap (measured): a
+    // repartition on the bucket columns is ELIDED by the optimizer as
+    // redundant against the table's bucketing, while the planner
+    // separately disables the bucketed scan (autoBucketedScan: nothing
+    // left downstream requires the distribution) — leaving plain,
+    // unaligned file splits and 7 files for 4 buckets. Forcing the
+    // bucketed scan for this one write makes the SCAN the alignment:
+    // one task per bucket reading that bucket's files, zero shuffle —
+    // the compaction plan you want at 100 TB, where moving the index
+    // to compact it would defeat the point. The repartition stays as
+    // defense in depth: against a bucketed scan it is a no-op, and if
+    // a future planner drops the bucketed read it re-aligns explicitly
+    // (AQE off so its shuffle-read rewrite cannot break the placement).
+    val scanConf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val aqeConf = "spark.sql.adaptive.enabled"
+    val prevScan = s.conf.get(scanConf)
+    val prevAqe = s.conf.get(aqeConf)
+    try {
+      s.conf.set(scanConf, "false")
+      s.conf.set(aqeConf, "false")
+      graft.plans.Bucketing.writeBucketedMulti(
+        s.table(table).repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*),
+        tmp, spec.numBuckets, spec.bucketColumnNames)
+    } finally {
+      s.conf.set(scanConf, prevScan)
+      s.conf.set(aqeConf, prevAqe)
+    }
+    s.sql(s"ALTER TABLE $table RENAME TO $bak")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    s.sql(s"DROP TABLE $bak")
+    s.catalog.refreshTable(table)
+  }
+
   /** The d18 index table is a catalog object, so its lifecycle rides the
     * SessionCache like every other artifact — built once per (session,
     * dir), DROPped at release points. The name carries the session's

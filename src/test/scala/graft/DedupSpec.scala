@@ -450,6 +450,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactBandIndex folds per-append files to one per bucket, same pairs, still bucketed") {
+    import org.apache.spark.sql.functions.input_file_name
+    try {
+      val edited = base.replace("dog", "cat")
+      Dedup.writeBandIndex(docs(2L -> base), "d18_spec_compact", 4)
+      // three appended batches fragment the buckets
+      for (id <- Seq(10L, 12L, 14L))
+        Dedup.appendBandIndex(spark, "d18_spec_compact",
+          docs(id -> s"unique filler text number $id about nothing in particular at all today"))
+      def files(): Long = spark.table("d18_spec_compact")
+        .select(input_file_name()).distinct().count()
+      val before = Dedup.indexedLshPairs(spark, "d18_spec_compact", docs(1L -> edited))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fragmented = files()
+      assert(fragmented > 4, s"appends must fragment the buckets (got $fragmented files)")
+      Dedup.compactBandIndex(spark, "d18_spec_compact")
+      assert(files() <= 4, s"compaction must fold to at most one file per bucket, got ${files()}")
+      val after = Dedup.indexedLshPairs(spark, "d18_spec_compact", docs(1L -> edited))
+      assert(after.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == before,
+        "compaction must not change the candidate pairs")
+      assert(after.queryExecution.executedPlan.toString.contains("Bucketed: true"),
+        "the compacted table must still scan bucketed")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS d18_spec_compact")
+      spark.sql("DROP TABLE IF EXISTS d18_spec_compact_compact_tmp")
+      spark.sql("DROP TABLE IF EXISTS d18_spec_compact_compact_bak")
+    }
+  }
+
   test("batchCandidates stays self-free even when the index already holds the batch (replay)") {
     try {
       val edited = base.replace("dog", "cat")

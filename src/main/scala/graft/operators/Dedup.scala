@@ -1163,6 +1163,79 @@ object Dedup {
       |  AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.h = md5(b.text))
       |ORDER BY doc_id""".stripMargin
 
+  // ---- persistent exact-dedup corpus (d19 — the d18 symmetry for d16) --
+
+  /** Persist the seen content-hash corpus as a parquet table BUCKETED by
+    * `h` — the cross-run state of exact ingestion dedup, exactly as the
+    * band index (d18) is for near-dup (d17). The verify anti-join keys
+    * on `h` alone, so bucketing on `h` lets the bloom-positive slice of
+    * each batch join the corpus with ZERO corpus-side shuffle: only the
+    * (duplicate-sized) batch slice moves, into the corpus's on-disk
+    * partitioning. Maintenance is append-shaped — a processed batch's
+    * NEW hashes (bloomNew's own output) append into the same bucket
+    * scheme — and [[compactBandIndex]] folds the per-batch files (its
+    * bucket-spec handling is layout-generic). */
+  def writeHashCorpus(seen: DataFrame, table: String, buckets: Int): Unit =
+    graft.plans.Bucketing.writeBucketedMulti(
+      seen.select(col("h")).distinct(), table, buckets, Seq("h"))
+
+  /** The rows of `batch` (doc_id, h) whose `h` is absent from the
+    * persistent corpus: [[bloomNew]] semantics with the seen side read
+    * from the bucketed table. `expectedItems` sizes the sketch (pass a
+    * maintained corpus stat; defaults to one count over the corpus
+    * table — metadata-cheap on parquet). */
+  def corpusNew(s: SparkSession, corpusTable: String, batch: DataFrame,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val seen = s.table(corpusTable)
+    bloomNew(seen, batch, Some(expectedItems.getOrElse(seen.count())))
+  }
+
+  /** Append a processed batch's genuinely-new hashes into the corpus
+    * (bucket spec mirrored from the catalog; relation cache refreshed
+    * for the calling session — the [[appendBandIndex]] discipline).
+    * Append the NEW rows only ([[corpusNew]]'s output): appending the
+    * whole batch would duplicate already-seen hashes forever. */
+  def appendHashCorpus(s: SparkSession, table: String, newRows: DataFrame): Unit = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table has no bucket spec — not a hash corpus table"))
+    newRows.select(col("h")).distinct().write
+      .format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(spec.numBuckets,
+        spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
+      .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
+      .saveAsTable(table)
+    s.catalog.refreshTable(table)
+  }
+
+  private val hashCorpusCache = new graft.util.SessionCache[(SparkSession, String)](
+    releaseValue = { case (s, t) =>
+      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } })
+
+  private def d19CorpusTable(s: SparkSession, dir: String): String =
+    hashCorpusCache.getOrBuild(s, s"$dir#d19corpus") {
+      val dirId = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val name = "d19_hash_corpus_" +
+        Integer.toHexString(System.identityHashCode(s)) + "_" + dirId
+      writeHashCorpus(seenHashes(s, dir), name,
+        math.max(4, s.sparkContext.defaultParallelism))
+      (s, name)
+    }._2
+
+  /** d19 — d16 against the PERSISTENT bucketed hash corpus: identical
+    * rows (same oracle), but the seen side is a cross-run catalog table
+    * whose layout already matches the verify join. */
+  private def d19PersistentExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val batch = batchDocs(s, dir).select($"doc_id", md5($"text").as("h"))
+    val cap = Tables.documents(s, dir).count()
+    corpusNew(s, d19CorpusTable(s, dir), batch, expectedItems = Some(cap))
+      .select($"doc_id", $"h".as("content_hash"))
+      .orderBy($"doc_id")
+  }
+
   /** d17 — incremental LSH near-dup: candidate (new, seen) pairs of an
     * incoming batch against the already-ingested corpus's band index.
     * The production ingestion shape for MinHash dedup: the seen side's
@@ -1441,6 +1514,7 @@ object Dedup {
     "d16_bloom_incremental" -> d16BloomIncremental _,
     "d17_incremental_lsh" -> d17IncrementalLsh _,
     "d18_indexed_lsh"   -> d18IndexedLsh _,
+    "d19_persistent_exact" -> d19PersistentExact _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1466,5 +1540,6 @@ object Dedup {
     "d16_bloom_incremental" -> d16Sql,
     "d17_incremental_lsh" -> d17Sql,
     "d18_indexed_lsh"   -> d17Sql, // identical pairs, persistent-index path
+    "d19_persistent_exact" -> d16Sql, // identical rows, persistent-corpus path
   )
 }

@@ -479,6 +479,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d19 persistent hash corpus: corpus side of the verify join never shuffles; append closes the loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val seen = Seq("text aaa", "text bbb").toDF("text").select(md5($"text").as("h"))
+      Dedup.writeHashCorpus(seen, "d19_spec_corpus", 4)
+      val batch = Seq((10L, "text bbb"), (11L, "text ccc")).toDF("doc_id", "text")
+        .select($"doc_id", md5($"text").as("h"))
+      val got = Dedup.corpusNew(spark, "d19_spec_corpus", batch)
+      assert(got.select($"doc_id").as[Long].collect().toSet == Set(11L),
+        "persistent-corpus path must equal the plain anti-join")
+      // the 100 TB property: the corpus-sized side of the verify join
+      // reuses its bucket layout — only the bloom-positive batch slice
+      // shuffles
+      def readsCorpus(p: SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec => f }
+          .exists(_.toString.contains("d19_spec_corpus"))
+      val anti = got.queryExecution.executedPlan.collect {
+        case j: BaseJoinExec if j.joinType == LeftAnti && readsCorpus(j) => j
+      }
+      assert(anti.nonEmpty, "verify join not found in the plan")
+      Seq(anti.head.left, anti.head.right).filter(readsCorpus).foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"corpus side must plan shuffle-free:\n${side.toString.take(2500)}")
+      }
+      // maintenance: append the batch's NEW hashes — the identical batch
+      // re-ingested is now all-duplicate
+      Dedup.appendHashCorpus(spark, "d19_spec_corpus", got)
+      assert(Dedup.corpusNew(spark, "d19_spec_corpus", batch).count() == 0,
+        "an appended batch must be fully seen on replay")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS d19_spec_corpus")
+    }
+  }
+
   test("batchCandidates stays self-free even when the index already holds the batch (replay)") {
     try {
       val edited = base.replace("dog", "cat")

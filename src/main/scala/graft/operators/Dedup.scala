@@ -1129,11 +1129,20 @@ object Dedup {
     // as the corpus grows, fpp→1, and the gate would silently degrade to
     // the full anti-join it exists to avoid.
     val n = expectedItems.getOrElse(seen.count())
-    val bloomBytes = if (n == 0) null else bloomSidecar(seen, n)
-    // Empty corpus ⇒ BloomFilterAggregate yields a NULL sketch and a NULL
-    // probe would three-valued-logic away EVERY batch row; the correct
-    // answer needs no sketch at all: everything is definitely new.
-    if (bloomBytes == null) return batch
+    gatedNew(seen, batch, if (n == 0) null else bloomSidecar(seen, n))
+  }
+
+  /** The gate with a CALLER-HELD sketch — the streaming path
+    * ([[ingestExactStream]]) maintains one sketch across batches
+    * instead of re-scanning the corpus to rebuild it per batch. A null
+    * sketch means "no gate": every row pays the verify join (empty
+    * corpus ⇒ BloomFilterAggregate yields NULL, and a NULL probe would
+    * three-valued-logic away EVERY batch row; with no sketch the
+    * anti-join alone is the correct answer). The sketch NEVER affects
+    * the result — only which fraction of the batch takes the join. */
+  private def gatedNew(seen: DataFrame, batch: DataFrame,
+      bloomBytes: Array[Byte]): DataFrame = {
+    if (bloomBytes == null) return batch.join(seen, Seq("h"), "left_anti")
     def might(c: Column): Column = bloomMight(bloomBytes, c)
     val definitelyNew = batch.filter(!might(col("h")))
     val verifiedNew = batch.filter(might(col("h")))
@@ -1175,9 +1184,15 @@ object Dedup {
     * NEW hashes (bloomNew's own output) append into the same bucket
     * scheme — and [[compactBandIndex]] folds the per-batch files (its
     * bucket-spec handling is layout-generic). */
+  /** Corpus rows carry `src` — the micro-batch id that introduced the
+    * hash (−1 for a bulk load). Replay-exactness for the streaming loop
+    * hangs on it: a crash-replayed batch filters its OWN prior append
+    * out of the seen side (`src != batchId`) and reproduces its first
+    * attempt's output bit-for-bit. Batch callers never see the column. */
   def writeHashCorpus(seen: DataFrame, table: String, buckets: Int): Unit =
     graft.plans.Bucketing.writeBucketedMulti(
-      seen.select(col("h")).distinct(), table, buckets, Seq("h"))
+      seen.select(col("h")).distinct().withColumn("src", lit(-1L)),
+      table, buckets, Seq("h"))
 
   /** The rows of `batch` (doc_id, h) whose `h` is absent from the
     * persistent corpus: [[bloomNew]] semantics with the seen side read
@@ -1195,18 +1210,80 @@ object Dedup {
     * for the calling session — the [[appendBandIndex]] discipline).
     * Append the NEW rows only ([[corpusNew]]'s output): appending the
     * whole batch would duplicate already-seen hashes forever. */
-  def appendHashCorpus(s: SparkSession, table: String, newRows: DataFrame): Unit = {
+  def appendHashCorpus(s: SparkSession, table: String, newRows: DataFrame,
+      src: Long = -1L): Unit = {
     val meta = s.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table has no bucket spec — not a hash corpus table"))
-    newRows.select(col("h")).distinct().write
+    newRows.select(col("h")).distinct().withColumn("src", lit(src)).write
       .format("parquet").mode(org.apache.spark.sql.SaveMode.Append)
       .bucketBy(spec.numBuckets,
         spec.bucketColumnNames.head, spec.bucketColumnNames.tail: _*)
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .saveAsTable(table)
     s.catalog.refreshTable(table)
+  }
+
+  /** Union two [[bloomSidecar]] sketches built with the SAME capacity
+    * (bloom filters OR together losslessly when their bit geometry
+    * matches — same numBits, same hash count, which equal capacities
+    * guarantee). */
+  def mergeSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    fa.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    val out = new java.io.ByteArrayOutputStream()
+    fa.writeTo(out)
+    out.toByteArray
+  }
+
+  /** The exact-dedup ingestion loop as a STREAM — [[ingestStream]]'s
+    * sibling for content-hash identity. Per micro-batch of (doc_id,
+    * text): gate the batch through the maintained sketch, verify the
+    * positives against the persistent corpus, hand the genuinely-new
+    * rows to the caller's sink, append them (tagged with the batch id),
+    * and fold their delta sketch into the gate.
+    *
+    * Two 100 TB disciplines, both measured needs, not ornament:
+    *  - the SKETCH IS STREAM STATE: built once from the corpus at open
+    *    and extended per batch by merging a batch-sized delta
+    *    ([[mergeSketches]]) — rebuilding it per batch would re-scan the
+    *    whole corpus at every trigger, corpus-sized work the sidecar
+    *    exists to avoid. `capacity` must be provisioned for corpus
+    *    GROWTH over the stream's lifetime (deltas merge only into
+    *    same-geometry filters); when the corpus outgrows it, fpp decays
+    *    gracefully — correctness never depends on the sketch.
+    *  - replay is EXACT, not merely tolerated: new-ness is judged
+    *    against `src != batchId`, so a crash-replayed batch excludes
+    *    its own committed append and reproduces its first attempt's
+    *    rows; the sketch (which may already contain them) only routes
+    *    those rows through the verify join. In-batch duplicate hashes
+    *    are out of scope by the [[ingestStream]] convention — run d01's
+    *    dropDuplicates on the batch first when wanted. */
+  def ingestExactStream(s: SparkSession, corpusTable: String, docStream: DataFrame,
+      onNew: (DataFrame, Long) => Unit,
+      capacityHint: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val corpus0 = s.table(corpusTable)
+    val capacity = capacityHint.getOrElse(math.max(1000000L, corpus0.count() * 4))
+    var sketch: Array[Byte] =
+      if (corpus0.isEmpty) null else bloomSidecar(corpus0, capacity)
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
+      val seen = s.table(corpusTable).filter(col("src") =!= lit(batchId))
+      // localCheckpoint: three consumers (sink, append, delta sketch)
+      // must see ONE evaluation — and the append must not re-run the
+      // gate against a corpus it is itself mutating
+      val newRows = gatedNew(seen, hashed, sketch).localCheckpoint()
+      try {
+        onNew(newRows, batchId)
+        appendHashCorpus(s, corpusTable, newRows, batchId)
+        if (!newRows.isEmpty) {
+          val delta = bloomSidecar(newRows, capacity)
+          sketch = if (sketch == null) delta else mergeSketches(sketch, delta)
+        }
+      } finally graft.util.SessionCache.releaseFrame(newRows)
+    }
   }
 
   private val hashCorpusCache = new graft.util.SessionCache[(SparkSession, String)](

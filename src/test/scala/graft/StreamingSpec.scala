@@ -403,6 +403,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact-dedup ingest: gated new rows, corpus append, replay-exact via src") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    spark.sql("DROP TABLE IF EXISTS ingest_hash_corpus")
+    val ckptRoot = "/tmp/graft-ingest-exact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      val evens = docs.filter(pmod($"doc_id", lit(2)) === 0)
+      val odds = docs.filter(pmod($"doc_id", lit(2)) === 1)
+      Dedup.writeHashCorpus(evens.select(md5($"text").as("h")), "ingest_hash_corpus", 4)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("basePath", sfDir).parquet(s"$sfDir/documents*.parquet")
+        .filter(pmod($"doc_id", lit(2)) === 1)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = Dedup.ingestExactStream(spark, "ingest_hash_corpus", stream,
+          (rows, _) => got.synchronized {
+            got ++= rows.select($"doc_id").as[Long].collect() })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$ckptRoot/ckpt")
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+      val hashedOdds = odds.select($"doc_id", md5($"text").as("h"))
+      val expect = hashedOdds
+        .join(evens.select(md5($"text").as("h")), Seq("h"), "left_anti")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got.toSet == expect,
+        s"streamed new-rows must equal the batch anti-join (got ${got.size}, want ${expect.size})")
+      assert(expect.nonEmpty, "fixture must exercise the new path")
+      // maintenance: the appended batch is fully seen on a future check
+      assert(Dedup.corpusNew(spark, "ingest_hash_corpus", hashedOdds).count() == 0,
+        "an appended batch must be fully seen afterwards")
+      // replay-exactness: excluding the batch's own src reproduces the
+      // first attempt bit-for-bit, even though the corpus now holds it
+      val seenMinus = spark.table("ingest_hash_corpus").filter($"src" =!= 0L)
+      val replay = hashedOdds.join(seenMinus, Seq("h"), "left_anti")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(replay == expect, "src-filtered judgment must reproduce the original batch output")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_hash_corpus")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    }
+  }
+
   test("ev11 interval overlap join is a banded equi-join, never a theta join") {
     // the whole point of the hour-bucket expansion: candidates must meet
     // on an EQUI key (hash/sort-merge join), not via the quadratic

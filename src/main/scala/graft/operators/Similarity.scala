@@ -793,6 +793,122 @@ object Similarity {
        |WHERE rank <= 5
        |ORDER BY qid, rank""".stripMargin
 
+  // ---- s15/s16: persistent inverted-list index --------------------------
+
+  /** Persist a vector corpus as an INVERTED-LIST ANN index: the rows
+    * written `partitionBy(cell)` on the deterministic sign-LSH cell —
+    * one directory per inverted list, the FAISS layout re-expressed as
+    * a partitioned parquet table. A probe set touching p of the 16
+    * lists reads p/16 of the corpus at the SCAN: cell routing becomes
+    * partition PRUNING (the file index never lists the unprobed
+    * directories), not a filter over a full read. d18 answered "never
+    * shuffle the corpus side"; this answers "never even READ the
+    * unprobed corpus" — at 100 TB bytes-scanned is the cost model, and
+    * an ANN query's floor is the probed lists' bytes, nothing else.
+    * Directory partitioning, not bucketing, is the right tool here: the
+    * pruning key has tiny cardinality (16 lists) and the consumer joins
+    * a BROADCAST probe side, so co-partitioning buys nothing — skipping
+    * whole directories buys everything. */
+  def writeVectorIndex(emb: DataFrame, table: String): Unit = {
+    graft.plans.Bucketing.reclaim(emb.sparkSession, table)
+    emb.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell"))
+      .write.format("parquet")
+      .partitionBy("cell")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table)
+  }
+
+  /** Ingest-time maintenance: assign cells in a narrow map and append
+    * into the existing lists (partition columns mirrored from the
+    * catalog, so an append can never silently change the layout; the
+    * [[graft.operators.Dedup.appendBandIndex]] discipline, including
+    * the relation-cache refresh for the calling session). */
+  def appendVectorIndex(s: SparkSession, table: String, newVectors: DataFrame): Unit = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val parts = meta.partitionColumnNames
+    require(parts == Seq("cell"),
+      s"$table is not a vector index table (partitions: $parts)")
+    newVectors.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell"))
+      .write.format("parquet")
+      .partitionBy(parts: _*)
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .saveAsTable(table)
+    s.catalog.refreshTable(table)
+  }
+
+  /** Top-k against a [[writeVectorIndex]] table: compute each probe's
+    * cell set, ROUTE by collecting the distinct probed cells into an
+    * IN-list literal (≤16 rows — the index router is driver-side by
+    * design, exactly as a FAISS deployment holds the coarse structure
+    * in the client), scan only those lists, broadcast the probes into
+    * them. `probeCells` is (qid, qe, cell), possibly multi-row per qid
+    * (multi-probe); candidates meet on the cell key and the per-qid
+    * top-k runs over the union of the probed lists. */
+  def indexedTopK(s: SparkSession, table: String, probeCells: DataFrame,
+      k: Int): DataFrame = {
+    val cells = probeCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = s.table(table).filter(col("cell").isin(cells.map(Int.box): _*))
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    lists.join(broadcast(probeCells), Seq("cell"))
+      .withColumn("cosine", CosineSimilarity.column(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
+  /** The index table rides the SessionCache like d18's: built once per
+    * (session, dir), DROPped at release points, name keyed by session
+    * identity + an md5 dir id (collision-proof across dirs). */
+  private val vecIndexCache = new graft.util.SessionCache[(SparkSession, String)](
+    releaseValue = { case (s, t) =>
+      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } })
+
+  private[graft] def s15IndexTable(s: SparkSession, dir: String): String =
+    vecIndexCache.getOrBuild(s, s"$dir#s15index") {
+      val dirId = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val name = "s15_vec_index_" +
+        Integer.toHexString(System.identityHashCode(s)) + "_" + dirId
+      writeVectorIndex(Tables.embeddings(s, dir), name)
+      (s, name)
+    }._2
+
+  /** s15 — s02's bucketed ANN served from the PERSISTENT inverted-list
+    * index: identical rows (same cell function, same ranking — s02's
+    * oracle hash-checks the index path pair-for-pair), but the corpus
+    * side is a cross-run partitioned table and the probed cells arrive
+    * as partition filters. SimilaritySpec proves the pruning: a probe
+    * set confined to one cell scans exactly one list's files. */
+  private def s15AnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = Tables.embeddings(s, dir).filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        bucket($"embedding").as("cell"))
+    indexedTopK(s, s15IndexTable(s, dir), probes, 3).orderBy($"qid", $"rank")
+  }
+
+  /** s16 — multi-probe against the same index (s05's probe expansion:
+    * own cell + the 4 cells at hamming distance 1). The recall/latency
+    * knob composes with the layout: 5× the candidate volume is still a
+    * pruned scan — probed lists only — and s05's oracle hash-checks the
+    * result. At 100 TB this is the operating point: multi-probe recovers
+    * the recall a partitioned layout gives up, for bytes proportional to
+    * the probed fraction. */
+  private def s16AnnIndexedMultiprobe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probeArr = array((0 to 4).map {
+      case 0 => bucket($"embedding")
+      case b => bucket($"embedding").bitwiseXOR(lit(1 << (b - 1)))
+    }: _*)
+    val probes = Tables.embeddings(s, dir).filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        explode(probeArr).as("cell"))
+    indexedTopK(s, s15IndexTable(s, dir), probes, 3).orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
@@ -808,6 +924,8 @@ object Similarity {
     "s12_knn_filtered"   -> s12KnnFiltered _,
     "s13_knn_hamming"    -> s13KnnHamming _,
     "s14_hamming_rerank" -> s14HammingRerank _,
+    "s15_ann_indexed"    -> s15AnnIndexed _,
+    "s16_ann_indexed_multiprobe" -> s16AnnIndexedMultiprobe _,
   )
 
   /** s04's raw output is omitted (KMeans has no SQL oracle; rows-only
@@ -824,5 +942,9 @@ object Similarity {
     "s12_knn_filtered"   -> s12Sql,
     "s13_knn_hamming"    -> s13Sql,
     "s14_hamming_rerank" -> s14Sql,
+    // the index paths reuse the in-query variants' oracles verbatim:
+    // same cell function, same ranking — layout must not change rows
+    "s15_ann_indexed"    -> s02Sql,
+    "s16_ann_indexed_multiprobe" -> s05Sql,
   )
 }

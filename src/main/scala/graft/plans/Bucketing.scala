@@ -20,6 +20,22 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
     writeBucketedMulti(df, table, buckets, Seq(key))
 
+  /** Reclaim a managed table's name AND its warehouse location: a JVM
+    * that died (or a test run that never hit its release point) leaves
+    * the location directory behind while the next JVM's in-memory
+    * catalog has no such table — `saveAsTable` then refuses with
+    * LOCATION_ALREADY_EXISTS even in Overwrite mode (overwrite replaces
+    * a CATALOG table, not an orphaned directory). Every index/corpus
+    * writer calls this first so a crashed predecessor can never poison
+    * the name. */
+  def reclaim(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Multi-key form: bucket (and sort) by ALL of `keys`. Joins and
     * aggregations clustering on exactly these keys reuse the on-disk
     * partitioning with zero Exchange. The keys must be the FULL
@@ -27,13 +43,15 @@ object Bucketing {
     * check (`spark.sql.requireAllClusterKeysForCoPartition`, default
     * true) does not let a bucket-key subset stand in for compound join
     * keys. */
-  def writeBucketedMulti(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+  def writeBucketedMulti(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+    reclaim(df.sparkSession, table)
     df.write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Read a bucketed table back (bucket metadata comes from the catalog). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =

@@ -186,6 +186,79 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s15/s16 index paths reproduce their in-query twins row-for-row") {
+    // layout must not change rows: the partitioned index serves the exact
+    // result of the in-query cell join (same cell function, same ranking,
+    // bit-identical cosine via the shared expression)
+    def rows(entry: String) =
+      SparkEntry.queries(entry)(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(rows("s15_ann_indexed") == rows("s02_ann_bucket"),
+      "s15 diverged from s02")
+    assert(rows("s16_ann_indexed_multiprobe") == rows("s05_ann_multiprobe"),
+      "s16 diverged from s05")
+  }
+
+  test("inverted-list routing prunes partitions: a one-cell probe scans one list") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE off for a statically traversable plan tree (the d18 idiom);
+      // pruning itself is AQE-independent — it happens at file listing
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val table = Similarity.s15IndexTable(spark, sfDir)
+      val nCells = spark.table(table).select($"cell").distinct().count()
+      assert(nCells > 1, "corpus landed in one cell; pruning unprovable")
+      // one probe → one routed cell → the scan must list ONLY that list's
+      // files (partition pruning, not a post-scan filter)
+      val probe = Tables.embeddings(spark, sfDir).filter($"vec_id" === 0)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          Similarity.bucket($"embedding").as("cell"))
+      val got = Similarity.indexedTopK(spark, table, probe, 3)
+      got.collect()
+      val scans = got.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec if f.toString.contains(table) => f
+      }
+      assert(scans.nonEmpty, "index scan not found in the executed plan")
+      val partsRead = scans.map(_.metrics("numPartitions").value).sum
+      assert(partsRead == 1,
+        s"one-cell probe read $partsRead of $nCells lists — routing is not pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("vector index append maintenance: appended vectors join the lists in place") {
+    import spark.implicits._
+    val table = "s15_append_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.writeVectorIndex(emb.filter(pmod($"vec_id", lit(2)) === 0), table)
+    val probes = emb.filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"),
+        Similarity.bucket($"embedding").as("cell"))
+    val before = Similarity.indexedTopK(spark, table, probes, 3)
+      .collect().map(_.toSeq).toSet
+    Similarity.appendVectorIndex(spark, table, emb.filter(pmod($"vec_id", lit(2)) === 1))
+    val after = Similarity.indexedTopK(spark, table, probes, 3)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    // post-append the index holds the whole corpus — the query must now
+    // equal the in-query s02 result exactly (and differ from the half-index)
+    val s02 = SparkEntry.queries("s02_ann_bucket")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == s02, "appended index diverged from the full-corpus result")
+    assert(before != after.toSet || emb.filter(pmod($"vec_id", lit(2)) === 1).isEmpty,
+      "append visibly changed nothing — refresh path broken?")
+    // a mis-shaped append must be rejected, not silently re-layout the table
+    intercept[IllegalArgumentException] {
+      Similarity.appendVectorIndex(spark,
+        { spark.range(1).selectExpr("id AS vec_id").write
+            .format("parquet").mode("overwrite").saveAsTable(table + "_flat")
+          spark.catalog.refreshTable(table + "_flat"); table + "_flat" },
+        emb.limit(1))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_flat")
+  }
+
   test("s13/s14 per-probe top-k plans as WindowGroupLimit, never a full per-group sort") {
     // row_number <= k over Window.partitionBy(qid) must push per-group
     // limits into the shuffle (the t15 assertion pattern). Without this a

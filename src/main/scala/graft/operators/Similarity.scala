@@ -846,18 +846,65 @@ object Similarity {
     * (multi-probe); candidates meet on the cell key and the per-qid
     * top-k runs over the union of the probed lists. */
   def indexedTopK(s: SparkSession, table: String, probeCells: DataFrame,
-      k: Int): DataFrame = {
+      k: Int, excludeIds: Option[DataFrame] = None,
+      distinctCandidates: Boolean = false): DataFrame = {
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val lists = s.table(table).filter(col("cell").isin(cells.map(Int.box): _*))
+    val routed = s.table(table).filter(col("cell").isin(cells.map(Int.box): _*))
       .select(col("vec_id").as("nid"), col("embedding").as("ne"), col("cell"))
+    // exclusion BEFORE ranking (a post-rank filter would leave holes in
+    // the top-k): broadcast anti-join, excluded-set-sized, never
+    // corpus-sized — the ingest loop's replay-safety hook
+    val lists = excludeIds.fold(routed)(ex =>
+      routed.join(broadcast(ex.select(col("vec_id").as("nid"))), Seq("nid"), "left_anti"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    lists.join(broadcast(probeCells), Seq("cell"))
+    val cand0 = lists.join(broadcast(probeCells), Seq("cell"))
       .withColumn("cosine", CosineSimilarity.column(col("qe"), col("ne")))
+    // a replayed append duplicates list rows; under row_number a duplicate
+    // nid would occupy TWO top-k slots and displace a real neighbor —
+    // candidate-level dedup (candidate-sized, not corpus-sized) makes the
+    // ranking immune. Off for the build-once query paths (s15/s16),
+    // where duplicates are impossible and the extra shuffle is waste.
+    val cand = if (distinctCandidates) cand0.dropDuplicates("qid", "nid") else cand0
+    cand
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
+
+  /** One micro-batch's corpus-side top-k: the index queried with the
+    * batch's vectors as probes, the batch's OWN vec_ids excluded from
+    * the list side. The exclusion is STRUCTURAL replay safety (the
+    * [[graft.operators.Dedup.batchCandidates]] discipline): the result
+    * is correct whether or not this batch's vectors already reached the
+    * index — a crash-replayed micro-batch re-running after its append
+    * committed, or a callback that evaluates the frame lazily after the
+    * append, can never retrieve a vector as its own neighbor. */
+  def batchTopK(s: SparkSession, table: String, batch: DataFrame, k: Int): DataFrame =
+    indexedTopK(s, table,
+      batch.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        bucket(col("embedding")).as("cell")),
+      k, excludeIds = Some(batch), distinctCandidates = true)
+
+  /** The vector-ingestion loop as a STREAM — the ANN leg of the
+    * ingestion story ([[graft.operators.Dedup.ingestStream]] covers LSH
+    * bands, [[graft.operators.Dedup.ingestExactStream]] content hashes).
+    * Per micro-batch of (vec_id, embedding): retrieve each arriving
+    * vector's corpus-side top-k from the persistent inverted lists
+    * (pruned to the batch's probed cells), hand the results to the
+    * caller's sink, then append the batch into the lists so the NEXT
+    * batch sees it as corpus. Replays are tolerable by construction:
+    * the structural self-exclusion in [[batchTopK]] keeps a replayed
+    * batch from retrieving itself, and its candidate-level dedup keeps
+    * a duplicate append's repeated list rows from occupying two top-k
+    * slots. */
+  def ingestVectorStream(s: SparkSession, table: String, vecStream: DataFrame,
+      onResults: (DataFrame, Long) => Unit,
+      k: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onResults(batchTopK(s, table, batch, k), batchId)
+      appendVectorIndex(s, table, batch)
+    }
 
   /** The index table rides the SessionCache like d18's: built once per
     * (session, dir), DROPped at release points, name keyed by session

@@ -449,6 +449,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming vector ingest: pruned top-k before append, replay-safe after") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    spark.sql("DROP TABLE IF EXISTS ingest_vec_index")
+    val ckptRoot = "/tmp/graft-ingest-vec"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      val evens = emb.filter(pmod($"vec_id", lit(2)) === 0)
+      val odds = emb.filter(pmod($"vec_id", lit(2)) === 1)
+      Similarity.writeVectorIndex(evens, "ingest_vec_index")
+      // the batch twin, computed BEFORE any append touches the index
+      val expect = Similarity.batchTopK(spark, "ingest_vec_index", odds, 3)
+        .collect().map(_.toSeq).toSet
+      assert(expect.nonEmpty, "fixture must retrieve corpus-side neighbors")
+      val stream = spark.readStream.schema(emb.schema)
+        .option("basePath", sfDir).parquet(s"$sfDir/embeddings*.parquet")
+        .filter(pmod($"vec_id", lit(2)) === 1)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val q = Similarity.ingestVectorStream(spark, "ingest_vec_index", stream,
+          (topk, _) => got.synchronized { got ++= topk.collect().map(_.toSeq) })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$ckptRoot/ckpt")
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+      assert(got.toSet == expect,
+        s"streamed top-k (${got.size} rows) must equal the batch twin (${expect.size} rows)")
+      // maintenance: the appended batch IS corpus now — an odd probe
+      // retrieves itself at rank 1, cosine ~1
+      val probe = odds.limit(1)
+      val probeId = probe.select($"vec_id").as[Long].head
+      val self = Similarity.indexedTopK(spark, "ingest_vec_index",
+        probe.select($"vec_id".as("qid"), $"embedding".as("qe"),
+          Similarity.bucket($"embedding").as("cell")), 1).collect()
+      assert(self.length == 1 && self.head.getAs[Long]("nid") == probeId
+        && math.abs(self.head.getAs[Double]("cosine") - 1.0) < 1e-9,
+        s"appended vector must be retrievable as corpus (got ${self.toSeq})")
+      // replay safety is STRUCTURAL: re-running the batch computation
+      // against a polluted index reproduces the first attempt exactly.
+      // Self-exclusion already erases the batch's own (possibly
+      // duplicated) rows; duplicating the EVEN side is the hard case —
+      // those duplicates are real candidates, and without candidate
+      // dedup each would fill two top-k slots and displace a neighbor.
+      Similarity.appendVectorIndex(spark, "ingest_vec_index", evens)
+      val replay = Similarity.batchTopK(spark, "ingest_vec_index", odds, 3)
+        .collect().map(_.toSeq).toSet
+      assert(replay == expect,
+        "batch top-k against the duplicate-polluted index must reproduce the first attempt")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_vec_index")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    }
+  }
+
   test("ev11 interval overlap join is a banded equi-join, never a theta join") {
     // the whole point of the hour-bucket expansion: candidates must meet
     // on an EQUI key (hash/sort-merge join), not via the quadratic

@@ -906,6 +906,46 @@ object Similarity {
       appendVectorIndex(s, table, batch)
     }
 
+  /** LIST-LOCAL compaction for a [[writeVectorIndex]] table: every
+    * [[appendVectorIndex]] adds a file per touched cell, and at ingest
+    * cadence the per-list file count (open/footer cost, one scan task
+    * per tiny file) grows linearly with batch count. Each inverted list
+    * is a plain parquet directory, so compaction is [[graft.sources
+    * .Sink.compact]] applied per cell dir — the rewrite shuffle stays
+    * INSIDE one list and lists never move relative to each other, which
+    * is the only acceptable shape at 100 TB: lists compact
+    * independently, incrementally, and in parallel across maintenance
+    * windows (cell dirs below `minFiles` are skipped, so steady-state
+    * re-runs are free). Partition directories are preserved in place —
+    * pruning is untouched — and each list inherits Sink.compact's
+    * rename-ladder crash contract ([[graft.sources.Sink.recoverSwap]]
+    * per directory). Returns (filesBefore, filesAfter) summed over all
+    * lists. */
+  def compactVectorIndex(s: SparkSession, table: String,
+      minFiles: Int = 2, targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    require(meta.partitionColumnNames == Seq("cell"),
+      s"$table is not a vector index table (partitions: ${meta.partitionColumnNames})")
+    val root = new Path(meta.location)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var before = 0
+    var after = 0
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .foreach { d =>
+        val files = fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (files >= minFiles) {
+          val (b, a) = graft.sources.Sink.compact(s, d.getPath.toString, targetBytes)
+          before += b; after += a
+        } else { before += files; after += files }
+      }
+    s.catalog.refreshTable(table)
+    (before, after)
+  }
+
   /** The index table rides the SessionCache like d18's: built once per
     * (session, dir), DROPped at release points, name keyed by session
     * identity + an md5 dir id (collision-proof across dirs). */

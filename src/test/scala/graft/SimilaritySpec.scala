@@ -259,6 +259,49 @@ class SimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_flat")
   }
 
+  test("vector index compaction folds per-append files list-locally, rows unchanged") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val table = "s15_compact_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      Similarity.writeVectorIndex(emb.filter(pmod($"vec_id", lit(3)) === 0), table)
+      Similarity.appendVectorIndex(spark, table, emb.filter(pmod($"vec_id", lit(3)) === 1))
+      Similarity.appendVectorIndex(spark, table, emb.filter(pmod($"vec_id", lit(3)) === 2))
+      val probes = emb.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"),
+          Similarity.bucket($"embedding").as("cell"))
+      val expect = Similarity.indexedTopK(spark, table, probes, 3)
+        .collect().map(_.toSeq).toSet
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      val root = new Path(meta.location)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def listFiles(): Map[String, Int] = fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(d => d.getPath.getName -> fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))).toMap
+      val filesBefore = listFiles()
+      assert(filesBefore.values.exists(_ > 1),
+        "fixture must leave multi-file lists to compact")
+      val (b, a) = Similarity.compactVectorIndex(spark, table)
+      assert(b == filesBefore.values.sum && a < b,
+        s"compaction must reduce the file count (before=$b after=$a)")
+      val filesAfter = listFiles()
+      assert(filesAfter.keySet == filesBefore.keySet,
+        "compaction must preserve the partition directories (pruning intact)")
+      assert(filesAfter.values.forall(_ == 1),
+        s"every touched list folds to one file at this size: $filesAfter")
+      val after = Similarity.indexedTopK(spark, table, probes, 3)
+        .collect().map(_.toSeq).toSet
+      assert(after == expect, "compaction changed query results")
+      // steady-state re-run is a no-op (every list below minFiles)
+      val (b2, a2) = Similarity.compactVectorIndex(spark, table)
+      assert(b2 == a2, "re-compacting a compacted index must be free")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("s13/s14 per-probe top-k plans as WindowGroupLimit, never a full per-group sort") {
     // row_number <= k over Window.partitionBy(qid) must push per-group
     // limits into the shuffle (the t15 assertion pattern). Without this a

@@ -1287,15 +1287,11 @@ object Dedup {
   }
 
   private val hashCorpusCache = new graft.util.SessionCache[(SparkSession, String)](
-    releaseValue = { case (s, t) =>
-      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } })
+    releaseValue = graft.plans.Bucketing.dropTable)
 
   private def d19CorpusTable(s: SparkSession, dir: String): String =
     hashCorpusCache.getOrBuild(s, s"$dir#d19corpus") {
-      val dirId = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val name = "d19_hash_corpus_" +
-        Integer.toHexString(System.identityHashCode(s)) + "_" + dirId
+      val name = graft.plans.Bucketing.sessionTableName("d19_hash_corpus", s, dir)
       writeHashCorpus(seenHashes(s, dir), name,
         math.max(4, s.sparkContext.defaultParallelism))
       (s, name)
@@ -1520,23 +1516,17 @@ object Dedup {
 
   /** The d18 index table is a catalog object, so its lifecycle rides the
     * SessionCache like every other artifact — built once per (session,
-    * dir), DROPped at release points. The name carries the session's
-    * identity hash: catalog tables are shared across sessions of one
-    * SparkContext, and two sessions indexing the same dir must not
-    * overwrite (or release) each other's index. */
+    * dir), DROPped at release points. Naming via
+    * [[graft.plans.Bucketing.sessionTableName]]: catalog tables are
+    * shared across sessions of one SparkContext, and two sessions (or
+    * two RACING builders — the per-attempt nonce) must never write to,
+    * or release, each other's index. */
   private val bandIndexCache = new graft.util.SessionCache[(SparkSession, String)](
-    releaseValue = { case (s, t) =>
-      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } })
+    releaseValue = graft.plans.Bucketing.dropTable)
 
   private def d18IndexTable(s: SparkSession, dir: String): String =
     bandIndexCache.getOrBuild(s, s"$dir#d18index") {
-      // dir identity via md5, not String.hashCode: 32-bit hash collisions
-      // across two dirs in one session would silently overwrite (and then
-      // serve) the other dir's index
-      val dirId = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val name = "d18_band_index_" +
-        Integer.toHexString(System.identityHashCode(s)) + "_" + dirId
+      val name = graft.plans.Bucketing.sessionTableName("d18_band_index", s, dir)
       writeBandIndex(
         Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
         name, math.max(4, s.sparkContext.defaultParallelism))

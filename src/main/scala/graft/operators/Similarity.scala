@@ -847,7 +847,7 @@ object Similarity {
     * top-k runs over the union of the probed lists. */
   def indexedTopK(s: SparkSession, table: String, probeCells: DataFrame,
       k: Int, excludeIds: Option[DataFrame] = None,
-      distinctCandidates: Boolean = false): DataFrame = {
+      distinctCandidates: Boolean = true): DataFrame = {
     val cells = probeCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val routed = s.table(table).filter(col("cell").isin(cells.map(Int.box): _*))
@@ -863,8 +863,10 @@ object Similarity {
     // a replayed append duplicates list rows; under row_number a duplicate
     // nid would occupy TWO top-k slots and displace a real neighbor —
     // candidate-level dedup (candidate-sized, not corpus-sized) makes the
-    // ranking immune. Off for the build-once query paths (s15/s16),
-    // where duplicates are impossible and the extra shuffle is waste.
+    // ranking immune. ON by default: the public entry point serves
+    // append-maintained tables, where a crash-replayed append leaves
+    // duplicates permanently. The build-once query paths (s15/s16) opt
+    // OUT — duplicates are impossible there and the extra shuffle is waste.
     val cand = if (distinctCandidates) cand0.dropDuplicates("qid", "nid") else cand0
     cand
       .withColumn("rank", row_number().over(w))
@@ -902,8 +904,14 @@ object Similarity {
       onResults: (DataFrame, Long) => Unit,
       k: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      onResults(batchTopK(s, table, batch, k), batchId)
-      appendVectorIndex(s, table, batch)
+      // localCheckpoint: FOUR consumers (the routing collect, the probe
+      // broadcast, the exclusion anti-join, the append) must see ONE
+      // evaluation of the micro-batch — the ingestExactStream discipline
+      val b = batch.select(col("vec_id"), col("embedding")).localCheckpoint()
+      try {
+        onResults(batchTopK(s, table, b, k), batchId)
+        appendVectorIndex(s, table, b)
+      } finally graft.util.SessionCache.releaseFrame(b)
     }
 
   /** LIST-LOCAL compaction for a [[writeVectorIndex]] table: every
@@ -930,6 +938,21 @@ object Similarity {
       s"$table is not a vector index table (partitions: ${meta.partitionColumnNames})")
     val root = new Path(meta.location)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // FIRST repair any list whose previous compaction died between its
+    // two swap renames (data parked in `.cell=N.compact.bak`, original
+    // dir missing): without this, a crashed compact would silently drop
+    // the whole list from every future query — the partition simply
+    // stops existing — and the `cell=` filter below would never revisit
+    // it. This makes the maintenance entry point double as the recovery
+    // entry point, the Sink.mergeInto discipline.
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".cell=")
+        && st.getPath.getName.endsWith(".compact.bak"))
+      .foreach { b =>
+        val orig = new Path(root,
+          b.getPath.getName.stripPrefix(".").stripSuffix(".compact.bak"))
+        graft.sources.Sink.recoverSwap(s, orig.toString)
+      }
     var before = 0
     var after = 0
     fs.listStatus(root)
@@ -947,18 +970,16 @@ object Similarity {
   }
 
   /** The index table rides the SessionCache like d18's: built once per
-    * (session, dir), DROPped at release points, name keyed by session
-    * identity + an md5 dir id (collision-proof across dirs). */
+    * (session, dir), DROPped at release points. The per-build-attempt
+    * unique name ([[graft.plans.Bucketing.sessionTableName]]) keeps two
+    * racing builders from writing — and the loser's release from
+    * DROPping — one shared table. */
   private val vecIndexCache = new graft.util.SessionCache[(SparkSession, String)](
-    releaseValue = { case (s, t) =>
-      try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } })
+    releaseValue = graft.plans.Bucketing.dropTable)
 
   private[graft] def s15IndexTable(s: SparkSession, dir: String): String =
     vecIndexCache.getOrBuild(s, s"$dir#s15index") {
-      val dirId = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val name = "s15_vec_index_" +
-        Integer.toHexString(System.identityHashCode(s)) + "_" + dirId
+      val name = graft.plans.Bucketing.sessionTableName("s15_vec_index", s, dir)
       writeVectorIndex(Tables.embeddings(s, dir), name)
       (s, name)
     }._2
@@ -974,7 +995,9 @@ object Similarity {
     val probes = Tables.embeddings(s, dir).filter($"vec_id" < 50)
       .select($"vec_id".as("qid"), $"embedding".as("qe"),
         bucket($"embedding").as("cell"))
-    indexedTopK(s, s15IndexTable(s, dir), probes, 3).orderBy($"qid", $"rank")
+    indexedTopK(s, s15IndexTable(s, dir), probes, 3,
+        distinctCandidates = false) // build-once index: no duplicates possible
+      .orderBy($"qid", $"rank")
   }
 
   /** s16 — multi-probe against the same index (s05's probe expansion:
@@ -993,7 +1016,9 @@ object Similarity {
     val probes = Tables.embeddings(s, dir).filter($"vec_id" < 50)
       .select($"vec_id".as("qid"), $"embedding".as("qe"),
         explode(probeArr).as("cell"))
-    indexedTopK(s, s15IndexTable(s, dir), probes, 3).orderBy($"qid", $"rank")
+    indexedTopK(s, s15IndexTable(s, dir), probes, 3,
+        distinctCandidates = false) // build-once index: no duplicates possible
+      .orderBy($"qid", $"rank")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -27,14 +27,42 @@ object Bucketing {
     * LOCATION_ALREADY_EXISTS even in Overwrite mode (overwrite replaces
     * a CATALOG table, not an orphaned directory). Every index/corpus
     * writer calls this first so a crashed predecessor can never poison
-    * the name. */
+    * the name. The location comes from the CATALOG's own path rule
+    * (`defaultTablePath` — current database and `.db` layout included),
+    * not a hand-built warehouse/<name> string that would miss (or worse,
+    * hit the wrong) directory outside the default database. */
   def reclaim(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(id))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
+
+  private val tableNonce = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Unique name for a session-scoped managed artifact table:
+    * `<prefix>_<session-hex>_<md5(dir) 6 bytes>_<nonce>`. The nonce makes
+    * every BUILD ATTEMPT's name unique — [[graft.util.SessionCache]] runs
+    * racing builds outside its monitor and releases the loser's value,
+    * so with a deterministic name the losing racer's DROP (and its
+    * mid-build overwrite) would take the winner's just-registered table
+    * with it. Unique names confine each racer's write and DROP to its
+    * own table; the session hash + dir id stay for debuggability, not
+    * identity. Orphans from crashed JVMs are bounded by [[reclaim]]-style
+    * warehouse hygiene and the artifact tables' small size. */
+  def sessionTableName(prefix: String, s: SparkSession, dir: String): String = {
+    val dirId = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    prefix + "_" + Integer.toHexString(System.identityHashCode(s)) +
+      "_" + dirId + "_" + tableNonce.incrementAndGet()
+  }
+
+  /** The matching [[graft.util.SessionCache]] release hook: DROP the
+    * artifact table (managed — the location goes with it). */
+  val dropTable: ((SparkSession, String)) => Unit = { case (s, t) =>
+    try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } }
 
   /** Multi-key form: bucket (and sort) by ALL of `keys`. Joins and
     * aggregations clustering on exactly these keys reuse the on-disk

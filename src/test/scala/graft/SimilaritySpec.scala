@@ -299,7 +299,34 @@ class SimilaritySpec extends SparkSpec {
       // steady-state re-run is a no-op (every list below minFiles)
       val (b2, a2) = Similarity.compactVectorIndex(spark, table)
       assert(b2 == a2, "re-compacting a compacted index must be free")
+      // crash recovery: a compaction that died between its two swap
+      // renames leaves the list parked in `.cell=N.compact.bak` with the
+      // original dir MISSING — queries silently lose the whole list. The
+      // next compactVectorIndex must restore it before compacting.
+      val victim = fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .head.getPath
+      val bak = new Path(root, s".${victim.getName}.compact.bak")
+      assert(fs.rename(victim, bak), "fixture: simulate the crash window")
+      spark.catalog.refreshTable(table)
+      val crashed = Similarity.indexedTopK(spark, table, probes, 3)
+        .collect().map(_.toSeq).toSet
+      assert(crashed != expect, "fixture must actually lose the list")
+      Similarity.compactVectorIndex(spark, table)
+      val recovered = Similarity.indexedTopK(spark, table, probes, 3)
+        .collect().map(_.toSeq).toSet
+      assert(recovered == expect,
+        "compaction must recover a crashed swap before compacting")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("session table names are unique per build attempt (racing builders isolated)") {
+    // SessionCache releases the losing racer's value; a deterministic
+    // name would let that release DROP the winner's table. The nonce
+    // guarantees every build attempt its own table.
+    val a = graft.plans.Bucketing.sessionTableName("x", spark, sfDir)
+    val b = graft.plans.Bucketing.sessionTableName("x", spark, sfDir)
+    assert(a != b, s"two build attempts shared a table name: $a")
   }
 
   test("s13/s14 per-probe top-k plans as WindowGroupLimit, never a full per-group sort") {

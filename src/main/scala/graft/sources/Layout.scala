@@ -198,13 +198,64 @@ object Layout {
        |  AND CAST(l_shipdate AS DATE) < DATE '$RangeHi'
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Path of the day-partitioned copy of `dir`'s events — hive-style
+    * DIRECTORY partitioning on `day = to_date(ts)` (the Delta/Iceberg
+    * `days(ts)` partition transform), the third layout lever next to
+    * linear clustering (z03: row-group stats along one axis) and
+    * z-order (z04: stats along several). Partition pruning skips whole
+    * directories at file-LISTING time, before a single footer is
+    * opened, and composes with both row-group levers inside each
+    * surviving partition. At 100 TB time-partitioned facts are the
+    * default physical design: a day predicate reads
+    * days-touched/total-days of the table, and the listing itself —
+    * the scan cost floor on an object store — shrinks by the same
+    * factor. `day` is a materialized DATE for the same reason as
+    * z03's `l_shipday` (timestamp partition values round-trip through
+    * directory names lossily; dates are exact). */
+  private[graft] def partitionedEvents(s: SparkSession, dir: String): String =
+    cache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
+    ).computeIfAbsent(dir + "#evday", { _ =>
+      val out = Fixtures.path(dir, "events_by_day")
+      Fixtures.ensure(s, out) {
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      }
+    })
+
+  /** Mid-range day of the events table's 2024-01-01..2024-01-30 span
+    * (same span at every shipped SF): one of 30 day-partitions. */
+  private[graft] val EventDay = "2024-01-15"
+
+  private[graft] def dayQuery(df: DataFrame): DataFrame =
+    df.filter(col("day") === lit(EventDay).cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** z05 — a one-day scan over the day-partitioned copy; the oracle runs
+    * the same aggregation over the ORIGINAL events (the z03 contract:
+    * layout must change bytes read, never results). LayoutSpec pins the
+    * pruning itself — one partition listed of 30. */
+  private def z05PartitionPrune(s: SparkSession, dir: String): DataFrame =
+    dayQuery(s.read.parquet(partitionedEvents(s, dir)))
+
+  private val z05Sql =
+    s"""SELECT event_type, count(*) AS n_events, sum(value) AS total_value
+       |FROM events
+       |WHERE CAST(ts AS DATE) = DATE '$EventDay'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z03_clustered_scan" -> z03ClusteredScan _,
     "z04_zorder_scan"    -> z04ZorderScan _,
+    "z05_partition_prune" -> z05PartitionPrune _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "z03_clustered_scan" -> z03Sql,
     "z04_zorder_scan"    -> z04Sql,
+    "z05_partition_prune" -> z05Sql,
   )
 }

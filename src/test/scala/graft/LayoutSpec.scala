@@ -140,4 +140,39 @@ class LayoutSpec extends SparkSpec {
         s"$total rows, saw $unpruned — if the source layout changed, " +
         "re-evaluate what this spec demonstrates")
   }
+
+  test("z05 equals the raw-events aggregate; the day predicate prunes directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // rows: layout must never change results
+    val z = SparkEntry.queries("z05_partition_prune")(spark, sfDir).collect()
+    val raw = Layout.dayQuery(Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))).collect()
+    assert(z.length == raw.length && z.nonEmpty)
+    z.zip(raw).foreach { case (a, b) =>
+      (0 until a.length).foreach { i =>
+        (a.get(i), b.get(i)) match {
+          case (x: Double, y: Double) =>
+            assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)), s"col $i: $x vs $y")
+          case (x, y) => assert(x == y, s"col $i: $x vs $y")
+        }
+      }
+    }
+    // pruning: one of the 30 day-directories is LISTED — before any
+    // footer is opened (the s15 assertion pattern, AQE off for a
+    // traversable tree)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val path = Layout.partitionedEvents(spark, sfDir)
+      val days = spark.read.parquet(path).select(col("day")).distinct().count()
+      assert(days > 1, "fixture collapsed to one day; pruning unprovable")
+      val q = Layout.dayQuery(spark.read.parquet(path))
+      q.collect()
+      val parts = q.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f.metrics("numPartitions").value
+      }.sum
+      assert(parts == 1,
+        s"one-day predicate listed $parts of $days partitions — not pruned")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

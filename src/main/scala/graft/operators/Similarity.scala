@@ -809,9 +809,19 @@ object Similarity {
     * pruning key has tiny cardinality (16 lists) and the consumer joins
     * a BROADCAST probe side, so co-partitioning buys nothing — skipping
     * whole directories buys everything. */
-  def writeVectorIndex(emb: DataFrame, table: String): Unit = {
-    graft.plans.Bucketing.reclaim(emb.sparkSession, table)
-    emb.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell"))
+  def writeVectorIndex(emb: DataFrame, table: String): Unit =
+    writeAssignedIndex(
+      emb.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell")),
+      table)
+
+  /** The layout core shared with the LEARNED-quantizer variant (s17):
+    * persist pre-assigned (vec_id, embedding, cell) rows partitioned by
+    * cell. The cell function is the caller's — deterministic sign-LSH
+    * ([[writeVectorIndex]]) or a trained coarse quantizer's assignment
+    * ([[s17 below]]); the inverted-list economics are identical. */
+  def writeAssignedIndex(assigned: DataFrame, table: String): Unit = {
+    graft.plans.Bucketing.reclaim(assigned.sparkSession, table)
+    assigned.select(col("vec_id"), col("embedding"), col("cell"))
       .write.format("parquet")
       .partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -1021,6 +1031,41 @@ object Similarity {
       .orderBy($"qid", $"rank")
   }
 
+  private[graft] def s17IndexTable(s: SparkSession, dir: String): String =
+    vecIndexCache.getOrBuild(s, s"$dir#s17index") {
+      val name = graft.plans.Bucketing.sessionTableName("s17_ivf_index", s, dir)
+      writeAssignedIndex(ivfAssigned(s, dir), name)
+      (s, name)
+    }._2
+
+  /** The s04 retrieval served from the persistent learned-quantizer
+    * index: probes carry their own rk=1 k-means cell, the corpus side is
+    * the [[s17IndexTable]] partitioned table. Same candidates as s04 by
+    * construction (both meet on the rk=1 assignment), which the spec
+    * pins row-for-row. */
+  private[graft] def ivfIndexedTop3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = ivfAssigned(s, dir).filter($"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cell")
+    indexedTopK(s, s17IndexTable(s, dir), probes, 3,
+      distinctCandidates = false) // build-once index: no duplicates possible
+  }
+
+  /** s17 — the LEARNED coarse quantizer composed with the PERSISTENT
+    * inverted-list layout: s04's k-means cells become the partition
+    * directories (the full FAISS-IVF production shape — trained
+    * quantizer, on-disk lists, probed-cell routing as partition
+    * pruning), where s15's lists came from the deterministic sign-LSH.
+    * KMeans isn't SQL-expressible, so like s06 the DRIVER-CHECKED
+    * contract is the measured recall gate over the indexed retrieval —
+    * same ground truth, same 0.45 floor (the result is s04's rows, spec-
+    * pinned, so the gate measures the same index quality s06 does, now
+    * THROUGH the persistent layout). */
+  private def s17AnnIvfIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    recallGate(s, dir, ivfIndexedTop3(s, dir).select($"qid", $"nid"), 0.45)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_knn_brute"  -> s01KnnBrute _,
     "s02_ann_bucket" -> s02AnnBucket _,
@@ -1038,6 +1083,7 @@ object Similarity {
     "s14_hamming_rerank" -> s14HammingRerank _,
     "s15_ann_indexed"    -> s15AnnIndexed _,
     "s16_ann_indexed_multiprobe" -> s16AnnIndexedMultiprobe _,
+    "s17_ann_ivf_indexed" -> s17AnnIvfIndexed _,
   )
 
   /** s04's raw output is omitted (KMeans has no SQL oracle; rows-only
@@ -1058,5 +1104,6 @@ object Similarity {
     // same cell function, same ranking — layout must not change rows
     "s15_ann_indexed"    -> s02Sql,
     "s16_ann_indexed_multiprobe" -> s05Sql,
+    "s17_ann_ivf_indexed" -> s06Sql, // the same driver-checked gate contract
   )
 }

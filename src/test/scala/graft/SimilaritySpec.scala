@@ -320,6 +320,20 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("s17 learned-quantizer index serves exactly s04's retrieval, gate green") {
+    import spark.implicits._
+    // the persistent layout must not change the retrieval: both paths
+    // meet candidates on the rk=1 k-means assignment
+    val indexed = Similarity.ivfIndexedTop3(spark, sfDir)
+      .orderBy($"qid", $"rank").collect().map(_.toSeq).toSeq
+    val inQuery = SparkEntry.queries("s04_ann_ivf")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(indexed == inQuery, "indexed IVF diverged from in-query s04")
+    val gate = SparkEntry.queries("s17_ann_ivf_indexed")(spark, sfDir).collect()
+    assert(gate.length == 1 && gate.head.getAs[Boolean]("recall_ok"),
+      "indexed IVF recall fell below the s06 floor")
+  }
+
   test("session table names are unique per build attempt (racing builders isolated)") {
     // SessionCache releases the losing racer's value; a deterministic
     // name would let that release DROP the winner's table. The nonce

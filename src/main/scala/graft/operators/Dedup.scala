@@ -1291,10 +1291,9 @@ object Dedup {
 
   private def d19CorpusTable(s: SparkSession, dir: String): String =
     hashCorpusCache.getOrBuild(s, s"$dir#d19corpus") {
-      val name = graft.plans.Bucketing.sessionTableName("d19_hash_corpus", s, dir)
-      writeHashCorpus(seenHashes(s, dir), name,
-        math.max(4, s.sparkContext.defaultParallelism))
-      (s, name)
+      graft.plans.Bucketing.buildArtifactTable(s, "d19_hash_corpus", dir)(
+        writeHashCorpus(seenHashes(s, dir), _,
+          math.max(4, s.sparkContext.defaultParallelism)))
     }._2
 
   /** d19 — d16 against the PERSISTENT bucketed hash corpus: identical
@@ -1526,11 +1525,10 @@ object Dedup {
 
   private def d18IndexTable(s: SparkSession, dir: String): String =
     bandIndexCache.getOrBuild(s, s"$dir#d18index") {
-      val name = graft.plans.Bucketing.sessionTableName("d18_band_index", s, dir)
-      writeBandIndex(
-        Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
-        name, math.max(4, s.sparkContext.defaultParallelism))
-      (s, name)
+      graft.plans.Bucketing.buildArtifactTable(s, "d18_band_index", dir)(
+        writeBandIndex(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+          _, math.max(4, s.sparkContext.defaultParallelism)))
     }._2
 
   /** d18 — d17 against the PERSISTENT bucketed band index: identical

@@ -839,12 +839,42 @@ object Similarity {
     val parts = meta.partitionColumnNames
     require(parts == Seq("cell"),
       s"$table is not a vector index table (partitions: $parts)")
+    // heal pending compaction swaps BEFORE writing (the Sink.mergeInto
+    // discipline): an append into a cell whose directory is missing —
+    // parked in `.compact.bak` by a crashed compaction — would RECREATE
+    // the directory with only the new rows, permanently stranding the
+    // parked list (recoverSwap requires the original missing, and the
+    // next compaction would delete the bak as stale)
+    recoverLists(s, new org.apache.hadoop.fs.Path(meta.location))
     newVectors.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell"))
       .write.format("parquet")
       .partitionBy(parts: _*)
       .mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(table)
     s.catalog.refreshTable(table)
+  }
+
+  /** Repair every list whose compaction died mid-swap: data parked in
+    * `.cell=N.compact.bak` with the original dir missing is swapped
+    * back ([[graft.sources.Sink.recoverSwap]]); a bak whose original
+    * EXISTS is the post-swap-in crash window (the swap completed, only
+    * the cleanup died) — the bak is a stale full copy of the list and
+    * is deleted, or it would be retained forever (the freshly compacted
+    * one-file list never re-enters compaction to clean it). Single
+    * maintainer assumed, as throughout Sink. */
+  private def recoverLists(s: SparkSession, root: org.apache.hadoop.fs.Path): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".cell=")
+        && st.getPath.getName.endsWith(".compact.bak"))
+      .foreach { b =>
+        val orig = new Path(root,
+          b.getPath.getName.stripPrefix(".").stripSuffix(".compact.bak"))
+        if (fs.exists(orig)) fs.delete(b.getPath, true) // completed swap's leftover
+        else graft.sources.Sink.recoverSwap(s, orig.toString)
+      }
   }
 
   /** Top-k against a [[writeVectorIndex]] table: compute each probe's
@@ -890,8 +920,8 @@ object Similarity {
     * [[graft.operators.Dedup.batchCandidates]] discipline): the result
     * is correct whether or not this batch's vectors already reached the
     * index — a crash-replayed micro-batch re-running after its append
-    * committed, or a callback that evaluates the frame lazily after the
-    * append, can never retrieve a vector as its own neighbor. */
+    * committed, or a frame evaluated only after the append, can never
+    * retrieve a vector as its own neighbor. */
   def batchTopK(s: SparkSession, table: String, batch: DataFrame, k: Int): DataFrame =
     indexedTopK(s, table,
       batch.select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -909,7 +939,10 @@ object Similarity {
     * the structural self-exclusion in [[batchTopK]] keeps a replayed
     * batch from retrieving itself, and its candidate-level dedup keeps
     * a duplicate append's repeated list rows from occupying two top-k
-    * slots. */
+    * slots. `onResults` must CONSUME its frame within the call (the
+    * [[graft.operators.Dedup.ingestExactStream]] contract): the
+    * micro-batch's checkpoint blocks are released when the trigger
+    * ends, so a deferred evaluation would find them gone. */
   def ingestVectorStream(s: SparkSession, table: String, vecStream: DataFrame,
       onResults: (DataFrame, Long) => Unit,
       k: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
@@ -948,21 +981,14 @@ object Similarity {
       s"$table is not a vector index table (partitions: ${meta.partitionColumnNames})")
     val root = new Path(meta.location)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // FIRST repair any list whose previous compaction died between its
-    // two swap renames (data parked in `.cell=N.compact.bak`, original
-    // dir missing): without this, a crashed compact would silently drop
-    // the whole list from every future query — the partition simply
-    // stops existing — and the `cell=` filter below would never revisit
-    // it. This makes the maintenance entry point double as the recovery
-    // entry point, the Sink.mergeInto discipline.
-    fs.listStatus(root)
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".cell=")
-        && st.getPath.getName.endsWith(".compact.bak"))
-      .foreach { b =>
-        val orig = new Path(root,
-          b.getPath.getName.stripPrefix(".").stripSuffix(".compact.bak"))
-        graft.sources.Sink.recoverSwap(s, orig.toString)
-      }
+    // FIRST repair any list whose previous compaction died mid-swap
+    // (data parked in `.cell=N.compact.bak`, original dir missing):
+    // without this, a crashed compact would silently drop the whole
+    // list from every future query — the partition simply stops
+    // existing — and the `cell=` filter below would never revisit it.
+    // Both maintenance entry points (here and appendVectorIndex) double
+    // as the recovery entry point, the Sink.mergeInto discipline.
+    recoverLists(s, root)
     var before = 0
     var after = 0
     fs.listStatus(root)
@@ -989,9 +1015,8 @@ object Similarity {
 
   private[graft] def s15IndexTable(s: SparkSession, dir: String): String =
     vecIndexCache.getOrBuild(s, s"$dir#s15index") {
-      val name = graft.plans.Bucketing.sessionTableName("s15_vec_index", s, dir)
-      writeVectorIndex(Tables.embeddings(s, dir), name)
-      (s, name)
+      graft.plans.Bucketing.buildArtifactTable(s, "s15_vec_index", dir)(
+        writeVectorIndex(Tables.embeddings(s, dir), _))
     }._2
 
   /** s15 — s02's bucketed ANN served from the PERSISTENT inverted-list
@@ -1033,9 +1058,8 @@ object Similarity {
 
   private[graft] def s17IndexTable(s: SparkSession, dir: String): String =
     vecIndexCache.getOrBuild(s, s"$dir#s17index") {
-      val name = graft.plans.Bucketing.sessionTableName("s17_ivf_index", s, dir)
-      writeAssignedIndex(ivfAssigned(s, dir), name)
-      (s, name)
+      graft.plans.Bucketing.buildArtifactTable(s, "s17_ivf_index", dir)(
+        writeAssignedIndex(ivfAssigned(s, dir), _))
     }._2
 
   /** The s04 retrieval served from the persistent learned-quantizer

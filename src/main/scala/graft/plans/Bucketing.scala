@@ -50,8 +50,10 @@ object Bucketing {
     * mid-build overwrite) would take the winner's just-registered table
     * with it. Unique names confine each racer's write and DROP to its
     * own table; the session hash + dir id stay for debuggability, not
-    * identity. Orphans from crashed JVMs are bounded by [[reclaim]]-style
-    * warehouse hygiene and the artifact tables' small size. */
+    * identity. Failed in-JVM build attempts self-reclaim (use
+    * [[buildArtifactTable]]); a crashed JVM's orphans stay on disk —
+    * harmless (nonce'd names are never reused) and bounded by the
+    * artifact tables' small size. */
   def sessionTableName(prefix: String, s: SparkSession, dir: String): String = {
     val dirId = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
@@ -63,6 +65,22 @@ object Bucketing {
     * artifact table (managed — the location goes with it). */
   val dropTable: ((SparkSession, String)) => Unit = { case (s, t) =>
     try s.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () } }
+
+  /** Run an artifact-table build under a fresh per-attempt name; on
+    * failure the attempt's table AND location are reclaimed before the
+    * error propagates. Without this, nonce'd names would turn every
+    * failed-then-retried build into an orphan (the retry gets a new
+    * name, so no later reclaim ever targets the failed one's). Returns
+    * the (session, name) pair the artifact SessionCaches store. */
+  def buildArtifactTable(s: SparkSession, prefix: String, dir: String)(
+      write: String => Unit): (SparkSession, String) = {
+    val name = sessionTableName(prefix, s, dir)
+    try { write(name); (s, name) }
+    catch { case e: Throwable =>
+      try reclaim(s, name) catch { case _: Throwable => () }
+      throw e
+    }
+  }
 
   /** Multi-key form: bucket (and sort) by ALL of `keys`. Joins and
     * aggregations clustering on exactly these keys reuse the on-disk

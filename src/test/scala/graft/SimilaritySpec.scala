@@ -303,9 +303,11 @@ class SimilaritySpec extends SparkSpec {
       // renames leaves the list parked in `.cell=N.compact.bak` with the
       // original dir MISSING — queries silently lose the whole list. The
       // next compactVectorIndex must restore it before compacting.
-      val victim = fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
-        .head.getPath
+      // Victim = probe 0's own cell, so its guaranteed rank-1 self-hit
+      // disappears with the dir (a deterministic fixture — an arbitrary
+      // cell might contribute nothing to the 50 probes' top-3).
+      val cell0 = probes.filter($"qid" === 0).select($"cell").head.getInt(0)
+      val victim = new Path(root, s"cell=$cell0")
       val bak = new Path(root, s".${victim.getName}.compact.bak")
       assert(fs.rename(victim, bak), "fixture: simulate the crash window")
       spark.catalog.refreshTable(table)
@@ -317,6 +319,24 @@ class SimilaritySpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
       assert(recovered == expect,
         "compaction must recover a crashed swap before compacting")
+      // APPEND must heal the same window: an append into the missing
+      // dir would otherwise recreate it and permanently strand the bak
+      assert(fs.rename(victim, bak), "fixture: crash window again")
+      spark.catalog.refreshTable(table)
+      Similarity.appendVectorIndex(spark, table,
+        Tables.embeddings(spark, sfDir).limit(0)) // maintenance touch, no rows
+      spark.catalog.refreshTable(table)
+      val healedByAppend = Similarity.indexedTopK(spark, table, probes, 3)
+        .collect().map(_.toSeq).toSet
+      assert(healedByAppend == expect,
+        "appendVectorIndex must recover a pending swap before writing")
+      // post-swap-in crash (bak left behind, original present): the
+      // stale full copy must be deleted, not retained forever
+      val staleBak = new Path(root, s".cell=$cell0.compact.bak")
+      fs.mkdirs(staleBak)
+      Similarity.compactVectorIndex(spark, table)
+      assert(!fs.exists(staleBak),
+        "a completed swap's leftover bak must be cleaned up")
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 

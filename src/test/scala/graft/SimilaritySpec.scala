@@ -363,6 +363,31 @@ class SimilaritySpec extends SparkSpec {
     assert(a != b, s"two build attempts shared a table name: $a")
   }
 
+  test("a real index-build race: one winner served to all, losers' tables dropped") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a distinct cache key over the same data (path spelling) forces a
+    // cold build; 4 threads enter getOrBuild together and each writes its
+    // own nonce'd table — the cache must hand EVERY caller the winner and
+    // the racer-release path must drop exactly the losers
+    val dir = sfDir + "/."
+    val pre = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("s15_vec_index")).toSet
+    val names = Await.result(
+      Future.sequence((1 to 4).map(_ => Future(Similarity.s15IndexTable(spark, dir)))),
+      180.seconds)
+    assert(names.distinct.size == 1, s"racers saw different winners: $names")
+    val winner = names.head
+    assert(spark.catalog.tableExists(winner), "winner's table must exist")
+    assert(SparkEntry.queries("s15_ann_indexed")(spark, dir).count() > 0,
+      "the raced index must serve queries")
+    val post = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("s15_vec_index")).toSet
+    assert(post -- pre == Set(winner),
+      s"losing racers leaked tables: ${(post -- pre) - winner}")
+  }
+
   test("s13/s14 per-probe top-k plans as WindowGroupLimit, never a full per-group sort") {
     // row_number <= k over Window.partitionBy(qid) must push per-group
     // limits into the shuffle (the t15 assertion pattern). Without this a

@@ -1253,14 +1253,24 @@ object Dedup {
     *    exists to avoid. `capacity` must be provisioned for corpus
     *    GROWTH over the stream's lifetime (deltas merge only into
     *    same-geometry filters); when the corpus outgrows it, fpp decays
-    *    gracefully — correctness never depends on the sketch.
+    *    gracefully — correctness never depends on the sketch PROVIDED
+    *    the stream is the corpus table's ONLY writer. The maintained
+    *    sketch only learns this stream's own appends: an out-of-band
+    *    [[appendHashCorpus]] (or a second stream on the same table)
+    *    adds hashes the sketch reports definitely-absent, and those
+    *    rows would bypass the verify join as false "new"s. Single
+    *    writer per corpus table is the precondition, as everywhere in
+    *    the maintenance surface.
     *  - replay is EXACT, not merely tolerated: new-ness is judged
     *    against `src != batchId`, so a crash-replayed batch excludes
     *    its own committed append and reproduces its first attempt's
     *    rows; the sketch (which may already contain them) only routes
     *    those rows through the verify join. In-batch duplicate hashes
     *    are out of scope by the [[ingestStream]] convention — run d01's
-    *    dropDuplicates on the batch first when wanted. */
+    *    dropDuplicates on the batch first when wanted.
+    * `onNew` must CONSUME its frame within the call: the micro-batch's
+    * checkpoint blocks are released when the trigger ends (truncated
+    * lineage — a deferred evaluation would find them gone). */
   def ingestExactStream(s: SparkSession, corpusTable: String, docStream: DataFrame,
       onNew: (DataFrame, Long) => Unit,
       capacityHint: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
@@ -1277,8 +1287,12 @@ object Dedup {
       val newRows = gatedNew(seen, hashed, sketch).localCheckpoint()
       try {
         onNew(newRows, batchId)
-        appendHashCorpus(s, corpusTable, newRows, batchId)
+        // an empty batch (idle trigger, all-duplicate input) skips the
+        // whole maintenance half: catalog read, distinct shuffle,
+        // zero-row bucketed write commit, relation-cache refresh — per
+        // trigger, that overhead is the ingestion loop's steady state
         if (!newRows.isEmpty) {
+          appendHashCorpus(s, corpusTable, newRows, batchId)
           val delta = bloomSidecar(newRows, capacity)
           sketch = if (sketch == null) delta else mergeSketches(sketch, delta)
         }
@@ -1471,12 +1485,20 @@ object Dedup {
     * between the renames leaves the backup table intact for manual
     * recovery, never a half-written index serving queries. */
   def compactBandIndex(s: SparkSession, table: String): Unit = {
+    val tmp = table + "_compact_tmp"
+    val bak = table + "_compact_bak"
+    // recover a compaction that died between its two renames: the index
+    // parked under the bak name, nothing at the queried name — swap it
+    // back (the Sink.recoverSwap discipline for catalog tables); then
+    // clear a COMPLETED swap's leftover bak, which would otherwise make
+    // the promote rename below fail with TABLE_ALREADY_EXISTS forever
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(bak))
+      s.sql(s"ALTER TABLE $bak RENAME TO $table")
+    s.sql(s"DROP TABLE IF EXISTS $bak")
     val meta = s.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$table has no bucket spec — not a band index table"))
-    val tmp = table + "_compact_tmp"
-    val bak = table + "_compact_bak"
     s.sql(s"DROP TABLE IF EXISTS $tmp")
     // bucketed writes emit one file per (task, bucket), so the read
     // tasks must align with buckets or the "compacted" table still
@@ -1502,13 +1524,24 @@ object Dedup {
       s.conf.set(aqeConf, "false")
       graft.plans.Bucketing.writeBucketedMulti(
         s.table(table).repartition(spec.numBuckets, spec.bucketColumnNames.map(col): _*),
-        tmp, spec.numBuckets, spec.bucketColumnNames)
+        tmp, spec.numBuckets, spec.bucketColumnNames,
+        // mirror the SORT spec too: defaulting sort to the bucket keys
+        // would silently rewrite a layout whose sort differs
+        sortKeys = spec.sortColumnNames)
     } finally {
       s.conf.set(scanConf, prevScan)
       s.conf.set(aqeConf, prevAqe)
     }
     s.sql(s"ALTER TABLE $table RENAME TO $bak")
-    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // restore on a failed promote — never leave the index missing (the
+    // Sink.compact contract; queries would otherwise die
+    // TABLE_OR_VIEW_NOT_FOUND with the data parked under the bak name)
+    try s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    catch { case e: Throwable =>
+      try s.sql(s"ALTER TABLE $bak RENAME TO $table")
+      catch { case _: Throwable => () } // bak stays for compactBandIndex's own recovery
+      throw e
+    }
     s.sql(s"DROP TABLE $bak")
     s.catalog.refreshTable(table)
   }

@@ -89,13 +89,18 @@ object Bucketing {
     * check (`spark.sql.requireAllClusterKeysForCoPartition`, default
     * true) does not let a bucket-key subset stand in for compound join
     * keys. */
-  def writeBucketedMulti(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit = {
+  def writeBucketedMulti(df: DataFrame, table: String, buckets: Int, keys: Seq[String],
+      sortKeys: Seq[String] = Nil): Unit = {
+    // sortKeys defaults to the bucket keys; a caller mirroring an
+    // existing bucket spec (compaction) passes its sortColumnNames so a
+    // layout whose sort differs from its bucketing survives the rewrite
+    val sk = if (sortKeys.isEmpty) keys else sortKeys
     reclaim(df.sparkSession, table)
     df.write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
-      .sortBy(keys.head, keys.tail: _*)
+      .sortBy(sk.head, sk.tail: _*)
       .saveAsTable(table)
   }
 

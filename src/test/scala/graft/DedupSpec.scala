@@ -404,6 +404,34 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactBandIndex recovers crashed swaps and clears stale baks") {
+    import graft.operators.Dedup
+    val t = "cbi_recover_idx"
+    val bak = t + "_compact_bak"
+    try {
+      Dedup.writeBandIndex(docs(2L -> base,
+        4L -> "completely different words about spark engines and columnar scans today"), t, 4)
+      val rows = spark.table(t).count()
+      // crashed promote: the index parked under the bak name, nothing at
+      // the queried name — the next compaction must swap it back, not die
+      // on getTableMetadata
+      spark.sql(s"ALTER TABLE $t RENAME TO $bak")
+      Dedup.compactBandIndex(spark, t)
+      assert(spark.table(t).count() == rows, "parked index not restored")
+      assert(!spark.catalog.tableExists(bak))
+      // completed swap's leftover bak: must be cleared up front, or the
+      // promote rename fails TABLE_ALREADY_EXISTS on every future run
+      spark.range(1).toDF("x").write.saveAsTable(bak)
+      Dedup.compactBandIndex(spark, t)
+      assert(!spark.catalog.tableExists(bak), "stale bak not cleared")
+      assert(spark.table(t).count() == rows)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS $bak")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compact_tmp")
+    }
+  }
+
   test("d18 append maintenance: processed batches join the index under the same bucket scheme") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

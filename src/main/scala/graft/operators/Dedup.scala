@@ -1589,6 +1589,207 @@ object Dedup {
        |JOIN ok o ON o.band_idx = s.band_idx AND o.band_hash = s.band_hash
        |ORDER BY new_doc, seen_doc""".stripMargin
 
+  /** Window width (in words) for substring-span dedup — the granularity at
+    * which a repeated passage counts as duplicated, the d13 chunk width. */
+  val SpanWindow = 20
+
+  /** d20 — maximal duplicated SUBSTRING spans at stride 1 (the
+    * train-data-dedup shape from "Deduplicating Training Data Makes
+    * Language Models Better": any `SpanWindow`-word passage occurring ≥2
+    * times in the corpus — any document, any offset — marks its tokens
+    * duplicated; overlapping/contiguous duplicated windows merge into
+    * maximal per-document spans). This is the alignment-free completion of
+    * d13: fixed chunking only sees offsets 0, k, 2k, … and misses a copied
+    * paragraph shifted by one word; here every offset is a window, so a
+    * shared passage is found wherever it sits, and the output names the
+    * exact repeated region (span_start…span_end, 1-based word positions)
+    * instead of a per-chunk count.
+    *
+    * Scale shape: window hashing is a narrow map via the native
+    * [[graft.functions.RollingWindowHash]] — each token digested once,
+    * O(1) per additional window, so stride 1 costs what d13's stride k
+    * costs instead of k× it. The explode emits (h, doc_id, pos) triples
+    * (20 bytes — never window text). Multiplicity goes through
+    * groupBy(h).count, NOT a count-over-window: partial aggregation
+    * collapses a viral boilerplate hash map-side before the shuffle,
+    * where a window function would buffer the whole hot bucket in one
+    * task. The c≥2 hash list joins back on h (AQE may broadcast it when
+    * duplication is rare), and span assembly shuffles (doc_id, pos) pairs
+    * once for the per-document island merge — gaps-and-islands with
+    * lag(): same-width sorted intervals merge iff the next start is
+    * within prev_start + k (token-contiguous duplication). Total: two
+    * hash-only shuffles over corpus-words-sized data, no all-pairs
+    * anywhere. */
+  private def d20SubstringSpans(s: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.spread(Tables.documents(s, dir)), SpanWindow)()
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** The d20 core over an arbitrary (doc_id, text) frame: maximal
+    * per-document spans of words covered by some k-word window whose
+    * content occurs ≥2 times in the corpus. `windowHash` swaps the
+    * discriminator (rolling vs full-md5) so the spec can pin their
+    * agreement; positions are 1-based word indices. */
+  /** (doc_id, pos, h) for every stride-1 k-word window; pos is the
+    * 1-based start word index. */
+  private def slidingWindows(docs: DataFrame, k: Int,
+      windowHash: Column => Column): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= k)
+      .select($"doc_id", posexplode(windowHash($"ws")))
+      .select($"doc_id", ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
+  }
+
+  /** Gaps-and-islands merge of same-width k-windows into maximal
+    * per-document intervals (s, e): sorted same-width windows merge iff
+    * the next start is within prev_start + k — token-contiguous
+    * duplication — so an island's extent equals its covered word count. */
+  private def mergeIslands(wins: DataFrame, k: Int): DataFrame = {
+    val s = wins.sparkSession
+    import s.implicits._
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    wins
+      .withColumn("new_span",
+        when($"pos" > coalesce(lag($"pos", 1).over(byDoc) + k, lit(Long.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("span_id", sum($"new_span").over(byDoc))
+      .groupBy($"doc_id", $"span_id")
+      .agg(min($"pos").as("s"), (max($"pos") + lit(k - 1)).as("e"))
+      .select($"doc_id", $"s", $"e")
+  }
+
+  private def defaultWindowHash(k: Int): Column => Column =
+    ws => graft.functions.RollingWindowHash.column(ws, k)
+
+  private[graft] def substringSpans(docs: DataFrame, k: Int)(
+      windowHash: Column => Column = defaultWindowHash(k)): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val wins = slidingWindows(docs, k, windowHash)
+    val dupHashes = wins.groupBy($"h")
+      .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
+    mergeIslands(wins.join(dupHashes, "h"), k)
+      .select($"doc_id", $"s".as("span_start"), $"e".as("span_end"),
+        ($"e" - $"s" + 1).as("span_words"))
+  }
+
+  /** d21 — the REMOVAL half of substring dedup (d20 reports, d21 cuts):
+    * for every duplicated window the corpus-order-first occurrence
+    * (min doc_id, then position — the d13 rn=1 convention) is canonical
+    * and stays; every later occurrence marks its k words for removal.
+    * Per document, removed windows merge into disjoint covered intervals
+    * (d20's island rule: same-width sorted windows merge iff the next
+    * start is within prev_start+k, so an island's extent IS its covered
+    * word count), and the cleaned text is the uncovered words rejoined in
+    * order. Output: affected docs only — doc_id, n_words, n_cut,
+    * text_clean ('' when a doc is a whole-document duplicate and loses
+    * everything).
+    *
+    * Scale shape: windows/canonicalization shuffle hashes only (the d20
+    * economics plus one row_number window over h — per-group state is
+    * occurrence ids, never text); the merged cut-list per affected doc is
+    * a few (start, end) structs, so reconstruction is a narrow map over
+    * the docs scan — `filter(ws, (w, i) => …)` against the per-row
+    * interval list, no word-level shuffle anywhere. The cuts side joins
+    * on doc_id (AQE broadcasts it when duplication is rare). */
+  private def d21SpanRemoval(s: SparkSession, dir: String): DataFrame =
+    spanRemoval(Tables.spread(Tables.documents(s, dir)), SpanWindow)
+      .orderBy(col("doc_id"))
+
+  /** The d21 core over an arbitrary (doc_id, text) frame — see the entry
+    * doc above for semantics and scale shape. */
+  private[graft] def spanRemoval(docsRaw: DataFrame, k: Int): DataFrame = {
+    val s = docsRaw.sparkSession
+    import s.implicits._
+    val docs = docsRaw.select($"doc_id", split($"text", " ").as("ws"))
+    val wins = slidingWindows(docsRaw, k, defaultWindowHash(k))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id", $"pos")
+    val cutWins = wins.withColumn("rn", row_number().over(firstSeen))
+      .filter($"rn" > 1).select($"doc_id", $"pos")
+    val cuts = mergeIslands(cutWins, k)
+      .groupBy($"doc_id")
+      .agg(collect_list(struct($"s", $"e")).as("spans"),
+        sum($"e" - $"s" + 1).as("n_cut"))
+    docs.join(cuts, "doc_id")
+      .select($"doc_id", size($"ws").cast("long").as("n_words"), $"n_cut",
+        concat_ws(" ", filter($"ws", (w, i) =>
+          !exists($"spans", c =>
+            (i + 1).cast("long") >= c("s") && (i + 1).cast("long") <= c("e"))))
+          .as("text_clean"))
+  }
+
+  private val d21Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |c AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(ws) - ${SpanWindow - 1})) AS pos, ws
+       |      FROM w WHERE len(ws) >= $SpanWindow),
+       |g AS (SELECT doc_id, pos,
+       |        md5(array_to_string(ws[pos:pos+${SpanWindow - 1}], ' ')) AS h
+       |      FROM c),
+       |r AS (SELECT doc_id, pos,
+       |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |      FROM g),
+       |x AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN pos > coalesce(
+       |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 + $SpanWindow, -9223372036854775808)
+       |             THEN 1 ELSE 0 END AS new_span
+       |      FROM x),
+       |sp AS (SELECT doc_id, pos,
+       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |       FROM m),
+       |iv AS (SELECT doc_id, min(pos) AS s, max(pos) + ${SpanWindow - 1} AS e
+       |       FROM sp GROUP BY doc_id, span_id),
+       |cut AS (SELECT doc_id, sum(e - s + 1)::BIGINT AS n_cut
+       |        FROM iv GROUP BY doc_id),
+       |pos AS (SELECT w.doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+       |        FROM w JOIN cut USING (doc_id)),
+       |keep AS (SELECT doc_id, i, ws[i] AS word FROM pos p
+       |         WHERE NOT EXISTS (SELECT 1 FROM iv
+       |                           WHERE iv.doc_id = p.doc_id
+       |                             AND p.i BETWEEN iv.s AND iv.e)),
+       |clean AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS text_clean
+       |          FROM keep GROUP BY doc_id)
+       |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words, cut.n_cut,
+       |  coalesce(clean.text_clean, '') AS text_clean
+       |FROM w JOIN cut ON w.doc_id = cut.doc_id
+       |LEFT JOIN clean ON w.doc_id = clean.doc_id
+       |ORDER BY w.doc_id""".stripMargin
+
+  // The oracle hashes each window's full text with md5 (content equality
+  // exactly); the Spark side discriminates with the 64-bit rolling hash.
+  // Outputs agree unless unequal windows collide at 64 bits (~2⁻⁶⁴/pair;
+  // the spec also pins the rolling path against an md5-window path).
+  private val d20Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= $SpanWindow),
+       |c AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(ws) - ${SpanWindow - 1})) AS pos, ws
+       |      FROM w),
+       |g AS (SELECT doc_id, pos,
+       |        md5(array_to_string(ws[pos:pos+${SpanWindow - 1}], ' ')) AS h
+       |      FROM c),
+       |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+       |x AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN pos > coalesce(
+       |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 + $SpanWindow, -9223372036854775808)
+       |             THEN 1 ELSE 0 END AS new_span
+       |      FROM x),
+       |sp AS (SELECT doc_id, pos,
+       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |       FROM m)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ${SpanWindow - 1} AS span_end,
+       |  max(pos) + ${SpanWindow - 1} - min(pos) + 1 AS span_words
+       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -1613,6 +1814,8 @@ object Dedup {
     "d17_incremental_lsh" -> d17IncrementalLsh _,
     "d18_indexed_lsh"   -> d18IndexedLsh _,
     "d19_persistent_exact" -> d19PersistentExact _,
+    "d20_substring_spans" -> d20SubstringSpans _,
+    "d21_span_removal"  -> d21SpanRemoval _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1639,5 +1842,7 @@ object Dedup {
     "d17_incremental_lsh" -> d17Sql,
     "d18_indexed_lsh"   -> d17Sql, // identical pairs, persistent-index path
     "d19_persistent_exact" -> d16Sql, // identical rows, persistent-corpus path
+    "d20_substring_spans" -> d20Sql,
+    "d21_span_removal"  -> d21Sql,
   )
 }

@@ -595,4 +595,81 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.incrementalLshPairs(hotSeen, docs(1L -> base), maxBucket = 3).count() == 0,
       "a seen bucket over the cap must never expand against the batch")
   }
+
+  test("rolling window hash: equal windows collide, unequal don't, n<k is empty") {
+    import spark.implicits._
+    val w = "w1 w2 w3 w4 w5" // the shared 5-word passage
+    // the two copies sit at DIFFERENT offsets (prefix 3 vs mid 7 words),
+    // so agreement exercises the O(1) roll across arbitrary distances,
+    // not just the initial window
+    val arr = (s"p1 p2 p3 $w m1 m2 m3 m4 m5 m6 m7 $w s1").split(" ").toSeq
+    val hs = Seq(arr).toDF("ws")
+      .select(graft.functions.RollingWindowHash.column(col("ws"), 5))
+      .as[Seq[Long]].head()
+    assert(hs.length == arr.length - 5 + 1)
+    val first = 3; val second = 3 + 5 + 7 // 0-based starts of the two copies
+    assert(hs(first) == hs(second), "equal 5-word windows must hash equal")
+    val dups = hs.groupBy(identity).filter(_._2.size > 1).keys.toSet
+    assert(dups == Set(hs(first)), "only the shared window may repeat")
+    val short = Seq(Seq("a", "b")).toDF("ws")
+      .select(graft.functions.RollingWindowHash.column(col("ws"), 5))
+      .as[Seq[Long]].head()
+    assert(short.isEmpty, "n < k has no windows")
+  }
+
+  test("substring spans: shared passage found at different alignments, maximal extent") {
+    // 12-word passage S inside two docs at different offsets; all filler
+    // words unique, so the ONLY duplicated 5-windows are those fully
+    // inside S — the maximal span in each doc is exactly S's extent
+    val s12 = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $s12 a4 a5",
+      2L -> s"b1 b2 b3 b4 b5 b6 $s12 b7")
+    val spans = Dedup.substringSpans(d, 5)().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set((1L, 4L, 15L, 12L), (2L, 7L, 18L, 12L)))
+  }
+
+  test("substring spans: contiguous duplicated windows merge, a one-word gap splits") {
+    val p = "p1 p2 p3 p4 p5"
+    val q = "q1 q2 q3 q4 q5"
+    val d = docs(
+      1L -> s"$p $p",   // dup windows at 1 and 6: 6 <= 1+5 -> one span [1,10]
+      2L -> s"$q z $q") // dup windows at 1 and 7: 7 >  1+5 -> [1,5] and [7,11]
+    val spans = Dedup.substringSpans(d, 5)().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(spans == Set((1L, 1L, 10L, 10L), (2L, 1L, 5L, 5L), (2L, 7L, 11L, 5L)))
+  }
+
+  test("span removal: whole-document duplicate loses everything; canonical copy untouched") {
+    val t = (1 to 30).map(i => s"w$i").mkString(" ")
+    val out = Dedup.spanRemoval(docs(1L -> t, 2L -> t), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((2L, 30L, 30L, "")),
+      "only the later copy is affected, and it loses all 30 words")
+  }
+
+  test("span removal: a partial copy loses exactly the copied extent") {
+    val s12 = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      1L -> s"a1 a2 a3 $s12 a4 a5",          // canonical occurrence of S
+      2L -> s"b1 b2 b3 b4 b5 b6 $s12 b7")    // later copy at another offset
+    val out = Dedup.spanRemoval(d, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((2L, 19L, 12L, "b1 b2 b3 b4 b5 b6 b7")))
+  }
+
+  test("substring spans: rolling discriminator agrees with full-md5 windows on testdata") {
+    val real = graft.sources.Tables.documents(spark, sfDir)
+    val k = graft.operators.Dedup.SpanWindow
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "span_start").collect().map(_.toSeq).toSeq
+    val rolled = sorted(Dedup.substringSpans(real, k)())
+    val exact = sorted(Dedup.substringSpans(real, k)(ws =>
+      transform(sequence(lit(0), size(ws) - k),
+        i => md5(concat_ws(" ", slice(ws, i + 1, lit(k)))))))
+    assert(rolled.nonEmpty, "sf0.001 corpus must contain duplicated spans")
+    assert(rolled == exact,
+      "64-bit rolling hash and full md5 must induce identical spans")
+  }
 }

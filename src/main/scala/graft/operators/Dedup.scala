@@ -661,6 +661,61 @@ object Dedup {
        |  FROM j) r
        |WHERE rn = 1 ORDER BY group_id""".stripMargin
 
+  /** d22 — LEAKAGE-FREE train/holdout split: the composition that makes
+    * d08 and t06 jointly useful. A naive per-document hash split leaks
+    * evaluation data — near-duplicate pairs (one doc in train, its copy
+    * in holdout) let the model "memorize the test set" — so the split
+    * key must be the duplicate GROUP, not the document: every member of
+    * a near-dup cluster (d08's connected components; singletons are
+    * their own group) gets splitAssign(group_id) — t06's exact split
+    * rule, applied one level up. The output audits the property: per
+    * split, member and group counts plus n_rescued_docs — docs whose
+    * naive per-doc split would have disagreed with their group's split,
+    * i.e. exactly the leaks prevented.
+    *
+    * Scale shape: groups are the cached d08 session artifact (built once
+    * per (session, dir), shared with d09); the docs↔groups join is the
+    * only corpus-sized shuffle and carries (doc_id, group_id) pairs; the
+    * split columns are narrow md5 maps and the audit is a 2-row
+    * aggregate. */
+  private def d22LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    groupwiseSplit(Tables.documents(s, dir).select($"doc_id"), dupGroups(s, dir))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"group_id").as("n_groups"),
+        sum(when($"naive" =!= $"split", 1L).otherwise(0L)).as("n_rescued_docs"))
+      .orderBy($"split")
+  }
+
+  /** Doc-level core of d22: (doc_id, group_id, split, naive), where
+    * `split` is the group-keyed assignment (constant within a group by
+    * construction — the spec pins it) and `naive` the per-doc one. */
+  private[graft] def groupwiseSplit(docIds: DataFrame, groups: DataFrame): DataFrame = {
+    val s = docIds.sparkSession
+    import s.implicits._
+    docIds.join(groups, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"group_id", $"doc_id").as("group_id"))
+      .withColumn("split", TextAnalysis.splitAssign($"group_id"))
+      .withColumn("naive", TextAnalysis.splitAssign($"doc_id"))
+  }
+
+  private val d22Sql = {
+    val splitOnGroup = TextAnalysis.duckSplitAssignOn("group_id")
+    val splitOnDoc = TextAnalysis.duckSplitAssignOn("doc_id")
+    s"""$duckGroupsCte,
+       |ag AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+       |       FROM documents d LEFT JOIN g USING (doc_id)),
+       |a AS (SELECT doc_id, group_id,
+       |        $splitOnGroup AS split,
+       |        $splitOnDoc AS naive
+       |      FROM ag)
+       |SELECT split, count(*) AS n_docs,
+       |  count(DISTINCT group_id) AS n_groups,
+       |  sum(CASE WHEN naive <> split THEN 1 ELSE 0 END)::BIGINT AS n_rescued_docs
+       |FROM a GROUP BY split ORDER BY split""".stripMargin
+  }
+
   /** d10 — the composed corpus-preparation pipeline, end to end in one
     * declarative plan: exact dedup (keep the lowest doc_id per content
     * hash, as a window — no self-join) → quality floor (≥ 20 words) →
@@ -1816,6 +1871,7 @@ object Dedup {
     "d19_persistent_exact" -> d19PersistentExact _,
     "d20_substring_spans" -> d20SubstringSpans _,
     "d21_span_removal"  -> d21SpanRemoval _,
+    "d22_leakage_split" -> d22LeakageSplit _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1844,5 +1900,6 @@ object Dedup {
     "d19_persistent_exact" -> d16Sql, // identical rows, persistent-corpus path
     "d20_substring_spans" -> d20Sql,
     "d21_span_removal"  -> d21Sql,
+    "d22_leakage_split" -> d22Sql,
   )
 }

@@ -659,6 +659,27 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, 19L, 12L, "b1 b2 b3 b4 b5 b6 b7")))
   }
 
+  test("groupwise split: every near-dup cluster lands in ONE split; singletons keep their naive split") {
+    import spark.implicits._
+    val docIds = (1L to 60L).toDF("doc_id")
+    // docs 1..40 paired into 20 groups keyed by the lower member; 41..60 singleton
+    val groups = (1L to 40L).map(d => (d, ((d - 1) / 2) * 2 + 1)).toDF("doc_id", "group_id")
+    val out = Dedup.groupwiseSplit(docIds, groups).collect()
+    assert(out.length == 60)
+    out.groupBy(_.getAs[Long]("group_id")).foreach { case (gid, rows) =>
+      assert(rows.map(_.getAs[String]("split")).toSet.size == 1,
+        s"group $gid straddles splits — the leakage d22 exists to prevent")
+    }
+    out.filter(_.getAs[Long]("doc_id") > 40).foreach { r =>
+      assert(r.getAs[String]("naive") == r.getAs[String]("split"),
+        "a singleton's group key is its own id, so the split must equal t06's")
+    }
+    // the fixed md5 rule makes rescues deterministic: among 20 pairs some
+    // non-representative member must cross the 230/256 boundary
+    assert(out.exists(r => r.getAs[String]("naive") != r.getAs[String]("split")),
+      "crafted pairs must contain at least one rescued doc")
+  }
+
   test("substring spans: rolling discriminator agrees with full-md5 windows on testdata") {
     val real = graft.sources.Tables.documents(spark, sfDir)
     val k = graft.operators.Dedup.SpanWindow

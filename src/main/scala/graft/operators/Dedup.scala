@@ -1845,6 +1845,97 @@ object Dedup {
        |  max(pos) + ${SpanWindow - 1} - min(pos) + 1 AS span_words
        |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
 
+  /** Rows of `batch` whose `h` IS present in the persistent corpus table
+    * — the membership dual of [[corpusNew]], same economics: the
+    * corpus-sized sketch drops definite-negatives (for substring dedup,
+    * almost every window of a typical batch) BEFORE any shuffle, and the
+    * left-semi verify against the h-bucketed table removes the sketch's
+    * false positives with the corpus side planning shuffle-free. An
+    * empty corpus short-circuits to no hits. */
+  def corpusHits(s: SparkSession, corpusTable: String, batch: DataFrame,
+      expectedItems: Option[Long] = None): DataFrame = {
+    val seen = s.table(corpusTable).select(col("h"))
+    val n = expectedItems.getOrElse(seen.count())
+    if (n == 0) return batch.filter(lit(false))
+    batch.filter(bloomMight(bloomSidecar(seen, n), col("h")))
+      .join(seen, Seq("h"), "left_semi")
+  }
+
+  /** The d23 core: maximal spans of `batch` documents covered by k-word
+    * windows whose content already exists in the persistent window-hash
+    * index (d20's span semantics, with "duplicated" meaning "present in
+    * the ingested corpus" instead of "occurs twice in this frame"). */
+  def spansAgainstIndex(s: SparkSession, indexTable: String,
+      batch: DataFrame, k: Int = SpanWindow): DataFrame = {
+    import s.implicits._
+    val wins = slidingWindows(batch, k, defaultWindowHash(k))
+    mergeIslands(corpusHits(s, indexTable, wins).select($"doc_id", $"pos"), k)
+      .select($"doc_id", $"s".as("span_start"), $"e".as("span_end"),
+        ($"e" - $"s" + 1).as("span_words"))
+  }
+
+  /** Persist a corpus's stride-1 window hashes as the h-bucketed table
+    * [[corpusHits]] verifies against — [[writeHashCorpus]] with windows
+    * instead of whole-document hashes. */
+  def writeWindowIndex(seenDocs: DataFrame, table: String, buckets: Int,
+      k: Int = SpanWindow): Unit =
+    writeHashCorpus(slidingWindows(seenDocs, k, defaultWindowHash(k)),
+      table, buckets)
+
+  private val windowIndexCache = new graft.util.SessionCache[(SparkSession, String)](
+    releaseValue = graft.plans.Bucketing.dropTable)
+
+  private def d23IndexTable(s: SparkSession, dir: String): String =
+    windowIndexCache.getOrBuild(s, s"$dir#d23index") {
+      graft.plans.Bucketing.buildArtifactTable(s, "d23_window_index", dir)(
+        writeWindowIndex(
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(2)) === 0),
+          _, math.max(4, s.sparkContext.defaultParallelism)))
+    }._2
+
+  /** d23 — substring spans against the PERSISTENT window index: the
+    * ingestion-time form of d20, completing the incremental trilogy
+    * (exact d19, LSH d18, substring d23). The seen half of the corpus
+    * (even doc_ids, the d18 convention) is ingested once as a bucketed
+    * window-hash table; the batch (odd doc_ids) reports which of its
+    * spans already exist in the corpus — without the corpus being
+    * re-hashed, re-shuffled, or self-joined. Batch-internal repeats are
+    * deliberately NOT reported (they are d20's in-frame job); the index
+    * answers only "seen before". */
+  private def d23IndexedSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    spansAgainstIndex(s, d23IndexTable(s, dir),
+      Tables.spread(
+        Tables.documents(s, dir).filter(pmod($"doc_id", lit(2)) === 1)))
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  private val d23Sql =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       |           WHERE len(string_split(text, ' ')) >= $SpanWindow),
+       |c AS (SELECT doc_id,
+       |        unnest(generate_series(1, len(ws) - ${SpanWindow - 1})) AS pos, ws
+       |      FROM w),
+       |g AS (SELECT doc_id, pos,
+       |        md5(array_to_string(ws[pos:pos+${SpanWindow - 1}], ' ')) AS h
+       |      FROM c),
+       |sh AS (SELECT DISTINCT h FROM g WHERE doc_id % 2 = 0),
+       |x AS (SELECT g.doc_id, g.pos FROM g JOIN sh USING (h)
+       |      WHERE g.doc_id % 2 = 1),
+       |m AS (SELECT doc_id, pos,
+       |        CASE WHEN pos > coalesce(
+       |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                 + $SpanWindow, -9223372036854775808)
+       |             THEN 1 ELSE 0 END AS new_span
+       |      FROM x),
+       |sp AS (SELECT doc_id, pos,
+       |         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |       FROM m)
+       |SELECT doc_id, min(pos) AS span_start,
+       |  max(pos) + ${SpanWindow - 1} AS span_end,
+       |  max(pos) + ${SpanWindow - 1} - min(pos) + 1 AS span_words
+       |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d02_minhash_sig"   -> d02MinhashSig _,
@@ -1872,6 +1963,7 @@ object Dedup {
     "d20_substring_spans" -> d20SubstringSpans _,
     "d21_span_removal"  -> d21SpanRemoval _,
     "d22_leakage_split" -> d22LeakageSplit _,
+    "d23_indexed_spans" -> d23IndexedSpans _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1901,5 +1993,6 @@ object Dedup {
     "d20_substring_spans" -> d20Sql,
     "d21_span_removal"  -> d21Sql,
     "d22_leakage_split" -> d22Sql,
+    "d23_indexed_spans" -> d23Sql,
   )
 }

@@ -680,6 +680,49 @@ class DedupSpec extends SparkSpec {
       "crafted pairs must contain at least one rescued doc")
   }
 
+  test("d23 window index: corpus-known spans found, batch-internal repeats ignored, index side shuffle-free") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val s12 = (1 to 12).map(i => s"s$i").mkString(" ")
+      val t8 = (1 to 8).map(i => s"t$i").mkString(" ")
+      Dedup.writeWindowIndex(docs(2L -> s"c1 c2 $s12 c3"), "d23_spec_idx", 4, k = 5)
+      // batch doc 1 carries the corpus passage S at a different offset;
+      // docs 3 and 5 share T, which the corpus has never seen
+      val batch = docs(
+        1L -> s"b1 b2 b3 b4 $s12 b5",
+        3L -> s"x1 x2 $t8 x3",
+        5L -> s"y1 $t8 y2 y3")
+      val got = Dedup.spansAgainstIndex(spark, "d23_spec_idx", batch, k = 5)
+      val rows = got.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows == Set((1L, 5L, 16L, 12L)),
+        s"corpus-known span must be exact and batch-internal repeats ignored: $rows")
+      // the index side of the verify semi-join reuses the on-disk
+      // h-bucketing: zero shuffle below the join on that side
+      val plan = got.queryExecution.executedPlan
+      def readsIndex(p: SparkPlan): Boolean =
+        p.collect { case f: FileSourceScanExec => f }
+          .exists(_.toString.contains("d23_spec_idx"))
+      assert(readsIndex(plan), "plan must scan the persistent window index")
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val semi = plan.collect { case j: BaseJoinExec if readsIndex(j) => j }
+      assert(semi.nonEmpty, s"no batch-vs-index join:\n${plan.toString.take(2000)}")
+      Seq(semi.head.left, semi.head.right).filter(readsIndex).foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"index side must plan shuffle-free:\n${side.toString.take(3000)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS d23_spec_idx")
+    }
+  }
+
   test("substring spans: rolling discriminator agrees with full-md5 windows on testdata") {
     val real = graft.sources.Tables.documents(spark, sfDir)
     val k = graft.operators.Dedup.SpanWindow

@@ -1882,6 +1882,17 @@ object Dedup {
     writeHashCorpus(slidingWindows(seenDocs, k, defaultWindowHash(k)),
       table, buckets)
 
+  /** Append a processed batch's windows into the index —
+    * [[appendHashCorpus]] over the batch's window hashes (the window
+    * index IS a hash-corpus table, so bucket-spec mirroring, relation-
+    * cache refresh, and compaction all apply unchanged). Retrieval for
+    * a batch must run strictly BEFORE its append, the d18/d19 loop
+    * discipline. */
+  def appendWindowIndex(s: SparkSession, table: String, procDocs: DataFrame,
+      k: Int = SpanWindow, src: Long = -1L): Unit =
+    appendHashCorpus(s, table,
+      slidingWindows(procDocs, k, defaultWindowHash(k)), src)
+
   private val windowIndexCache = new graft.util.SessionCache[(SparkSession, String)](
     releaseValue = graft.plans.Bucketing.dropTable)
 

@@ -723,6 +723,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d23 append maintenance: a processed batch's windows serve the next batch") {
+    val t8 = (1 to 8).map(i => s"t$i").mkString(" ")
+    try {
+      Dedup.writeWindowIndex(
+        docs(2L -> (1 to 12).map(i => s"c$i").mkString(" ")), "d23_app_idx", 4, k = 5)
+      val b1 = docs(3L -> s"x1 x2 $t8 x3")
+      assert(Dedup.spansAgainstIndex(spark, "d23_app_idx", b1, k = 5).count() == 0,
+        "the corpus has never seen T")
+      Dedup.appendWindowIndex(spark, "d23_app_idx", b1, k = 5)
+      val spans = Dedup.spansAgainstIndex(spark, "d23_app_idx",
+          docs(5L -> s"y1 $t8 y2 y3"), k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(spans == Set((5L, 2L, 9L, 8L)),
+        s"after the append, batch 2 must meet batch 1's passage: $spans")
+    } finally spark.sql("DROP TABLE IF EXISTS d23_app_idx")
+  }
+
   test("substring spans: rolling discriminator agrees with full-md5 windows on testdata") {
     val real = graft.sources.Tables.documents(spark, sfDir)
     val k = graft.operators.Dedup.SpanWindow

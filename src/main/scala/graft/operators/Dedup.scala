@@ -1672,18 +1672,13 @@ object Dedup {
     * duplication is rare), and span assembly shuffles (doc_id, pos) pairs
     * once for the per-document island merge — gaps-and-islands with
     * lag(): same-width sorted intervals merge iff the next start is
-    * within prev_start + k (token-contiguous duplication). Total: two
-    * hash-only shuffles over corpus-words-sized data, no all-pairs
-    * anywhere. */
+    * within prev_start + k (token-contiguous duplication). Every shuffle
+    * carries hashes and integer ids over corpus-words-sized data — never
+    * text — and there is no all-pairs stage anywhere. */
   private def d20SubstringSpans(s: SparkSession, dir: String): DataFrame =
     substringSpans(Tables.spread(Tables.documents(s, dir)), SpanWindow)()
       .orderBy(col("doc_id"), col("span_start"))
 
-  /** The d20 core over an arbitrary (doc_id, text) frame: maximal
-    * per-document spans of words covered by some k-word window whose
-    * content occurs ≥2 times in the corpus. `windowHash` swaps the
-    * discriminator (rolling vs full-md5) so the spec can pin their
-    * agreement; positions are 1-based word indices. */
   /** (doc_id, pos, h) for every stride-1 k-word window; pos is the
     * 1-based start word index. */
   private def slidingWindows(docs: DataFrame, k: Int,
@@ -1719,6 +1714,11 @@ object Dedup {
   private def defaultWindowHash(k: Int): Column => Column =
     ws => graft.functions.RollingWindowHash.column(ws, k)
 
+  /** The d20 core over an arbitrary (doc_id, text) frame: maximal
+    * per-document spans of words covered by some k-word window whose
+    * content occurs ≥2 times in the corpus. `windowHash` swaps the
+    * discriminator (rolling vs full-md5) so the spec can pin their
+    * agreement; positions are 1-based word indices. */
   private[graft] def substringSpans(docs: DataFrame, k: Int)(
       windowHash: Column => Column = defaultWindowHash(k)): DataFrame = {
     val s = docs.sparkSession
@@ -1892,6 +1892,58 @@ object Dedup {
       k: Int = SpanWindow, src: Long = -1L): Unit =
     appendHashCorpus(s, table,
       slidingWindows(procDocs, k, defaultWindowHash(k)), src)
+
+  /** The substring-dedup ingestion loop as a STREAM —
+    * [[ingestExactStream]]'s sibling at window granularity. Per
+    * micro-batch of (doc_id, text): window the batch once
+    * (localCheckpoint — the hit and new halves must see ONE evaluation
+    * of the explode), report which spans the corpus has already seen
+    * (retrieval strictly BEFORE the append, so a document never matches
+    * its own windows), hand them to the caller's sink, then append the
+    * genuinely-new window hashes tagged with the batch id and fold
+    * their delta into the maintained sketch.
+    *
+    * The d19 disciplines carry over verbatim: the sketch is STREAM
+    * STATE (built once at open, extended by batch-sized deltas, never
+    * rebuilt from the corpus — single writer per index table is the
+    * precondition); new-ness and hits are both judged against
+    * `src != batchId`, so a crash-replayed batch excludes its own
+    * committed append and reproduces its first attempt's spans
+    * bit-for-bit. `onSpans` must consume its frame within the call
+    * (micro-batch lineage is truncated when the trigger ends). */
+  def ingestSpanStream(s: SparkSession, indexTable: String, docStream: DataFrame,
+      onSpans: (DataFrame, Long) => Unit,
+      k: Int = SpanWindow,
+      capacityHint: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val corpus0 = s.table(indexTable)
+    val capacity = capacityHint.getOrElse(math.max(1000000L, corpus0.count() * 4))
+    var sketch: Array[Byte] =
+      if (corpus0.isEmpty) null else bloomSidecar(corpus0, capacity)
+    docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val wins = slidingWindows(batch, k, defaultWindowHash(k)).localCheckpoint()
+      try {
+        val seen = s.table(indexTable)
+          .filter(col("src") =!= lit(batchId)).select(col("h"))
+        // an all-null sketch means the corpus was empty at open and this
+        // stream has appended nothing yet — no window can be a hit
+        val hits =
+          if (sketch == null) wins.filter(lit(false))
+          else wins.filter(bloomMight(sketch, col("h")))
+            .join(seen, Seq("h"), "left_semi")
+        onSpans(mergeIslands(hits.select(col("doc_id"), col("pos")), k)
+          .select(col("doc_id"), col("s").as("span_start"), col("e").as("span_end"),
+            (col("e") - col("s") + 1).as("span_words")), batchId)
+        val newWins = gatedNew(seen, wins, sketch).localCheckpoint()
+        try {
+          if (!newWins.isEmpty) {
+            appendHashCorpus(s, indexTable, newWins, batchId)
+            val delta = bloomSidecar(newWins, capacity)
+            sketch = if (sketch == null) delta else mergeSketches(sketch, delta)
+          }
+        } finally graft.util.SessionCache.releaseFrame(newWins)
+      } finally graft.util.SessionCache.releaseFrame(wins)
+    }
+  }
 
   private val windowIndexCache = new graft.util.SessionCache[(SparkSession, String)](
     releaseValue = graft.plans.Bucketing.dropTable)

@@ -403,6 +403,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming span ingest: corpus-known spans before append, full coverage after") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    spark.sql("DROP TABLE IF EXISTS ingest_win_idx")
+    val ckptRoot = "/tmp/graft-ingest-span"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    try {
+      val docs = Tables.documents(spark, sfDir)
+      val evens = docs.filter(pmod($"doc_id", lit(2)) === 0)
+      val odds = docs.filter(pmod($"doc_id", lit(2)) === 1)
+      Dedup.writeWindowIndex(evens, "ingest_win_idx", 4)
+      // the batch twin (d23 semantics), computed BEFORE any append
+      val expect = Dedup.spansAgainstIndex(spark, "ingest_win_idx", odds)
+        .collect().map(_.toSeq).toSet
+      assert(expect.nonEmpty, "fixture must contain cross-half spans")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("basePath", sfDir).parquet(s"$sfDir/documents*.parquet")
+        .filter(pmod($"doc_id", lit(2)) === 1)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      val q = Dedup.ingestSpanStream(spark, "ingest_win_idx", stream,
+          (spans, _) => got.synchronized { got ++= spans.collect().map(_.toSeq) })
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$ckptRoot/ckpt")
+        .start()
+      try q.awaitTermination(120000) finally q.stop()
+      assert(got.toSet == expect,
+        s"streamed spans (${got.size}) must equal the batch twin (${expect.size})")
+      // maintenance: after the append every window of every odd doc is
+      // corpus — each ≥k-word odd doc now reports ONE full-extent span
+      val after = Dedup.spansAgainstIndex(spark, "ingest_win_idx", odds)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val nOdd = odds
+        .filter(size(split($"text", " ")) >= Dedup.SpanWindow).count()
+      assert(after.size == nOdd && after.forall(_._2 == 1L),
+        s"appended windows must cover every odd doc end-to-end (${after.size} spans, $nOdd docs)")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ingest_win_idx")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptRoot))
+    }
+  }
+
   test("streaming exact-dedup ingest: gated new rows, corpus append, replay-exact via src") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger

@@ -1329,30 +1329,53 @@ object Dedup {
   def ingestExactStream(s: SparkSession, corpusTable: String, docStream: DataFrame,
       onNew: (DataFrame, Long) => Unit,
       capacityHint: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val corpus0 = s.table(corpusTable)
-    val capacity = capacityHint.getOrElse(math.max(1000000L, corpus0.count() * 4))
-    var sketch: Array[Byte] =
-      if (corpus0.isEmpty) null else bloomSidecar(corpus0, capacity)
+    val (capacity, sketch0) = openSketch(s, corpusTable, capacityHint)
+    var sketch = sketch0
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val hashed = batch.select(col("doc_id"), md5(col("text")).as("h"))
       val seen = s.table(corpusTable).filter(col("src") =!= lit(batchId))
-      // localCheckpoint: three consumers (sink, append, delta sketch)
-      // must see ONE evaluation — and the append must not re-run the
-      // gate against a corpus it is itself mutating
-      val newRows = gatedNew(seen, hashed, sketch).localCheckpoint()
-      try {
-        onNew(newRows, batchId)
-        // an empty batch (idle trigger, all-duplicate input) skips the
-        // whole maintenance half: catalog read, distinct shuffle,
-        // zero-row bucketed write commit, relation-cache refresh — per
-        // trigger, that overhead is the ingestion loop's steady state
-        if (!newRows.isEmpty) {
-          appendHashCorpus(s, corpusTable, newRows, batchId)
-          val delta = bloomSidecar(newRows, capacity)
-          sketch = if (sketch == null) delta else mergeSketches(sketch, delta)
-        }
-      } finally graft.util.SessionCache.releaseFrame(newRows)
+      sketch = appendNewAndExtend(
+        s, corpusTable, seen, hashed, sketch, batchId, capacity, onNew)
     }
+  }
+
+  /** Sketch-at-open for a streamed ingestion loop: the capacity
+    * (provisioned for corpus growth — deltas merge only into
+    * same-geometry filters) and the initial sketch, null for an empty
+    * corpus. */
+  private def openSketch(s: SparkSession, corpusTable: String,
+      capacityHint: Option[Long]): (Long, Array[Byte]) = {
+    val corpus0 = s.table(corpusTable)
+    val capacity = capacityHint.getOrElse(math.max(1000000L, corpus0.count() * 4))
+    (capacity, if (corpus0.isEmpty) null else bloomSidecar(corpus0, capacity))
+  }
+
+  /** The per-batch maintenance tail shared by [[ingestExactStream]] and
+    * [[ingestSpanStream]] — ONE copy of the gate/append/delta-merge
+    * sequence so the replay and sketch semantics can never diverge
+    * between the loops: judge `hashed` against `seen` through the
+    * maintained sketch, hand the genuinely-new rows to `onNew`, append
+    * them tagged with the batch id, and return the sketch extended by
+    * their delta. The localCheckpoint pins ONE evaluation for the three
+    * consumers (sink, append, delta) — and keeps the append from
+    * re-running the gate against a corpus it is itself mutating. An
+    * empty new set (idle trigger, all-duplicate input) skips the whole
+    * maintenance half: catalog read, distinct shuffle, zero-row
+    * bucketed write commit, relation-cache refresh — per trigger, that
+    * overhead is the ingestion loop's steady state. */
+  private def appendNewAndExtend(s: SparkSession, corpusTable: String,
+      seen: DataFrame, hashed: DataFrame, sketch: Array[Byte],
+      batchId: Long, capacity: Long,
+      onNew: (DataFrame, Long) => Unit = (_, _) => ()): Array[Byte] = {
+    val newRows = gatedNew(seen, hashed, sketch).localCheckpoint()
+    try {
+      onNew(newRows, batchId)
+      if (!newRows.isEmpty) {
+        appendHashCorpus(s, corpusTable, newRows, batchId)
+        val delta = bloomSidecar(newRows, capacity)
+        if (sketch == null) delta else mergeSketches(sketch, delta)
+      } else sketch
+    } finally graft.util.SessionCache.releaseFrame(newRows)
   }
 
   private val hashCorpusCache = new graft.util.SessionCache[(SparkSession, String)](
@@ -1724,9 +1747,19 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     val wins = slidingWindows(docs, k, windowHash)
-    val dupHashes = wins.groupBy($"h")
-      .agg(count(lit(1)).as("c")).filter($"c" >= 2).select($"h")
-    mergeIslands(wins.join(dupHashes, "h"), k)
+    // multiplicity as a count-over-window on h — the d13/d21
+    // canonicalization shape: ONE evaluation of the windowing (a
+    // groupBy + join-back would re-run the scan and every digest for
+    // the second branch) and one shuffle by h. A viral boilerplate
+    // hash buffers its (doc_id, pos) occurrence list in one task —
+    // WindowExec spills, and the rows are 20 bytes; the alternative
+    // (map-side-combined groupBy + join) trades that buffer for a
+    // full second windowing pass, the wrong trade while the hash
+    // stage dominates.
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    mergeIslands(
+      wins.withColumn("c", count(lit(1)).over(byHash)).filter($"c" >= 2)
+        .select($"doc_id", $"pos"), k)
       .select($"doc_id", $"s".as("span_start"), $"e".as("span_end"),
         ($"e" - $"s" + 1).as("span_words"))
   }
@@ -1850,13 +1883,15 @@ object Dedup {
     * corpus-sized sketch drops definite-negatives (for substring dedup,
     * almost every window of a typical batch) BEFORE any shuffle, and the
     * left-semi verify against the h-bucketed table removes the sketch's
-    * false positives with the corpus side planning shuffle-free. An
-    * empty corpus short-circuits to no hits. */
+    * false positives with the corpus side planning shuffle-free. When
+    * the expected count is 0 (empty corpus — or a stale maintained
+    * stat) the gate degrades to the ungated semi-join, the bloomNew
+    * fail-safe direction: the economics change, never the answer. */
   def corpusHits(s: SparkSession, corpusTable: String, batch: DataFrame,
       expectedItems: Option[Long] = None): DataFrame = {
     val seen = s.table(corpusTable).select(col("h"))
     val n = expectedItems.getOrElse(seen.count())
-    if (n == 0) return batch.filter(lit(false))
+    if (n == 0) return batch.join(seen, Seq("h"), "left_semi")
     batch.filter(bloomMight(bloomSidecar(seen, n), col("h")))
       .join(seen, Seq("h"), "left_semi")
   }
@@ -1883,15 +1918,20 @@ object Dedup {
       table, buckets)
 
   /** Append a processed batch's windows into the index —
-    * [[appendHashCorpus]] over the batch's window hashes (the window
-    * index IS a hash-corpus table, so bucket-spec mirroring, relation-
-    * cache refresh, and compaction all apply unchanged). Retrieval for
-    * a batch must run strictly BEFORE its append, the d18/d19 loop
-    * discipline. */
+    * [[appendHashCorpus]] over the batch's GENUINELY-NEW window hashes
+    * (gated through [[corpusNew]]: a batch quoting a corpus-known
+    * passage — the very thing d23 detects — must not re-append every
+    * already-indexed window, or the index grows with total ingested
+    * windows instead of distinct ones; appendHashCorpus's distinct is
+    * per-append only). The window index IS a hash-corpus table, so
+    * bucket-spec mirroring, relation-cache refresh, and compaction all
+    * apply unchanged. Retrieval for a batch must run strictly BEFORE
+    * its append, the d18/d19 loop discipline. */
   def appendWindowIndex(s: SparkSession, table: String, procDocs: DataFrame,
       k: Int = SpanWindow, src: Long = -1L): Unit =
     appendHashCorpus(s, table,
-      slidingWindows(procDocs, k, defaultWindowHash(k)), src)
+      corpusNew(s, table, slidingWindows(procDocs, k, defaultWindowHash(k))),
+      src)
 
   /** The substring-dedup ingestion loop as a STREAM —
     * [[ingestExactStream]]'s sibling at window granularity. Per
@@ -1915,11 +1955,11 @@ object Dedup {
       onSpans: (DataFrame, Long) => Unit,
       k: Int = SpanWindow,
       capacityHint: Option[Long] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val corpus0 = s.table(indexTable)
-    val capacity = capacityHint.getOrElse(math.max(1000000L, corpus0.count() * 4))
-    var sketch: Array[Byte] =
-      if (corpus0.isEmpty) null else bloomSidecar(corpus0, capacity)
+    val (capacity, sketch0) = openSketch(s, indexTable, capacityHint)
+    var sketch = sketch0
     docStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // localCheckpoint: the hit and new halves must see ONE evaluation
+      // of the windowing explode
       val wins = slidingWindows(batch, k, defaultWindowHash(k)).localCheckpoint()
       try {
         val seen = s.table(indexTable)
@@ -1933,14 +1973,8 @@ object Dedup {
         onSpans(mergeIslands(hits.select(col("doc_id"), col("pos")), k)
           .select(col("doc_id"), col("s").as("span_start"), col("e").as("span_end"),
             (col("e") - col("s") + 1).as("span_words")), batchId)
-        val newWins = gatedNew(seen, wins, sketch).localCheckpoint()
-        try {
-          if (!newWins.isEmpty) {
-            appendHashCorpus(s, indexTable, newWins, batchId)
-            val delta = bloomSidecar(newWins, capacity)
-            sketch = if (sketch == null) delta else mergeSketches(sketch, delta)
-          }
-        } finally graft.util.SessionCache.releaseFrame(newWins)
+        sketch = appendNewAndExtend(
+          s, indexTable, seen, wins, sketch, batchId, capacity)
       } finally graft.util.SessionCache.releaseFrame(wins)
     }
   }

@@ -737,6 +737,12 @@ class DedupSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(spans == Set((5L, 2L, 9L, 8L)),
         s"after the append, batch 2 must meet batch 1's passage: $spans")
+      // the append is GATED: re-ingesting a batch that quotes the corpus
+      // adds nothing — the index stays distinct-window-sized
+      val before = spark.table("d23_app_idx").count()
+      Dedup.appendWindowIndex(spark, "d23_app_idx", b1, k = 5)
+      assert(spark.table("d23_app_idx").count() == before,
+        "re-appending known windows must not grow the index")
     } finally spark.sql("DROP TABLE IF EXISTS d23_app_idx")
   }
 

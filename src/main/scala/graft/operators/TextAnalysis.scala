@@ -735,6 +735,42 @@ object TextAnalysis {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** t17 — the BPE-training count step: adjacent character-pair
+    * frequencies over the corpus, weighted by word frequency — the top
+    * pair IS the next merge a byte-pair-encoding tokenizer would learn.
+    * The shape is the reason tokenizer training is feasible at corpus
+    * scale, and the entry makes it explicit: the CORPUS-sized work is
+    * one word-frequency aggregate (explode + map-side-combined
+    * groupBy, the t05/t08 shape); the pair explosion then runs over the
+    * DISTINCT VOCABULARY (each word's pairs counted once, multiplied by
+    * its frequency) — vocabulary ≪ corpus, and it only shrinks
+    * relatively as the corpus grows, so the per-merge-iteration cost
+    * after the first count is vocabulary-sized. Top-20 with a total
+    * (freq desc, pair) tie-break keeps the result deterministic. */
+  private def t17BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wordFreq = Tables.spread(Tables.documents(s, dir))
+      .select(explode(words($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    wordFreq
+      .filter(length($"w") >= 2)
+      .select($"f", explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(sum($"f").as("freq"))
+      .orderBy($"freq".desc, $"pair").limit(20)
+  }
+
+  private val t17Sql =
+    """WITH wf AS (
+      |  SELECT w, count(*)::BIGINT AS f
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |e AS (SELECT w, f, unnest(generate_series(1, length(w) - 1)) AS i
+      |      FROM wf WHERE length(w) >= 2)
+      |SELECT substr(w, i, 2) AS pair, sum(f)::BIGINT AS freq
+      |FROM e GROUP BY pair
+      |ORDER BY freq DESC, pair LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -752,6 +788,7 @@ object TextAnalysis {
     "t14_weighted_sample" -> t14WeightedSample _,
     "t15_source_cap"  -> t15SourceCap _,
     "t16_gopher_rules" -> t16GopherRules _,
+    "t17_bpe_pairs"   -> t17BpePairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -771,5 +808,6 @@ object TextAnalysis {
     "t14_weighted_sample" -> t14Sql,
     "t15_source_cap"  -> t15Sql,
     "t16_gopher_rules" -> t16Sql,
+    "t17_bpe_pairs"   -> t17Sql,
   )
 }

@@ -746,6 +746,21 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS d23_app_idx")
   }
 
+  test("d20 windows the corpus ONCE: a single documents scan in the span plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Dedup.substringSpans(
+        graft.sources.Tables.documents(spark, sfDir), Dedup.SpanWindow)()
+      val scans = df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.length == 1,
+        s"the count-over-window formulation must not re-run the scan+digests " +
+          s"(found ${scans.length} scans)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("substring spans: rolling discriminator agrees with full-md5 windows on testdata") {
     val real = graft.sources.Tables.documents(spark, sfDir)
     val k = graft.operators.Dedup.SpanWindow

@@ -1153,17 +1153,81 @@ object Dedup {
     // would quietly saturate again at corpus scale, the exact failure the
     // corpus-derived capacity exists to prevent. Raise the caps to cover
     // n before building (measured ~7.3 bits/item ≈ 0.9 bytes/item in the
-    // driver-held sketch — beyond driver memory the sidecar's scale path
-    // is partitioning the hash domain, not a bigger single filter).
+    // driver-held sketch — past the single filter's 2^31-bit ceiling or
+    // driver memory, use [[bloomSidecarSliced]]: the hash domain
+    // partitions into independent per-slice filters).
+    raiseSketchCaps(s, n)
+    seen.agg(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), n)
+          .toAggregateExpression()).as("bf"))
+      .head.getAs[Array[Byte]](0)
+  }
+
+  private def raiseSketchCaps(s: SparkSession, n: Long): Unit = {
     val needBits = math.min(n * 10, Int.MaxValue.toLong - 8)
     val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     if (s.conf.get(itemsCap).toLong < n) s.conf.set(itemsCap, n.toString)
     if (s.conf.get(bitsCap).toLong < needBits) s.conf.set(bitsCap, needBits.toString)
-    seen.agg(GraftBridge.column(
-        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), n)
+  }
+
+  /** Hash-domain-partitioned sidecar — the scale path past the single
+    * filter's ceilings, which are REAL at corpus scale: one
+    * BloomFilterAggregate tops out at 2³¹−8 bits (≈214 M items at ~10
+    * bits/item — a 100 TB corpus is orders of magnitude past it, where
+    * [[bloomSidecar]]'s fpp silently decays), and its merge path funnels
+    * every partial through one final task. Here the domain splits into
+    * `slices` by `pmod(xxhash64(h), slices)`: each slice is an
+    * independent filter sized for its share, built in ONE distributed
+    * groupBy (each reduce task builds its own slice — the build
+    * parallelizes instead of funneling), and the probe consults exactly
+    * the one filter its key routes to, so per-pair fpp equals the
+    * equally-sized single-filter case while total capacity scales
+    * linearly with `slices`. A slice with no seen rows stays null and
+    * probes definitely-absent. Element order inside a slice never
+    * affects the resulting bit set, so the distributed build is
+    * deterministic. */
+  def bloomSidecarSliced(seen: DataFrame, expectedItems: Long,
+      slices: Int): Seq[Array[Byte]] = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(slices >= 1, s"slices=$slices")
+    val s = seen.sparkSession
+    val perSlice = math.max(1L, math.max(1L, expectedItems) / slices)
+    raiseSketchCaps(s, perSlice)
+    val rows = seen
+      .groupBy(pmod(xxhash64(col("h")), lit(slices)).as("slice"))
+      .agg(GraftBridge.column(
+        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), perSlice)
           .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+      .collect()
+    val out = new Array[Array[Byte]](slices)
+    rows.foreach(r => out(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
+    out.toSeq
+  }
+
+  /** Membership probe against a sliced sidecar: route by the SAME
+    * `pmod(xxhash64(c), slices)` the build used, consult only that
+    * slice's filter (null slice → definitely absent). Same contract as
+    * [[bloomMight]]: false positives only, removed by the verify join. */
+  def bloomMightSliced(sketches: Seq[Array[Byte]], c: Column): Column = {
+    val slice = pmod(xxhash64(c), lit(sketches.length))
+    sketches.zipWithIndex.foldRight(lit(false): Column) { case ((bytes, i), acc) =>
+      when(slice === i,
+        if (bytes == null) lit(false) else bloomMight(bytes, c)).otherwise(acc)
+    }
+  }
+
+  /** [[bloomNew]] over the sliced sidecar: identical result (the specs
+    * pin it against the plain anti-join on the bloomNew property
+    * fixtures), single-filter ceilings removed. */
+  def bloomNewSliced(seen: DataFrame, batch: DataFrame, expectedItems: Long,
+      slices: Int): DataFrame = {
+    if (expectedItems <= 0) return batch.join(seen, Seq("h"), "left_anti")
+    val might = bloomMightSliced(
+      bloomSidecarSliced(seen, expectedItems, slices), col("h"))
+    batch.filter(!might)
+      .unionByName(batch.filter(might).join(seen, Seq("h"), "left_anti"))
   }
 
   /** Sketch membership probe as a codegen'd Column (xxhash64-keyed —

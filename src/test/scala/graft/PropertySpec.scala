@@ -210,6 +210,17 @@ class PropertySpec extends SparkSpec {
           .select($"doc_id").as[Long].collect().toSet
         assert(got == expect,
           s"$caseName/seen=${seenSet.size}: bloom path $got != anti-join $expect")
+        // the hash-domain-SLICED gate must agree on the same fixtures —
+        // including slices the seen side never populates (null filter =
+        // definitely absent) and the degenerate 1-slice case
+        for (slices <- Seq(1, 4)) {
+          val sliced = graft.operators.Dedup
+            .bloomNewSliced(seenDf, batchDf, seenSet.size.toLong, slices)
+            .select($"doc_id").as[Long].collect().toSet
+          assert(sliced == expect,
+            s"$caseName/seen=${seenSet.size}/slices=$slices: " +
+              s"sliced gate $sliced != anti-join $expect")
+        }
       }
     }
   }

@@ -743,6 +743,15 @@ class DedupSpec extends SparkSpec {
       Dedup.appendWindowIndex(spark, "d23_app_idx", b1, k = 5)
       assert(spark.table("d23_app_idx").count() == before,
         "re-appending known windows must not grow the index")
+      // compaction is layout-generic: folding the per-append files of
+      // the WINDOW index preserves rows and the span answers
+      Dedup.compactBandIndex(spark, "d23_app_idx")
+      assert(spark.table("d23_app_idx").count() == before,
+        "compaction must preserve the index rows")
+      val after = Dedup.spansAgainstIndex(spark, "d23_app_idx",
+          docs(5L -> s"y1 $t8 y2 y3"), k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(after == spans, "compaction must not change span answers")
     } finally spark.sql("DROP TABLE IF EXISTS d23_app_idx")
   }
 

@@ -147,5 +147,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         MinHashSignature(children(0), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_window_hash"),
+      new ExpressionInfo(classOf[RollingWindowHash].getName, "rolling_window_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"rolling_window_hash expects (token array, k int literal), got ${children.size} args")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(s"rolling_window_hash: k must be an int literal, got $other")
+        }
+        RollingWindowHash(children(0), k)
+      }))
   }
 }

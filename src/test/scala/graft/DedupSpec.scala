@@ -617,6 +617,18 @@ class DedupSpec extends SparkSpec {
     assert(short.isEmpty, "n < k has no windows")
   }
 
+  test("rolling_window_hash is SQL-callable and matches the Column API") {
+    import spark.implicits._
+    val arr = (1 to 9).map(i => s"v$i")
+    Seq(arr).toDF("ws").createOrReplaceTempView("rwh_probe")
+    val viaSql = spark.sql("SELECT rolling_window_hash(ws, 4) AS hs FROM rwh_probe")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(arr).toDF("ws")
+      .select(graft.functions.RollingWindowHash.column(col("ws"), 4))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaCol && viaSql.length == 6)
+  }
+
   test("substring spans: shared passage found at different alignments, maximal extent") {
     // 12-word passage S inside two docs at different offsets; all filler
     // words unique, so the ONLY duplicated 5-windows are those fully

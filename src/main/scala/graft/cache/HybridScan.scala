@@ -1,0 +1,311 @@
+package graft.cache
+
+import java.util.concurrent.Semaphore
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.SessionCache
+
+/** Hybrid cache/storage execution — the reference's signature feature,
+  * previously the two accepted-out-of-scope inventory rows, now closed:
+  *
+  *  - '''MergePOp''' (`fpdb-executor/src/physical/merge/MergeKernel.cpp:10-57`):
+  *    a query whose cached segments cover only SOME of its columns serves
+  *    the resident columns from the cache, fetches the missing columns
+  *    from storage (predicate pushed down there), and zips the two column
+  *    sets back into rows. The reference zips positionally because its
+  *    segments are per-partition byte ranges; Spark has no per-column
+  *    block assembly, so the zip is re-expressed as an equi-join on an
+  *    explicit row ordinal — `(file id, row index)` from the parquet
+  *    scan's `_metadata` — which is positionally exact (the ordinal is
+  *    unique per row and identical on both sides by construction) and
+  *    stays in whole-stage codegen.
+  *  - '''AdaptPushdownManager'''
+  *    (`fpdb-store-server/src/flight/AdaptPushdownManager.cpp:24-60`): the
+  *    store admits a bounded number of concurrent pushdown requests; when
+  *    saturated, a request falls back to pullup (compute-side filtering
+  *    over cached/raw bytes). [[AdaptiveScanRouter]] reproduces that
+  *    admission contract with a slot semaphore over two routes that are
+  *    result-identical by construction.
+  *
+  * Scale notes (the 100 TB story, measured in HybridScanSpec):
+  *  - the storage fetch reads ONLY the missing columns (`ReadSchema`) and
+  *    pushes the predicate into the scan (`PushedFilters`) — the bytes
+  *    that leave storage are the reference's pushdown bytes, not the row;
+  *  - with a selective predicate the fetched side is small → Spark
+  *    broadcasts it and ZERO cached bytes move (the zip is a broadcast
+  *    hash join probe over the resident segment);
+  *  - with a non-selective predicate the zip is a shuffled join on the
+  *    ordinal; the segment is persisted pre-partitioned by the ordinal
+  *    key, so only the thin fetched side pays an Exchange — the wide
+  *    cached columns never re-shuffle (spec-asserted plan shape).
+  */
+object HybridScan {
+
+  /** Ordinal column names — prefixed to stay clear of user schemas. */
+  val FileCol = "_seg_file"
+  val PosCol  = "_seg_pos"
+
+  /** One shared segment cache per (session, sf-dir); released (unpersist
+    * of every resident segment) at the bench's family boundaries via the
+    * [[graft.util.SessionCache]] lifecycle like every other artifact. */
+  private val caches = new SessionCache[SegmentCache](
+    maxEntries = 4, releaseValue = (_: SegmentCache).invalidateAll())
+
+  def segmentCache(s: SparkSession, dir: String): SegmentCache =
+    caches.getOrBuild(s, s"hybrid-cache:$dir")(
+      new SegmentCache(capacityBytes = 1L << 30, policy = LRU))
+
+  /** Scan `cols` of a table with the `(file id, row index)` ordinal
+    * prepended. File ids are assigned by sorting the table's file list —
+    * deterministic across the cached and fetched sides of one table, so
+    * equal ordinals mean THE SAME physical row. Keyed on the file's base
+    * name (unique within a table directory) because `_metadata.file_path`
+    * and `DataFrame.inputFiles` render the URI scheme differently; an
+    * unmapped base name fails the query loudly rather than mis-zipping.
+    *
+    * At cluster scale the id map is a few thousand literal entries (one
+    * per file) evaluated inside codegen — no shuffle, no driver loop past
+    * the listing Spark already performs for the scan itself.
+    */
+  def ordinalScan(s: SparkSession, dir: String, table: String,
+      cols: Seq[String]): DataFrame = {
+    val df = s.read.parquet(Tables.path(dir, table))
+    val names = df.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted
+    require(names.distinct.length == names.length,
+      s"ordinalScan($table): duplicate file base names — use full paths")
+    val fileId: Column =
+      if (names.length == 1) lit(0) // single-file table: no per-row path work
+      else {
+        val idMap = map(names.zipWithIndex.flatMap {
+          case (n, i) => Seq(lit(n), lit(i)) }.toSeq: _*)
+        val base = regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)
+        val mapped = element_at(idMap, base)
+        when(mapped.isNull,
+          raise_error(concat(lit(s"ordinalScan($table): unmapped file "), base)))
+          .otherwise(mapped)
+      }
+    df.select(
+      fileId.as(FileCol) +:
+      col("_metadata.row_index").as(PosCol) +:
+      cols.map(col): _*)
+  }
+
+  /** MergeKernel: rows = cache-resident columns ⋈ ordinal-zipped storage
+    * fetch of the missing columns, predicate pushed into the fetch scan.
+    *
+    * The segment enters the cache pre-partitioned by the ordinal key so
+    * the zip never re-shuffles the cached bytes: Spark's
+    * `EnsureRequirements` accepts the persisted plan's `HashPartitioning`
+    * on exactly the join key, so only the fetched side exchanges (or
+    * broadcasts, when the pushdown predicate made it small).
+    */
+  /** Cache key for an ordinal-carrying segment: the ordinals ARE columns
+    * of the cached frame, so they belong in the key — a key must describe
+    * exactly what a race-rebuild has to produce. */
+  def ordinalKey(table: String, cachedCols: Seq[String]): SegmentKey =
+    SegmentKey(table, Seq(FileCol, PosCol) ++ cachedCols)
+
+  def mergedScan(s: SparkSession, dir: String, table: String,
+      cachedCols: Seq[String], fetchCols: Seq[String],
+      fetchPredicate: Option[Column] = None,
+      cache: SegmentCache): DataFrame = {
+    val seg = cache.get(ordinalKey(table, cachedCols)) {
+      ordinalScan(s, dir, table, cachedCols)
+        .repartition(col(FileCol), col(PosCol))
+    }
+    val fetched0 = ordinalScan(s, dir, table, fetchCols)
+    val fetched = fetchPredicate.fold(fetched0)(fetched0.filter)
+    seg.join(fetched, Seq(FileCol, PosCol)).drop(FileCol, PosCol)
+  }
+
+  // ---------------------------------------------------------------- router
+
+  sealed trait Route
+  /** Filter executes at storage (PushedFilters); only matching bytes move. */
+  case object Pushdown extends Route
+  /** Storage saturated: raw columns come from the segment cache (loaded
+    * once, unfiltered) and the filter runs compute-side — the reference's
+    * pullup fallback. */
+  case object Pullup extends Route
+  /** Every requested column is resident — no storage request at all. The
+    * reference's pure cache hit, preferred unconditionally (even a free
+    * pushdown slot can't beat not touching storage). */
+  case object CacheOnly extends Route
+  /** Some requested columns are resident: serve those from the cache,
+    * fetch only the missing ones (predicate pushed when it references
+    * only fetched columns), zip by ordinal — the hybrid plan that gives
+    * the reference system its name. */
+  case object Hybrid extends Route
+
+  /** Bounded-admission pushdown, result-identical on both routes.
+    *
+    * `pushdownSlots` is the store's concurrent-request budget (the
+    * reference estimates queue wait and rejects above a threshold — a
+    * semaphore is the same contract with the estimate degenerated to
+    * "full or not"). Admission is decided at request time, like the
+    * reference; [[execute]] brackets a caller's action so the slot is
+    * held for the pushdown's lifetime and always released.
+    */
+  /** Column names a (possibly unresolved) predicate mentions — drives the
+    * hybrid route's push-vs-post filter placement. */
+  private def referencedCols(c: Column): Set[String] =
+    org.apache.spark.sql.GraftBridge.expression(c).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.last
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.toSet
+
+  final class AdaptiveScanRouter(cache: SegmentCache, pushdownSlots: Int) {
+    private val slots = new Semaphore(pushdownSlots)
+    private val pushdownN  = new AtomicLong(0)
+    private val pullupN    = new AtomicLong(0)
+    private val cacheOnlyN = new AtomicLong(0)
+    private val hybridN    = new AtomicLong(0)
+
+    def pushdowns: Long = pushdownN.get
+    def pullups: Long   = pullupN.get
+    def cacheOnlys: Long = cacheOnlyN.get
+    def hybrids: Long   = hybridN.get
+    def availableSlots: Int = slots.availablePermits()
+
+    private def dataCols(k: SegmentKey): Seq[String] =
+      k.columns.filterNot(c => c == FileCol || c == PosCol)
+
+    /** Build the scan on the best route the cache contents and the
+      * store's admission state allow, preference-ordered exactly like the
+      * reference's planner weights (`SURVEY.md §4`): cache-only beats
+      * hybrid beats pushdown beats pullup-load.
+      *
+      * Hybrid requires an ORDINAL segment (admitted by [[mergedScan]]) —
+      * a plain pullup segment has no zip key, so partial coverage from
+      * one falls through to pushdown/pullup rather than re-reading the
+      * cached columns from storage under a hybrid label. */
+    def scan(s: SparkSession, dir: String, table: String,
+        cols: Seq[String], predicate: Column): (DataFrame, Route) = {
+      val resident = cache.keys.filter(_.table == table)
+      val full = resident.find(k => cols.forall(dataCols(k).contains))
+      lazy val partial = resident
+        .filter(_.columns.contains(FileCol)) // zip-capable segments only
+        .map(k => k -> dataCols(k).filter(cols.contains))
+        .filter { case (_, ov) => ov.nonEmpty && ov.size < cols.size }
+        .sortBy { case (_, ov) => -ov.size }
+        .headOption
+
+      full match {
+        case Some(k) =>
+          cacheOnlyN.incrementAndGet()
+          val seg = cache.get(k) {
+            if (k.columns.contains(FileCol))
+              ordinalScan(s, dir, table, dataCols(k)).repartition(col(FileCol), col(PosCol))
+            else
+              s.read.parquet(Tables.path(dir, table)).select(dataCols(k).map(col): _*)
+          }
+          (seg.filter(predicate).select(cols.map(col): _*), CacheOnly)
+        case None => partial match {
+          case Some((k, overlap)) =>
+            hybridN.incrementAndGet()
+            val fetchCols = cols.filterNot(overlap.contains)
+            val pushable = referencedCols(predicate).subsetOf(fetchCols.toSet)
+            val fetchPred = if (pushable) Some(predicate) else None
+            val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
+              fetchPred, cache)
+            val filtered = if (pushable) merged else merged.filter(predicate)
+            (filtered.select(cols.map(col): _*), Hybrid)
+          case None =>
+            if (slots.tryAcquire()) {
+              // plan-time admission: the slot is returned immediately (the
+              // DF is lazy); use [[execute]] when it must span execution
+              slots.release()
+              pushdownN.incrementAndGet()
+              (s.read.parquet(Tables.path(dir, table))
+                .filter(predicate).select(cols.map(col): _*), Pushdown)
+            } else {
+              pullupN.incrementAndGet()
+              val seg = cache.get(SegmentKey(table, cols)) {
+                s.read.parquet(Tables.path(dir, table)).select(cols.map(col): _*)
+              }
+              (seg.filter(predicate), Pullup)
+            }
+        }
+      }
+    }
+
+    /** Run `action` with the pushdown slot held for its full duration —
+      * the store-side lifetime the reference's manager tracks. Falls back
+      * to pullup when no slot frees up. */
+    def execute[T](s: SparkSession, dir: String, table: String,
+        cols: Seq[String], predicate: Column)(action: DataFrame => T): (T, Route) =
+      if (slots.tryAcquire()) {
+        pushdownN.incrementAndGet()
+        try (action(s.read.parquet(Tables.path(dir, table))
+          .filter(predicate).select(cols.map(col): _*)), Pushdown)
+        finally slots.release()
+      } else {
+        pullupN.incrementAndGet()
+        val seg = cache.get(SegmentKey(table, cols)) {
+          s.read.parquet(Tables.path(dir, table)).select(cols.map(col): _*)
+        }
+        (action(seg.filter(predicate)), Pullup)
+      }
+  }
+
+  // --------------------------------------------------------------- entries
+
+  /** dm02: TPC-H Q6 executed hybrid — the flagship FlexPushdownDB shape.
+    * The three aggregation/filter columns are cache-resident; only
+    * `l_shipdate` is fetched from storage, predicate pushed into that
+    * scan, and zipped back by ordinal. Result equals plain Q6 by
+    * construction (spec-pinned against the pushdown-only plan). */
+  private def dm02HybridMerge(s: SparkSession, dir: String): DataFrame = {
+    val merged = mergedScan(s, dir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"),
+      fetchPredicate = Some(expr(
+        "l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'")),
+      cache = segmentCache(s, dir))
+    merged
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  private val dm02Sql =
+    """SELECT sum(l_extendedprice * l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** dm03: the pullup fallback under a saturated store (zero pushdown
+    * slots — deterministic route: the first call pullup-loads the
+    * segment, every later call serves it cache-only; neither may touch
+    * the pushdown path). The order-priority count runs compute-side over
+    * the cache-resident segment; the oracle is route-independent. */
+  private def dm03AdaptiveRoute(s: SparkSession, dir: String): DataFrame = {
+    val router = new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = 0)
+    val (df, route) = router.scan(s, dir, "orders",
+      Seq("o_orderpriority", "o_orderdate"),
+      expr("o_orderdate >= date '1996-07-01' and o_orderdate < date '1996-10-01'"))
+    require(route == Pullup || route == CacheOnly,
+      s"saturated store must stay compute-side, got $route")
+    df.groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val dm03Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dm02_hybrid_merge"  -> dm02HybridMerge _,
+    "dm03_adaptive_route" -> dm03AdaptiveRoute _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dm02_hybrid_merge"  -> dm02Sql,
+    "dm03_adaptive_route" -> dm03Sql,
+  )
+}

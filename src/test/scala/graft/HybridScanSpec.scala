@@ -1,0 +1,222 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+import graft.cache.{HybridScan, LRU, SegmentCache, SegmentKey}
+import graft.cache.HybridScan.{AdaptiveScanRouter, Pullup, Pushdown}
+import graft.sources.Tables
+
+/** Hybrid cache/storage execution: the MergeKernel ordinal zip and the
+  * AdaptPushdownManager admission contract (reference
+  * `fpdb-executor/src/physical/merge/MergeKernel.cpp`,
+  * `fpdb-store-server/src/flight/AdaptPushdownManager.cpp`). */
+class HybridScanSpec extends SparkSpec {
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private val q6Pred =
+    "l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'"
+
+  test("ordinal zip is exact: merged rows equal the plain predicate scan") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val merged = HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = Some(expr(q6Pred)),
+      cache = cache)
+    val plain = Tables.lineitem(spark, sfDir).filter(expr(q6Pred))
+      .select("l_extendedprice", "l_discount", "l_quantity", "l_shipdate")
+    assert(merged.count() == plain.count())
+    // value-exact, not just cardinality: both sides keyed by full row
+    val cols = plain.columns.map(col)
+    assert(merged.select(cols: _*).exceptAll(plain).isEmpty &&
+      plain.exceptAll(merged.select(cols: _*)).isEmpty,
+      "merged hybrid rows must be the plain scan's rows, bag-equal")
+  }
+
+  test("dm02 hybrid Q6 equals the pushdown-only Q6") {
+    val hybrid = HybridScan.queries("dm02_hybrid_merge")(spark, sfDir)
+    val plain = spark.sql(
+      s"""SELECT sum(l_extendedprice * l_discount) AS revenue
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |WHERE $q6Pred AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         |""".stripMargin)
+    val h = hybrid.collect().head.getDouble(0)
+    val p = plain.collect().head.getDouble(0)
+    assert(math.abs(h - p) < 1e-6, s"hybrid=$h plain=$p")
+  }
+
+  test("storage fetch is column-pruned to the missing column and predicate-pushed") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false") // static plan tree
+      val cache = new SegmentCache(1L << 30, LRU)
+      val merged = HybridScan.mergedScan(spark, sfDir, "lineitem",
+        cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+        fetchCols = Seq("l_shipdate"), fetchPredicate = Some(expr(q6Pred)),
+        cache = cache)
+      merged.count() // warm: admits + persists the segment
+      assert(cache.keys.contains(HybridScan.ordinalKey("lineitem",
+        Seq("l_extendedprice", "l_discount", "l_quantity"))), "segment must be resident")
+      val plan = merged.queryExecution.executedPlan
+      // exactly one LIVE parquet scan: the fetch side (the cached side is
+      // an InMemoryTableScan leaf — its build-time scan is not re-run)
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.length == 1,
+        s"expected 1 storage scan after warm, got ${scans.length}:\n${plan.toString.take(3000)}")
+      assert(plan.toString.contains("InMemoryTableScan"),
+        s"cached side must serve from the segment cache:\n${plan.toString.take(3000)}")
+      // the surviving scan reads ONLY l_shipdate (+ row-index metadata)
+      // and pushes the date range into the reader
+      val dataCols = scans.head.requiredSchema.fieldNames.filterNot(_.startsWith("_")).toSet
+      assert(dataCols == Set("l_shipdate"),
+        s"fetch ReadSchema must be pruned to l_shipdate, got $dataCols")
+      val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("l_shipdate") &&
+        (pushed.contains("GreaterThanOrEqual") || pushed.contains("GreaterThan")),
+        s"date range must reach the storage scan, PushedFilters=$pushed")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("selective fetch broadcasts: zero cached bytes move through an Exchange") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val merged = HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = Some(expr(q6Pred)),
+      cache = cache)
+    merged.count()
+    val plan = fmt(merged)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"small pushdown result should broadcast into the zip:\n${plan.take(3000)}")
+  }
+
+  test("segment is admitted once and hit on re-plan (cache accounting)") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    def scan() = HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = Some(expr(q6Pred)),
+      cache = cache)
+    scan().count(); scan().count()
+    assert(cache.misses == 1 && cache.hits == 1,
+      s"hits=${cache.hits} misses=${cache.misses}")
+  }
+
+  test("unmapped file fails loudly instead of mis-zipping") {
+    // fabricate a frame whose _metadata basename can't be in the id map by
+    // pointing ordinalScan at one table and validating the raise_error
+    // wiring survives optimization: a valid read never raises
+    val ok = HybridScan.ordinalScan(spark, sfDir, "region", Seq("r_name"))
+    assert(ok.count() > 0) // raise_error branch compiled in, not taken
+    val plan = fmt(ok)
+    assert(plan.contains("raise_error") || ok.columns.contains(HybridScan.FileCol))
+  }
+
+  test("router admits pushdown while slots free, falls back to pullup when saturated") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)
+    val pred = expr("o_orderdate >= date '1996-07-01' and o_orderdate < date '1996-10-01'")
+    val cols = Seq("o_orderpriority", "o_orderdate")
+
+    val (dfPush, r1) = router.scan(spark, sfDir, "orders", cols, pred)
+    assert(r1 == Pushdown)
+
+    // hold the single slot across an execute(); a concurrent request must
+    // take the pullup route and still return identical rows
+    val inAction = new CountDownLatch(1)
+    val releaseAction = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val held = pool.submit(new java.util.concurrent.Callable[(Long, HybridScan.Route)] {
+        override def call(): (Long, HybridScan.Route) =
+          router.execute(spark, sfDir, "orders", cols, pred) { df =>
+            inAction.countDown()
+            releaseAction.await(30, TimeUnit.SECONDS)
+            df.count()
+          }
+      })
+      assert(inAction.await(30, TimeUnit.SECONDS), "execute() did not start")
+      val (dfPull, r2) = router.scan(spark, sfDir, "orders", cols, pred)
+      assert(r2 == Pullup, "saturated store must route to pullup")
+      releaseAction.countDown()
+      val (heldCount, heldRoute) = held.get(60, TimeUnit.SECONDS)
+      assert(heldRoute == Pushdown)
+      assert(dfPull.count() == heldCount && dfPush.count() == heldCount,
+        "routes must be result-identical")
+      // slot released after execute() — but the pullup fallback admitted
+      // the segment, so the best route is now the cache, not the store
+      val (_, r3) = router.scan(spark, sfDir, "orders", cols, pred)
+      assert(r3 == HybridScan.CacheOnly,
+        s"resident segment must outrank a free pushdown slot, got $r3")
+      assert(router.pushdowns == 2 && router.pullups == 1 && router.cacheOnlys == 1,
+        s"pushdowns=${router.pushdowns} pullups=${router.pullups} cacheOnlys=${router.cacheOnlys}")
+    } finally pool.shutdownNow()
+  }
+
+  test("execute releases the slot on failure") {
+    val router = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU), pushdownSlots = 1)
+    val pred = expr("o_orderdate >= date '1996-07-01'")
+    intercept[RuntimeException] {
+      router.execute(spark, sfDir, "orders", Seq("o_orderpriority"), pred)(_ =>
+        throw new RuntimeException("boom"))
+    }
+    assert(router.availableSlots == 1, "slot must be released on exception")
+  }
+
+  test("route lattice: cache-only beats hybrid beats pushdown beats pullup") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)
+    val pred = expr(q6Pred)
+    val want = Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate")
+
+    // nothing resident, slot free → pushdown
+    val (_, r0) = router.scan(spark, sfDir, "lineitem", want, pred)
+    assert(r0 == Pushdown)
+
+    // warm a PARTIAL ordinal segment → hybrid: resident columns from
+    // cache, only l_shipdate fetched, predicate pushed (it references
+    // only the fetched column)
+    HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = Some(pred),
+      cache = cache).count()
+    val (dfHybrid, r1) = router.scan(spark, sfDir, "lineitem", want, pred)
+    assert(r1 == HybridScan.Hybrid, s"partial ordinal segment must route hybrid, got $r1")
+    val plain = Tables.lineitem(spark, sfDir).filter(pred)
+      .select(want.map(col): _*)
+    assert(dfHybrid.count() == plain.count())
+    assert(dfHybrid.exceptAll(plain).isEmpty && plain.exceptAll(dfHybrid).isEmpty,
+      "hybrid route must return the plain scan's rows")
+
+    // full coverage resident → cache-only even with zero slots
+    val starved = new AdaptiveScanRouter(cache, pushdownSlots = 0)
+    val sub = Seq("l_extendedprice", "l_quantity")
+    val (dfCache, r2) = starved.scan(spark, sfDir, "lineitem", sub,
+      expr("l_quantity < 24"))
+    assert(r2 == HybridScan.CacheOnly, s"resident superset must serve cache-only, got $r2")
+    val plainSub = Tables.lineitem(spark, sfDir)
+      .filter(expr("l_quantity < 24")).select(sub.map(col): _*)
+    assert(dfCache.count() == plainSub.count())
+
+    // a predicate touching a CACHED column must not be pushed to the
+    // fetch side — it filters after the zip, same rows
+    val mixedPred = expr(s"$q6Pred and l_quantity < 24")
+    val (dfMixed, r3) = router.scan(spark, sfDir, "lineitem", want, mixedPred)
+    assert(r3 == HybridScan.Hybrid)
+    assert(dfMixed.count() ==
+      Tables.lineitem(spark, sfDir).filter(mixedPred).count())
+
+    assert(router.pushdowns == 1 && router.hybrids == 2 &&
+      starved.cacheOnlys == 1,
+      s"pd=${router.pushdowns} hy=${router.hybrids} co=${starved.cacheOnlys}")
+  }
+
+  test("dm03 runs the deterministic pullup fallback and orders by priority") {
+    val out = HybridScan.queries("dm03_adaptive_route")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val prios = out.map(_.getString(0)).toSeq
+    assert(prios == prios.sorted)
+  }
+}

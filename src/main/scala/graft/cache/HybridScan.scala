@@ -114,12 +114,41 @@ object HybridScan {
       fetchPredicate: Option[Column] = None,
       cache: SegmentCache): DataFrame = {
     val seg = cache.get(ordinalKey(table, cachedCols)) {
-      ordinalScan(s, dir, table, cachedCols)
-        .repartition(col(FileCol), col(PosCol))
+      // partition by row index ALONE: a subset of the zip's join keys
+      // always satisfies its ClusteredDistribution, while including the
+      // file id would break the single-file case (the literal 0 constant-
+      // folds out of the join keys, and hash(0, pos) is then NOT a subset
+      // of {pos} — the cached side would re-shuffle, spec-caught)
+      ordinalScan(s, dir, table, cachedCols).repartition(col(PosCol))
     }
     val fetched0 = ordinalScan(s, dir, table, fetchCols)
     val fetched = fetchPredicate.fold(fetched0)(fetched0.filter)
     seg.join(fetched, Seq(FileCol, PosCol)).drop(FileCol, PosCol)
+  }
+
+  /** Partition-granular hybrid — the OTHER axis of the reference's
+    * per-partition Mode wiring (`PrePToS3PTransformer.cpp:308-460`: each
+    * partition independently CACHING or PUSHDOWN): partitions inside
+    * `cachedRegion` are served from a cache-resident segment; every
+    * other partition scans storage, where BOTH levers fire — partition
+    * pruning drops the cached directories at listing time (the negated
+    * region predicate is partition-column-only) and the query predicate
+    * pushes into the surviving files. Partitions are disjoint, so the
+    * row union is exact by construction.
+    *
+    * `segmentName` keys the resident region in the cache (a path + region
+    * digest works; it only has to be stable per (table, region)).
+    */
+  def partitionHybridScan(s: SparkSession, path: String, cols: Seq[String],
+      cachedRegion: Column, segmentName: String,
+      predicate: Column, cache: SegmentCache): DataFrame = {
+    val seg = cache.get(SegmentKey(segmentName, cols)) {
+      s.read.parquet(path).filter(cachedRegion).select(cols.map(col): _*)
+    }
+    val rest = s.read.parquet(path)
+      .filter(!cachedRegion).filter(predicate)
+      .select(cols.map(col): _*)
+    seg.filter(predicate).unionByName(rest)
   }
 
   // ---------------------------------------------------------------- router
@@ -185,12 +214,17 @@ object HybridScan {
       * cached columns from storage under a hybrid label. */
     def scan(s: SparkSession, dir: String, table: String,
         cols: Seq[String], predicate: Column): (DataFrame, Route) = {
+      // every column the scan must produce BEFORE the filter runs: the
+      // projection plus any predicate-only columns — coverage decisions
+      // (and the pullup segment) are made on this set, so a predicate on
+      // a column outside the projection still routes correctly
+      val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
       val resident = cache.keys.filter(_.table == table)
-      val full = resident.find(k => cols.forall(dataCols(k).contains))
+      val full = resident.find(k => need.forall(dataCols(k).contains))
       lazy val partial = resident
         .filter(_.columns.contains(FileCol)) // zip-capable segments only
-        .map(k => k -> dataCols(k).filter(cols.contains))
-        .filter { case (_, ov) => ov.nonEmpty && ov.size < cols.size }
+        .map(k => k -> dataCols(k).filter(need.contains))
+        .filter { case (_, ov) => ov.nonEmpty && ov.size < need.size }
         .sortBy { case (_, ov) => -ov.size }
         .headOption
 
@@ -207,7 +241,7 @@ object HybridScan {
         case None => partial match {
           case Some((k, overlap)) =>
             hybridN.incrementAndGet()
-            val fetchCols = cols.filterNot(overlap.contains)
+            val fetchCols = need.filterNot(overlap.contains)
             val pushable = referencedCols(predicate).subsetOf(fetchCols.toSet)
             val fetchPred = if (pushable) Some(predicate) else None
             val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
@@ -224,10 +258,10 @@ object HybridScan {
                 .filter(predicate).select(cols.map(col): _*), Pushdown)
             } else {
               pullupN.incrementAndGet()
-              val seg = cache.get(SegmentKey(table, cols)) {
-                s.read.parquet(Tables.path(dir, table)).select(cols.map(col): _*)
+              val seg = cache.get(SegmentKey(table, need)) {
+                s.read.parquet(Tables.path(dir, table)).select(need.map(col): _*)
               }
-              (seg.filter(predicate), Pullup)
+              (seg.filter(predicate).select(cols.map(col): _*), Pullup)
             }
         }
       }
@@ -245,10 +279,11 @@ object HybridScan {
         finally slots.release()
       } else {
         pullupN.incrementAndGet()
-        val seg = cache.get(SegmentKey(table, cols)) {
-          s.read.parquet(Tables.path(dir, table)).select(cols.map(col): _*)
+        val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
+        val seg = cache.get(SegmentKey(table, need)) {
+          s.read.parquet(Tables.path(dir, table)).select(need.map(col): _*)
         }
-        (action(seg.filter(predicate)), Pullup)
+        (action(seg.filter(predicate).select(cols.map(col): _*)), Pullup)
       }
   }
 
@@ -299,13 +334,41 @@ object HybridScan {
       |WHERE o_orderdate >= DATE '1996-07-01' AND o_orderdate < DATE '1996-10-01'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** dm04: partition-granular hybrid over the day-partitioned events
+    * copy. Days ≤ 01-15 are cache-resident; the query spans 01-08..01-22,
+    * so half its days come from the cache and half from storage — where
+    * partition pruning lists exactly the 7 uncached matching directories
+    * (spec-pinned). The oracle aggregates the ORIGINAL events table: the
+    * z03/z05 contract, layout and caching may change bytes read, never
+    * results. */
+  private def dm04PartitionHybrid(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.partitionedEvents(s, dir)
+    val region = col("day") <= lit("2024-01-15").cast("date")
+    val pred = col("day") >= lit("2024-01-08").cast("date") &&
+      col("day") <= lit("2024-01-22").cast("date")
+    partitionHybridScan(s, path, Seq("event_type", "value", "day"),
+      region, s"events_by_day:$dir#le-0115", pred, segmentCache(s, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val dm04Sql =
+    """SELECT event_type, count(*) AS n_events, sum(value) AS total_value
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+      |  AND CAST(ts AS DATE) <= DATE '2024-01-22'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm02_hybrid_merge"  -> dm02HybridMerge _,
     "dm03_adaptive_route" -> dm03AdaptiveRoute _,
+    "dm04_partition_hybrid" -> dm04PartitionHybrid _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "dm02_hybrid_merge"  -> dm02Sql,
     "dm03_adaptive_route" -> dm03Sql,
+    "dm04_partition_hybrid" -> dm04Sql,
   )
 }

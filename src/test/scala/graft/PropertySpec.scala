@@ -224,4 +224,51 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: ordinal-zip mergedScan == plain scan over random column splits") {
+    import graft.cache.{HybridScan, LRU, SegmentCache}
+    // every lineitem column participates across iterations — the zip must
+    // survive any cached/fetched partition of the schema, including the
+    // NTZ timestamp and string columns
+    val all = graft.sources.Tables.lineitem(spark, sfDir).columns.toSeq
+    val rnd = new scala.util.Random(41L)
+    (1 to 6).foreach { i =>
+      val shuffled = rnd.shuffle(all)
+      val k = 1 + rnd.nextInt(all.size - 1)
+      val (cached, fetched0) = (shuffled.take(k), shuffled.drop(k))
+      val fetched = if (fetched0.nonEmpty) fetched0 else Seq(shuffled.head)
+      val cache = new SegmentCache(1L << 30, LRU)
+      val merged = HybridScan.mergedScan(spark, sfDir, "lineitem",
+        cachedCols = cached, fetchCols = fetched, fetchPredicate = None,
+        cache = cache).select(all.map(col): _*)
+      val plain = graft.sources.Tables.lineitem(spark, sfDir)
+        .select(all.map(col): _*)
+      assert(merged.count() == plain.count(), s"iter $i: cardinality")
+      assert(merged.exceptAll(plain).isEmpty && plain.exceptAll(merged).isEmpty,
+        s"iter $i: cached=$cached fetched=$fetched must zip to the plain rows")
+      cache.invalidateAll()
+    }
+  }
+
+  test("property: joining two hybrid scans composes (orders ⋈ merged lineitem)") {
+    import graft.cache.{HybridScan, LRU, SegmentCache}
+    val cache = new SegmentCache(1L << 30, LRU)
+    val li = HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_orderkey", "l_quantity"),
+      fetchCols = Seq("l_extendedprice"), fetchPredicate = None, cache = cache)
+    val ord = HybridScan.mergedScan(spark, sfDir, "orders",
+      cachedCols = Seq("o_orderkey", "o_orderpriority"),
+      fetchCols = Seq("o_totalprice"), fetchPredicate = None, cache = cache)
+    val got = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_quantity") * col("o_totalprice")).as("x"))
+      .collect().head.getDouble(0)
+    val want = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(col("l_quantity") * col("o_totalprice")).as("x"))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want)),
+      s"hybrid join $got vs plain $want")
+    cache.invalidateAll()
+  }
 }

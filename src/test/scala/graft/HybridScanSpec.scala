@@ -60,6 +60,7 @@ class HybridScanSpec extends SparkSpec {
         cache = cache)
       merged.count() // warm: admits + persists the segment
       assert(cache.keys.contains(HybridScan.ordinalKey("lineitem",
+        HybridScan.listingFingerprint(spark, sfDir, "lineitem"),
         Seq("l_extendedprice", "l_discount", "l_quantity"))), "segment must be resident")
       val plan = merged.queryExecution.executedPlan
       // exactly one LIVE parquet scan: the fetch side (the cached side is
@@ -296,6 +297,43 @@ class HybridScanSpec extends SparkSpec {
       assert(plan.toString.contains("InMemoryTableScan"),
         "cached region must serve from the segment cache")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("a table layout change misses the segment instead of mis-zipping") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("hybrid-layout").toString
+    try {
+      // layout A: 2 part files
+      val base = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      base.repartition(2).write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+      val cache = new SegmentCache(1L << 30, LRU)
+      def merged() = HybridScan.mergedScan(spark, dir, "lineitem",
+        cachedCols = Seq("l_quantity"), fetchCols = Seq("l_extendedprice"),
+        fetchPredicate = None, cache = cache)
+      val sumA = merged().agg(sum(col("l_extendedprice") * col("l_quantity")))
+        .collect().head.getDouble(0)
+      assert(cache.misses == 1)
+      // compaction: same rows, ONE part file — file ids all reassign
+      val compacted = spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(1).localCheckpoint() // detach lineage before overwrite
+      compacted.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val sumB = merged().agg(sum(col("l_extendedprice") * col("l_quantity")))
+        .collect().head.getDouble(0)
+      // the stale segment (old fingerprint) must NOT be reused: a second
+      // miss builds against the new listing, and values agree exactly
+      assert(cache.misses == 2,
+        s"layout change must miss the fingerprinted key, misses=${cache.misses}")
+      assert(math.abs(sumA - sumB) <= 1e-6 * math.max(1.0, math.abs(sumA)),
+        s"compaction changed the zip result: $sumA vs $sumB")
+      cache.invalidateAll()
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(Paths.get(dir).toFile)
+    }
   }
 
   test("dm03 runs the deterministic pullup fallback and orders by priority") {

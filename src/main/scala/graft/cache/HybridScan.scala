@@ -229,7 +229,10 @@ object HybridScan {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
     }.toSet
 
-  final class AdaptiveScanRouter(cache: SegmentCache, pushdownSlots: Int) {
+  final class AdaptiveScanRouter(cache: SegmentCache, pushdownSlots: Int,
+      initialPushdownEstNanos: Double = 0.0,
+      initialPullupEstNanos: Double = 0.0,
+      pullupWeight: Double = 1.0) {
     private val slots = new Semaphore(pushdownSlots)
     private val pushdownN  = new AtomicLong(0)
     private val pullupN    = new AtomicLong(0)
@@ -320,24 +323,75 @@ object HybridScan {
       }
     }
 
+    // ---- the reference's actual admission estimate
+    // (`AdaptPushdownManager::receiveOne`): a saturated store does not
+    // mean an unconditional fallback — it queues the request when the
+    // ESTIMATED WAIT (queue depth × average pushdown service time) is
+    // still cheaper than the weighted pullup alternative, and falls back
+    // only past that point. Service times are measured EWMAs of this
+    // router's own executions; `initial*EstNanos` seed them (specs inject
+    // deterministic costs; operators can seed from history).
+    private val EwmaAlpha = 0.3
+    @volatile private var pushdownEstNanos: Double = initialPushdownEstNanos
+    @volatile private var pullupEstNanos: Double = initialPullupEstNanos
+    private val queued = new AtomicLong(0)
+
+    private def observe(route: Route, nanos: Long): Unit = synchronized {
+      route match {
+        case Pushdown =>
+          pushdownEstNanos =
+            if (pushdownEstNanos <= 0) nanos.toDouble
+            else (1 - EwmaAlpha) * pushdownEstNanos + EwmaAlpha * nanos
+        case _ =>
+          pullupEstNanos =
+            if (pullupEstNanos <= 0) nanos.toDouble
+            else (1 - EwmaAlpha) * pullupEstNanos + EwmaAlpha * nanos
+      }
+    }
+
+    /** Current service-time estimates (nanos), for tests and telemetry. */
+    def estimates: (Double, Double) = (pushdownEstNanos, pullupEstNanos)
+
     /** Run `action` with the pushdown slot held for its full duration —
-      * the store-side lifetime the reference's manager tracks. Falls back
-      * to pullup when no slot frees up. */
+      * the store-side lifetime the reference's manager tracks. When the
+      * store is saturated, QUEUE if the estimated wait beats the weighted
+      * pullup estimate, else fall back to pullup immediately. */
     def execute[T](s: SparkSession, dir: String, table: String,
-        cols: Seq[String], predicate: Column)(action: DataFrame => T): (T, Route) =
-      if (slots.tryAcquire()) {
+        cols: Seq[String], predicate: Column)(action: DataFrame => T): (T, Route) = {
+      def runPushdown(): (T, Route) = {
         pushdownN.incrementAndGet()
+        val t0 = System.nanoTime()
         try (action(s.read.parquet(Tables.path(dir, table))
           .filter(predicate).select(cols.map(col): _*)), Pushdown)
-        finally slots.release()
-      } else {
+        finally { slots.release(); observe(Pushdown, System.nanoTime() - t0) }
+      }
+      def runPullup(): (T, Route) = {
         pullupN.incrementAndGet()
         val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
-        val seg = cache.get(SegmentKey(table, need)) {
-          s.read.parquet(Tables.path(dir, table)).select(need.map(col): _*)
-        }
-        (action(seg.filter(predicate).select(cols.map(col): _*)), Pullup)
+        val t0 = System.nanoTime()
+        try {
+          val seg = cache.get(SegmentKey(table, need)) {
+            s.read.parquet(Tables.path(dir, table)).select(need.map(col): _*)
+          }
+          (action(seg.filter(predicate).select(cols.map(col): _*)), Pullup)
+        } finally observe(Pullup, System.nanoTime() - t0)
       }
+      if (slots.tryAcquire()) runPushdown()
+      else {
+        val estWait = (queued.get() + 1).toDouble * pushdownEstNanos
+        val pullupCost = pullupWeight * pullupEstNanos
+        // queue ONLY on measured (or seeded) estimates for BOTH routes —
+        // an unmeasured pushdown would claim zero wait, and a zero-slot
+        // store must never block on acquire. First contention therefore
+        // prefers the fallback, which seeds the pullup estimate.
+        if (pushdownSlots > 0 && pushdownEstNanos > 0 && pullupCost > 0 &&
+            estWait <= pullupCost) {
+          queued.incrementAndGet()
+          try slots.acquire() finally queued.decrementAndGet()
+          runPushdown()
+        } else runPullup()
+      }
+    }
   }
 
   // --------------------------------------------------------------- entries

@@ -336,6 +336,70 @@ class HybridScanSpec extends SparkSpec {
     }
   }
 
+  test("saturated execute queues when the estimated wait beats pullup, else falls back") {
+    val pred = expr("o_orderdate >= date '1996-07-01'")
+    val cols = Seq("o_orderpriority")
+    def holdSlotAnd(router: AdaptiveScanRouter)(body: => Unit): Unit = {
+      val inAction = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val pool = Executors.newFixedThreadPool(2)
+      try {
+        val held = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            router.execute(spark, sfDir, "orders", cols, pred) { df =>
+              inAction.countDown(); release.await(30, TimeUnit.SECONDS); df.count()
+            }; ()
+          }
+        })
+        assert(inAction.await(30, TimeUnit.SECONDS))
+        try body finally release.countDown()
+        held.get(60, TimeUnit.SECONDS)
+      } finally pool.shutdownNow()
+    }
+
+    // pushdown cheap (1ms est) vs pullup dear (10s est): the contended
+    // request QUEUES and still executes as pushdown once the slot frees
+    val patient = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 1e6, initialPullupEstNanos = 1e10)
+    val pool2 = Executors.newFixedThreadPool(2)
+    try {
+      val inAction = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val held = pool2.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = {
+          patient.execute(spark, sfDir, "orders", cols, pred) { df =>
+            inAction.countDown(); release.await(30, TimeUnit.SECONDS); df.count()
+          }; ()
+        }
+      })
+      assert(inAction.await(30, TimeUnit.SECONDS))
+      val queuedReq = pool2.submit(new java.util.concurrent.Callable[HybridScan.Route] {
+        override def call(): HybridScan.Route =
+          patient.execute(spark, sfDir, "orders", cols, pred)(_.count())._2
+      })
+      Thread.sleep(200) // the queued request must be WAITING, not fallen back
+      assert(!queuedReq.isDone, "cheap-pushdown request should queue, not fall back")
+      release.countDown()
+      held.get(60, TimeUnit.SECONDS)
+      assert(queuedReq.get(60, TimeUnit.SECONDS) == Pushdown)
+      assert(patient.pullups == 0 && patient.pushdowns == 2)
+    } finally pool2.shutdownNow()
+
+    // pushdown dear (10s est) vs pullup cheap (1ms est): the contended
+    // request falls back immediately
+    val impatient = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 1e10, initialPullupEstNanos = 1e6)
+    holdSlotAnd(impatient) {
+      val (_, r) = impatient.execute(spark, sfDir, "orders", cols, pred)(_.count())
+      assert(r == Pullup, s"dear-pushdown contention must fall back, got $r")
+    }
+    assert(impatient.pullups == 1)
+
+    // estimates are measured: after real executions both EWMAs are seeded
+    val (pd, pu) = impatient.estimates
+    assert(pd > 0 && pu > 0, s"estimates must update from observations: $pd, $pu")
+  }
+
   test("dm03 runs the deterministic pullup fallback and orders by priority") {
     val out = HybridScan.queries("dm03_adaptive_route")(spark, sfDir).collect()
     assert(out.nonEmpty)

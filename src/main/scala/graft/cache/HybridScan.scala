@@ -467,15 +467,45 @@ object HybridScan {
       |  AND CAST(ts AS DATE) <= DATE '2024-01-22'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** dm05: the ROUTER's hybrid route end-to-end (dm02 drives mergedScan
+    * directly; here the router must discover the partial segment and
+    * choose Hybrid on its own). The entry idempotently admits the
+    * 3-column ordinal segment — cache.get admits on first touch, so the
+    * route is deterministic on every call — then asks for all four Q6
+    * columns with the (fetch-side-only) date predicate: Hybrid is the
+    * only admissible route, asserted, and the 1997 window keeps the
+    * result distinct from dm02's. */
+  private def dm05RoutedHybrid(s: SparkSession, dir: String): DataFrame = {
+    val cache = segmentCache(s, dir)
+    mergedScan(s, dir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = None, cache = cache)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val (df, route) = router.scan(s, dir, "lineitem",
+      Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"),
+      expr("l_shipdate >= date '1997-01-01' and l_shipdate < date '1998-01-01'"))
+    require(route == Hybrid, s"partial segment must route hybrid, got $route")
+    df.filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  private val dm05Sql =
+    """SELECT sum(l_extendedprice * l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm02_hybrid_merge"  -> dm02HybridMerge _,
     "dm03_adaptive_route" -> dm03AdaptiveRoute _,
     "dm04_partition_hybrid" -> dm04PartitionHybrid _,
+    "dm05_routed_hybrid" -> dm05RoutedHybrid _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "dm02_hybrid_merge"  -> dm02Sql,
     "dm03_adaptive_route" -> dm03Sql,
     "dm04_partition_hybrid" -> dm04Sql,
+    "dm05_routed_hybrid" -> dm05Sql,
   )
 }

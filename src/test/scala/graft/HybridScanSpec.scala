@@ -400,6 +400,21 @@ class HybridScanSpec extends SparkSpec {
     assert(pd > 0 && pu > 0, s"estimates must update from observations: $pd, $pu")
   }
 
+  test("dm05 routes hybrid deterministically and matches the plain Q6-1997") {
+    val out = HybridScan.queries("dm05_routed_hybrid")(spark, sfDir)
+      .collect().head.getDouble(0)
+    val want = spark.sql(
+      s"""SELECT sum(l_extendedprice * l_discount) AS revenue
+         |FROM parquet.`$sfDir/lineitem.parquet`
+         |WHERE l_shipdate >= date '1997-01-01' AND l_shipdate < date '1998-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         |""".stripMargin).collect().head.getDouble(0)
+    assert(math.abs(out - want) < 1e-6, s"dm05 $out vs plain $want")
+    // second call: still Hybrid (the require inside the entry would throw)
+    assert(HybridScan.queries("dm05_routed_hybrid")(spark, sfDir)
+      .collect().head.getDouble(0) == out)
+  }
+
   test("dm03 runs the deterministic pullup fallback and orders by priority") {
     val out = HybridScan.queries("dm03_adaptive_route")(spark, sfDir).collect()
     assert(out.nonEmpty)

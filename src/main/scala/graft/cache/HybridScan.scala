@@ -212,15 +212,6 @@ object HybridScan {
     * the reference system its name. */
   case object Hybrid extends Route
 
-  /** Bounded-admission pushdown, result-identical on both routes.
-    *
-    * `pushdownSlots` is the store's concurrent-request budget (the
-    * reference estimates queue wait and rejects above a threshold — a
-    * semaphore is the same contract with the estimate degenerated to
-    * "full or not"). Admission is decided at request time, like the
-    * reference; [[execute]] brackets a caller's action so the slot is
-    * held for the pushdown's lifetime and always released.
-    */
   /** Column names a (possibly unresolved) predicate mentions — drives the
     * hybrid route's push-vs-post filter placement. */
   private def referencedCols(c: Column): Set[String] =
@@ -229,6 +220,17 @@ object HybridScan {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
     }.toSet
 
+  /** Bounded-admission pushdown, result-identical on every route.
+    *
+    * `pushdownSlots` is the store's concurrent-request budget. Admission
+    * is decided at request time, like the reference's manager:
+    * [[scan]] is plan-time (binary slot check — a lazy DataFrame cannot
+    * hold a slot), while [[execute]] brackets a caller's action so the
+    * slot spans the pushdown's real lifetime AND applies the reference's
+    * full rule — a saturated request queues when estimated wait (queue
+    * depth × measured pushdown-service EWMA) still beats the weighted
+    * pullup estimate, and falls back past that point.
+    */
   final class AdaptiveScanRouter(cache: SegmentCache, pushdownSlots: Int,
       initialPushdownEstNanos: Double = 0.0,
       initialPullupEstNanos: Double = 0.0,

@@ -19,7 +19,7 @@ import graft.util.SessionCache
   *    sets back into rows. The reference zips positionally because its
   *    segments are per-partition byte ranges; Spark has no per-column
   *    block assembly, so the zip is re-expressed as an equi-join on an
-  *    explicit row ordinal — `(file id, row index)` from the parquet
+  *    explicit row ordinal — `(file path, row index)` from the parquet
   *    scan's `_metadata` — which is positionally exact (the ordinal is
   *    unique per row and identical on both sides by construction) and
   *    stays in whole-stage codegen.
@@ -49,6 +49,50 @@ object HybridScan {
   val FileCol = "_seg_file"
   val PosCol  = "_seg_pos"
 
+  /** One file listing of a table: the data files' (path, length,
+    * modificationTime) plus a digest of all three. The digest — not just
+    * the paths — is the segment-staleness guard: an in-place rewrite that
+    * keeps the same filenames (an external compactor, a same-name
+    * overwrite) changes length or mtime and therefore misses the key,
+    * where a path-only digest would silently zip a stale segment against
+    * fresh bytes. One listing is computed per (query, table) and threaded
+    * through the fingerprint and both ordinal scans — on an object store
+    * with O(10^5) files a listing costs seconds, and the router must not
+    * pay it four times per routing decision (it is ONE `listStatus`, the
+    * same class of work the scan's own file index performs). */
+  final case class TableListing(files: Seq[(String, Long, Long)]) {
+    lazy val fingerprint: String = {
+      val lines = files.map { case (p, len, mt) => s"$p|$len|$mt" }
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(lines.mkString("\n").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+    }
+  }
+
+  /** Listing invocations since JVM start — spec hook proving the hybrid
+    * path lists once per (query, table), not once per sub-scan. */
+  private[graft] val listingCalls = new AtomicLong(0)
+
+  /** List a table's data files with size+mtime in ONE `listStatus` call.
+    * Scheme-agnostic: resolves the table path through whatever Hadoop
+    * `FileSystem` its URI names (local, s3a, a test mock scheme). */
+  def listTable(s: SparkSession, dir: String, table: String): TableListing = {
+    listingCalls.incrementAndGet()
+    val p = new org.apache.hadoop.fs.Path(Tables.path(dir, table))
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val root = fs.getFileStatus(p)
+    val statuses =
+      if (root.isDirectory)
+        fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }.toSeq
+      else Seq(root)
+    TableListing(statuses
+      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+      .sortBy(_._1))
+  }
+
   /** One shared segment cache per (session, sf-dir); released (unpersist
     * of every resident segment) at the bench's family boundaries via the
     * [[graft.util.SessionCache]] lifecycle like every other artifact. */
@@ -59,46 +103,33 @@ object HybridScan {
     caches.getOrBuild(s, s"hybrid-cache:$dir")(
       new SegmentCache(capacityBytes = 1L << 30, policy = LRU))
 
-  /** Scan `cols` of a table with the `(file id, row index)` ordinal
-    * prepended. File ids are assigned by sorting the table's file list —
-    * deterministic across the cached and fetched sides of one table, so
-    * equal ordinals mean THE SAME physical row. The id map is keyed by
-    * FULL path under both URI renderings (`DataFrame.inputFiles` prints
-    * `file:///x`, `_metadata.file_path` prints `file:/x` — measured), so
-    * the per-row work is one hash-map probe on a column the reader fills
-    * as a per-split constant; the earlier per-row `regexp_extract` was
-    * measured as the dominant multi-file zip cost (8.6 → 1.8 s at 16×
-    * sf0.1). An unmapped path fails the query loudly rather than
-    * mis-zipping.
+  /** Scan `cols` of a table with the `(file path, row index)` ordinal
+    * prepended. The zip key is `_metadata.file_path` ITSELF — a per-split
+    * constant string the reader fills with no per-row work — plus the
+    * parquet row index. Equal ordinals mean THE SAME physical row on both
+    * sides of a merge by construction: both sides read the same files
+    * through the same reader, so the key needs no derivation at all.
     *
-    * At cluster scale the id map is a few thousand literal entries (one
-    * per file) evaluated inside codegen — no shuffle, no driver loop past
-    * the listing Spark already performs for the scan itself.
-    */
+    * This replaces the r9 design (file ids = positions in the sorted
+    * listing, carried as one literal `map(...)` expression with two
+    * entries per file): at the 100 TB design point a table is
+    * O(10^5–10^6) files, and a CreateMap with millions of literal
+    * children means per-task plan serialization, certain codegen
+    * fallback, and likely driver OOM — the mechanism died at its own
+    * scale target. The direct path key is file-count-independent: no
+    * listing, no driver-held map, no unmapped-path failure mode (a path
+    * outside the fetch side's files simply finds no join partner, and
+    * the fingerprinted segment key already guarantees both sides were
+    * planned over the SAME listing). The per-row cost is hashing a
+    * pathname string in the join — measured equal-or-better than the r9
+    * map probe at 64 files (ProfileHybrid) and, unlike it, flat in file
+    * count. */
   def ordinalScan(s: SparkSession, dir: String, table: String,
-      cols: Seq[String]): DataFrame = {
-    val df = s.read.parquet(Tables.path(dir, table))
-    val files = df.inputFiles.sorted
-    val fileId: Column =
-      if (files.length == 1) lit(0) // single-file table: no per-row path work
-      else {
-        // two rendering variants per file, one id — lookup stays a single
-        // element_at on the raw metadata column
-        val entries = files.zipWithIndex.flatMap { case (f, i) =>
-          val variants = Seq(f, f.replaceFirst("^([A-Za-z][A-Za-z0-9+.-]*):///", "$1:/")).distinct
-          variants.flatMap(v => Seq(lit(v), lit(i)))
-        }
-        val mapped = element_at(map(entries.toSeq: _*), col("_metadata.file_path"))
-        when(mapped.isNull,
-          raise_error(concat(lit(s"ordinalScan($table): unmapped file "),
-            col("_metadata.file_path"))))
-          .otherwise(mapped)
-      }
-    df.select(
-      fileId.as(FileCol) +:
+      cols: Seq[String]): DataFrame =
+    s.read.parquet(Tables.path(dir, table)).select(
+      col("_metadata.file_path").as(FileCol) +:
       col("_metadata.row_index").as(PosCol) +:
       cols.map(col): _*)
-  }
 
   /** MergeKernel: rows = cache-resident columns ⋈ ordinal-zipped storage
     * fetch of the missing columns, predicate pushed into the fetch scan.
@@ -109,20 +140,16 @@ object HybridScan {
     * on exactly the join key, so only the fetched side exchanges (or
     * broadcasts, when the pushdown predicate made it small).
     */
-  /** Fingerprint of a table's file listing. File ids are POSITIONS in
-    * the sorted listing, so any layout change — compaction, a new part
-    * file, a rewrite — reassigns them; a segment built under the old
-    * listing would then zip WRONG rows against a fresh fetch side with
-    * no error raised (worse than staleness: silent corruption). The
-    * fingerprint goes into the segment key, so a layout change turns
-    * the resident segment into a cache miss instead. The listing is the
-    * same one the scan itself needs, so this adds no IO class. */
-  def listingFingerprint(s: SparkSession, dir: String, table: String): String = {
-    val files = s.read.parquet(Tables.path(dir, table)).inputFiles.sorted
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(files.mkString("\n").getBytes("UTF-8"))
-      .map(b => f"${b & 0xff}%02x").mkString.take(8)
-  }
+  /** Fingerprint of a table's file listing — (path, length, mtime) of
+    * every data file, digested. Any layout OR content change — a
+    * compaction, a new part file, an in-place same-name rewrite — misses
+    * the fingerprinted segment key, so a stale segment can never zip
+    * against fresh bytes (which an inner join would turn into silently
+    * dropped or mispaired rows, worse than staleness). The listing is
+    * the same class of work the scan's own file index performs, and the
+    * hybrid path performs it ONCE per (query, table). */
+  def listingFingerprint(s: SparkSession, dir: String, table: String): String =
+    listTable(s, dir, table).fingerprint
 
   /** Cache key for an ordinal-carrying segment: the ordinals ARE columns
     * of the cached frame, so they belong in the key — a key must describe
@@ -135,21 +162,22 @@ object HybridScan {
   def mergedScan(s: SparkSession, dir: String, table: String,
       cachedCols: Seq[String], fetchCols: Seq[String],
       fetchPredicate: Option[Column] = None,
-      cache: SegmentCache): DataFrame = {
-    val seg = cache.get(ordinalKey(table, listingFingerprint(s, dir, table), cachedCols)) {
-      // partition by row index ALONE: a subset of the zip's join keys
-      // always satisfies its ClusteredDistribution, while including the
-      // file id would break the single-file case (the literal 0 constant-
-      // folds out of the join keys, and hash(0, pos) is then NOT a subset
-      // of {pos} — the cached side would re-shuffle, spec-caught)
-      // ...then pre-SORT by (pos, file): the join keys are declared in
-      // that order below, so the persisted ordering satisfies the merge
-      // join's requiredOrdering exactly — and in the single-file case,
-      // where the folded file id leaves {pos} as the sole key, as its
-      // prefix. The wide cached columns pay neither an exchange NOR a
-      // sort at query time (spec-pinned).
+      cache: SegmentCache, listing: Option[TableListing] = None): DataFrame = {
+    val fp = listing.getOrElse(listTable(s, dir, table)).fingerprint
+    val seg = cache.get(ordinalKey(table, fp, cachedCols)) {
+      // partition by the FULL zip key (pos, file), in join-key order:
+      // EnsureRequirements shuffles the fetch side by the complete join
+      // key set, and only an identically-keyed stored partitioning is
+      // co-partition-compatible with it — a pos-only subset partitioning
+      // would force the wide cached side through a second Exchange
+      // (measured when the path column replaced the r9 literal id, whose
+      // constant-folding used to shrink the key set to {pos})
+      // ...then pre-SORT by (pos, file): if a sort-requiring join were
+      // ever planned the persisted ordering satisfies its requiredOrdering
+      // as-is. The wide cached columns pay neither an exchange NOR a sort
+      // at query time (spec-pinned).
       ordinalScan(s, dir, table, cachedCols)
-        .repartition(col(PosCol))
+        .repartition(col(PosCol), col(FileCol))
         .sortWithinPartitions(col(PosCol), col(FileCol))
     }
     val fetched0 = ordinalScan(s, dir, table, fetchCols)
@@ -220,21 +248,38 @@ object HybridScan {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
     }.toSet
 
+  /** A routed scan plus the pushdown slot backing it (no-op for
+    * non-pushdown routes). [[AdaptiveScanRouter.scan]] used to return the
+    * slot immediately — which made N concurrent planners all see a free
+    * store (admission theater); the lease makes plan-time admission REAL:
+    * the slot is held until the caller closes, so it brackets however
+    * long the caller keeps the pushdown outstanding. Idempotent close. */
+  final class ScanLease private[HybridScan](val df: DataFrame, val route: Route,
+      releaseFn: () => Unit) extends AutoCloseable {
+    private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def close(): Unit = if (closed.compareAndSet(false, true)) releaseFn()
+  }
+
   /** Bounded-admission pushdown, result-identical on every route.
     *
     * `pushdownSlots` is the store's concurrent-request budget. Admission
     * is decided at request time, like the reference's manager:
-    * [[scan]] is plan-time (binary slot check — a lazy DataFrame cannot
-    * hold a slot), while [[execute]] brackets a caller's action so the
-    * slot spans the pushdown's real lifetime AND applies the reference's
-    * full rule — a saturated request queues when estimated wait (queue
-    * depth × measured pushdown-service EWMA) still beats the weighted
-    * pullup estimate, and falls back past that point.
+    * [[scan]] returns a [[ScanLease]] whose slot (on the Pushdown route)
+    * is held until the caller closes it, while [[execute]] brackets a
+    * caller's action so the slot spans the pushdown's real lifetime AND
+    * applies the reference's full rule — a saturated request queues when
+    * estimated wait (queue depth × measured pushdown-service EWMA) still
+    * beats the weighted pullup estimate, and falls back past that point.
+    * The pullup weight is DYNAMIC, like the reference's
+    * `AdaptPushdownManager::receiveOne` (`ceil(numFallBackReqs /
+    * NumMaxPullupReqs)` — fallen-back requests share network bandwidth,
+    * so each additional in-flight pullup makes the next one dearer).
     */
   final class AdaptiveScanRouter(cache: SegmentCache, pushdownSlots: Int,
       initialPushdownEstNanos: Double = 0.0,
       initialPullupEstNanos: Double = 0.0,
-      pullupWeight: Double = 1.0) {
+      pullupWeight: Double = 1.0,
+      maxPullupReqs: Int = 10) {
     private val slots = new Semaphore(pushdownSlots)
     private val pushdownN  = new AtomicLong(0)
     private val pullupN    = new AtomicLong(0)
@@ -250,29 +295,45 @@ object HybridScan {
     private def dataCols(k: SegmentKey): Seq[String] =
       k.columns.filterNot(c => c == FileCol || c == PosCol)
 
+    /** Pullup segment key: data columns CANONICALIZED (sorted) so two
+      * requests for the same column set in different projection orders
+      * share one segment instead of double-loading storage (coverage
+      * checks are set-based, so correctness never depended on order —
+      * capacity did). Ordinal keys keep their declared order: the zip
+      * build's partition/sort shape is part of what the key describes. */
+    private def pullupKey(table: String, need: Seq[String]): SegmentKey =
+      SegmentKey(table, need.sorted)
+
+    private def noopLease(df: DataFrame, route: Route) =
+      new ScanLease(df, route, () => ())
+
     /** Build the scan on the best route the cache contents and the
       * store's admission state allow, preference-ordered exactly like the
       * reference's planner weights (`SURVEY.md §4`): cache-only beats
-      * hybrid beats pushdown beats pullup-load.
+      * hybrid beats pushdown beats pullup-load. The Pushdown route HOLDS
+      * its slot in the returned lease until the caller closes it.
       *
       * Hybrid requires an ORDINAL segment (admitted by [[mergedScan]]) —
       * a plain pullup segment has no zip key, so partial coverage from
       * one falls through to pushdown/pullup rather than re-reading the
       * cached columns from storage under a hybrid label. */
     def scan(s: SparkSession, dir: String, table: String,
-        cols: Seq[String], predicate: Column): (DataFrame, Route) = {
+        cols: Seq[String], predicate: Column): ScanLease = {
       // every column the scan must produce BEFORE the filter runs: the
       // projection plus any predicate-only columns — coverage decisions
       // (and the pullup segment) are made on this set, so a predicate on
       // a column outside the projection still routes correctly
       val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
+      // ONE listing serves the fingerprint check here AND the merged
+      // scan's segment key below — the router must not multiply listings
+      // per routing decision (listingCalls spec-pinned)
+      val tl = listTable(s, dir, table)
       // resident = plain pullup segments (unfingerprinted) plus ordinal
       // segments built under the CURRENT file listing; an ordinal segment
       // whose layout fingerprint no longer matches is invisible here — it
       // can never mis-zip, only age out of the cache
-      val fp = listingFingerprint(s, dir, table)
       val resident = cache.keys.filter(k =>
-        k.table == table || k.table == s"$table@$fp")
+        k.table == table || k.table == s"$table@${tl.fingerprint}")
       val full = resident.find(k => need.forall(dataCols(k).contains))
       lazy val partial = resident
         .filter(_.columns.contains(FileCol)) // zip-capable segments only
@@ -290,12 +351,12 @@ object HybridScan {
             // sort by the zip keys), plain ones as a bare projection
             if (k.columns.contains(FileCol))
               ordinalScan(s, dir, table, dataCols(k))
-                .repartition(col(PosCol))
+                .repartition(col(PosCol), col(FileCol))
                 .sortWithinPartitions(col(PosCol), col(FileCol))
             else
               s.read.parquet(Tables.path(dir, table)).select(dataCols(k).map(col): _*)
           }
-          (seg.filter(predicate).select(cols.map(col): _*), CacheOnly)
+          noopLease(seg.filter(predicate).select(cols.map(col): _*), CacheOnly)
         case None => partial match {
           case Some((k, overlap)) =>
             hybridN.incrementAndGet()
@@ -303,23 +364,22 @@ object HybridScan {
             val pushable = referencedCols(predicate).subsetOf(fetchCols.toSet)
             val fetchPred = if (pushable) Some(predicate) else None
             val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
-              fetchPred, cache)
+              fetchPred, cache, listing = Some(tl))
             val filtered = if (pushable) merged else merged.filter(predicate)
-            (filtered.select(cols.map(col): _*), Hybrid)
+            noopLease(filtered.select(cols.map(col): _*), Hybrid)
           case None =>
             if (slots.tryAcquire()) {
-              // plan-time admission: the slot is returned immediately (the
-              // DF is lazy); use [[execute]] when it must span execution
-              slots.release()
               pushdownN.incrementAndGet()
-              (s.read.parquet(Tables.path(dir, table))
-                .filter(predicate).select(cols.map(col): _*), Pushdown)
+              new ScanLease(
+                s.read.parquet(Tables.path(dir, table))
+                  .filter(predicate).select(cols.map(col): _*),
+                Pushdown, () => slots.release())
             } else {
               pullupN.incrementAndGet()
-              val seg = cache.get(SegmentKey(table, need)) {
-                s.read.parquet(Tables.path(dir, table)).select(need.map(col): _*)
+              val seg = cache.get(pullupKey(table, need)) {
+                s.read.parquet(Tables.path(dir, table)).select(need.sorted.map(col): _*)
               }
-              (seg.filter(predicate).select(cols.map(col): _*), Pullup)
+              noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
             }
         }
       }
@@ -337,8 +397,18 @@ object HybridScan {
     @volatile private var pushdownEstNanos: Double = initialPushdownEstNanos
     @volatile private var pullupEstNanos: Double = initialPullupEstNanos
     private val queued = new AtomicLong(0)
+    private val pullupInFlight = new AtomicLong(0)
+    /** Per-table EWMA of measured pullup (cache-load) service time, in
+      * seconds — the router's bridge into the cache's W-LFU weighting:
+      * the reference's W-LFU weights are exactly its measured storage
+      * constants (`Globals.h:28-32`), so the policy that decides what
+      * STAYS resident should see what this router MEASURED each table's
+      * pullup to cost. [[measuredWeight]] is shaped to plug straight into
+      * [[WLFU]]; see [[HybridScan.routerWeightedCache]]. */
+    private val tableCostSecs =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
-    private def observe(route: Route, nanos: Long): Unit = synchronized {
+    private def observe(route: Route, nanos: Long, table: String = null): Unit = synchronized {
       route match {
         case Pushdown =>
           pushdownEstNanos =
@@ -348,11 +418,43 @@ object HybridScan {
           pullupEstNanos =
             if (pullupEstNanos <= 0) nanos.toDouble
             else (1 - EwmaAlpha) * pullupEstNanos + EwmaAlpha * nanos
+          if (table != null) {
+            val secs = nanos / 1e9
+            tableCostSecs.merge(table, Double.box(secs),
+              (old, nw) => Double.box((1 - EwmaAlpha) * old + EwmaAlpha * nw))
+          }
       }
     }
 
     /** Current service-time estimates (nanos), for tests and telemetry. */
     def estimates: (Double, Double) = (pushdownEstNanos, pullupEstNanos)
+
+    /** W-LFU weight from this router's own measurements: a segment of a
+      * table whose pullup was measured expensive is worth more per hit
+      * than one that reloads cheaply. Falls back to the global pullup
+      * EWMA, then to 1.0 (neutral) before any measurement exists. Keys
+      * carry an optional `@fingerprint` suffix (ordinal segments). */
+    def measuredWeight(k: SegmentKey): Double = {
+      val table = k.table.takeWhile(_ != '@')
+      Option(tableCostSecs.get(table)).map(_.doubleValue).getOrElse(
+        if (pullupEstNanos > 0) pullupEstNanos / 1e9 else 1.0)
+    }
+
+    /** Spec/operator hook: seed a table's measured pullup cost (the same
+      * slot [[execute]]'s pullup observations update). */
+    private[graft] def seedTableCost(table: String, secs: Double): Unit =
+      tableCostSecs.put(table, Double.box(secs))
+
+    /** The reference's dynamic fallback weight
+      * (`AdaptPushdownManager::receiveOne`: `ceil(numFallBackReqs /
+      * NumMaxPullupReqs)`): fallen-back requests share pullup bandwidth,
+      * so with more than `maxPullupReqs` pullups already in flight the
+      * next one is proportionally dearer — under heavy contention the
+      * router starts queueing for pushdown where a static weight would
+      * keep piling onto pullup. */
+    private def effectivePullupWeight: Double =
+      pullupWeight * math.max(1.0,
+        math.ceil((pullupInFlight.get + 1).toDouble / math.max(1, maxPullupReqs)))
 
     /** Run `action` with the pushdown slot held for its full duration —
       * the store-side lifetime the reference's manager tracks. When the
@@ -369,19 +471,23 @@ object HybridScan {
       }
       def runPullup(): (T, Route) = {
         pullupN.incrementAndGet()
+        pullupInFlight.incrementAndGet()
         val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
         val t0 = System.nanoTime()
         try {
-          val seg = cache.get(SegmentKey(table, need)) {
-            s.read.parquet(Tables.path(dir, table)).select(need.map(col): _*)
+          val seg = cache.get(pullupKey(table, need)) {
+            s.read.parquet(Tables.path(dir, table)).select(need.sorted.map(col): _*)
           }
           (action(seg.filter(predicate).select(cols.map(col): _*)), Pullup)
-        } finally observe(Pullup, System.nanoTime() - t0)
+        } finally {
+          pullupInFlight.decrementAndGet()
+          observe(Pullup, System.nanoTime() - t0, table)
+        }
       }
       if (slots.tryAcquire()) runPushdown()
       else {
         val estWait = (queued.get() + 1).toDouble * pushdownEstNanos
-        val pullupCost = pullupWeight * pullupEstNanos
+        val pullupCost = effectivePullupWeight * pullupEstNanos
         // queue ONLY on measured (or seeded) estimates for BOTH routes —
         // an unmeasured pushdown would claim zero wait, and a zero-slot
         // store must never block on acquire. First contention therefore
@@ -394,6 +500,26 @@ object HybridScan {
         } else runPullup()
       }
     }
+  }
+
+  /** A cache whose W-LFU weights ARE the router's measured per-table
+    * pullup costs — closing the loop the reference closes with its
+    * measured S3 constants (`Globals.h:28-32` feed the W-LFU policy):
+    * the router measures what each table's pullup costs; the cache then
+    * keeps the segments that are expensive to reload. Built together
+    * because each needs the other (the weight function reads the router;
+    * the router routes through the cache). Before any measurement the
+    * weight is neutral (1.0), so cold behavior equals plain LFU. */
+  def routerWeightedCache(capacityBytes: Long, pushdownSlots: Int,
+      pullupWeight: Double = 1.0, maxPullupReqs: Int = 10)
+      : (SegmentCache, AdaptiveScanRouter) = {
+    val holder = new java.util.concurrent.atomic.AtomicReference[AdaptiveScanRouter]()
+    val cache = new SegmentCache(capacityBytes, WLFU(k =>
+      Option(holder.get).map(_.measuredWeight(k)).getOrElse(1.0)))
+    val router = new AdaptiveScanRouter(cache, pushdownSlots,
+      pullupWeight = pullupWeight, maxPullupReqs = maxPullupReqs)
+    holder.set(router)
+    (cache, router)
   }
 
   // --------------------------------------------------------------- entries
@@ -428,12 +554,13 @@ object HybridScan {
     * the cache-resident segment; the oracle is route-independent. */
   private def dm03AdaptiveRoute(s: SparkSession, dir: String): DataFrame = {
     val router = new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = 0)
-    val (df, route) = router.scan(s, dir, "orders",
+    val lease = router.scan(s, dir, "orders",
       Seq("o_orderpriority", "o_orderdate"),
       expr("o_orderdate >= date '1996-07-01' and o_orderdate < date '1996-10-01'"))
-    require(route == Pullup || route == CacheOnly,
-      s"saturated store must stay compute-side, got $route")
-    df.groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    lease.close() // zero-slot router: nothing to release, close eagerly
+    require(lease.route == Pullup || lease.route == CacheOnly,
+      s"saturated store must stay compute-side, got ${lease.route}")
+    lease.df.groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
   }
 
@@ -479,15 +606,34 @@ object HybridScan {
     * result distinct from dm02's. */
   private def dm05RoutedHybrid(s: SparkSession, dir: String): DataFrame = {
     val cache = segmentCache(s, dir)
-    mergedScan(s, dir, "lineitem",
+    def admitSegment(): Unit = mergedScan(s, dir, "lineitem",
       cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
       fetchCols = Seq("l_shipdate"), fetchPredicate = None, cache = cache)
+    admitSegment()
     val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
-    val (df, route) = router.scan(s, dir, "lineitem",
+    def route() = router.scan(s, dir, "lineitem",
       Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"),
       expr("l_shipdate >= date '1997-01-01' and l_shipdate < date '1998-01-01'"))
-    require(route == Hybrid, s"partial segment must route hybrid, got $route")
-    df.filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+    var lease = route()
+    if (lease.route != Hybrid) {
+      // Degrade gracefully rather than hard-failing the entry: the shared
+      // session cache can refuse or evict the 3-column ordinal segment
+      // under capacity pressure at larger SFs (admit() compares candidate
+      // priority; LRU pressure from sibling dm entries can evict between
+      // calls). Re-admit and retry once; if the router still can't see a
+      // partial segment, proceed on whatever route it chose — routes are
+      // result-identical by construction, and the bench/spec pin the
+      // Hybrid route at the SFs where capacity suffices.
+      lease.close()
+      admitSegment()
+      lease = route()
+      if (lease.route != Hybrid)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dm05: segment not admissible (capacity?); " +
+          s"routing ${lease.route} instead of Hybrid")
+    }
+    lease.close()
+    lease.df.filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
       .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
   }
 

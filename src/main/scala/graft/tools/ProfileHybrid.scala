@@ -32,6 +32,10 @@ object ProfileHybrid {
     // is decode-trivial on local NVMe, so replicate until storage decode
     // is a measurable cost and report the regime honestly
     val repl = sys.env.getOrElse("SPARK_GRAFT_HYBRID_REPL", "1").toInt
+    // part-file count of the replicated copy: the zip key is the metadata
+    // file path, so the file-count axis (not just bytes) is the scale
+    // variable the r10 rework is graded on — probe at 64+
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_HYBRID_FILES", "8").toInt
     val spark = GraftSession.get("graft-profile-hybrid")
     spark.sparkContext.setLogLevel("ERROR")
     val planTap = graft.util.ScanStats.attachPlans(spark)
@@ -39,14 +43,14 @@ object ProfileHybrid {
     val sfDir =
       if (repl <= 1) srcDir
       else {
-        val out = graft.sources.Fixtures.path(srcDir, s"hybrid_repl_x$repl")
+        val out = graft.sources.Fixtures.path(srcDir, s"hybrid_repl_x${repl}_f$nFiles")
         graft.sources.Fixtures.ensure(spark, s"$out/lineitem.parquet") {
           val base = Tables.lineitem(spark, srcDir)
           (1 to repl).map(_ => base).reduce(_ unionByName _)
-            .repartition(8).write.mode("overwrite")
+            .repartition(nFiles).write.mode("overwrite")
             .parquet(s"$out/lineitem.parquet")
         }
-        println(s"replicated lineitem x$repl at $out")
+        println(s"replicated lineitem x$repl ($nFiles files) at $out")
         out
       }
 

@@ -105,55 +105,187 @@ class HybridScanSpec extends SparkSpec {
       s"hits=${cache.hits} misses=${cache.misses}")
   }
 
-  test("unmapped file fails loudly instead of mis-zipping") {
-    // fabricate a frame whose _metadata basename can't be in the id map by
-    // pointing ordinalScan at one table and validating the raise_error
-    // wiring survives optimization: a valid read never raises
-    val ok = HybridScan.ordinalScan(spark, sfDir, "region", Seq("r_name"))
-    assert(ok.count() > 0) // raise_error branch compiled in, not taken
-    val plan = fmt(ok)
-    assert(plan.contains("raise_error") || ok.columns.contains(HybridScan.FileCol))
+  test("many-file zip: no per-file literal map in the plan, thin-exchange shape holds") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.catalyst.expressions.CreateMap
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = Files.createTempDirectory("hybrid-manyfile").toString
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // 64 part files — the regime where the r9 literal file-id map meant
+      // a CreateMap with 128+ literal children growing with file count
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+        .repartition(64).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val cache = new SegmentCache(1L << 30, LRU)
+      val merged = HybridScan.mergedScan(spark, dir, "lineitem",
+        cachedCols = Seq("l_quantity", "l_extendedprice"),
+        fetchCols = Seq("l_shipdate"), fetchPredicate = None, cache = cache)
+      merged.count()
+      // the zip key is the metadata path itself: NO literal map anywhere
+      val hasMap = merged.queryExecution.optimizedPlan
+        .collect { case p => p.expressions }.flatten
+        .exists(e => e.collectFirst { case m: CreateMap => m }.isDefined)
+      assert(!hasMap, "zip must not build a per-file literal CreateMap")
+      // and the scale shape survives: only the thin fetch side exchanges
+      val plan = merged.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 1,
+        s"expected exactly one Exchange at 64 files, got ${exchanges.length}")
+      assert(exchanges.head.collectFirst { case f: FileSourceScanExec => f }.isDefined,
+        "the sole Exchange must sit over the storage fetch")
+      // and the zip is still positionally exact
+      val plain = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_shipdate")
+      val cols = plain.columns.map(col)
+      assert(merged.select(cols: _*).exceptAll(plain).isEmpty &&
+        plain.exceptAll(merged.select(cols: _*)).isEmpty)
+      cache.invalidateAll()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(Paths.get(dir).toFile)
+    }
   }
 
-  test("router admits pushdown while slots free, falls back to pullup when saturated") {
+  test("an in-place same-name rewrite misses the fingerprinted segment") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("hybrid-inplace")
+    try {
+      val stageA = root.resolve("stageA"); val stageB = root.resolve("stageB")
+      val table = root.resolve("t.parquet"); Files.createDirectories(table)
+      spark.range(100).selectExpr("id", "id * 2 as v")
+        .coalesce(1).write.parquet(stageA.toString)
+      spark.range(40).selectExpr("id", "id * 3 as v")
+        .coalesce(1).write.parquet(stageB.toString)
+      def firstPart(p: java.nio.file.Path) =
+        Files.list(p).filter(_.getFileName.toString.endsWith(".parquet")).findFirst.get
+      // the part file keeps the SAME NAME across both generations — only
+      // its bytes (length, mtime) change, the hazard ADVICE flagged
+      val dst = table.resolve("part-00000.parquet")
+      Files.copy(firstPart(stageA), dst, StandardCopyOption.REPLACE_EXISTING)
+      val cache = new SegmentCache(1L << 30, LRU)
+      def sum() = HybridScan.mergedScan(spark, root.toString, "t",
+          cachedCols = Seq("id"), fetchCols = Seq("v"),
+          fetchPredicate = None, cache = cache)
+        .agg(org.apache.spark.sql.functions.sum("v")).collect().head.getLong(0)
+      assert(sum() == (0L until 100L).map(_ * 2).sum && cache.misses == 1)
+      Files.copy(firstPart(stageB), dst, StandardCopyOption.REPLACE_EXISTING)
+      assert(sum() == (0L until 40L).map(_ * 3).sum,
+        "post-rewrite read must reflect the new bytes, not a stale zip")
+      assert(cache.misses == 2,
+        s"same-name content change must miss the (path,len,mtime) fingerprint, misses=${cache.misses}")
+      cache.invalidateAll()
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("router lists the table exactly once per routing decision") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)
+    val pred = expr(q6Pred)
+    // warm a partial ordinal segment so the NEXT scan takes the hybrid
+    // route — the worst case, which used to pay 3-4 listings (fingerprint
+    // + two ordinal scans + the router's residency check)
+    HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = Some(pred),
+      cache = cache).count()
+    val before = HybridScan.listingCalls.get()
+    val lease = router.scan(spark, sfDir, "lineitem",
+      Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"), pred)
+    lease.close()
+    assert(lease.route == HybridScan.Hybrid)
+    val delta = HybridScan.listingCalls.get() - before
+    assert(delta == 1, s"hybrid routing must list once, listed $delta times")
+  }
+
+  test("router admits pushdown while a slot is leased, falls back to pullup when saturated") {
     val cache = new SegmentCache(1L << 30, LRU)
     val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)
     val pred = expr("o_orderdate >= date '1996-07-01' and o_orderdate < date '1996-10-01'")
     val cols = Seq("o_orderpriority", "o_orderdate")
 
-    val (dfPush, r1) = router.scan(spark, sfDir, "orders", cols, pred)
-    assert(r1 == Pushdown)
+    val leasePush = router.scan(spark, sfDir, "orders", cols, pred)
+    assert(leasePush.route == Pushdown)
+    assert(router.availableSlots == 0, "the lease must HOLD the slot until closed")
 
-    // hold the single slot across an execute(); a concurrent request must
-    // take the pullup route and still return identical rows
-    val inAction = new CountDownLatch(1)
-    val releaseAction = new CountDownLatch(1)
-    val pool = Executors.newFixedThreadPool(2)
+    // the slot is held by the open lease — a second request is saturated
+    // and must take the pullup route, returning identical rows
+    val leasePull = router.scan(spark, sfDir, "orders", cols, pred)
+    assert(leasePull.route == Pullup, "saturated store must route to pullup")
+    assert(leasePull.df.count() == leasePush.df.count(),
+      "routes must be result-identical")
+    leasePull.close()
+    leasePush.close()
+    assert(router.availableSlots == 1, "closing the lease must release the slot")
+    leasePush.close() // idempotent
+    assert(router.availableSlots == 1, "double-close must not double-release")
+
+    // slot free again — but the pullup fallback admitted the segment, so
+    // the best route is now the cache, not the store
+    val lease3 = router.scan(spark, sfDir, "orders", cols, pred)
+    lease3.close()
+    assert(lease3.route == HybridScan.CacheOnly,
+      s"resident segment must outrank a free pushdown slot, got ${lease3.route}")
+    assert(router.pushdowns == 1 && router.pullups == 1 && router.cacheOnlys == 1,
+      s"pushdowns=${router.pushdowns} pullups=${router.pullups} cacheOnlys=${router.cacheOnlys}")
+  }
+
+  test("N parallel scans over a 1-slot router admit exactly one pushdown") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)
+    val pred = expr("o_orderdate >= date '1996-07-01'")
+    val cols = Seq("o_orderpriority")
+    val pool = Executors.newFixedThreadPool(4)
     try {
-      val held = pool.submit(new java.util.concurrent.Callable[(Long, HybridScan.Route)] {
-        override def call(): (Long, HybridScan.Route) =
-          router.execute(spark, sfDir, "orders", cols, pred) { df =>
-            inAction.countDown()
-            releaseAction.await(30, TimeUnit.SECONDS)
-            df.count()
+      val start = new CountDownLatch(1)
+      val leases = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[HybridScan.ScanLease] {
+          override def call(): HybridScan.ScanLease = {
+            start.await(30, TimeUnit.SECONDS)
+            router.scan(spark, sfDir, "orders", cols, pred)
           }
-      })
-      assert(inAction.await(30, TimeUnit.SECONDS), "execute() did not start")
-      val (dfPull, r2) = router.scan(spark, sfDir, "orders", cols, pred)
-      assert(r2 == Pullup, "saturated store must route to pullup")
-      releaseAction.countDown()
-      val (heldCount, heldRoute) = held.get(60, TimeUnit.SECONDS)
-      assert(heldRoute == Pushdown)
-      assert(dfPull.count() == heldCount && dfPush.count() == heldCount,
-        "routes must be result-identical")
-      // slot released after execute() — but the pullup fallback admitted
-      // the segment, so the best route is now the cache, not the store
-      val (_, r3) = router.scan(spark, sfDir, "orders", cols, pred)
-      assert(r3 == HybridScan.CacheOnly,
-        s"resident segment must outrank a free pushdown slot, got $r3")
-      assert(router.pushdowns == 2 && router.pullups == 1 && router.cacheOnlys == 1,
-        s"pushdowns=${router.pushdowns} pullups=${router.pullups} cacheOnlys=${router.cacheOnlys}")
+        })
+      }
+      start.countDown()
+      val resolved = leases.map(_.get(60, TimeUnit.SECONDS))
+      // no lease closed yet: concurrent planners must NOT all see a free
+      // store (the r9 tryAcquire-release admission theater)
+      assert(router.pushdowns == 1,
+        s"exactly one concurrent scan may win the slot, got ${router.pushdowns}")
+      assert(resolved.map(_.route).count(_ == Pushdown) == 1)
+      resolved.foreach(_.close())
+      assert(router.availableSlots == 1)
     } finally pool.shutdownNow()
+  }
+
+  test("pullup segment key is canonical: projection order shares one segment") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 0) // force pullup
+    val pred = expr("o_orderdate >= date '1996-07-01'")
+    val a = router.scan(spark, sfDir, "orders", Seq("o_orderpriority", "o_orderdate"), pred)
+    a.close()
+    assert(a.route == Pullup)
+    val b = router.scan(spark, sfDir, "orders", Seq("o_orderdate", "o_orderpriority"), pred)
+    b.close()
+    assert(b.route == HybridScan.CacheOnly,
+      s"reversed projection must hit the canonical segment, got ${b.route}")
+    assert(cache.keys.length == 1,
+      s"one column set must admit ONE segment, got ${cache.keys}")
+    assert(b.df.columns.toSeq == Seq("o_orderdate", "o_orderpriority"),
+      "requested projection order must be preserved in the output")
   }
 
   test("execute releases the slot on failure") {
@@ -205,9 +337,10 @@ class HybridScanSpec extends SparkSpec {
     val pred = expr(q6Pred)
     val want = Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate")
 
-    // nothing resident, slot free → pushdown
-    val (_, r0) = router.scan(spark, sfDir, "lineitem", want, pred)
-    assert(r0 == Pushdown)
+    // nothing resident, slot free → pushdown (close: return the slot)
+    val l0 = router.scan(spark, sfDir, "lineitem", want, pred)
+    l0.close()
+    assert(l0.route == Pushdown)
 
     // warm a PARTIAL ordinal segment → hybrid: resident columns from
     // cache, only l_shipdate fetched, predicate pushed (it references
@@ -216,7 +349,9 @@ class HybridScanSpec extends SparkSpec {
       cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
       fetchCols = Seq("l_shipdate"), fetchPredicate = Some(pred),
       cache = cache).count()
-    val (dfHybrid, r1) = router.scan(spark, sfDir, "lineitem", want, pred)
+    val l1 = router.scan(spark, sfDir, "lineitem", want, pred)
+    l1.close()
+    val (dfHybrid, r1) = (l1.df, l1.route)
     assert(r1 == HybridScan.Hybrid, s"partial ordinal segment must route hybrid, got $r1")
     val plain = Tables.lineitem(spark, sfDir).filter(pred)
       .select(want.map(col): _*)
@@ -227,8 +362,9 @@ class HybridScanSpec extends SparkSpec {
     // full coverage resident → cache-only even with zero slots
     val starved = new AdaptiveScanRouter(cache, pushdownSlots = 0)
     val sub = Seq("l_extendedprice", "l_quantity")
-    val (dfCache, r2) = starved.scan(spark, sfDir, "lineitem", sub,
-      expr("l_quantity < 24"))
+    val l2 = starved.scan(spark, sfDir, "lineitem", sub, expr("l_quantity < 24"))
+    l2.close()
+    val (dfCache, r2) = (l2.df, l2.route)
     assert(r2 == HybridScan.CacheOnly, s"resident superset must serve cache-only, got $r2")
     val plainSub = Tables.lineitem(spark, sfDir)
       .filter(expr("l_quantity < 24")).select(sub.map(col): _*)
@@ -237,7 +373,9 @@ class HybridScanSpec extends SparkSpec {
     // a predicate touching a CACHED column must not be pushed to the
     // fetch side — it filters after the zip, same rows
     val mixedPred = expr(s"$q6Pred and l_quantity < 24")
-    val (dfMixed, r3) = router.scan(spark, sfDir, "lineitem", want, mixedPred)
+    val l3 = router.scan(spark, sfDir, "lineitem", want, mixedPred)
+    l3.close()
+    val (dfMixed, r3) = (l3.df, l3.route)
     assert(r3 == HybridScan.Hybrid)
     assert(dfMixed.count() ==
       Tables.lineitem(spark, sfDir).filter(mixedPred).count())
@@ -254,13 +392,17 @@ class HybridScanSpec extends SparkSpec {
     val cols = Seq("l_extendedprice", "l_discount")
     // pullup must load a segment wide enough to evaluate the predicate,
     // then project it away
-    val (df1, r1) = router.scan(spark, sfDir, "lineitem", cols, pred)
+    val lp1 = router.scan(spark, sfDir, "lineitem", cols, pred)
+    lp1.close()
+    val (df1, r1) = (lp1.df, lp1.route)
     assert(r1 == Pullup)
     assert(df1.columns.toSeq == cols)
     val expect = Tables.lineitem(spark, sfDir).filter(pred).count()
     assert(df1.count() == expect)
     // second request: the widened segment now covers projection+predicate
-    val (df2, r2) = router.scan(spark, sfDir, "lineitem", cols, pred)
+    val lp2 = router.scan(spark, sfDir, "lineitem", cols, pred)
+    lp2.close()
+    val (df2, r2) = (lp2.df, lp2.route)
     assert(r2 == HybridScan.CacheOnly, s"widened segment must serve cache-only, got $r2")
     assert(df2.count() == expect && df2.columns.toSeq == cols)
   }
@@ -420,5 +562,83 @@ class HybridScanSpec extends SparkSpec {
     assert(out.nonEmpty)
     val prios = out.map(_.getString(0)).toSeq
     assert(prios == prios.sorted)
+  }
+
+  test("pullup weight is dynamic: in-flight pullups tip contention toward queueing") {
+    // seeded: pushdown 3ms, pullup 2ms, maxPullupReqs=1.
+    //  - first contended request: estWait 3ms > 1×2ms → falls back (pullup)
+    //  - second, WHILE that pullup is in flight: weight ceil(2/1)=2 →
+    //    pullupCost 4ms ≥ 3ms → queues and completes as pushdown.
+    // A static weight would have sent it to pullup too — the reference's
+    // bandwidth-sharing rule (AdaptPushdownManager::receiveOne) is what
+    // flips the decision.
+    val router = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 3e6,
+      initialPullupEstNanos = 2e6, maxPullupReqs = 1)
+    val pred = expr("o_orderdate >= date '1996-07-01'")
+    val cols = Seq("o_orderpriority")
+    val pool = Executors.newFixedThreadPool(3)
+    try {
+      val slotHeld = new CountDownLatch(1); val releaseSlot = new CountDownLatch(1)
+      val pullupIn = new CountDownLatch(1); val releasePullup = new CountDownLatch(1)
+      val holder = pool.submit(new java.util.concurrent.Callable[HybridScan.Route] {
+        override def call(): HybridScan.Route =
+          router.execute(spark, sfDir, "orders", cols, pred) { df =>
+            slotHeld.countDown(); releaseSlot.await(30, TimeUnit.SECONDS); df.count()
+          }._2
+      })
+      assert(slotHeld.await(30, TimeUnit.SECONDS))
+      val fallback = pool.submit(new java.util.concurrent.Callable[HybridScan.Route] {
+        override def call(): HybridScan.Route =
+          router.execute(spark, sfDir, "orders", cols, pred) { df =>
+            pullupIn.countDown(); releasePullup.await(30, TimeUnit.SECONDS); df.count()
+          }._2
+      })
+      assert(pullupIn.await(30, TimeUnit.SECONDS))
+      // 1 pullup in flight → dynamic weight 2 → this request QUEUES
+      val queued = pool.submit(new java.util.concurrent.Callable[HybridScan.Route] {
+        override def call(): HybridScan.Route =
+          router.execute(spark, sfDir, "orders", cols, pred)(_.count())._2
+      })
+      Thread.sleep(200)
+      assert(!queued.isDone, "under dynamic weight the request should queue, not fall back")
+      releasePullup.countDown()
+      assert(fallback.get(60, TimeUnit.SECONDS) == Pullup)
+      releaseSlot.countDown()
+      assert(holder.get(60, TimeUnit.SECONDS) == Pushdown)
+      assert(queued.get(60, TimeUnit.SECONDS) == Pushdown,
+        "the queued request must execute as pushdown once the slot frees")
+      assert(router.pushdowns == 2 && router.pullups == 1)
+    } finally pool.shutdownNow()
+  }
+
+  test("router-measured pullup costs drive W-LFU admission: expensive segments outlive cheap ones") {
+    // capacity fits ONE of the two equally-sized segments; the weights
+    // come from the ROUTER's measured per-table pullup costs
+    val probe = spark.range(2000).selectExpr("id as x")
+    val segBytes = probe.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val (cache, router) = HybridScan.routerWeightedCache(
+      capacityBytes = (segBytes * 1.5).toLong, pushdownSlots = 0)
+    router.seedTableCost("cheap", 0.001)
+    router.seedTableCost("dear", 10.0)
+    // admit the cheap table's segment, then the dear one: the candidate's
+    // measured weight outranks the resident's → evict-and-admit
+    cache.get(SegmentKey("cheap", Seq("x"))) { spark.range(2000).selectExpr("id as x") }
+    cache.get(SegmentKey("dear", Seq("x"))) { spark.range(2000).selectExpr("id as x") }
+    assert(cache.keys.map(_.table) == Seq("dear"),
+      s"measured-dear segment must displace measured-cheap, resident=${cache.keys}")
+    // and the reverse admission is refused: cheap cannot displace dear
+    cache.get(SegmentKey("cheap", Seq("x"))) { spark.range(2000).selectExpr("id as x") }
+    assert(cache.keys.map(_.table) == Seq("dear"),
+      s"measured-cheap candidate must not evict the dear resident, resident=${cache.keys}")
+    // the weights are fed by real executions: a pullup through execute()
+    // measures the table and registers a positive cost
+    val before = router.measuredWeight(SegmentKey("region", Seq("r_name")))
+    router.execute(spark, sfDir, "region", Seq("r_name"),
+      expr("r_regionkey >= 0"))(_.count())
+    val after = router.measuredWeight(SegmentKey("region", Seq("r_name")))
+    assert(after > 0 && after != before,
+      s"execute() pullup must register a measured per-table cost, got $after (was $before)")
+    cache.invalidateAll()
   }
 }

@@ -1,7 +1,10 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.cache.{MeasuredWLFU, SegmentCache, SegmentKey}
+import graft.cache.{HybridScan, LRU, MeasuredWLFU, SegmentCache, SegmentKey}
+import graft.cache.HybridScan.{AdaptiveScanRouter, ModeCachingOnly, ModeHybrid, ScanMode}
+import graft.operators.SsbCorpus
+import graft.plans.ModeExec
 import graft.sources.Tables
 
 /** Driver-run benchmark: every SparkEntry query against
@@ -292,6 +295,53 @@ object Bench {
       (cold, warm, loads, counters)
     }
 
+    // ---- whole-suite scan-mode comparison (round-9 verdict item 2) -----
+    // The reference's actual evaluation discipline: the ENTIRE 13-query
+    // SSB family under each Mode.h mode (its `exec.conf` knob;
+    // `HybridTest.cpp` / `fpdb-main/bench` sweep suites this way), every
+    // leaf routed through AdaptiveScanRouter. Caching/hybrid report cold
+    // (first pass populates segments) and warm (resident) totals; hybrid
+    // pre-admits the partial lineitem ordinal segment so the router has a
+    // zip to discover, and the warm pass's Hybrid route count is recorded
+    // as proof the suite actually exercised the merge path.
+    val scanModes: Seq[(String, Double)] = if (args.nonEmpty) Nil else {
+      def timedSuite(mode: ScanMode, router: AdaptiveScanRouter): Double =
+        SsbCorpus.names.map { n =>
+          val t0 = System.nanoTime()
+          try {
+            ModeExec.runQueryMode(spark, sfDir, SsbCorpus.sql(n), mode, router)(
+              _.write.format("noop").mode("overwrite").save())
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] mode-${mode.name} $n failed: ${e.getMessage}")
+            -1.0
+          }
+        }.filter(_ >= 0).sum
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      for (mode <- ScanMode.all) {
+        val cache = new SegmentCache(1L << 30, LRU)
+        if (mode == ModeHybrid)
+          HybridScan.mergedScan(spark, sfDir, "lineitem",
+            cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+            fetchCols = Seq("l_shipdate"), fetchPredicate = None,
+            cache = cache).count()
+        mode match {
+          case ModeCachingOnly | ModeHybrid =>
+            out += s"${mode.name}_cold" -> timedSuite(mode,
+              new AdaptiveScanRouter(cache, pushdownSlots = 64))
+            val warmRouter = new AdaptiveScanRouter(cache, pushdownSlots = 64)
+            out += s"${mode.name}_warm" -> timedSuite(mode, warmRouter)
+            if (mode == ModeHybrid)
+              out += "hybrid_routes" -> warmRouter.hybrids.toDouble
+          case _ =>
+            out += mode.name -> timedSuite(mode,
+              new AdaptiveScanRouter(cache, pushdownSlots = 64))
+        }
+        cache.invalidateAll()
+      }
+      out.toSeq
+    }
+
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-run suite totals — the round-over-round variance record
     val runTotals = (0 until benchRuns).map { i =>
@@ -315,6 +365,7 @@ object Bench {
              "\"" + k + "\":{\"files\":" + f + ",\"files_bytes\":" + fb +
                ",\"scan_rows\":" + sr + ",\"fs_bytes\":" + b +
                ",\"shuffle_bytes\":" + sh + "}" }.mkString("{", ",", "}")},
+         |"scan_modes":${scanModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"modes":{"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warm.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_load":${loads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
@@ -333,7 +384,8 @@ object Bench {
       val fams = jmap(famTotals, dp)
       val modes = if (warm.isEmpty) "" else
         s""","modes":{"cold":${fmt(dp, cold.map(_._2).filter(_ >= 0).sum)},"warm":${fmt(dp, warm.map(_._2).filter(_ >= 0).sum)},"n":${warm.size}},"cache":${jmap(counters, dp)}"""
-      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
+      val sm = if (scanModes.isEmpty) "" else s""","scan_modes":${jmap(scanModes, dp)}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))
     // stop Spark BEFORE printing: the driver keeps the tail of the output

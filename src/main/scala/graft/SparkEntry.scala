@@ -26,7 +26,8 @@ object SparkEntry {
       graft.sources.BloomPruner.queries ++ graft.sources.Layout.queries ++
       graft.sources.JsonLines.queries ++ graft.sources.Orc.queries ++
       TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries ++
-      Graph.queries ++ graft.cache.HybridScan.queries
+      Graph.queries ++ graft.cache.HybridScan.queries ++
+      graft.plans.ModeExec.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.sources.BloomPruner.oracleSql ++ graft.sources.Layout.oracleSql ++
       graft.sources.JsonLines.oracleSql ++ graft.sources.Orc.oracleSql ++
       TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql ++
-      Graph.oracleSql ++ graft.cache.HybridScan.oracleSql
+      Graph.oracleSql ++ graft.cache.HybridScan.oracleSql ++
+      graft.plans.ModeExec.oracleSql
 }

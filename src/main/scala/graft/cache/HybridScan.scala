@@ -240,6 +240,26 @@ object HybridScan {
     * the reference system its name. */
   case object Hybrid extends Route
 
+  /** Deployment-wide execution mode — the reference's `Mode.h:13-18`
+    * (PULLUP / PUSHDOWN_ONLY / CACHING_ONLY / HYBRID), the knob its
+    * `exec.conf` sets per run and its `HybridTest.cpp` sweeps per suite.
+    * A mode RESTRICTS the per-request route lattice; it never changes
+    * results (every route is result-identical by construction). */
+  sealed trait ScanMode { def name: String }
+  case object ModePullup extends ScanMode { val name = "pullup" }
+  case object ModePushdownOnly extends ScanMode { val name = "pushdown" }
+  case object ModeCachingOnly extends ScanMode { val name = "caching" }
+  case object ModeHybrid extends ScanMode { val name = "hybrid" }
+
+  object ScanMode {
+    val all: Seq[ScanMode] =
+      Seq(ModePullup, ModePushdownOnly, ModeCachingOnly, ModeHybrid)
+    def parse(s: String): ScanMode =
+      all.find(_.name == s.toLowerCase.trim).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown scan mode '$s' (expected one of ${all.map(_.name).mkString("/")})"))
+  }
+
   /** Column names a (possibly unresolved) predicate mentions — drives the
     * hybrid route's push-vs-post filter placement. */
   private def referencedCols(c: Column): Set[String] =
@@ -318,70 +338,118 @@ object HybridScan {
       * one falls through to pushdown/pullup rather than re-reading the
       * cached columns from storage under a hybrid label. */
     def scan(s: SparkSession, dir: String, table: String,
-        cols: Seq[String], predicate: Column): ScanLease = {
+        cols: Seq[String], predicate: Column): ScanLease =
+      scanMode(s, dir, table, cols, predicate, ModeHybrid)
+
+    /** [[scan]] with the route lattice RESTRICTED to a deployment mode —
+      * the reference's `Mode.h:13-18` execution modes, selectable per
+      * suite run (`resources/config/exec.conf:1-11`):
+      *  - `ModePullup`: storage returns raw column bytes, the predicate
+      *    runs compute-side, nothing is cached (re-read every query);
+      *  - `ModePushdownOnly`: every scan pushes filter+projection to
+      *    storage (slot-leased, like the full lattice's pushdown route);
+      *  - `ModeCachingOnly`: serve from resident segments, load on miss,
+      *    never push down (the cache-only + pullup-load branches);
+      *  - `ModeHybrid`: the full preference lattice (default). */
+    def scanMode(s: SparkSession, dir: String, table: String,
+        cols: Seq[String], predicate: Column, mode: ScanMode): ScanLease = {
       // every column the scan must produce BEFORE the filter runs: the
       // projection plus any predicate-only columns — coverage decisions
       // (and the pullup segment) are made on this set, so a predicate on
       // a column outside the projection still routes correctly
       val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
-      // ONE listing serves the fingerprint check here AND the merged
-      // scan's segment key below — the router must not multiply listings
-      // per routing decision (listingCalls spec-pinned)
-      val tl = listTable(s, dir, table)
-      // resident = plain pullup segments (unfingerprinted) plus ordinal
-      // segments built under the CURRENT file listing; an ordinal segment
-      // whose layout fingerprint no longer matches is invisible here — it
-      // can never mis-zip, only age out of the cache
-      val resident = cache.keys.filter(k =>
-        k.table == table || k.table == s"$table@${tl.fingerprint}")
-      val full = resident.find(k => need.forall(dataCols(k).contains))
-      lazy val partial = resident
-        .filter(_.columns.contains(FileCol)) // zip-capable segments only
-        .map(k => k -> dataCols(k).filter(need.contains))
-        .filter { case (_, ov) => ov.nonEmpty && ov.size < need.size }
-        .sortBy { case (_, ov) => -ov.size }
-        .headOption
 
-      full match {
-        case Some(k) =>
-          cacheOnlyN.incrementAndGet()
-          val seg = cache.get(k) {
-            // race-rebuild must reproduce the key's exact shape: ordinal
-            // segments rebuild through the mergedScan builder (partition +
-            // sort by the zip keys), plain ones as a bare projection
-            if (k.columns.contains(FileCol))
-              ordinalScan(s, dir, table, dataCols(k))
-                .repartition(col(PosCol), col(FileCol))
-                .sortWithinPartitions(col(PosCol), col(FileCol))
-            else
-              s.read.parquet(Tables.path(dir, table)).select(dataCols(k).map(col): _*)
-          }
-          noopLease(seg.filter(predicate).select(cols.map(col): _*), CacheOnly)
-        case None => partial match {
-          case Some((k, overlap)) =>
-            hybridN.incrementAndGet()
-            val fetchCols = need.filterNot(overlap.contains)
-            val pushable = referencedCols(predicate).subsetOf(fetchCols.toSet)
-            val fetchPred = if (pushable) Some(predicate) else None
-            val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
-              fetchPred, cache, listing = Some(tl))
-            val filtered = if (pushable) merged else merged.filter(predicate)
-            noopLease(filtered.select(cols.map(col): _*), Hybrid)
-          case None =>
-            if (slots.tryAcquire()) {
-              pushdownN.incrementAndGet()
-              new ScanLease(
-                s.read.parquet(Tables.path(dir, table))
-                  .filter(predicate).select(cols.map(col): _*),
-                Pushdown, () => slots.release())
-            } else {
-              pullupN.incrementAndGet()
-              val seg = cache.get(pullupKey(table, need)) {
-                s.read.parquet(Tables.path(dir, table)).select(need.sorted.map(col): _*)
-              }
-              noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
-            }
+      def plainScan() = s.read.parquet(Tables.path(dir, table))
+
+      def pushdownLease(): ScanLease = {
+        val acquired = slots.tryAcquire()
+        pushdownN.incrementAndGet()
+        new ScanLease(
+          plainScan().filter(predicate).select(cols.map(col): _*),
+          Pushdown, if (acquired) () => slots.release() else () => ())
+      }
+
+      def pullupLoad(): ScanLease = {
+        pullupN.incrementAndGet()
+        val seg = cache.get(pullupKey(table, need)) {
+          plainScan().select(need.sorted.map(col): _*)
         }
+        noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
+      }
+
+      def cacheOnly(k: SegmentKey): ScanLease = {
+        cacheOnlyN.incrementAndGet()
+        val seg = cache.get(k) {
+          // race-rebuild must reproduce the key's exact shape: ordinal
+          // segments rebuild through the mergedScan builder (partition +
+          // sort by the zip keys), plain ones as a bare projection
+          if (k.columns.contains(FileCol))
+            ordinalScan(s, dir, table, dataCols(k))
+              .repartition(col(PosCol), col(FileCol))
+              .sortWithinPartitions(col(PosCol), col(FileCol))
+          else
+            plainScan().select(dataCols(k).map(col): _*)
+        }
+        noopLease(seg.filter(predicate).select(cols.map(col): _*), CacheOnly)
+      }
+
+      mode match {
+        case ModePullup =>
+          // the reference's PULLUP: raw bytes up, filter compute-side, no
+          // cache participation at all (neither lookup nor admission)
+          pullupN.incrementAndGet()
+          noopLease(plainScan().select(need.map(col): _*)
+            .filter(predicate).select(cols.map(col): _*), Pullup)
+        case ModePushdownOnly =>
+          pushdownLease()
+        case ModeCachingOnly =>
+          // cache-resident when covered, load-and-admit when not — the
+          // fingerprint/listing machinery is not consulted because this
+          // mode never zips (plain segments carry no ordinals)
+          cache.keys.filter(_.table == table)
+            .find(k => need.forall(dataCols(k).contains)) match {
+            case Some(k) => cacheOnly(k)
+            case None    => pullupLoad()
+          }
+        case ModeHybrid =>
+          // ONE listing serves the fingerprint check here AND the merged
+          // scan's segment key below — the router must not multiply
+          // listings per routing decision (listingCalls spec-pinned)
+          val tl = listTable(s, dir, table)
+          // resident = plain pullup segments (unfingerprinted) plus
+          // ordinal segments built under the CURRENT file listing; an
+          // ordinal segment whose layout fingerprint no longer matches is
+          // invisible here — it can never mis-zip, only age out
+          val resident = cache.keys.filter(k =>
+            k.table == table || k.table == s"$table@${tl.fingerprint}")
+          val full = resident.find(k => need.forall(dataCols(k).contains))
+          lazy val partial = resident
+            .filter(_.columns.contains(FileCol)) // zip-capable segments only
+            .map(k => k -> dataCols(k).filter(need.contains))
+            .filter { case (_, ov) => ov.nonEmpty && ov.size < need.size }
+            .sortBy { case (_, ov) => -ov.size }
+            .headOption
+          full match {
+            case Some(k) => cacheOnly(k)
+            case None => partial match {
+              case Some((k, overlap)) =>
+                hybridN.incrementAndGet()
+                val fetchCols = need.filterNot(overlap.contains)
+                val pushable = referencedCols(predicate).subsetOf(fetchCols.toSet)
+                val fetchPred = if (pushable) Some(predicate) else None
+                val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
+                  fetchPred, cache, listing = Some(tl))
+                val filtered = if (pushable) merged else merged.filter(predicate)
+                noopLease(filtered.select(cols.map(col): _*), Hybrid)
+              case None =>
+                if (slots.tryAcquire()) {
+                  pushdownN.incrementAndGet()
+                  new ScanLease(
+                    plainScan().filter(predicate).select(cols.map(col): _*),
+                    Pushdown, () => slots.release())
+                } else pullupLoad()
+            }
+          }
       }
     }
 

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+import graft.cache.{HybridScan, LRU, SegmentCache}
+import graft.cache.HybridScan.{AdaptiveScanRouter, ModeCachingOnly, ModeHybrid,
+  ModePullup, ModePushdownOnly, ScanMode}
+import graft.operators.SsbCorpus
+import graft.plans.ModeExec
+
+/** Whole-suite mode comparison — the reference's `HybridTest.cpp` /
+  * `exec.conf` Mode discipline run over graft's SSB corpus: every query
+  * must return identical rows under PULLUP / PUSHDOWN_ONLY /
+  * CACHING_ONLY / HYBRID, with each mode's plan signature verified. */
+class ModeExecSpec extends SparkSpec {
+
+  private def freshRouter(slots: Int = 8): AdaptiveScanRouter =
+    new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU), pushdownSlots = slots)
+
+  /** Rows sorted deterministically (group keys are unique per row, so
+    * doubles never decide the order). Compared with a relative tolerance
+    * on doubles: a mode changes partitioning and therefore double-sum
+    * accumulation ORDER — bit-identity is not the contract, row identity
+    * up to float associativity is. */
+  private def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.map {
+      case d: java.lang.Double => f"${d.doubleValue}%.3f"
+      case x => String.valueOf(x)
+    }.mkString("|"))
+
+  private def assertRowsEqual(got: Seq[Seq[Any]], want: Seq[Seq[Any]],
+      label: String): Unit = {
+    assert(got.size == want.size, s"$label: ${got.size} rows vs ${want.size}")
+    got.zip(want).foreach { case (g, w) =>
+      g.zip(w).foreach {
+        case (a: java.lang.Double, b: java.lang.Double) =>
+          val tol = 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+          assert(math.abs(a - b) <= tol, s"$label: $a vs $b in row $g vs $w")
+        case (a, b) =>
+          assert(String.valueOf(a) == String.valueOf(b), s"$label: $a vs $b in $g vs $w")
+      }
+    }
+  }
+
+  test("all 13 SSB queries are row-identical under all four modes") {
+    for (name <- SsbCorpus.names) {
+      val sql = SsbCorpus.sql(name)
+      val expect = rows(Engine.executeQuery(spark, sfDir, sql))
+      for (mode <- ScanMode.all) {
+        val router = freshRouter()
+        val got = ModeExec.runQueryMode(spark, sfDir, sql, mode, router)(rows)
+        assertRowsEqual(got, expect, s"SSB $name under ${mode.name}")
+      }
+    }
+  }
+
+  test("pullup mode: every leaf pulls up, nothing is cached, reader pushdown off") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val prev = spark.conf.get("spark.sql.parquet.filterPushdown")
+    assert(prev == "true")
+    ModeExec.runQueryMode(spark, sfDir, SsbCorpus.sql("1_1"), ModePullup, router) { df =>
+      // the mode bracket disables the parquet reader's predicate
+      // evaluation — the reference's "raw bytes up" semantics (the
+      // PushedFilters METADATA still prints; the conf governs execution)
+      assert(spark.conf.get("spark.sql.parquet.filterPushdown") == "false")
+      df.collect()
+    }
+    assert(spark.conf.get("spark.sql.parquet.filterPushdown") == prev,
+      "mode bracket must restore the session conf")
+    assert(router.pullups > 0 && router.pushdowns == 0 && router.hybrids == 0,
+      s"pullup mode must route every leaf pullup: pu=${router.pullups} pd=${router.pushdowns}")
+    assert(cache.keys.isEmpty,
+      s"pullup mode must not admit segments, resident=${cache.keys}")
+  }
+
+  test("pushdown mode: predicates reach storage, slots leased and released") {
+    val router = freshRouter(slots = 8)
+    ModeExec.runQueryMode(spark, sfDir, SsbCorpus.sql("1_1"), ModePushdownOnly, router) { df =>
+      assert(router.availableSlots < 8,
+        "leaf leases must hold pushdown slots during execution")
+      df.collect()
+      // the lineitem leaf carries its discount/quantity range into the
+      // scan (formatted explain: AQE wraps the tree, so grep the string)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val pushedLines = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+      assert(pushedLines.contains("l_discount"),
+        s"pushdown mode must push the lineitem predicate to storage:\n$pushedLines")
+    }
+    assert(router.availableSlots == 8, "slots must be released after the mode run")
+    assert(router.pushdowns > 0 && router.pullups == 0)
+  }
+
+  test("caching mode: cold run loads segments, warm run serves them resident") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val sql = SsbCorpus.sql("1_3")
+    val cold = ModeExec.runQueryMode(spark, sfDir, sql, ModeCachingOnly, router)(rows)
+    assert(router.pullups > 0 && router.pushdowns == 0,
+      s"cold caching run must load (pullup), pu=${router.pullups} pd=${router.pushdowns}")
+    val warmRouter = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val warm = ModeExec.runQueryMode(spark, sfDir, sql, ModeCachingOnly, warmRouter) { df =>
+      val r = rows(df)
+      assert(df.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+        "warm caching run must serve leaf segments from the cache")
+      r
+    }
+    assert(warmRouter.cacheOnlys > 0 && warmRouter.pullups == 0,
+      s"warm caching run must be cache-only, co=${warmRouter.cacheOnlys} pu=${warmRouter.pullups}")
+    assertRowsEqual(cold, warm, "caching cold vs warm")
+    cache.invalidateAll()
+  }
+
+  test("hybrid mode: a real SSB query routes Hybrid from a partial segment") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    // partial ordinal segment: 3 of the 4 lineitem columns Q1.1 needs
+    HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = None, cache = cache).count()
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val sql = SsbCorpus.sql("1_1")
+    val expect = rows(Engine.executeQuery(spark, sfDir, sql))
+    val got = ModeExec.runQueryMode(spark, sfDir, sql, ModeHybrid, router)(rows)
+    assertRowsEqual(got, expect, "hybrid mode Q1.1")
+    assert(router.hybrids >= 1,
+      s"lineitem leaf must route Hybrid from the partial segment, " +
+      s"hy=${router.hybrids} pd=${router.pushdowns} pu=${router.pullups} co=${router.cacheOnlys}")
+    assert(router.pushdowns >= 1,
+      "the uncovered orders leaf should take a pushdown slot")
+    cache.invalidateAll()
+  }
+
+  test("dm06/dm07/dm08 entries equal their b-corpus twins") {
+    val pairs = Seq(
+      "dm06_mode_pullup"  -> "1_2",
+      "dm07_mode_caching" -> "1_3",
+      "dm08_mode_hybrid"  -> "1_1")
+    for ((entry, ssb) <- pairs) {
+      val got = rows(ModeExec.queries(entry)(spark, sfDir))
+      val want = rows(Engine.executeQuery(spark, sfDir, SsbCorpus.sql(ssb)))
+      assertRowsEqual(got, want, s"$entry vs SSB $ssb")
+    }
+  }
+}

@@ -711,11 +711,50 @@ object HybridScan {
       |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
+  /** dm09 (r9 stretch): predicate transfer COMPOSED with the hybrid zip —
+    * the fact is a merged scan (3 columns cache-resident, l_orderkey +
+    * l_shipdate fetched with the date range pushed) and is then
+    * semi-join-reduced by the filtered orders dimension BEFORE the real
+    * join ([[graft.plans.PredicateTransfer.reduce]], the reference's
+    * small-to-large transfer). Neither mechanism may disturb the other:
+    * the zip's join keys are dropped before the semi join sees the fact,
+    * and the semi join never duplicates rows the oracle would count.
+    * Spec pins the plan carrying BOTH shapes (LeftSemi + ordinal zip). */
+  private def dm09PredTransHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = mergedScan(s, dir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_orderkey", "l_shipdate"),
+      fetchPredicate = Some(expr(
+        "l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-07-01'")),
+      cache = segmentCache(s, dir))
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val reduced = graft.plans.PredicateTransfer.reduce(
+      fact, Seq((ord, $"l_orderkey" === $"o_orderkey")))
+    reduced.join(ord, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val dm09Sql =
+    """SELECT o_orderpriority,
+      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+      |  AND o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm02_hybrid_merge"  -> dm02HybridMerge _,
     "dm03_adaptive_route" -> dm03AdaptiveRoute _,
     "dm04_partition_hybrid" -> dm04PartitionHybrid _,
     "dm05_routed_hybrid" -> dm05RoutedHybrid _,
+    "dm09_predtrans_hybrid" -> dm09PredTransHybrid _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -723,5 +762,6 @@ object HybridScan {
     "dm03_adaptive_route" -> dm03Sql,
     "dm04_partition_hybrid" -> dm04Sql,
     "dm05_routed_hybrid" -> dm05Sql,
+    "dm09_predtrans_hybrid" -> dm09Sql,
   )
 }

@@ -564,6 +564,151 @@ class HybridScanSpec extends SparkSpec {
     assert(prios == prios.sorted)
   }
 
+  test("hybrid plan shape survives AQE toggling: pruned fetch + pushed predicate + partition filters") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // LIVE scans only: the cached side is an InMemoryTableScan whose
+    // build-time scan is display-only; AQE wraps the tree and its query
+    // stages are LEAF nodes, so recurse through both wrappers
+    def liveScans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => liveScans(a.executedPlan)
+      case q: QueryStageExec => liveScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    for (aqe <- Seq("false", "true")) {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        // dm02's merged scan: the fetch side must stay pruned to
+        // l_shipdate with the date range pushed, whatever AQE does
+        val cache = new SegmentCache(1L << 30, LRU)
+        val merged = HybridScan.mergedScan(spark, sfDir, "lineitem",
+          cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+          fetchCols = Seq("l_shipdate"), fetchPredicate = Some(expr(q6Pred)),
+          cache = cache)
+        merged.count() // warm: segment resident
+        merged.collect() // AQE finalizes plans on execution
+        val scans = liveScans(merged.queryExecution.executedPlan)
+        assert(scans.length == 1,
+          s"aqe=$aqe: expected 1 live storage scan, got ${scans.length}")
+        val dataCols = scans.head.requiredSchema.fieldNames
+          .filterNot(_.startsWith("_")).toSet
+        assert(dataCols == Set("l_shipdate"),
+          s"aqe=$aqe: fetch ReadSchema must stay pruned, got $dataCols")
+        assert(scans.head.metadata.getOrElse("PushedFilters", "").contains("l_shipdate"),
+          s"aqe=$aqe: date range must stay pushed into the fetch scan")
+        cache.invalidateAll()
+
+        // dm04's partition hybrid: the storage side's partition filters
+        // (the negated cached region AND the query's day range) must not
+        // be lost under either AQE setting
+        val path = graft.sources.Layout.partitionedEvents(spark, sfDir)
+        val cache2 = new SegmentCache(1L << 30, LRU)
+        val region = col("day") <= lit("2024-01-15").cast("date")
+        val pred = col("day") >= lit("2024-01-08").cast("date") &&
+          col("day") <= lit("2024-01-22").cast("date")
+        val hybrid = HybridScan.partitionHybridScan(spark, path,
+          Seq("event_type", "value", "day"), region, s"spec-aqe-$aqe", pred, cache2)
+        hybrid.count()
+        hybrid.collect()
+        val storageScans = liveScans(hybrid.queryExecution.executedPlan)
+        assert(storageScans.nonEmpty, s"aqe=$aqe: storage side must scan files")
+        val partFilters = storageScans
+          .map(_.metadata.getOrElse("PartitionFilters", "")).mkString("\n")
+        assert(partFilters.contains("2024-01-15") && partFilters.contains("2024-01-22"),
+          s"aqe=$aqe: storage side must keep both partition bounds:\n$partFilters")
+        cache2.invalidateAll()
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("dm09: predicate transfer composes with the hybrid zip (manual + auto rule)") {
+    // entry correctness: transferred hybrid star == plain SQL
+    val got = HybridScan.queries("dm09_predtrans_hybrid")(spark, sfDir).collect()
+    val want = spark.sql(
+      s"""SELECT o_orderpriority, sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+         |  count(*) AS n_items
+         |FROM parquet.`$sfDir/lineitem.parquet` JOIN parquet.`$sfDir/orders.parquet`
+         |  ON l_orderkey = o_orderkey
+         |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
+         |  AND o_orderpriority = '1-URGENT'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin).collect()
+    assert(got.length == want.length && got.length == 1)
+    assert(got.head.getString(0) == want.head.getString(0))
+    assert(math.abs(got.head.getDouble(1) - want.head.getDouble(1)) < 1e-6)
+    assert(got.head.getLong(2) == want.head.getLong(2))
+    // plan carries BOTH shapes: the semi-join reduction AND the ordinal
+    // zip's cached side. Built on a PRIVATE cache: the entry's shared
+    // session segment is plan-equal to segments other suites persist and
+    // tear down, and Spark's CacheManager keys cached data by
+    // canonicalized plan — a sibling's invalidateAll can unpersist the
+    // shared entry's residency (results unaffected; the plan shape
+    // assertion needs its own segment)
+    val planCache = new SegmentCache(1L << 30, LRU)
+    val factP = HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_orderkey", "l_shipdate"),
+      fetchPredicate = Some(expr(
+        "l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-07-01'")),
+      cache = planCache)
+    val ordP = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val dfP = graft.plans.PredicateTransfer.reduce(
+        factP, Seq((ordP, col("l_orderkey") === col("o_orderkey"))))
+      .join(ordP, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    dfP.collect()
+    val plan = fmt(dfP)
+    assert(plan.contains("LeftSemi"), s"semi reduction missing:\n${plan.take(2000)}")
+    assert(plan.contains("InMemoryTableScan") || plan.contains("InMemoryRelation"),
+      s"zip cached side missing:\n${plan.take(2000)}")
+    planCache.invalidateAll()
+
+    // the AUTOMATIC rule fires over a hybrid fact too: plain star join of
+    // the merged scan under a threshold between the dim's key projection
+    // and its full (priority-carrying) width — the rule's firing window
+    import org.apache.spark.sql.functions.{count => cnt}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val cache = new SegmentCache(1L << 30, LRU)
+    def star(): org.apache.spark.sql.DataFrame = {
+      val fact = HybridScan.mergedScan(spark, sfDir, "lineitem",
+        cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+        fetchCols = Seq("l_orderkey", "l_shipdate"),
+        fetchPredicate = Some(expr(
+          "l_shipdate >= date '1996-01-01' and l_shipdate < date '1996-07-01'")),
+        cache = cache)
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      fact.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(cnt(lit(1)).as("n"))
+    }
+    try {
+      // dim-side size as the rule will see it (post column pruning), from
+      // the rule-off plan — the AutoSemiReductionSpec sizing discipline
+      spark.conf.set("spark.graft.autoSemiReduction", "false")
+      val dimSize = star().queryExecution.optimizedPlan
+        .collect { case j: LJoin => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes) }
+        .flatten.min
+      spark.conf.set("spark.graft.autoSemiReduction", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (dimSize - 1).toString)
+      val auto = star()
+      val row = auto.collect().head
+      assert(row.getLong(1) == want.head.getLong(2),
+        s"auto-rule star over hybrid fact: ${row.getLong(1)}")
+      assert(auto.queryExecution.optimizedPlan.toString.contains("Join LeftSemi"),
+        s"AutoSemiReduction must fire over the hybrid fact:\n" +
+        auto.queryExecution.optimizedPlan.toString.take(2500))
+      cache.invalidateAll()
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.conf.set("spark.graft.autoSemiReduction", "true")
+    }
+  }
+
   test("pullup weight is dynamic: in-flight pullups tip contention toward queueing") {
     // seeded: pushdown 3ms, pullup 2ms, maxPullupReqs=1.
     //  - first contended request: estWait 3ms > 1×2ms → falls back (pullup)

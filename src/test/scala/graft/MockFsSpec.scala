@@ -1,0 +1,118 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.functions._
+
+import graft.cache.{HybridScan, LRU, SegmentCache}
+import graft.cache.HybridScan.AdaptiveScanRouter
+
+/** A second Hadoop FileSystem SCHEME backed by local disk. The reference
+  * deploys exclusively against object stores (`fpdb-aws/`); graft's code
+  * must therefore never bake in `file:` assumptions — URI rendering,
+  * listing, `defaultTablePath` all have to survive a foreign scheme. This
+  * mock registers `mockfs://` (delegating to the local FS for bytes) so
+  * the hybrid zip and the persistent-index path run end-to-end on a
+  * non-`file:` FileSystem without needing a real S3 endpoint in the
+  * sandbox. */
+class MockObjectFs extends RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: URI = URI.create("mockfs:///")
+}
+
+class MockFsSpec extends SparkSpec {
+
+  private lazy val base: String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mockfs")
+    s"mockfs:$tmp"
+  }
+
+  test("hybrid merged scan + router run end-to-end under a non-file scheme") {
+    // a 2-file table written THROUGH the scheme (committer rename paths
+    // and all), then zipped through it
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate")
+      .repartition(2).write.mode("overwrite").parquet(s"$base/lineitem.parquet")
+
+    // the listing resolves the scheme through the Hadoop FS registry and
+    // fingerprints (path, len, mtime) like any object-store listing would
+    val tl = HybridScan.listTable(spark, base, "lineitem")
+    assert(tl.files.size == 2, s"expected 2 data files, got ${tl.files}")
+    assert(tl.files.forall(_._1.startsWith("mockfs:")),
+      s"listing must render the foreign scheme, got ${tl.files.map(_._1)}")
+    assert(tl.files.forall(f => f._2 > 0 && f._3 > 0), "len+mtime must be real")
+
+    val cache = new SegmentCache(1L << 30, LRU)
+    val merged = HybridScan.mergedScan(spark, base, "lineitem",
+      cachedCols = Seq("l_quantity"), fetchCols = Seq("l_extendedprice"),
+      fetchPredicate = None, cache = cache)
+    val got = merged.agg(sum(col("l_extendedprice") * col("l_quantity")))
+      .collect().head.getDouble(0)
+    val want = spark.read.parquet(s"$base/lineitem.parquet")
+      .agg(sum(col("l_extendedprice") * col("l_quantity")))
+      .collect().head.getDouble(0)
+    assert(math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want)),
+      s"mockfs zip $got vs plain $want")
+    assert(cache.misses == 1)
+
+    // the router's hybrid route (residency check + fingerprint + zip) on
+    // the same scheme
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 4)
+    val lease = router.scan(spark, base, "lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_shipdate"),
+      expr("l_shipdate >= date '1996-01-01'"))
+    lease.close()
+    assert(lease.route == HybridScan.Hybrid,
+      s"partial segment must route hybrid under mockfs, got ${lease.route}")
+    val n = lease.df.count()
+    val m = spark.read.parquet(s"$base/lineitem.parquet")
+      .filter(expr("l_shipdate >= date '1996-01-01'")).count()
+    assert(n == m)
+    cache.invalidateAll()
+  }
+
+  test("bucketed managed tables resolve defaultTablePath under the second scheme") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevDb = spark.catalog.currentDatabase
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_mockdb LOCATION '$base/warehouse'")
+      spark.catalog.setCurrentDatabase("graft_mockdb")
+      val df = graft.sources.Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.plans.Bucketing.writeBucketedMulti(df, "mock_orders",
+        buckets = 4, keys = Seq("o_custkey"))
+      // the managed table landed under the mockfs database location —
+      // reclaim/defaultTablePath resolved the foreign scheme
+      val loc = spark.sql("DESCRIBE TABLE EXTENDED mock_orders")
+        .filter(col("col_name") === "Location").select("data_type")
+        .collect().head.getString(0)
+      assert(loc.startsWith("mockfs:"), s"managed table location must be mockfs, got $loc")
+      // and the bucketed layout still serves a shuffle-free join side
+      val probe = graft.sources.Tables.customer(spark, sfDir)
+        .select("c_custkey").limit(100)
+      val joined = graft.plans.Bucketing.readBucketed(spark, "mock_orders")
+        .hint("shuffle_hash")
+        .join(probe, col("o_custkey") === col("c_custkey"))
+      joined.count()
+      val bucketSideExchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec if e.toString.contains("mock_orders") => e
+      }
+      assert(bucketSideExchanges.isEmpty,
+        "the bucketed (mockfs) side must not re-shuffle")
+      // a second write to the same name exercises reclaim on mockfs
+      graft.plans.Bucketing.writeBucketedMulti(df, "mock_orders",
+        buckets = 4, keys = Seq("o_custkey"))
+      assert(spark.table("mock_orders").count() == df.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      try spark.sql("DROP DATABASE IF EXISTS graft_mockdb CASCADE")
+      catch { case _: Throwable => () }
+      spark.catalog.setCurrentDatabase(prevDb)
+    }
+  }
+}

@@ -53,17 +53,36 @@ object ModeExec extends PredicateHelper {
 
   /** Map an optimized-plan leaf back to its catalog table name. Only
     * tables of `dir` are eligible; `events` is excluded (its reads go
-    * through a ts-normalization wrapper the substitution must not drop). */
-  private def tableOf(dir: String)(rel: LogicalRelation): Option[String] =
-    rel.relation match {
-      case h: HadoopFsRelation =>
-        h.location.rootPaths.headOption
-          .filter(_.toString.contains(dir.stripSuffix("/")))
-          .map(_.getName)
-          .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
-          .filter(n => Tables.all.contains(n) && n != "events")
+    * through a ts-normalization wrapper the substitution must not drop).
+    *
+    * Two leaf shapes: the plain V1 relation, and `InMemoryRelation` —
+    * Spark's CacheManager substitutes the cached columnar relation into
+    * ANY plan-equal scan session-wide (`withCachedData` runs before
+    * optimization), so when some other actor has persisted a whole-table
+    * read, the mode rewriter would otherwise silently stop seeing the
+    * table at all (zero leaves routed, measured the hard way under
+    * full-suite test ordering). The router's OWN scans may of course be
+    * re-substituted by the CacheManager at planning — that layer sits
+    * below the mode discipline and is Spark behaving as designed. */
+  private def tableOfPath(dir: String)(
+      root: Option[org.apache.hadoop.fs.Path]): Option[String] =
+    root.filter(_.toString.contains(dir.stripSuffix("/")))
+      .map(_.getName)
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
+      .filter(n => Tables.all.contains(n) && n != "events")
+
+  private def leafTable(dir: String)(p: LogicalPlan): Option[String] = p match {
+    case rel: LogicalRelation => rel.relation match {
+      case h: HadoopFsRelation => tableOfPath(dir)(h.location.rootPaths.headOption)
       case _ => None
     }
+    case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      imr.cachedPlan.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.headOption
+      }.flatten.flatMap(p => tableOfPath(dir)(Some(p)))
+    case _ => None
+  }
 
   /** Execute one SQL text with every base-table leaf routed under `mode`.
     * Pushdown-route slot leases are appended to `leases`; close them when
@@ -81,7 +100,7 @@ object ModeExec extends PredicateHelper {
       mode: ScanMode, router: AdaptiveScanRouter,
       leases: mutable.Buffer[ScanLease]): LogicalPlan = {
 
-    def substitute(rel: LogicalRelation, table: String,
+    def substitute(rel: LogicalPlan, table: String,
         pred: Option[Expression], required: AttributeSet): LogicalPlan = {
       // prune to what the plan above actually reads: a V1 relation node
       // always outputs the full table schema (physical planning does the
@@ -107,15 +126,15 @@ object ModeExec extends PredicateHelper {
     // `required` accumulates every attribute an ancestor references, so a
     // leaf substitutes a scan of exactly the columns the query touches
     def go(p: LogicalPlan, required: AttributeSet): LogicalPlan = p match {
-      case Filter(cond, rel: LogicalRelation) if tableOf(dir)(rel).isDefined =>
+      case Filter(cond, leaf) if leafTable(dir)(leaf).isDefined =>
         val routable = splitConjunctivePredicates(cond).filter(e =>
           e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
         // the retained outer Filter needs EVERY cond attribute in the
         // substitution's output, routable or not
-        Filter(cond, substitute(rel, tableOf(dir)(rel).get,
+        Filter(cond, substitute(leaf, leafTable(dir)(leaf).get,
           routable.reduceOption(And), required ++ cond.references))
-      case rel: LogicalRelation if tableOf(dir)(rel).isDefined =>
-        substitute(rel, tableOf(dir)(rel).get, None, required)
+      case leaf if leafTable(dir)(leaf).isDefined =>
+        substitute(leaf, leafTable(dir)(leaf).get, None, required)
       case other => other.mapChildren(go(_, required ++ other.references))
     }
     go(plan, AttributeSet(plan.output))

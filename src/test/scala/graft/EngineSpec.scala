@@ -134,5 +134,10 @@ class EngineSpec extends SparkSpec {
       assert(got == serial(k), s"concurrent $k diverged from its serial baseline")
     }
     assert(cache.hits + cache.misses >= 12, "every thread must have consulted the cache")
+    // teardown: the consults persisted whole-table reads, and Spark's
+    // CacheManager substitutes those into every plan-equal scan
+    // SESSION-WIDE — leaked residency changed later suites' plan shapes
+    // (ModeExecSpec measured zero file scans) until released here
+    cache.invalidateAll()
   }
 }

@@ -261,12 +261,31 @@ object HybridScan {
   }
 
   /** Column names a (possibly unresolved) predicate mentions — drives the
-    * hybrid route's push-vs-post filter placement. */
+    * hybrid route's push-vs-post filter placement. MUST go through the
+    * eager parse (`parsedExpression`): the lazy converter leaves
+    * `expr("...")` text as one opaque node, which reported ZERO referenced
+    * columns — every predicate then looked pushable and `need` never
+    * widened for predicate-only columns (results stayed correct only
+    * because the analyzer's missing-reference resolution re-widened the
+    * scan underneath, measured while building the conjunct-split spec). */
   private def referencedCols(c: Column): Set[String] =
-    org.apache.spark.sql.GraftBridge.expression(c).collect {
+    referencedColsE(org.apache.spark.sql.GraftBridge.parsedExpression(c))
+
+  private def referencedColsE(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] =
+    e.collect {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => u.nameParts.last
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
     }.toSet
+
+  /** Top-level AND-conjuncts of a predicate expression. */
+  private def conjunctsOf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
 
   /** A routed scan plus the pushdown slot backing it (no-op for
     * non-pushdown routes). [[AdaptiveScanRouter.scan]] used to return the
@@ -435,11 +454,24 @@ object HybridScan {
               case Some((k, overlap)) =>
                 hybridN.incrementAndGet()
                 val fetchCols = need.filterNot(overlap.contains)
-                val pushable = referencedCols(predicate).subsetOf(fetchCols.toSet)
-                val fetchPred = if (pushable) Some(predicate) else None
+                // push-vs-post at CONJUNCT granularity: every AND-part that
+                // references only fetched columns executes at storage (the
+                // reference's S3 Select takes whatever the predicate's
+                // pushable fragment is); the rest — and, for simplicity,
+                // the whole predicate when anything remains — filters
+                // post-zip. Re-applying the pushed parts post-zip is
+                // idempotent codegen work; the bytes saved at the fetch are
+                // the point.
+                val parts = conjunctsOf(org.apache.spark.sql.GraftBridge.parsedExpression(predicate))
+                val (pushParts, postParts) =
+                  parts.partition(p => referencedColsE(p).subsetOf(fetchCols.toSet))
+                val fetchPred = pushParts
+                  .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+                  .map(org.apache.spark.sql.GraftBridge.column)
                 val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
                   fetchPred, cache, listing = Some(tl))
-                val filtered = if (pushable) merged else merged.filter(predicate)
+                val filtered =
+                  if (postParts.isEmpty) merged else merged.filter(predicate)
                 noopLease(filtered.select(cols.map(col): _*), Hybrid)
               case None =>
                 if (slots.tryAcquire()) {

@@ -11,6 +11,16 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** EAGERLY converted Catalyst expression of a Column. `expression`
+    * returns a lazy `ColumnNodeExpression` wrapper for `expr("...")`
+    * columns (the SQL text unparsed inside a `SqlExpression` node), which
+    * makes any tree introspection — collecting referenced attribute
+    * names, splitting AND-conjuncts — silently see an opaque leaf. This
+    * runs the classic converter (parsing SQL expression nodes) so the
+    * returned tree is the real parsed/constructed expression. */
+  def parsedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Lift a logical plan into a DataFrame (`Dataset.ofRows` is
     * `private[sql]` in 4.x) — used by the optimizer's selectivity probe. */
   def ofRows(spark: SparkSession,

@@ -370,8 +370,9 @@ class HybridScanSpec extends SparkSpec {
       .filter(expr("l_quantity < 24")).select(sub.map(col): _*)
     assert(dfCache.count() == plainSub.count())
 
-    // a predicate touching a CACHED column must not be pushed to the
-    // fetch side — it filters after the zip, same rows
+    // a MIXED predicate pushes at conjunct granularity: the date range
+    // (fetched column only) executes at storage, the quantity conjunct
+    // (cached column) filters after the zip — same rows either way
     val mixedPred = expr(s"$q6Pred and l_quantity < 24")
     val l3 = router.scan(spark, sfDir, "lineitem", want, mixedPred)
     l3.close()
@@ -379,6 +380,12 @@ class HybridScanSpec extends SparkSpec {
     assert(r3 == HybridScan.Hybrid)
     assert(dfMixed.count() ==
       Tables.lineitem(spark, sfDir).filter(mixedPred).count())
+    val pushedLines = fmt(dfMixed).linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.exists(_.contains("l_shipdate")),
+      s"the fetch-column conjunct must push to storage:\n${pushedLines.mkString("\n")}")
+    assert(!pushedLines.exists(_.contains("l_quantity")),
+      s"the cached-column conjunct cannot push (the fetch scan has no such column):\n${pushedLines.mkString("\n")}")
 
     assert(router.pushdowns == 1 && router.hybrids == 2 &&
       starved.cacheOnlys == 1,

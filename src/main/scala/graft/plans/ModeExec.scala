@@ -123,10 +123,22 @@ object ModeExec extends PredicateHelper {
       }, routed)
     }
 
+    // subquery plans route too: surviving SubqueryExpressions in the
+    // optimized plan (uncorrelated scalar subqueries, mostly — Catalyst
+    // decorrelates EXISTS/IN and correlated scalars into joins before we
+    // see them) carry their own leaves. OuterReference is a leaf-ish
+    // expression (empty references), so inner `required` accumulation is
+    // not polluted by outer attributes.
+    def goSubqueries(e: Expression): Expression = e.transform {
+      case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        se.withNewPlan(go(se.plan, AttributeSet(se.plan.output)))
+    }
+
     // `required` accumulates every attribute an ancestor references, so a
     // leaf substitutes a scan of exactly the columns the query touches
     def go(p: LogicalPlan, required: AttributeSet): LogicalPlan = p match {
-      case Filter(cond, leaf) if leafTable(dir)(leaf).isDefined =>
+      case Filter(cond0, leaf) if leafTable(dir)(leaf).isDefined =>
+        val cond = goSubqueries(cond0)
         val routable = splitConjunctivePredicates(cond).filter(e =>
           e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
         // the retained outer Filter needs EVERY cond attribute in the
@@ -135,7 +147,11 @@ object ModeExec extends PredicateHelper {
           routable.reduceOption(And), required ++ cond.references))
       case leaf if leafTable(dir)(leaf).isDefined =>
         substitute(leaf, leafTable(dir)(leaf).get, None, required)
-      case other => other.mapChildren(go(_, required ++ other.references))
+      case other =>
+        other.transformExpressions {
+          case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            se.withNewPlan(go(se.plan, AttributeSet(se.plan.output)))
+        }.mapChildren(go(_, required ++ other.references))
     }
     go(plan, AttributeSet(plan.output))
   }

@@ -132,6 +132,26 @@ class ModeExecSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("TPC-H queries (joins, EXISTS, scalar subqueries, derived partsupp) run row-identical under all four modes") {
+    import graft.operators.TpchCorpus
+    // a structurally diverse subset: h01 scan+agg, h04 EXISTS
+    // (decorrelated to a semi join), h06 selective scan, h11 the
+    // partsupp session artifact + an uncorrelated HAVING scalar subquery
+    // (the artifact leaf is a checkpointed RDD — correctly left alone;
+    // its sibling scans still route), h17 a correlated scalar subquery
+    for (i <- Seq(1, 4, 6, 11, 17)) {
+      val sql = TpchCorpus.sql(i)
+      val expect = rows(Engine.executeQuery(spark, sfDir, sql))
+      for (mode <- ScanMode.all) {
+        val router = freshRouter()
+        val got = ModeExec.runQueryMode(spark, sfDir, sql, mode, router)(rows)
+        assertRowsEqual(got, expect, s"TPC-H q$i under ${mode.name}")
+        assert(router.pushdowns + router.pullups + router.cacheOnlys + router.hybrids > 0,
+          s"q$i under ${mode.name}: no leaf was routed at all")
+      }
+    }
+  }
+
   test("dm06/dm07/dm08 entries equal their b-corpus twins") {
     val pairs = Seq(
       "dm06_mode_pullup"  -> "1_2",

@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.io.InputStream
+import java.net.URI
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileStatus, FSDataInputStream, Path, PositionedReadable, RawLocalFileSystem, Seekable}
+
+/** An instrumented object-store stand-in: a second Hadoop FileSystem
+  * SCHEME (`mockfs://`), local-disk backed, that COUNTS and optionally
+  * THROTTLES every byte read through it.
+  *
+  * Two jobs, both from the reference's deployment reality (it runs
+  * exclusively against S3/MinIO — `fpdb-aws/`, `fpdb-store-server/`;
+  * bytes-moved is its first-class bench output,
+  * `fpdb-main/bench/BytesReadBench.cpp`):
+  *
+  *  1. '''Scheme coverage''' — graft must never bake in `file:`
+  *     assumptions. Listing, fingerprinting, the hybrid zip, bucketed
+  *     `defaultTablePath` resolution all run end-to-end here
+  *     ([[graft.MockFsSpec]]).
+  *  2. '''FS-truth IO accounting''' — `ScanStats.attach`'s task-metric
+  *     `fs_bytes` is measured-unreliable for local parquet (the
+  *     vectorized reader's positioned reads bypass the
+  *     `FileSystem.Statistics` callback; see [[graft.util.ScanStats]]).
+  *     These counters sit INSIDE `open()`'s stream instead, so every
+  *     read funnels through them no matter which reader path Spark
+  *     picks: what [[bytesRead]] reports is exactly what an object
+  *     store would bill for. [[graft.StoreIoSpec]] asserts the engine's
+  *     byte-level claims (projection reads only its columns' chunks, a
+  *     warm hybrid scan fetches only the fetch column, a resident
+  *     segment reads zero) as numbers rather than plan shapes.
+  *
+  * The throttle models the store regime the reference is designed for:
+  * [[bytesPerSec]] simulates bounded store→compute bandwidth (bytes
+  * sleep proportionally as they cross), [[openLatencyMs]] a per-GET
+  * first-byte latency. `ProfileStoreModes` uses it to reproduce the
+  * reference's fig-1 economics — caching/hybrid beating pullup once
+  * bytes are the bottleneck — on a sandbox with no real S3 endpoint.
+  *
+  * Counters are global (one JVM, FileSystem instances are cached per
+  * scheme by Hadoop anyway); `local[32]` tasks hit them concurrently,
+  * hence atomics. Throttling sleeps per read call, per task thread —
+  * 32 concurrent streams model 32 concurrent GET connections, which is
+  * how S3 parallelism actually behaves.
+  */
+object MockObjectFs {
+  val bytesRead  = new AtomicLong
+  val readCalls  = new AtomicLong
+  val opens      = new AtomicLong
+  val listCalls  = new AtomicLong
+
+  /** Simulated store→compute bandwidth per stream; 0 = unthrottled. */
+  @volatile var bytesPerSec: Long = 0L
+  /** Simulated per-open (per-GET) first-byte latency; 0 = none. */
+  @volatile var openLatencyMs: Long = 0L
+
+  def reset(): Unit = {
+    bytesRead.set(0); readCalls.set(0); opens.set(0); listCalls.set(0)
+  }
+
+  /** (opens, bytesRead, readCalls, listCalls) since the last reset. */
+  def snapshot(): (Long, Long, Long, Long) =
+    (opens.get, bytesRead.get, readCalls.get, listCalls.get)
+
+  /** Per-stream-thread sleep debt in nanos: buffered local reads arrive
+    * in small chunks whose individual sleep rounds to 0 ms, so the
+    * throttle accumulates exact debt and sleeps whenever ≥ 1 ms is owed —
+    * total sleep per thread is bytes/bandwidth regardless of chunking. */
+  private val debtNanos = new ThreadLocal[java.lang.Long] {
+    override def initialValue: java.lang.Long = 0L
+  }
+
+  private[sources] def charge(n: Long): Unit = if (n > 0) {
+    bytesRead.addAndGet(n)
+    readCalls.incrementAndGet()
+    val bw = bytesPerSec
+    if (bw > 0) {
+      val owed = debtNanos.get + n * 1000000000L / bw
+      if (owed >= 1000000L) {
+        val ms = owed / 1000000L
+        Thread.sleep(ms)
+        debtNanos.set(owed - ms * 1000000L)
+      } else debtNanos.set(owed)
+    }
+  }
+}
+
+class MockObjectFs extends RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: URI = URI.create("mockfs:///")
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    MockObjectFs.opens.incrementAndGet()
+    val lat = MockObjectFs.openLatencyMs
+    if (lat > 0) Thread.sleep(lat)
+    new FSDataInputStream(new CountingStream(super.open(f, bufferSize)))
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    MockObjectFs.listCalls.incrementAndGet()
+    super.listStatus(f)
+  }
+}
+
+/** Delegating stream that routes every read variant — sequential,
+  * positioned, fully — through [[MockObjectFs.charge]]. Deliberately
+  * does NOT implement `ByteBufferReadable`, so Parquet's stream wrapper
+  * takes its byte-array path; capability probes (`hasCapability`) on
+  * `FSDataInputStream` return false rather than lying. */
+private class CountingStream(in: FSDataInputStream)
+    extends InputStream with Seekable with PositionedReadable {
+  override def read(): Int = {
+    val b = in.read(); if (b >= 0) MockObjectFs.charge(1); b
+  }
+  override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+    val n = in.read(buf, off, len); if (n > 0) MockObjectFs.charge(n); n
+  }
+  override def read(pos: Long, buf: Array[Byte], off: Int, len: Int): Int = {
+    val n = in.read(pos, buf, off, len); if (n > 0) MockObjectFs.charge(n); n
+  }
+  override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit = {
+    in.readFully(pos, buf, off, len); MockObjectFs.charge(len)
+  }
+  override def readFully(pos: Long, buf: Array[Byte]): Unit = {
+    in.readFully(pos, buf); MockObjectFs.charge(buf.length)
+  }
+  override def seek(pos: Long): Unit = in.seek(pos)
+  override def getPos: Long = in.getPos
+  override def seekToNewSource(target: Long): Boolean = in.seekToNewSource(target)
+  override def skip(n: Long): Long = in.skip(n)
+  override def available(): Int = in.available()
+  override def close(): Unit = in.close()
+}

@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.cache.{HybridScan, LRU, SegmentCache}
+import graft.cache.HybridScan.{AdaptiveScanRouter, ModeCachingOnly, ModeHybrid, ScanMode}
+import graft.operators.SsbCorpus
+import graft.plans.ModeExec
+import graft.sources.MockObjectFs
+
+/** Dev probe: the four execution modes over the whole SSB family on a
+  * SIMULATED OBJECT STORE — the regime the reference is actually built
+  * for, which local NVMe cannot show.
+  *
+  * The bench's `scan_modes` block measures the same suite on `file:` and
+  * honestly records that HYBRID loses there (the zip premium, ~2×): on
+  * local disk bytes are nearly free, so the merge's extra exchange+join
+  * dominates. The reference's fig-1 claim is about the OTHER regime —
+  * storage behind bounded per-connection bandwidth and per-GET latency —
+  * where bytes-not-moved pay for the zip many times over. This probe
+  * reruns the family through [[graft.plans.ModeExec]] on `mockfs://`
+  * with [[MockObjectFs.bytesPerSec]] / [[MockObjectFs.openLatencyMs]]
+  * set to S3-like per-connection constants (each task stream throttles
+  * independently — aggregate bandwidth scales with concurrency exactly
+  * like parallel GETs), and reports per mode: wall seconds AND the
+  * FS-truth bytes that crossed the simulated store boundary.
+  *
+  * Expected shape (and what r10 measured — see SURVEY §17): PULLUP pays
+  * full column bytes every query; PUSHDOWN the same columns minus
+  * row-group skips; CACHING pays once cold, ~zero warm; HYBRID warm pays
+  * only fetch-column bytes — so the time ordering inverts vs local disk
+  * once bandwidth, not compute, is the bottleneck.
+  *
+  * Env knobs: `SPARK_GRAFT_SF_DIR` (source data, served through mockfs
+  * in place — no copy), `SPARK_GRAFT_STORE_MBPS` (per-stream bandwidth,
+  * default 32), `SPARK_GRAFT_STORE_OPEN_MS` (per-open latency, default
+  * 5).
+  */
+object ProfileStoreModes {
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mbps = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "32").toLong
+    val openMs = sys.env.getOrElse("SPARK_GRAFT_STORE_OPEN_MS", "5").toLong
+    val spark = GraftSession.get("graft-profile-store-modes")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
+    val dir = s"mockfs:$srcDir"
+
+    def throttleOn(): Unit = {
+      MockObjectFs.bytesPerSec = mbps << 20
+      MockObjectFs.openLatencyMs = openMs
+    }
+    def throttleOff(): Unit = {
+      MockObjectFs.bytesPerSec = 0L
+      MockObjectFs.openLatencyMs = 0L
+    }
+
+    def pass(label: String, mode: ScanMode, router: AdaptiveScanRouter): Unit = {
+      MockObjectFs.reset()
+      throttleOn()
+      val t0 = System.nanoTime()
+      val secs = try {
+        SsbCorpus.names.foreach { n =>
+          ModeExec.runQueryMode(spark, dir, SsbCorpus.sql(n), mode, router)(
+            _.write.format("noop").mode("overwrite").save())
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally throttleOff()
+      val (opens, bytes, _, _) = MockObjectFs.snapshot()
+      println(f"$label%-13s ${secs}%7.2f s   store: ${bytes / 1e6}%9.1f MB " +
+        f"in $opens%5d GETs   routes pd=${router.pushdowns} pu=${router.pullups} " +
+        f"co=${router.cacheOnlys} hy=${router.hybrids}")
+    }
+
+    println(s"store modes on $dir  (per-stream ${mbps} MB/s, ${openMs} ms/GET)")
+    // one UNTHROTTLED suite pass first: the first 13 queries otherwise pay
+    // all codegen/JIT warmup, and whichever mode runs first (pullup) would
+    // carry that bias into exactly the comparison the probe exists to make
+    locally {
+      val warmCache = new SegmentCache(1L << 30, LRU)
+      SsbCorpus.names.foreach { n =>
+        ModeExec.runQueryMode(spark, dir, SsbCorpus.sql(n),
+          HybridScan.ModePushdownOnly,
+          new AdaptiveScanRouter(warmCache, pushdownSlots = 64))(
+          _.write.format("noop").mode("overwrite").save())
+      }
+      warmCache.invalidateAll()
+    }
+    for (mode <- ScanMode.all) {
+      val cache = new SegmentCache(1L << 30, LRU)
+      // hybrid's premise is a PARTIAL segment left by prior workload:
+      // prime it unthrottled — pre-existing cache state is the scenario,
+      // not a cost of this suite (caching_cold measures load cost proper)
+      if (mode == ModeHybrid)
+        HybridScan.mergedScan(spark, dir, "lineitem",
+          cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+          fetchCols = Seq("l_shipdate"), fetchPredicate = None,
+          cache = cache).count()
+      mode match {
+        case ModeCachingOnly | ModeHybrid =>
+          pass(s"${mode.name}_cold", mode, new AdaptiveScanRouter(cache, pushdownSlots = 64))
+          pass(s"${mode.name}_warm", mode, new AdaptiveScanRouter(cache, pushdownSlots = 64))
+        case _ =>
+          pass(mode.name, mode, new AdaptiveScanRouter(cache, pushdownSlots = 64))
+      }
+      cache.invalidateAll()
+    }
+    spark.stop()
+  }
+}

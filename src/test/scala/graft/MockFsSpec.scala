@@ -1,26 +1,17 @@
 package graft
 
-import java.net.URI
-
-import org.apache.hadoop.fs.RawLocalFileSystem
 import org.apache.spark.sql.functions._
 
 import graft.cache.{HybridScan, LRU, SegmentCache}
 import graft.cache.HybridScan.AdaptiveScanRouter
+import graft.sources.MockObjectFs
 
-/** A second Hadoop FileSystem SCHEME backed by local disk. The reference
-  * deploys exclusively against object stores (`fpdb-aws/`); graft's code
-  * must therefore never bake in `file:` assumptions — URI rendering,
-  * listing, `defaultTablePath` all have to survive a foreign scheme. This
-  * mock registers `mockfs://` (delegating to the local FS for bytes) so
-  * the hybrid zip and the persistent-index path run end-to-end on a
-  * non-`file:` FileSystem without needing a real S3 endpoint in the
-  * sandbox. */
-class MockObjectFs extends RawLocalFileSystem {
-  override def getScheme: String = "mockfs"
-  override def getUri: URI = URI.create("mockfs:///")
-}
-
+/** Scheme-coverage end of [[graft.sources.MockObjectFs]] (the byte
+  * accounting end lives in [[StoreIoSpec]]): the reference deploys
+  * exclusively against object stores (`fpdb-aws/`); graft's code must
+  * therefore never bake in `file:` assumptions — URI rendering, listing,
+  * `defaultTablePath` all have to survive a foreign scheme, without
+  * needing a real S3 endpoint in the sandbox. */
 class MockFsSpec extends SparkSpec {
 
   private lazy val base: String = {

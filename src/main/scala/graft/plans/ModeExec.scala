@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.functions._
 
 import graft.Engine
-import graft.cache.HybridScan
+import graft.cache.{HybridScan, LRU, SegmentCache}
 import graft.cache.HybridScan.{AdaptiveScanRouter, ModeCachingOnly, ModeHybrid,
   ModePullup, ModePushdownOnly, ScanLease, ScanMode}
 import graft.operators.SsbCorpus
@@ -171,6 +171,65 @@ object ModeExec extends PredicateHelper {
       s.conf.set("spark.sql.parquet.filterPushdown", prevPush)
       leases.foreach(_.close())
     }
+  }
+
+  /** "What does caching buy me on MY workload" as a library call: run a
+    * user workload (name → SQL) under each of the four execution modes
+    * and return a small report frame — one row per (mode, pass) with
+    * wall seconds and the pass's route mix. The reference ships this
+    * discipline only as a bench harness (`fpdb-main/bench` +
+    * `exec.conf`'s mode knob, rebuilt per sweep); here any workload gets
+    * the sweep against live session state.
+    *
+    * Stateful modes report two passes: `cold` (segments loading) and
+    * `warm` (resident). `prime` pre-admits PARTIAL segments
+    * (table → cached column subset) before the hybrid passes — the
+    * scenario hybrid exists for is cache state left by a prior workload,
+    * which a fresh sweep cannot manufacture for itself. Each mode runs
+    * against its own fresh cache, invalidated before the next mode: no
+    * resident segment leaks into later passes (or into the session —
+    * Spark's CacheManager substitutes persisted scans into plan-equal
+    * queries SESSION-WIDE, measured the hard way in r10).
+    *
+    * The report is a handful of rows, built driver-side by design — the
+    * measured work all ran distributed inside the passes.
+    */
+  def compareModes(s: SparkSession, dir: String,
+      queries: Seq[(String, String)],
+      prime: Map[String, Seq[String]] = Map.empty,
+      cacheBytes: Long = 1L << 30): DataFrame = {
+    import s.implicits._
+    val out = mutable.ArrayBuffer.empty[(String, String, Double, Long, Long, Long, Long)]
+    def pass(label: String, mode: ScanMode, cache: SegmentCache): Unit = {
+      val r = new AdaptiveScanRouter(cache, pushdownSlots = 64)
+      val t0 = System.nanoTime()
+      queries.foreach { case (_, sql) =>
+        runQueryMode(s, dir, sql, mode, r)(
+          _.write.format("noop").mode("overwrite").save())
+      }
+      out += ((mode.name, label, (System.nanoTime() - t0) / 1e9,
+        r.pushdowns.toLong, r.pullups.toLong, r.cacheOnlys.toLong, r.hybrids.toLong))
+    }
+    for (mode <- ScanMode.all) {
+      val cache = new SegmentCache(cacheBytes, LRU)
+      try {
+        mode match {
+          case ModeCachingOnly =>
+            pass("cold", mode, cache); pass("warm", mode, cache)
+          case ModeHybrid =>
+            prime.foreach { case (table, cols) =>
+              val all = Tables.load(s, dir, table).columns
+              HybridScan.mergedScan(s, dir, table, cachedCols = cols,
+                fetchCols = all.filterNot(cols.contains).take(1).toSeq,
+                fetchPredicate = None, cache = cache).count()
+            }
+            pass("cold", mode, cache); pass("warm", mode, cache)
+          case _ => pass("single", mode, cache)
+        }
+      } finally cache.invalidateAll()
+    }
+    out.toSeq.toDF("mode", "pass", "seconds",
+      "pushdown_leaves", "pullup_leaves", "cacheonly_leaves", "hybrid_leaves")
   }
 
   // --------------------------------------------------------------- entries

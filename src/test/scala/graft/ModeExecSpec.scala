@@ -152,6 +152,27 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("compareModes reports a (mode, pass) row with seconds and the route mix") {
+    val qs = Seq("1_1" -> SsbCorpus.sql("1_1"), "1_2" -> SsbCorpus.sql("1_2"))
+    val rep = ModeExec.compareModes(spark, sfDir, qs,
+      prime = Map("lineitem" -> Seq("l_extendedprice", "l_discount", "l_quantity")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rep.length == 6, s"4 modes, stateful ones twice: ${rep.toSeq}")
+    assert(rep.forall(_._3 > 0), s"every pass must take measurable time: ${rep.toSeq}")
+    // stateless modes: one pure-route pass
+    val pu = rep.find(_._1 == "pullup").get
+    assert(pu._2 == "single" && pu._5 > 0 && pu._4 == 0 && pu._6 == 0 && pu._7 == 0, s"$pu")
+    val pd = rep.find(_._1 == "pushdown").get
+    assert(pd._4 > 0 && pd._5 == 0 && pd._6 == 0 && pd._7 == 0, s"$pd")
+    // caching: cold loads (pullup-routed), warm serves everything resident
+    val cw = rep.find(r => r._1 == "caching" && r._2 == "warm").get
+    assert(cw._6 > 0 && cw._4 == 0 && cw._5 == 0, s"$cw")
+    // hybrid: the primed PARTIAL lineitem segment must zip in both passes
+    val hw = rep.find(r => r._1 == "hybrid" && r._2 == "warm").get
+    assert(hw._7 > 0, s"primed partial segment must produce a Hybrid route: $hw")
+  }
+
   test("dm06/dm07/dm08 entries equal their b-corpus twins") {
     val pairs = Seq(
       "dm06_mode_pullup"  -> "1_2",

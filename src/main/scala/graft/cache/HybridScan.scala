@@ -331,6 +331,25 @@ object HybridScan {
     def hybrids: Long   = hybridN.get
     def availableSlots: Int = slots.availablePermits()
 
+    /** Last ≤256 [[scanMode]] routing decisions: (table, needed columns,
+      * route, why). The reference's AdaptPushdownManager logs each
+      * admission call; here the log is a bounded ring a caller can query
+      * — [[graft.plans.ModeExec.explainRoutes]] turns it into an
+      * EXPLAIN-style result for the cache/pushdown layer. Bounded so a
+      * long-lived session router never grows without limit. */
+    private val decisionLog =
+      new java.util.concurrent.ConcurrentLinkedDeque[(String, Seq[String], String, String)]
+    private def logDecision(table: String, need: Seq[String],
+        route: Route, reason: String): Unit = {
+      decisionLog.addLast((table, need, route.toString, reason))
+      while (decisionLog.size > 256) decisionLog.pollFirst()
+    }
+    def decisions: Seq[(String, Seq[String], String, String)] = {
+      import scala.jdk.CollectionConverters._
+      decisionLog.asScala.toSeq
+    }
+    def clearDecisions(): Unit = decisionLog.clear()
+
     private def dataCols(k: SegmentKey): Seq[String] =
       k.columns.filterNot(c => c == FileCol || c == PosCol)
 
@@ -380,24 +399,27 @@ object HybridScan {
 
       def plainScan() = s.read.parquet(Tables.path(dir, table))
 
-      def pushdownLease(): ScanLease = {
+      def pushdownLease(reason: String): ScanLease = {
         val acquired = slots.tryAcquire()
         pushdownN.incrementAndGet()
+        logDecision(table, need, Pushdown, reason)
         new ScanLease(
           plainScan().filter(predicate).select(cols.map(col): _*),
           Pushdown, if (acquired) () => slots.release() else () => ())
       }
 
-      def pullupLoad(): ScanLease = {
+      def pullupLoad(reason: String): ScanLease = {
         pullupN.incrementAndGet()
+        logDecision(table, need, Pullup, reason)
         val seg = cache.get(pullupKey(table, need)) {
           plainScan().select(need.sorted.map(col): _*)
         }
         noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
       }
 
-      def cacheOnly(k: SegmentKey): ScanLease = {
+      def cacheOnly(k: SegmentKey, reason: String): ScanLease = {
         cacheOnlyN.incrementAndGet()
+        logDecision(table, need, CacheOnly, reason)
         val seg = cache.get(k) {
           // race-rebuild must reproduce the key's exact shape: ordinal
           // segments rebuild through the mergedScan builder (partition +
@@ -417,18 +439,22 @@ object HybridScan {
           // the reference's PULLUP: raw bytes up, filter compute-side, no
           // cache participation at all (neither lookup nor admission)
           pullupN.incrementAndGet()
+          logDecision(table, need, Pullup,
+            "mode=pullup: raw columns up, filter compute-side, no cache participation")
           noopLease(plainScan().select(need.map(col): _*)
             .filter(predicate).select(cols.map(col): _*), Pullup)
         case ModePushdownOnly =>
-          pushdownLease()
+          pushdownLease("mode=pushdown: filter+projection pushed to storage")
         case ModeCachingOnly =>
           // cache-resident when covered, load-and-admit when not — the
           // fingerprint/listing machinery is not consulted because this
           // mode never zips (plain segments carry no ordinals)
           cache.keys.filter(_.table == table)
             .find(k => need.forall(dataCols(k).contains)) match {
-            case Some(k) => cacheOnly(k)
-            case None    => pullupLoad()
+            case Some(k) => cacheOnly(k,
+              s"resident segment [${dataCols(k).mkString(",")}] covers the scan")
+            case None    => pullupLoad(
+              s"no covering segment: loading [${need.sorted.mkString(",")}]")
           }
         case ModeHybrid =>
           // ONE listing serves the fingerprint check here AND the merged
@@ -449,7 +475,8 @@ object HybridScan {
             .sortBy { case (_, ov) => -ov.size }
             .headOption
           full match {
-            case Some(k) => cacheOnly(k)
+            case Some(k) => cacheOnly(k,
+              s"resident segment [${dataCols(k).mkString(",")}] fully covers the scan")
             case None => partial match {
               case Some((k, overlap)) =>
                 hybridN.incrementAndGet()
@@ -468,6 +495,10 @@ object HybridScan {
                 val fetchPred = pushParts
                   .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
                   .map(org.apache.spark.sql.GraftBridge.column)
+                logDecision(table, need, Hybrid,
+                  s"partial segment [${overlap.mkString(",")}] resident; " +
+                  s"fetching [${fetchCols.mkString(",")}] from storage " +
+                  s"(${pushParts.size}/${parts.size} predicate conjuncts pushed)")
                 val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
                   fetchPred, cache, listing = Some(tl))
                 val filtered =
@@ -476,10 +507,13 @@ object HybridScan {
               case None =>
                 if (slots.tryAcquire()) {
                   pushdownN.incrementAndGet()
+                  logDecision(table, need, Pushdown,
+                    "no usable segment; pushdown slot acquired")
                   new ScanLease(
                     plainScan().filter(predicate).select(cols.map(col): _*),
                     Pushdown, () => slots.release())
-                } else pullupLoad()
+                } else pullupLoad(
+                  "no usable segment and the store is saturated: pullup load")
             }
           }
       }

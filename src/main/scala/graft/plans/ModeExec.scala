@@ -232,6 +232,28 @@ object ModeExec extends PredicateHelper {
       "pushdown_leaves", "pullup_leaves", "cacheonly_leaves", "hybrid_leaves")
   }
 
+  /** Per-leaf route explanation for one SQL text — "EXPLAIN" for the
+    * cache/pushdown layer. Plans the query, routes every base-table leaf
+    * under `mode`, and returns one row per decision: (table, columns,
+    * route, reason). The reference's AdaptPushdownManager logs these
+    * admission calls server-side; surfacing them as a query result is
+    * what lets a user see WHY lineitem zipped while orders pushed down.
+    * Routing happens at plan time, so no table data is scanned to
+    * produce the report (segment loads the routing admits stay lazy). */
+  def explainRoutes(s: SparkSession, dir: String, sql: String,
+      mode: ScanMode = ModeHybrid,
+      routerOpt: Option[AdaptiveScanRouter] = None): DataFrame = {
+    import s.implicits._
+    val r = routerOpt.getOrElse(router(s, dir))
+    r.clearDecisions()
+    val leases = mutable.Buffer.empty[ScanLease]
+    try executeQueryMode(s, dir, sql, mode, r, leases)
+    finally leases.foreach(_.close())
+    r.decisions.map { case (t, cols, route, why) =>
+      (t, cols.mkString(","), route, why)
+    }.toDF("table", "columns", "route", "reason")
+  }
+
   // --------------------------------------------------------------- entries
 
   private def router(s: SparkSession, dir: String): AdaptiveScanRouter =

@@ -173,6 +173,30 @@ class ModeExecSpec extends SparkSpec {
     assert(hw._7 > 0, s"primed partial segment must produce a Hybrid route: $hw")
   }
 
+  test("explainRoutes reports per-leaf decisions with reasons") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    // a partial lineitem ordinal segment left by "prior workload"
+    HybridScan.mergedScan(spark, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = None, cache = cache)
+    val r = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val rep = ModeExec.explainRoutes(spark, sfDir, SsbCorpus.sql("1_1"),
+      ModeHybrid, Some(r)).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2), x.getString(3)))
+    assert(rep.nonEmpty)
+    val li = rep.find(_._1 == "lineitem").get
+    assert(li._3 == "Hybrid" && li._4.contains("partial segment") &&
+      li._4.contains("fetching"), s"$li")
+    assert(rep.filter(_._1 != "lineitem").forall(_._3 == "Pushdown"),
+      s"segment-free leaves must push down: ${rep.toSeq}")
+    // pullup mode explains itself on every leaf
+    val pu = ModeExec.explainRoutes(spark, sfDir, SsbCorpus.sql("1_1"),
+      ModePullup, Some(freshRouter())).collect()
+    assert(pu.nonEmpty && pu.forall(x =>
+      x.getString(2) == "Pullup" && x.getString(3).contains("mode=pullup")))
+    cache.invalidateAll()
+  }
+
   test("dm06/dm07/dm08 entries equal their b-corpus twins") {
     val pairs = Seq(
       "dm06_mode_pullup"  -> "1_2",

@@ -107,6 +107,30 @@ class StoreIoSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("a partition filter cuts GETs and bytes to the matching partition") {
+    val part = s"$base/lineitem_byday.parquet"
+    spark.read.parquet(tablePath)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .write.partitionBy("ship_month").mode("overwrite").parquet(part)
+    val (_, bAll) = ioBytes {
+      spark.read.parquet(part).agg(sum("l_quantity")).collect()
+    }
+    val oAll = MockObjectFs.opens.get
+    val (_, bOne) = ioBytes {
+      spark.read.parquet(part).filter(col("ship_month") === "1996-03")
+        .agg(sum("l_quantity")).collect()
+    }
+    val oOne = MockObjectFs.opens.get
+    assert(bOne > 0, "the matching partition must still be read")
+    assert(bOne < bAll / 4, s"partition-pruned bytes must collapse: $bOne vs $bAll")
+    assert(oOne < oAll / 4, s"partition-pruned GETs must collapse: $oOne vs $oAll")
+    // honest caveat, counted: path-based partition DISCOVERY still walks
+    // the whole directory tree at planning (listCalls does not drop) —
+    // only a catalog table with partition metadata prunes the listing
+    // itself, which is the z05/day-partition lever's catalog form
+    assert(MockObjectFs.listCalls.get > 0)
+  }
+
   test("the bandwidth throttle holds its lower bound") {
     val b4 = fullScanAgg() // unthrottled byte count B
     // 2 part files → ≤2 concurrent streams; bw = B/s means each task

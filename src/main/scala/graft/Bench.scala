@@ -400,6 +400,12 @@ object Bench {
           cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
           fetchCols = Seq("l_shipdate"), fetchPredicate = None,
           cache = hCache).count()
+        // cold: repeated column sets trip the router's hot-admission loop
+        // mid-pass; warm: those self-admitted segments serve cache-side,
+        // so the bytes delta cold→warm is the caching HALF of hybrid mode
+        // working (the route mix is the zip half)
+        pass("hybrid_cold", ModeHybrid,
+          new AdaptiveScanRouter(hCache, pushdownSlots = 64))
         val hRouter = new AdaptiveScanRouter(hCache, pushdownSlots = 64)
         pass("hybrid_warm", ModeHybrid, hRouter)
         out += "hybrid_routes" -> hRouter.hybrids.toDouble

@@ -318,7 +318,8 @@ object HybridScan {
       initialPushdownEstNanos: Double = 0.0,
       initialPullupEstNanos: Double = 0.0,
       pullupWeight: Double = 1.0,
-      maxPullupReqs: Int = 10) {
+      maxPullupReqs: Int = 10,
+      hotAdmitAfter: Int = 2) {
     private val slots = new Semaphore(pushdownSlots)
     private val pushdownN  = new AtomicLong(0)
     private val pullupN    = new AtomicLong(0)
@@ -349,6 +350,24 @@ object HybridScan {
       decisionLog.asScala.toSeq
     }
     def clearDecisions(): Unit = decisionLog.clear()
+
+    /** Hot-data admission memory for [[scanMode]]'s HYBRID mode — the
+      * loop that makes the cache WARM ITSELF from the workload instead of
+      * only serving pre-existing segments. The reference's caching tier
+      * decides what to keep from per-query access history
+      * (`fpdb-cache`'s policies run on segment access events, and its
+      * HYBRID mode is caching AND pushdown together); here a total miss
+      * routes pushdown until the same (table, column set) has been asked
+      * for `hotAdmitAfter` times, then loads-and-admits a ZIP-CAPABLE
+      * ordinal segment: later equal-or-narrower scans serve cache-only,
+      * later WIDER scans hybrid-zip against it. `hotAdmitAfter = 2` (the
+      * default) is scan-resistant — a one-shot table scan never evicts
+      * anything — while a workload's repeated tables warm up after their
+      * first repeat; ≤ 0 disables the loop. Admission itself is still
+      * the CACHE's decision (policy priority + capacity): a refused
+      * segment costs one compute-side pass, nothing else. */
+    private val missSeen =
+      new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]
 
     private def dataCols(k: SegmentKey): Seq[String] =
       k.columns.filterNot(c => c == FileCol || c == PosCol)
@@ -505,10 +524,31 @@ object HybridScan {
                   if (postParts.isEmpty) merged else merged.filter(predicate)
                 noopLease(filtered.select(cols.map(col): _*), Hybrid)
               case None =>
-                if (slots.tryAcquire()) {
+                val seen = missSeen
+                  .computeIfAbsent(s"$table|${need.sorted.mkString(",")}",
+                    _ => new AtomicLong)
+                  .incrementAndGet()
+                if (hotAdmitAfter > 0 && seen >= hotAdmitAfter) {
+                  // hot set: load-and-admit the zip-capable ordinal form
+                  // (same build as mergedScan's segment: partitioned and
+                  // sorted by the zip key, so later wider scans merge
+                  // against it with no exchange on this side)
+                  pullupN.incrementAndGet()
+                  logDecision(table, need, Pullup,
+                    s"hot column set (access #$seen ≥ $hotAdmitAfter): " +
+                    s"loading zip-capable segment [${need.sorted.mkString(",")}]")
+                  val k = ordinalKey(table, tl.fingerprint, need.sorted)
+                  val seg = cache.get(k) {
+                    ordinalScan(s, dir, table, need.sorted)
+                      .repartition(col(PosCol), col(FileCol))
+                      .sortWithinPartitions(col(PosCol), col(FileCol))
+                  }
+                  noopLease(
+                    seg.filter(predicate).select(cols.map(col): _*), Pullup)
+                } else if (slots.tryAcquire()) {
                   pushdownN.incrementAndGet()
                   logDecision(table, need, Pushdown,
-                    "no usable segment; pushdown slot acquired")
+                    s"no usable segment (access #$seen); pushdown slot acquired")
                   new ScanLease(
                     plainScan().filter(predicate).select(cols.map(col): _*),
                     Pushdown, () => slots.release())

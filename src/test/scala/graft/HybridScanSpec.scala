@@ -793,4 +793,38 @@ class HybridScanSpec extends SparkSpec {
       s"execute() pullup must register a measured per-table cost, got $after (was $before)")
     cache.invalidateAll()
   }
+
+  test("hybrid mode warms itself: a repeated column set admits a zip-capable segment") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8) // hotAdmitAfter = 2
+    def ask(cols: Seq[String]) = {
+      val l = router.scanMode(spark, sfDir, "orders", cols,
+        expr("o_totalprice > 0"), HybridScan.ModeHybrid)
+      l.close(); l
+    }
+    val narrow = Seq("o_orderkey", "o_totalprice")
+    // access #1: one-shot scans stay scan-resistant — pushdown, no admission
+    assert(ask(narrow).route == Pushdown)
+    assert(!cache.keys.exists(_.table.startsWith("orders@")), "must not admit on first sight")
+    // access #2: hot — load-and-admit the ordinal (zip-capable) form
+    assert(ask(narrow).route == Pullup)
+    assert(cache.keys.exists(_.table.startsWith("orders@")),
+      s"hot set must admit an ordinal segment, cache has ${cache.keys}")
+    // access #3: resident, cache-only
+    assert(ask(narrow).route == HybridScan.CacheOnly)
+    // a WIDER scan now hybrid-zips against the self-admitted segment
+    val wide = router.scanMode(spark, sfDir, "orders",
+      Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+      expr("o_totalprice > 0"), HybridScan.ModeHybrid)
+    wide.close()
+    assert(wide.route == HybridScan.Hybrid,
+      s"wider scan should zip against the admitted segment, got ${wide.route}")
+    val n = wide.df.count()
+    val m = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 0).count()
+    assert(n == m, s"zip rows $n vs plain $m")
+    // the decision log tells the whole story
+    val reasons = router.decisions.map(_._4)
+    assert(reasons.exists(_.contains("hot column set")), reasons.mkString("; "))
+    cache.invalidateAll()
+  }
 }

@@ -15,8 +15,22 @@ import graft.plans.ModeExec
   * CACHING_ONLY / HYBRID, with each mode's plan signature verified. */
 class ModeExecSpec extends SparkSpec {
 
-  private def freshRouter(slots: Int = 8): AdaptiveScanRouter =
-    new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU), pushdownSlots = slots)
+  // every fresh router's cache is invalidated when the suite ends: the
+  // hot-admission loop can persist segments mid-query (e.g. h11 scans
+  // partsupp twice), and a leaked persisted scan would be substituted
+  // into later suites' plan-equal queries session-wide (CacheManager)
+  private val routerCaches = scala.collection.mutable.Buffer.empty[SegmentCache]
+  private def freshRouter(slots: Int = 8): AdaptiveScanRouter = {
+    val cache = new SegmentCache(1L << 30, LRU)
+    synchronized { routerCaches += cache }
+    new AdaptiveScanRouter(cache, pushdownSlots = slots)
+  }
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome = {
+    try super.withFixture(test)
+    finally synchronized {
+      routerCaches.foreach(_.invalidateAll()); routerCaches.clear()
+    }
+  }
 
   /** Rows sorted deterministically (group keys are unique per row, so
     * doubles never decide the order). Compared with a relative tolerance

@@ -369,6 +369,18 @@ object HybridScan {
     private val missSeen =
       new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]
 
+    /** One access tick for a (kind, table, column set) key. `kind`
+      * separates the full-miss counter from the zipped-partial counter:
+      * promotion of an already-zipping set is judged on how often it
+      * ZIPS, not on accesses it served other ways. Bounded history: past
+      * the cap the map resets — admission is a best-effort heuristic and
+      * forgetting only delays warming by one access. */
+    private def countAccess(kind: String, table: String, need: Seq[String]): Long = {
+      if (missSeen.size > 4096) missSeen.clear()
+      missSeen.computeIfAbsent(s"$kind|$table|${need.sorted.mkString(",")}",
+        _ => new AtomicLong).incrementAndGet()
+    }
+
     private def dataCols(k: SegmentKey): Seq[String] =
       k.columns.filterNot(c => c == FileCol || c == PosCol)
 
@@ -497,6 +509,26 @@ object HybridScan {
             case Some(k) => cacheOnly(k,
               s"resident segment [${dataCols(k).mkString(",")}] fully covers the scan")
             case None => partial match {
+              case Some((k, overlap))
+                  if hotAdmitAfter > 0 &&
+                    countAccess("zip", table, need) >= hotAdmitAfter + 1 =>
+                // a set that KEEPS zipping pays its fetch columns' store
+                // bytes on every query; once it proves hot (it has zipped
+                // hotAdmitAfter times already — a zip serves it cheaply,
+                // so promotion takes one more signal than a miss), admit
+                // full residency and stop paying. The narrower segment it
+                // zipped against goes cold and ages out by policy.
+                pullupN.incrementAndGet()
+                logDecision(table, need, Pullup,
+                  s"hot zipped set: promoting [${need.sorted.mkString(",")}] " +
+                  s"to full residency (was zipping against [${overlap.mkString(",")}])")
+                val fk = ordinalKey(table, tl.fingerprint, need.sorted)
+                val seg = cache.get(fk) {
+                  ordinalScan(s, dir, table, need.sorted)
+                    .repartition(col(PosCol), col(FileCol))
+                    .sortWithinPartitions(col(PosCol), col(FileCol))
+                }
+                noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
               case Some((k, overlap)) =>
                 hybridN.incrementAndGet()
                 val fetchCols = need.filterNot(overlap.contains)
@@ -524,10 +556,7 @@ object HybridScan {
                   if (postParts.isEmpty) merged else merged.filter(predicate)
                 noopLease(filtered.select(cols.map(col): _*), Hybrid)
               case None =>
-                val seen = missSeen
-                  .computeIfAbsent(s"$table|${need.sorted.mkString(",")}",
-                    _ => new AtomicLong)
-                  .incrementAndGet()
+                val seen = countAccess("miss", table, need)
                 if (hotAdmitAfter > 0 && seen >= hotAdmitAfter) {
                   // hot set: load-and-admit the zip-capable ordinal form
                   // (same build as mergedScan's segment: partitioned and

@@ -822,9 +822,25 @@ class HybridScanSpec extends SparkSpec {
     val n = wide.df.count()
     val m = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 0).count()
     assert(n == m, s"zip rows $n vs plain $m")
+    // a set that KEEPS zipping promotes to full residency: its fetch
+    // column stops crossing the store boundary on every query
+    def askWide() = {
+      val l = router.scanMode(spark, sfDir, "orders",
+        Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+        expr("o_totalprice > 0"), HybridScan.ModeHybrid)
+      l.close(); l
+    }
+    assert(askWide().route == HybridScan.Hybrid, "second zip still zips")
+    val promoted = askWide()
+    assert(promoted.route == Pullup,
+      s"third zip of the same set must promote, got ${promoted.route}")
+    assert(promoted.df.count() == m)
+    assert(askWide().route == HybridScan.CacheOnly,
+      "promoted set must serve resident afterwards")
     // the decision log tells the whole story
     val reasons = router.decisions.map(_._4)
     assert(reasons.exists(_.contains("hot column set")), reasons.mkString("; "))
+    assert(reasons.exists(_.contains("promoting")), reasons.mkString("; "))
     cache.invalidateAll()
   }
 }

@@ -67,6 +67,21 @@ object HybridScan {
         .digest(lines.mkString("\n").getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString.take(8)
     }
+    /** True when every path in this listing has a distinct `xxhash64` —
+      * the zip may then use the fixed-width hash as its file key.
+      * Checked DETERMINISTICALLY driver-side (the listing is already
+      * driver-held; same XXH64/seed-42 as the `xxhash64` expression), so
+      * the ~n²/2⁶⁵ collision chance is not a silent-corruption bet: a
+      * colliding listing simply falls back to raw path keys, loudly
+      * correct either way. */
+    lazy val hashSafe: Boolean = {
+      val hs = files.map { case (p, _, _) =>
+        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p),
+          org.apache.spark.sql.types.StringType, 42L)
+      }
+      hs.distinct.size == hs.size
+    }
   }
 
   /** Listing invocations since JVM start — spec hook proving the hybrid
@@ -103,33 +118,41 @@ object HybridScan {
     caches.getOrBuild(s, s"hybrid-cache:$dir")(
       new SegmentCache(capacityBytes = 1L << 30, policy = LRU))
 
-  /** Scan `cols` of a table with the `(file path, row index)` ordinal
-    * prepended. The zip key is `_metadata.file_path` ITSELF — a per-split
-    * constant string the reader fills with no per-row work — plus the
-    * parquet row index. Equal ordinals mean THE SAME physical row on both
-    * sides of a merge by construction: both sides read the same files
-    * through the same reader, so the key needs no derivation at all.
+  /** Scan `cols` of a table with a `(file key, row index)` ordinal
+    * prepended. The file key is `xxhash64(_metadata.file_path)` — a
+    * FIXED-WIDTH long computed by codegen from the per-split constant
+    * path string — whenever `listing` certifies the hash is
+    * collision-free across this table's files ([[TableListing.hashSafe]],
+    * a deterministic driver-side check over the already-held listing);
+    * the raw path string is the loud fallback key for the ~n²/2⁶⁵
+    * colliding listing. Both sides of a merge derive the key from the
+    * SAME listing object, so they always agree on the form, and equal
+    * ordinals mean THE SAME physical row by construction.
     *
-    * This replaces the r9 design (file ids = positions in the sorted
-    * listing, carried as one literal `map(...)` expression with two
-    * entries per file): at the 100 TB design point a table is
-    * O(10^5–10^6) files, and a CreateMap with millions of literal
-    * children means per-task plan serialization, certain codegen
-    * fallback, and likely driver OOM — the mechanism died at its own
-    * scale target. The direct path key is file-count-independent: no
-    * listing, no driver-held map, no unmapped-path failure mode (a path
-    * outside the fetch side's files simply finds no join partner, and
-    * the fingerprinted segment key already guarantees both sides were
-    * planned over the SAME listing). The per-row cost is hashing a
-    * pathname string in the join — measured equal-or-better than the r9
-    * map probe at 64 files (ProfileHybrid) and, unlike it, flat in file
-    * count. */
+    * Design history, each step measured: the r9 literal `map(path→id)`
+    * expression died at file-count scale (a CreateMap with 2 children
+    * per file — plan serialization, codegen fallback, driver OOM at
+    * O(10^5) files). The r10 raw-path key fixed that but priced the zip
+    * key at the PATH STRING's width — through the fetch-side exchange on
+    * every query, and in the plan-stats size the cache's admission
+    * compares against capacity (ProfileCacheSweep measured zip-capable
+    * segments refused admission at capacities their compressed bytes fit
+    * comfortably). The hash key keeps everything that made the path key
+    * right — file-count-independent, pure projection (a broadcast id
+    * dimension was rejected: non-CBO stats MULTIPLY join children's
+    * sizes, which would poison the very admission estimate this fixes),
+    * no driver-held map, an unlisted path simply finds no partner — at 8
+    * bytes through every exchange and segment. */
   def ordinalScan(s: SparkSession, dir: String, table: String,
-      cols: Seq[String]): DataFrame =
+      cols: Seq[String], listing: TableListing): DataFrame = {
+    val fileKey =
+      if (listing.hashSafe) xxhash64(col("_metadata.file_path"))
+      else col("_metadata.file_path")
     s.read.parquet(Tables.path(dir, table)).select(
-      col("_metadata.file_path").as(FileCol) +:
+      fileKey.as(FileCol) +:
       col("_metadata.row_index").as(PosCol) +:
       cols.map(col): _*)
+  }
 
   /** MergeKernel: rows = cache-resident columns ⋈ ordinal-zipped storage
     * fetch of the missing columns, predicate pushed into the fetch scan.
@@ -163,7 +186,8 @@ object HybridScan {
       cachedCols: Seq[String], fetchCols: Seq[String],
       fetchPredicate: Option[Column] = None,
       cache: SegmentCache, listing: Option[TableListing] = None): DataFrame = {
-    val fp = listing.getOrElse(listTable(s, dir, table)).fingerprint
+    val tl = listing.getOrElse(listTable(s, dir, table))
+    val fp = tl.fingerprint
     val seg = cache.get(ordinalKey(table, fp, cachedCols)) {
       // partition by the FULL zip key (pos, file), in join-key order:
       // EnsureRequirements shuffles the fetch side by the complete join
@@ -176,11 +200,11 @@ object HybridScan {
       // ever planned the persisted ordering satisfies its requiredOrdering
       // as-is. The wide cached columns pay neither an exchange NOR a sort
       // at query time (spec-pinned).
-      ordinalScan(s, dir, table, cachedCols)
+      ordinalScan(s, dir, table, cachedCols, tl)
         .repartition(col(PosCol), col(FileCol))
         .sortWithinPartitions(col(PosCol), col(FileCol))
     }
-    val fetched0 = ordinalScan(s, dir, table, fetchCols)
+    val fetched0 = ordinalScan(s, dir, table, fetchCols, tl)
     val fetched = fetchPredicate.fold(fetched0)(fetched0.filter)
     // Zip strategy by the planner's own size logic: a fetch side under
     // the broadcast threshold broadcasts (zero cached bytes move); above
@@ -456,7 +480,7 @@ object HybridScan {
           // segments rebuild through the mergedScan builder (partition +
           // sort by the zip keys), plain ones as a bare projection
           if (k.columns.contains(FileCol))
-            ordinalScan(s, dir, table, dataCols(k))
+            ordinalScan(s, dir, table, dataCols(k), listTable(s, dir, table))
               .repartition(col(PosCol), col(FileCol))
               .sortWithinPartitions(col(PosCol), col(FileCol))
           else
@@ -524,7 +548,7 @@ object HybridScan {
                   s"to full residency (was zipping against [${overlap.mkString(",")}])")
                 val fk = ordinalKey(table, tl.fingerprint, need.sorted)
                 val seg = cache.get(fk) {
-                  ordinalScan(s, dir, table, need.sorted)
+                  ordinalScan(s, dir, table, need.sorted, tl)
                     .repartition(col(PosCol), col(FileCol))
                     .sortWithinPartitions(col(PosCol), col(FileCol))
                 }
@@ -568,7 +592,7 @@ object HybridScan {
                     s"loading zip-capable segment [${need.sorted.mkString(",")}]")
                   val k = ordinalKey(table, tl.fingerprint, need.sorted)
                   val seg = cache.get(k) {
-                    ordinalScan(s, dir, table, need.sorted)
+                    ordinalScan(s, dir, table, need.sorted, tl)
                       .repartition(col(PosCol), col(FileCol))
                       .sortWithinPartitions(col(PosCol), col(FileCol))
                   }

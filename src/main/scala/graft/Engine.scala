@@ -94,10 +94,40 @@ object Engine {
 
   /** Register the scale-factor directory's tables (skipped when this
     * session's views already point at `dir`) and run one SQL query.
-    * `Registration.dir` is recorded only AFTER registration succeeds — a
-    * partial registration that threw must not be mistaken for a complete
-    * one on the next call (it would silently query mixed views). */
-  def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    *
+    * The reference selects a deployment-wide execution mode in
+    * `exec.conf` (`Mode.h:13-18`); graft's equivalent knob is the
+    * SESSION CONF `spark.graft.scanMode` (pullup / pushdown / caching /
+    * hybrid): when set, every query entering the engine — including a
+    * JDBC client's, via `SET spark.graft.scanMode=caching` on its own
+    * connection — has its base-table leaves routed through the session's
+    * [[graft.cache.HybridScan.sessionRouter]] under that mode
+    * ([[graft.plans.ModeExec.executeQueryMode]]). Unset (the default)
+    * means the pristine Catalyst path. The conf route carries the ROWS
+    * contract (routes are result-identical by construction); plan-purity
+    * bracketing — reader-pushdown off for pullup, slot leases spanning
+    * execution — needs the explicit `ModeExec.runQueryMode` API, since a
+    * lazily returned frame outlives any bracket this method could hold
+    * (plan-time pushdown leases are therefore closed before returning:
+    * route + cache state persist, the slot does not). */
+  def executeQuery(spark: SparkSession, dir: String, sql: String): DataFrame =
+    spark.conf.getOption("spark.graft.scanMode").filter(_.nonEmpty) match {
+      case None => plan(spark, dir, sql)
+      case Some(m) =>
+        val mode = graft.cache.HybridScan.ScanMode.parse(m)
+        val leases = scala.collection.mutable.Buffer
+          .empty[graft.cache.HybridScan.ScanLease]
+        val df = graft.plans.ModeExec.executeQueryMode(spark, dir, sql, mode,
+          graft.cache.HybridScan.sessionRouter(spark, dir), leases)
+        leases.foreach(_.close())
+        df
+    }
+
+  /** The raw engine path: registration + CTE rewrite + Catalyst, no mode
+    * routing. `ModeExec` plans through this (the mode rewriter must see
+    * the pristine optimized plan, and must not recurse into itself when
+    * the session conf is set). */
+  private[graft] def plan(spark: SparkSession, dir: String, sql: String): DataFrame = {
     // registration AND analysis under one PER-SESSION lock: spark.sql
     // resolves view plans eagerly, so once analyzed the returned DataFrame
     // is immune to later view swaps — but the analysis must not race a

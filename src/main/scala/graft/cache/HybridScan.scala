@@ -118,6 +118,19 @@ object HybridScan {
     caches.getOrBuild(s, s"hybrid-cache:$dir")(
       new SegmentCache(capacityBytes = 1L << 30, policy = LRU))
 
+  private val routers = new SessionCache[AdaptiveScanRouter](
+    maxEntries = 4, releaseValue = (_: AdaptiveScanRouter) => ())
+
+  /** One long-lived router per (session, sf-dir), over the session's
+    * shared [[segmentCache]] — the state behind the
+    * `spark.graft.scanMode` engine conf: its miss/zip access history and
+    * admitted segments accumulate ACROSS queries, which is what lets the
+    * hot-data admission loop warm a session's workload (a per-query
+    * router would reset the counters every call). */
+  def sessionRouter(s: SparkSession, dir: String): AdaptiveScanRouter =
+    routers.getOrBuild(s, s"hybrid-router:$dir")(
+      new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = 64))
+
   /** Scan `cols` of a table with a `(file key, row index)` ordinal
     * prepended. The file key is `xxhash64(_metadata.file_path)` — a
     * FIXED-WIDTH long computed by codegen from the per-split constant

@@ -90,7 +90,9 @@ object ModeExec extends PredicateHelper {
   def executeQueryMode(s: SparkSession, dir: String, sql: String,
       mode: ScanMode, router: AdaptiveScanRouter,
       leases: mutable.Buffer[ScanLease] = mutable.Buffer.empty): DataFrame = {
-    val base = Engine.executeQuery(s, dir, sql)
+    // the RAW engine path: the rewriter must see the pristine optimized
+    // plan, and must not recurse when the spark.graft.scanMode conf is set
+    val base = Engine.plan(s, dir, sql)
     val rewritten =
       rewriteLeaves(s, dir, base.queryExecution.optimizedPlan, mode, router, leases)
     GraftBridge.ofRows(s, rewritten)

@@ -211,6 +211,34 @@ class ModeExecSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("the spark.graft.scanMode conf routes every engine query") {
+    val sql = SsbCorpus.sql("1_3")
+    val expect = rows(Engine.executeQuery(spark, sfDir, sql)) // conf unset: pristine
+    val cache = HybridScan.segmentCache(spark, sfDir)
+    try {
+      spark.conf.set("spark.graft.scanMode", "caching")
+      val got = rows(Engine.executeQuery(spark, sfDir, sql))
+      assertRowsEqual(got, expect, "conf-routed caching")
+      assert(cache.keys.nonEmpty,
+        "the conf route must admit segments into the session cache")
+      val r = HybridScan.sessionRouter(spark, sfDir)
+      assert(r.pullups + r.cacheOnlys > 0, "the session router must have routed")
+      // second run: resident segments serve, rows unchanged — and the
+      // SAME long-lived router accumulates the history
+      val again = rows(Engine.executeQuery(spark, sfDir, sql))
+      assertRowsEqual(again, expect, "warm conf-routed caching")
+      assert(r.cacheOnlys > 0, "warm pass must serve cache-resident")
+      // a bad mode value fails loudly at submission, not silently pristine
+      spark.conf.set("spark.graft.scanMode", "nonsense")
+      intercept[IllegalArgumentException] {
+        Engine.executeQuery(spark, sfDir, sql)
+      }
+    } finally {
+      spark.conf.unset("spark.graft.scanMode")
+      cache.invalidateAll()
+    }
+  }
+
   test("dm06/dm07/dm08 entries equal their b-corpus twins") {
     val pairs = Seq(
       "dm06_mode_pullup"  -> "1_2",

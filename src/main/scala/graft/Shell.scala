@@ -20,7 +20,14 @@ package graft
   * `SELECT ';'` is one statement, not two broken ones.
   * Commands:
   *  - `\d;` — list the registered tables and their columns;
-  *  - `\explain <sql>;` — formatted physical plan instead of rows.
+  *  - `\explain <sql>;` — formatted physical plan instead of rows;
+  *  - `\mode [pullup|pushdown|caching|hybrid|off];` — set (or print,
+  *    bare) the session's execution mode: the reference's `exec.conf`
+  *    knob, wired through the `spark.graft.scanMode` conf so every
+  *    subsequent statement routes through the session's scan router;
+  *  - `\routes <sql>;` — the cache/pushdown layer's EXPLAIN: one row
+  *    per base-table leaf with the route the session router would take
+  *    and why ([[graft.plans.ModeExec.explainRoutes]]).
   * Output rows are capped at [[MaxRows]] — an interactive client is for
   * inspection; unbounded result dumps belong in a sink write.
   */
@@ -143,7 +150,7 @@ object Shell {
   }
 
   /** Run one statement; false iff it failed. */
-  private def runStatement(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def runStatement(spark: org.apache.spark.sql.SparkSession,
       dir: String, stmt: String): Boolean =
     try {
       if (stmt == "\\d") {
@@ -157,6 +164,26 @@ object Shell {
         println(Engine.executeQuery(spark, dir, stmt.substring(9))
           .queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
+      } else if (stmt.toLowerCase.startsWith("\\mode")) {
+        val arg = stmt.substring(5).trim
+        if (arg.isEmpty)
+          println("scan mode: " + spark.conf.getOption("spark.graft.scanMode")
+            .getOrElse("off (pristine Catalyst path)"))
+        else if (arg.equalsIgnoreCase("off")) {
+          spark.conf.unset("spark.graft.scanMode")
+          println("scan mode off")
+        } else {
+          val m = graft.cache.HybridScan.ScanMode.parse(arg)
+          spark.conf.set("spark.graft.scanMode", m.name)
+          println(s"scan mode: ${m.name}")
+        }
+      } else if (stmt.toLowerCase.startsWith("\\routes ")) {
+        val mode = spark.conf.getOption("spark.graft.scanMode")
+          .map(graft.cache.HybridScan.ScanMode.parse)
+          .getOrElse(graft.cache.HybridScan.ModeHybrid)
+        graft.plans.ModeExec.explainRoutes(spark, dir, stmt.substring(8), mode,
+          Some(graft.cache.HybridScan.sessionRouter(spark, dir)))
+          .show(MaxRows, truncate = false)
       } else {
         val t0 = System.nanoTime()
         val df = Engine.executeQuery(spark, dir, stmt)

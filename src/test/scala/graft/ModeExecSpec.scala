@@ -239,6 +239,24 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("shell \\mode and \\routes drive the session knob") {
+    val cache = HybridScan.segmentCache(spark, sfDir)
+    try {
+      assert(Shell.runStatement(spark, sfDir, "\\mode"), "bare \\mode prints state")
+      assert(Shell.runStatement(spark, sfDir, "\\mode caching"))
+      assert(spark.conf.get("spark.graft.scanMode") == "caching")
+      assert(!Shell.runStatement(spark, sfDir, "\\mode nonsense"),
+        "a bad mode must report an error, not silently pass")
+      assert(Shell.runStatement(spark, sfDir, "\\routes " + SsbCorpus.sql("1_3")),
+        "\\routes must run under the session's current mode")
+      assert(Shell.runStatement(spark, sfDir, "\\mode off"))
+      assert(spark.conf.getOption("spark.graft.scanMode").isEmpty)
+    } finally {
+      try spark.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
   test("dm06/dm07/dm08 entries equal their b-corpus twins") {
     val pairs = Seq(
       "dm06_mode_pullup"  -> "1_2",

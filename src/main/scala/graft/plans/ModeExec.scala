@@ -294,10 +294,30 @@ object ModeExec extends PredicateHelper {
     df
   }
 
+  /** dm10: the deployment-conf path end-to-end — SSB Q2.1 submitted
+    * through the PUBLIC `Engine.executeQuery` with
+    * `spark.graft.scanMode=hybrid` set for the duration of planning (the
+    * conf is how a deployment selects the reference's `exec.conf` mode;
+    * restored after). Routes are baked at plan time, so the returned
+    * frame carries them no matter when the driver executes it; repeated
+    * driver calls walk the session router's admission ladder
+    * (pushdown → load → resident) with identical rows at every rung —
+    * exactly the order-independence the entry contract requires. */
+  private def dm10ConfMode(s: SparkSession, dir: String): DataFrame = {
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try Engine.executeQuery(s, dir, SsbCorpus.sql("2_1"))
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm06_mode_pullup"  -> dm06ModePullup _,
     "dm07_mode_caching" -> dm07ModeCaching _,
     "dm08_mode_hybrid"  -> dm08ModeHybrid _,
+    "dm10_conf_mode"    -> dm10ConfMode _,
   )
 
   /** Oracles are the SAME SSB texts the b-entries hash against — a mode
@@ -306,5 +326,6 @@ object ModeExec extends PredicateHelper {
     "dm06_mode_pullup"  -> SsbCorpus.sql("1_2"),
     "dm07_mode_caching" -> SsbCorpus.sql("1_3"),
     "dm08_mode_hybrid"  -> SsbCorpus.sql("1_1"),
+    "dm10_conf_mode"    -> SsbCorpus.sql("2_1"),
   )
 }

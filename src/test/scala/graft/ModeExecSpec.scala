@@ -239,6 +239,31 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("conf-mode hybrid warms across engine queries via the session router") {
+    val cache = HybridScan.segmentCache(spark, sfDir)
+    val sql = SsbCorpus.sql("2_1")
+    val expect = rows(Engine.plan(spark, sfDir, sql)) // raw path, conf-immune
+    val r = HybridScan.sessionRouter(spark, sfDir)
+    val co0 = r.cacheOnlys
+    try {
+      spark.conf.set("spark.graft.scanMode", "hybrid")
+      // the admission ladder ACROSS separate engine submissions: misses
+      // route pushdown, the repeat admits, the third serves resident —
+      // possible only because the router (and its counters) outlive the
+      // individual query
+      for (_ <- 1 to 3)
+        assertRowsEqual(rows(Engine.executeQuery(spark, sfDir, sql)), expect,
+          "conf-routed hybrid")
+      assert(r.cacheOnlys > co0,
+        s"the session router must serve resident segments by the third run " +
+        s"(pd=${r.pushdowns} pu=${r.pullups} co=${r.cacheOnlys} hy=${r.hybrids})")
+      assert(cache.keys.nonEmpty, "warming must land in the shared session cache")
+    } finally {
+      spark.conf.unset("spark.graft.scanMode")
+      cache.invalidateAll()
+    }
+  }
+
   test("shell \\mode and \\routes drive the session knob") {
     val cache = HybridScan.segmentCache(spark, sfDir)
     try {

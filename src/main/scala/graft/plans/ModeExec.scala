@@ -201,16 +201,26 @@ object ModeExec extends PredicateHelper {
       prime: Map[String, Seq[String]] = Map.empty,
       cacheBytes: Long = 1L << 30): DataFrame = {
     import s.implicits._
-    val out = mutable.ArrayBuffer.empty[(String, String, Double, Long, Long, Long, Long)]
+    // on the instrumented store scheme the report carries FS-truth bytes
+    // per pass — the column the mode comparison actually argues about at
+    // 100 TB; on other schemes it is null, never a fake zero
+    val onStore = dir.startsWith("mockfs:")
+    val out = mutable.ArrayBuffer
+      .empty[(String, String, Double, Long, Long, Long, Long, Option[Double])]
     def pass(label: String, mode: ScanMode, cache: SegmentCache): Unit = {
       val r = new AdaptiveScanRouter(cache, pushdownSlots = 64)
+      if (onStore) graft.sources.MockObjectFs.reset()
       val t0 = System.nanoTime()
       queries.foreach { case (_, sql) =>
         runQueryMode(s, dir, sql, mode, r)(
           _.write.format("noop").mode("overwrite").save())
       }
+      val mb =
+        if (onStore) Some(graft.sources.MockObjectFs.bytesRead.get / 1e6)
+        else None
       out += ((mode.name, label, (System.nanoTime() - t0) / 1e9,
-        r.pushdowns.toLong, r.pullups.toLong, r.cacheOnlys.toLong, r.hybrids.toLong))
+        r.pushdowns.toLong, r.pullups.toLong, r.cacheOnlys.toLong,
+        r.hybrids.toLong, mb))
     }
     for (mode <- ScanMode.all) {
       val cache = new SegmentCache(cacheBytes, LRU)
@@ -231,7 +241,8 @@ object ModeExec extends PredicateHelper {
       } finally cache.invalidateAll()
     }
     out.toSeq.toDF("mode", "pass", "seconds",
-      "pushdown_leaves", "pullup_leaves", "cacheonly_leaves", "hybrid_leaves")
+      "pushdown_leaves", "pullup_leaves", "cacheonly_leaves", "hybrid_leaves",
+      "store_mb")
   }
 
   /** Per-leaf route explanation for one SQL text — "EXPLAIN" for the

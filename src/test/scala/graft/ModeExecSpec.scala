@@ -168,10 +168,13 @@ class ModeExecSpec extends SparkSpec {
 
   test("compareModes reports a (mode, pass) row with seconds and the route mix") {
     val qs = Seq("1_1" -> SsbCorpus.sql("1_1"), "1_2" -> SsbCorpus.sql("1_2"))
-    val rep = ModeExec.compareModes(spark, sfDir, qs,
+    val raw = ModeExec.compareModes(spark, sfDir, qs,
       prime = Map("lineitem" -> Seq("l_extendedprice", "l_discount", "l_quantity")))
-      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
-        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .collect()
+    // on a non-store scheme the byte column is NULL, never a fake zero
+    assert(raw.forall(_.isNullAt(7)), "store_mb must be null on file:")
+    val rep = raw.map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+      r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
     assert(rep.length == 6, s"4 modes, stateful ones twice: ${rep.toSeq}")
     assert(rep.forall(_._3 > 0), s"every pass must take measurable time: ${rep.toSeq}")
     // stateless modes: one pure-route pass

@@ -131,6 +131,25 @@ class StoreIoSpec extends SparkSpec {
     assert(MockObjectFs.listCalls.get > 0)
   }
 
+  test("compareModes on the store scheme reports FS-truth bytes per pass") {
+    MockObjectFs.reset()
+    // the real testdata tables served through the scheme in place — the
+    // full-catalog path (registerAll reads every footer through mockfs)
+    val dir = "mockfs:/root/testdata/sf0.001"
+    val qs = Seq("q6ish" ->
+      ("SELECT sum(l_extendedprice * l_discount) AS rev " +
+       "FROM lineitem WHERE l_quantity < 24"))
+    val rep = graft.plans.ModeExec.compareModes(spark, dir, qs)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+    assert(rep.nonEmpty && rep.forall(_._3.isDefined),
+      s"store bytes must be measured on mockfs: ${rep.toSeq}")
+    val cw = rep.find(r => r._1 == "caching" && r._2 == "warm").get
+    assert(cw._3.get == 0.0, s"caching warm must read ZERO store bytes: $cw")
+    val pu = rep.find(_._1 == "pullup").get
+    assert(pu._3.get > 0, s"pullup must pay store bytes: $pu")
+  }
+
   test("the bandwidth throttle holds its lower bound") {
     val b4 = fullScanAgg() // unthrottled byte count B
     // 2 part files → ≤2 concurrent streams; bw = B/s means each task

@@ -73,14 +73,35 @@ object HybridScan {
       * driver-held; same XXH64/seed-42 as the `xxhash64` expression), so
       * the ~n²/2⁶⁵ collision chance is not a silent-corruption bet: a
       * colliding listing simply falls back to raw path keys, loudly
-      * correct either way. */
+      * correct either way.
+      *
+      * Distinctness is certified over EVERY rendering the runtime key
+      * might hash, not just the listing's own: the join hashes
+      * `_metadata.file_path`, whose string form can differ from
+      * `listStatus`'s (`file:/` vs `file:///` — measured in r9). A
+      * collision in ANY candidate rendering (including two listing paths
+      * that NORMALIZE to the same URI — a duplicate in disguise) falls
+      * back to raw path keys. */
     lazy val hashSafe: Boolean = {
-      val hs = files.map { case (p, _, _) =>
-        org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(p),
-          org.apache.spark.sql.types.StringType, 42L)
+      def allDistinct(ps: Seq[String]): Boolean = {
+        val hs = ps.map { p =>
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(p),
+            org.apache.spark.sql.types.StringType, 42L)
+        }
+        hs.distinct.size == hs.size
       }
-      hs.distinct.size == hs.size
+      val raw = files.map(_._1)
+      // the `new Path(str).toUri` rendering (what SparkPath round-trips)
+      // and the explicit scheme://authority/path form (empty authority
+      // rendered as `//` — the file:/// variant)
+      val uris = raw.map(p => new org.apache.hadoop.fs.Path(p).toUri)
+      val uriStrs = uris.map(_.toString)
+      val slashed = uris.map { u =>
+        if (u.getScheme == null) u.toString
+        else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+      }
+      allDistinct(raw) && allDistinct(uriStrs) && allDistinct(slashed)
     }
   }
 
@@ -88,22 +109,32 @@ object HybridScan {
     * path lists once per (query, table), not once per sub-scan. */
   private[graft] val listingCalls = new AtomicLong(0)
 
-  /** List a table's data files with size+mtime in ONE `listStatus` call.
+  /** List a table's data files with size+mtime — RECURSIVELY. Tables are
+    * flat by convention, but nothing at this API enforces that: a
+    * non-recursive listing over a nested/partitioned layout returned an
+    * EMPTY file set, which made the fingerprint a constant and silently
+    * voided the (path, length, mtime) staleness guard — the exact
+    * mis-zip class the fingerprint exists to prevent. Recursing (one
+    * `listStatus` per directory level, hidden `_`/`.` names skipped at
+    * every level, Spark's own convention) means a nested layout
+    * fingerprints its actual data files. Still ONE `listTable` call per
+    * (query, table) — [[listingCalls]] counts invocations of this method,
+    * and the flat-table fast path is unchanged: one `listStatus`.
     * Scheme-agnostic: resolves the table path through whatever Hadoop
     * `FileSystem` its URI names (local, s3a, a test mock scheme). */
   def listTable(s: SparkSession, dir: String, table: String): TableListing = {
     listingCalls.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(Tables.path(dir, table))
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val root = fs.getFileStatus(p)
-    val statuses =
-      if (root.isDirectory)
-        fs.listStatus(p).filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }.toSeq
-      else Seq(root)
-    TableListing(statuses
+    def hidden(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    def walk(st: org.apache.hadoop.fs.FileStatus)
+        : Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).filterNot(hidden).toSeq.flatMap(walk)
+    TableListing(walk(fs.getFileStatus(p))
       .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
       .sortBy(_._1))
   }
@@ -362,11 +393,17 @@ object HybridScan {
     private val pullupN    = new AtomicLong(0)
     private val cacheOnlyN = new AtomicLong(0)
     private val hybridN    = new AtomicLong(0)
+    private val overBudgetN = new AtomicLong(0)
 
     def pushdowns: Long = pushdownN.get
     def pullups: Long   = pullupN.get
     def cacheOnlys: Long = cacheOnlyN.get
     def hybrids: Long   = hybridN.get
+    /** Pushdowns admitted PAST the slot budget — only `ModePushdownOnly`
+      * can produce these (the mode forces the route; the full lattice
+      * falls back instead). Non-zero means the store saw more concurrent
+      * pushdowns than `pushdownSlots` — honest accounting, not a fault. */
+    def overBudget: Long = overBudgetN.get
     def availableSlots: Int = slots.availablePermits()
 
     /** Last ≤256 [[scanMode]] routing decisions: (table, needed columns,
@@ -401,8 +438,13 @@ object HybridScan {
       * default) is scan-resistant — a one-shot table scan never evicts
       * anything — while a workload's repeated tables warm up after their
       * first repeat; ≤ 0 disables the loop. Admission itself is still
-      * the CACHE's decision (policy priority + capacity): a refused
-      * segment costs one compute-side pass, nothing else. */
+      * the CACHE's decision (policy priority + capacity): a refusal
+      * resets the set's access counter — the query is served by the route
+      * the admission preempted (hybrid zip, or pushdown/pullup on a total
+      * miss) and the set must RE-EARN its heat, so a refused segment is
+      * re-attempted only every `hotAdmitAfter` accesses, never every
+      * access (the full-width ordinal rebuild that would imply is
+      * persistently worse than the routes it preempts). */
     private val missSeen =
       new java.util.concurrent.ConcurrentHashMap[String, AtomicLong]
 
@@ -417,6 +459,17 @@ object HybridScan {
       missSeen.computeIfAbsent(s"$kind|$table|${need.sorted.mkString(",")}",
         _ => new AtomicLong).incrementAndGet()
     }
+
+    /** Forget a (kind, table, column set)'s access history — called when
+      * the cache REFUSES the segment that history argued for. Without the
+      * reset the counter stays above threshold forever and every later
+      * access re-attempts the refused admission (rebuilding the full-width
+      * ordinal scan each time — persistently worse than the route it
+      * preempted); with it, the set re-earns its heat and the admission is
+      * re-attempted only every `hotAdmitAfter` accesses, by which time
+      * capacity may have freed up. */
+    private def resetAccess(kind: String, table: String, need: Seq[String]): Unit =
+      missSeen.remove(s"$kind|$table|${need.sorted.mkString(",")}")
 
     private def dataCols(k: SegmentKey): Seq[String] =
       k.columns.filterNot(c => c == FileCol || c == PosCol)
@@ -468,9 +521,20 @@ object HybridScan {
       def plainScan() = s.read.parquet(Tables.path(dir, table))
 
       def pushdownLease(reason: String): ScanLease = {
+        // pushdown-only mode cannot fall back, so a saturated store is
+        // admitted PAST budget — recorded in the counter and the decision
+        // log (never silent), not blocked on (a zero-slot router in this
+        // mode must not hang forever)
         val acquired = slots.tryAcquire()
+        val why =
+          if (acquired) reason
+          else {
+            overBudgetN.incrementAndGet()
+            s"$reason [over-budget: ${pushdownSlots}-slot store saturated; " +
+            "mode forces pushdown, admitted anyway]"
+          }
         pushdownN.incrementAndGet()
-        logDecision(table, need, Pushdown, reason)
+        logDecision(table, need, Pushdown, why)
         new ScanLease(
           plainScan().filter(predicate).select(cols.map(col): _*),
           Pushdown, if (acquired) () => slots.release() else () => ())
@@ -542,6 +606,39 @@ object HybridScan {
             .filter { case (_, ov) => ov.nonEmpty && ov.size < need.size }
             .sortBy { case (_, ov) => -ov.size }
             .headOption
+          // the plain zip route — also the fallback when a hot set's
+          // PROMOTION is refused admission (a refused segment must not be
+          // re-attempted every access: the full-width ordinal rebuild it
+          // implies is persistently worse than this zip)
+          def hybridZip(k: SegmentKey, overlap: Seq[String],
+              notePrefix: String = ""): ScanLease = {
+            hybridN.incrementAndGet()
+            val fetchCols = need.filterNot(overlap.contains)
+            // push-vs-post at CONJUNCT granularity: every AND-part that
+            // references only fetched columns executes at storage (the
+            // reference's S3 Select takes whatever the predicate's
+            // pushable fragment is); the rest — and, for simplicity,
+            // the whole predicate when anything remains — filters
+            // post-zip. Re-applying the pushed parts post-zip is
+            // idempotent codegen work; the bytes saved at the fetch are
+            // the point.
+            val parts = conjunctsOf(org.apache.spark.sql.GraftBridge.parsedExpression(predicate))
+            val (pushParts, postParts) =
+              parts.partition(p => referencedColsE(p).subsetOf(fetchCols.toSet))
+            val fetchPred = pushParts
+              .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+              .map(org.apache.spark.sql.GraftBridge.column)
+            logDecision(table, need, Hybrid,
+              notePrefix +
+              s"partial segment [${overlap.mkString(",")}] resident; " +
+              s"fetching [${fetchCols.mkString(",")}] from storage " +
+              s"(${pushParts.size}/${parts.size} predicate conjuncts pushed)")
+            val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
+              fetchPred, cache, listing = Some(tl))
+            val filtered =
+              if (postParts.isEmpty) merged else merged.filter(predicate)
+            noopLease(filtered.select(cols.map(col): _*), Hybrid)
+          }
           full match {
             case Some(k) => cacheOnly(k,
               s"resident segment [${dataCols(k).mkString(",")}] fully covers the scan")
@@ -555,46 +652,39 @@ object HybridScan {
                 // so promotion takes one more signal than a miss), admit
                 // full residency and stop paying. The narrower segment it
                 // zipped against goes cold and ages out by policy.
-                pullupN.incrementAndGet()
-                logDecision(table, need, Pullup,
-                  s"hot zipped set: promoting [${need.sorted.mkString(",")}] " +
-                  s"to full residency (was zipping against [${overlap.mkString(",")}])")
                 val fk = ordinalKey(table, tl.fingerprint, need.sorted)
                 val seg = cache.get(fk) {
                   ordinalScan(s, dir, table, need.sorted, tl)
                     .repartition(col(PosCol), col(FileCol))
                     .sortWithinPartitions(col(PosCol), col(FileCol))
                 }
-                noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
-              case Some((k, overlap)) =>
-                hybridN.incrementAndGet()
-                val fetchCols = need.filterNot(overlap.contains)
-                // push-vs-post at CONJUNCT granularity: every AND-part that
-                // references only fetched columns executes at storage (the
-                // reference's S3 Select takes whatever the predicate's
-                // pushable fragment is); the rest — and, for simplicity,
-                // the whole predicate when anything remains — filters
-                // post-zip. Re-applying the pushed parts post-zip is
-                // idempotent codegen work; the bytes saved at the fetch are
-                // the point.
-                val parts = conjunctsOf(org.apache.spark.sql.GraftBridge.parsedExpression(predicate))
-                val (pushParts, postParts) =
-                  parts.partition(p => referencedColsE(p).subsetOf(fetchCols.toSet))
-                val fetchPred = pushParts
-                  .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
-                  .map(org.apache.spark.sql.GraftBridge.column)
-                logDecision(table, need, Hybrid,
-                  s"partial segment [${overlap.mkString(",")}] resident; " +
-                  s"fetching [${fetchCols.mkString(",")}] from storage " +
-                  s"(${pushParts.size}/${parts.size} predicate conjuncts pushed)")
-                val merged = mergedScan(s, dir, table, dataCols(k), fetchCols,
-                  fetchPred, cache, listing = Some(tl))
-                val filtered =
-                  if (postParts.isEmpty) merged else merged.filter(predicate)
-                noopLease(filtered.select(cols.map(col): _*), Hybrid)
+                if (cache.keys.contains(fk)) {
+                  pullupN.incrementAndGet()
+                  logDecision(table, need, Pullup,
+                    s"hot zipped set: promoting [${need.sorted.mkString(",")}] " +
+                    s"to full residency (was zipping against [${overlap.mkString(",")}])")
+                  noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
+                } else {
+                  // admission REFUSED (capacity/policy): serve THIS query
+                  // by the zip the promotion preempted (the refused frame
+                  // was never executed — its build is plan-only work) and
+                  // reset the counter so the set re-earns promotion
+                  // instead of re-attempting it every access
+                  resetAccess("zip", table, need)
+                  hybridZip(k, overlap, notePrefix =
+                    "promotion refused by cache admission (zip counter reset); ")
+                }
+              case Some((k, overlap)) => hybridZip(k, overlap)
               case None =>
                 val seen = countAccess("miss", table, need)
-                if (hotAdmitAfter > 0 && seen >= hotAdmitAfter) {
+                lazy val k = ordinalKey(table, tl.fingerprint, need.sorted)
+                lazy val seg = cache.get(k) {
+                  ordinalScan(s, dir, table, need.sorted, tl)
+                    .repartition(col(PosCol), col(FileCol))
+                    .sortWithinPartitions(col(PosCol), col(FileCol))
+                }
+                if (hotAdmitAfter > 0 && seen >= hotAdmitAfter &&
+                    { seg; cache.keys.contains(k) }) {
                   // hot set: load-and-admit the zip-capable ordinal form
                   // (same build as mergedScan's segment: partitioned and
                   // sorted by the zip key, so later wider scans merge
@@ -603,23 +693,28 @@ object HybridScan {
                   logDecision(table, need, Pullup,
                     s"hot column set (access #$seen ≥ $hotAdmitAfter): " +
                     s"loading zip-capable segment [${need.sorted.mkString(",")}]")
-                  val k = ordinalKey(table, tl.fingerprint, need.sorted)
-                  val seg = cache.get(k) {
-                    ordinalScan(s, dir, table, need.sorted, tl)
-                      .repartition(col(PosCol), col(FileCol))
-                      .sortWithinPartitions(col(PosCol), col(FileCol))
-                  }
                   noopLease(
                     seg.filter(predicate).select(cols.map(col): _*), Pullup)
-                } else if (slots.tryAcquire()) {
-                  pushdownN.incrementAndGet()
-                  logDecision(table, need, Pushdown,
-                    s"no usable segment (access #$seen); pushdown slot acquired")
-                  new ScanLease(
-                    plainScan().filter(predicate).select(cols.map(col): _*),
-                    Pushdown, () => slots.release())
-                } else pullupLoad(
-                  "no usable segment and the store is saturated: pullup load")
+                } else {
+                  // either not yet hot, or the hot admission was REFUSED —
+                  // then reset the counter and route like a cold miss (an
+                  // unpersisted repartition+sort frame would be strictly
+                  // worse than a straight pushdown scan)
+                  val refusedNote =
+                    if (hotAdmitAfter > 0 && seen >= hotAdmitAfter) {
+                      resetAccess("miss", table, need)
+                      "hot-set admission refused by cache (miss counter reset); "
+                    } else ""
+                  if (slots.tryAcquire()) {
+                    pushdownN.incrementAndGet()
+                    logDecision(table, need, Pushdown, refusedNote +
+                      s"no usable segment (access #$seen); pushdown slot acquired")
+                    new ScanLease(
+                      plainScan().filter(predicate).select(cols.map(col): _*),
+                      Pushdown, () => slots.release())
+                  } else pullupLoad(refusedNote +
+                    "no usable segment and the store is saturated: pullup load")
+                }
             }
           }
       }

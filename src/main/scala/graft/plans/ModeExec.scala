@@ -158,22 +158,44 @@ object ModeExec extends PredicateHelper {
     go(plan, AttributeSet(plan.output))
   }
 
-  /** Plan + act under `mode` with the mode's session confs bracketed and
-    * every pushdown slot lease released afterwards. */
-  def runQueryMode[T](s: SparkSession, dir: String, sql: String,
-      mode: ScanMode, router: AdaptiveScanRouter)(action: DataFrame => T): T = {
-    val leases = mutable.Buffer.empty[ScanLease]
-    val prevPush = s.conf.get("spark.sql.parquet.filterPushdown")
-    try {
-      // PULLUP semantics at the reader: no predicate reaches the parquet
-      // row-group/page machinery — every surviving byte decodes compute-side
-      if (mode == ModePullup) s.conf.set("spark.sql.parquet.filterPushdown", "false")
-      action(executeQueryMode(s, dir, sql, mode, router, leases))
-    } finally {
-      s.conf.set("spark.sql.parquet.filterPushdown", prevPush)
-      leases.foreach(_.close())
-    }
+  /** Per-session monitor serializing [[runQueryMode]] brackets: the mode
+    * bracket toggles a SESSION-GLOBAL conf
+    * (`spark.sql.parquet.filterPushdown`), so two concurrent brackets on
+    * one session would race the set/restore — a non-pullup run could
+    * execute with reader pushdown disabled, or a pullup bracket restore
+    * the wrong previous value. Weak keys: the map must not pin a session
+    * alive. (A cloned-session scope was rejected: resident segment frames
+    * are built on the ORIGINAL session, and mixing sessions in one plan
+    * is exactly what Spark's cross-session checks exist to stop.)
+    * Concurrent NON-bracketed queries on the same session during a pullup
+    * bracket still see pushdown disabled — a performance effect only,
+    * never a result change. */
+  private val modeLocks =
+    new java.util.WeakHashMap[SparkSession, Object]
+  private def modeLock(s: SparkSession): Object = modeLocks.synchronized {
+    var l = modeLocks.get(s)
+    if (l == null) { l = new Object; modeLocks.put(s, l) }
+    l
   }
+
+  /** Plan + act under `mode` with the mode's session confs bracketed and
+    * every pushdown slot lease released afterwards. Brackets are
+    * serialized per session (see [[modeLock]]). */
+  def runQueryMode[T](s: SparkSession, dir: String, sql: String,
+      mode: ScanMode, router: AdaptiveScanRouter)(action: DataFrame => T): T =
+    modeLock(s).synchronized {
+      val leases = mutable.Buffer.empty[ScanLease]
+      val prevPush = s.conf.get("spark.sql.parquet.filterPushdown")
+      try {
+        // PULLUP semantics at the reader: no predicate reaches the parquet
+        // row-group/page machinery — every surviving byte decodes compute-side
+        if (mode == ModePullup) s.conf.set("spark.sql.parquet.filterPushdown", "false")
+        action(executeQueryMode(s, dir, sql, mode, router, leases))
+      } finally {
+        s.conf.set("spark.sql.parquet.filterPushdown", prevPush)
+        leases.foreach(_.close())
+      }
+    }
 
   /** "What does caching buy me on MY workload" as a library call: run a
     * user workload (name → SQL) under each of the four execution modes

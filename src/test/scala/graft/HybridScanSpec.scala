@@ -843,4 +843,111 @@ class HybridScanSpec extends SparkSpec {
     assert(reasons.exists(_.contains("promoting")), reasons.mkString("; "))
     cache.invalidateAll()
   }
+
+  test("listTable recurses: a nested layout fingerprints its actual files") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nested")
+      .toFile.getAbsolutePath
+    spark.range(100).selectExpr("id", "id % 2 as day")
+      .write.partitionBy("day").parquet(s"$tmp/nested.parquet")
+    val tl = HybridScan.listTable(spark, tmp, "nested")
+    // the non-recursive listing returned EMPTY here — a constant
+    // fingerprint that silently voided the staleness guard
+    assert(tl.files.nonEmpty, "a nested layout must never fingerprint as empty")
+    assert(tl.files.forall(_._1.contains("day=")),
+      tl.files.map(_._1).mkString(", "))
+    assert(tl.files.forall(f =>
+      !new org.apache.hadoop.fs.Path(f._1).getName.startsWith("_")),
+      "hidden files must stay excluded at every level")
+    val fp1 = tl.fingerprint
+    // a rewrite INSIDE a nested directory must miss the fingerprint
+    spark.range(7).selectExpr("id", "cast(0 as bigint) as day")
+      .write.mode("overwrite").parquet(s"$tmp/nested.parquet/day=0")
+    val fp2 = HybridScan.listTable(spark, tmp, "nested").fingerprint
+    assert(fp1 != fp2, "a nested rewrite must change the fingerprint")
+    // flat tables keep their exact shape: same files, same fingerprint
+    val flat = HybridScan.listTable(spark, sfDir, "orders")
+    assert(flat.files.nonEmpty &&
+      flat.fingerprint == HybridScan.listTable(spark, sfDir, "orders").fingerprint)
+  }
+
+  test("hashSafe certifies every runtime path rendering, not just the listing's") {
+    import HybridScan.TableListing
+    assert(TableListing(Seq(("file:/a/x.parquet", 1L, 1L),
+      ("file:/a/y.parquet", 1L, 1L))).hashSafe)
+    // distinct as listing strings but the SAME file under URI
+    // normalization (the file:/ vs file:/// rendering discrepancy the
+    // runtime's _metadata.file_path key can surface): must NOT certify —
+    // the zip falls back to raw path keys, loudly correct either way
+    assert(!TableListing(Seq(("file:/a/x.parquet", 1L, 1L),
+      ("file:///a/x.parquet", 1L, 1L))).hashSafe,
+      "rendering-colliding paths must refuse the hash key")
+  }
+
+  test("a refused promotion falls back to the hybrid zip and resets the counter") {
+    val narrow = Seq("o_orderkey", "o_totalprice")
+    val wide = narrow :+ "o_orderdate"
+    val tl = HybridScan.listTable(spark, sfDir, "orders")
+    def ordFrame(cols: Seq[String]) =
+      HybridScan.ordinalScan(spark, sfDir, "orders", cols.sorted, tl)
+        .repartition(col(HybridScan.PosCol), col(HybridScan.FileCol))
+        .sortWithinPartitions(col(HybridScan.PosCol), col(HybridScan.FileCol))
+    def statsSize(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val narrowSize = statsSize(ordFrame(narrow))
+    val wideSize = statsSize(ordFrame(wide))
+    assert(wideSize > narrowSize, s"$wideSize vs $narrowSize")
+    // capacity admits the narrow ordinal segment, can NEVER admit the wide
+    val cache = new SegmentCache((narrowSize + wideSize) / 2, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8) // hotAdmitAfter=2
+    def ask(cols: Seq[String]) = {
+      val l = router.scanMode(spark, sfDir, "orders", cols,
+        expr("o_totalprice > 0"), HybridScan.ModeHybrid)
+      l.close(); l
+    }
+    ask(narrow); ask(narrow) // second access admits the narrow segment
+    assert(cache.keys.exists(k =>
+      k.table.startsWith("orders@") && !k.columns.contains("o_orderdate")))
+    // zip accesses 1 and 2 serve hybrid
+    assert(ask(wide).route == HybridScan.Hybrid)
+    assert(ask(wide).route == HybridScan.Hybrid)
+    // access 3 attempts promotion, is refused by capacity, and must serve
+    // THIS query by the zip it preempted — not an unpersisted full rebuild
+    val refused = ask(wide)
+    assert(refused.route == HybridScan.Hybrid,
+      s"refused promotion must serve hybrid, got ${refused.route}")
+    assert(!cache.keys.exists(_.columns.contains("o_orderdate")),
+      "the wide segment must not look resident")
+    // the counter was reset: the next two asks zip WITHOUT re-attempting
+    assert(ask(wide).route == HybridScan.Hybrid)
+    assert(ask(wide).route == HybridScan.Hybrid)
+    val notes = router.decisions.map(_._4)
+    assert(notes.count(_.contains("promotion refused")) == 1,
+      notes.mkString("; "))
+    // and the refused ask's rows are the plain scan's rows
+    val n = refused.df.count()
+    val m = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 0).count()
+    assert(n == m, s"hybrid fallback rows $n vs plain $m")
+    cache.invalidateAll()
+  }
+
+  test("pushdown-only mode past the slot budget is recorded, never silent") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)
+    def ask() = router.scanMode(spark, sfDir, "orders", Seq("o_orderkey"),
+      expr("o_orderkey > 0"), HybridScan.ModePushdownOnly)
+    val l1 = ask()
+    assert(l1.route == Pushdown && router.overBudget == 0)
+    val l2 = ask() // slot still held by l1: over budget, mode forces pushdown
+    assert(l2.route == Pushdown, "pushdown-only cannot fall back")
+    assert(router.overBudget == 1, "the over-budget admission must be counted")
+    assert(router.decisions.last._4.contains("over-budget"),
+      router.decisions.last._4)
+    l2.close(); l1.close()
+    assert(router.availableSlots == 1,
+      "an over-budget lease must not release a slot it never held")
+    val l3 = ask()
+    assert(router.overBudget == 1, "a free slot admits within budget again")
+    l3.close()
+    cache.invalidateAll()
+  }
 }

@@ -296,4 +296,29 @@ class ModeExecSpec extends SparkSpec {
       assertRowsEqual(got, want, s"$entry vs SSB $ssb")
     }
   }
+
+  test("mode brackets serialize per session: no bracket sees another mode's conf") {
+    // runQueryMode toggles a SESSION-GLOBAL conf for pullup semantics —
+    // concurrent brackets must be serialized, or a pushdown-mode run
+    // executes with reader pushdown disabled / the restore races. The
+    // actions only READ the conf (planning, no execution): the assertion
+    // is about bracket isolation, not query speed.
+    val prev = spark.conf.get("spark.sql.parquet.filterPushdown")
+    val r = freshRouter(slots = 64)
+    val sql = SsbCorpus.sql("1_1")
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    def loop(mode: ScanMode, expect: String): Runnable = () =>
+      (1 to 5).foreach { _ =>
+        ModeExec.runQueryMode(spark, sfDir, sql, mode, r) { _ =>
+          if (spark.conf.get("spark.sql.parquet.filterPushdown") != expect)
+            bad.incrementAndGet()
+        }
+      }
+    val t1 = new Thread(loop(ModePullup, "false"))
+    val t2 = new Thread(loop(ModePushdownOnly, prev))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(bad.get == 0, s"${bad.get} brackets observed another mode's conf")
+    assert(spark.conf.get("spark.sql.parquet.filterPushdown") == prev,
+      "the conf must restore to its pre-bracket value")
+  }
 }

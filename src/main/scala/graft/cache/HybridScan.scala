@@ -122,9 +122,14 @@ object HybridScan {
     * and the flat-table fast path is unchanged: one `listStatus`.
     * Scheme-agnostic: resolves the table path through whatever Hadoop
     * `FileSystem` its URI names (local, s3a, a test mock scheme). */
-  def listTable(s: SparkSession, dir: String, table: String): TableListing = {
+  def listTable(s: SparkSession, dir: String, table: String): TableListing =
+    listPath(s, Tables.path(dir, table))
+
+  /** [[listTable]] for an arbitrary table root path — the entry point a
+    * partitioned/nested layout uses directly. */
+  def listPath(s: SparkSession, path: String): TableListing = {
     listingCalls.incrementAndGet()
-    val p = new org.apache.hadoop.fs.Path(Tables.path(dir, table))
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     def hidden(st: org.apache.hadoop.fs.FileStatus): Boolean = {
       val n = st.getPath.getName
@@ -188,11 +193,20 @@ object HybridScan {
     * no driver-held map, an unlisted path simply finds no partner — at 8
     * bytes through every exchange and segment. */
   def ordinalScan(s: SparkSession, dir: String, table: String,
+      cols: Seq[String], listing: TableListing): DataFrame =
+    ordinalScanPath(s, Tables.path(dir, table), cols, listing)
+
+  /** [[ordinalScan]] for an arbitrary table root path. Partition columns
+    * are selectable like any other (they resolve from directory names);
+    * `_metadata.row_index` is per PHYSICAL FILE, so the (file, pos)
+    * ordinal stays unique and both zip sides agree on it regardless of
+    * how the layout nests. */
+  def ordinalScanPath(s: SparkSession, path: String,
       cols: Seq[String], listing: TableListing): DataFrame = {
     val fileKey =
       if (listing.hashSafe) xxhash64(col("_metadata.file_path"))
       else col("_metadata.file_path")
-    s.read.parquet(Tables.path(dir, table)).select(
+    s.read.parquet(path).select(
       fileKey.as(FileCol) +:
       col("_metadata.row_index").as(PosCol) +:
       cols.map(col): _*)
@@ -229,10 +243,26 @@ object HybridScan {
   def mergedScan(s: SparkSession, dir: String, table: String,
       cachedCols: Seq[String], fetchCols: Seq[String],
       fetchPredicate: Option[Column] = None,
+      cache: SegmentCache, listing: Option[TableListing] = None): DataFrame =
+    mergedScanPath(s, Tables.path(dir, table), table, cachedCols, fetchCols,
+      fetchPredicate, cache, listing)
+
+  /** [[mergedScan]] for an arbitrary table root path — including a
+    * PARTITIONED layout, where the zip composes with Spark's partition
+    * pruning: a fetch predicate over partition columns prunes the fetch
+    * side's directories at LISTING time (the listing-cost floor z05
+    * measures), the residual predicate pushes into the surviving files,
+    * and the inner zip drops the cached side's out-of-range rows by key.
+    * `segName` is the segment's cache identity for this path (any stable
+    * per-(path) name; the listing fingerprint is appended, so staleness
+    * is still the fingerprint's job). */
+  def mergedScanPath(s: SparkSession, path: String, segName: String,
+      cachedCols: Seq[String], fetchCols: Seq[String],
+      fetchPredicate: Option[Column] = None,
       cache: SegmentCache, listing: Option[TableListing] = None): DataFrame = {
-    val tl = listing.getOrElse(listTable(s, dir, table))
+    val tl = listing.getOrElse(listPath(s, path))
     val fp = tl.fingerprint
-    val seg = cache.get(ordinalKey(table, fp, cachedCols)) {
+    val seg = cache.get(ordinalKey(segName, fp, cachedCols)) {
       // partition by the FULL zip key (pos, file), in join-key order:
       // EnsureRequirements shuffles the fetch side by the complete join
       // key set, and only an identically-keyed stored partitioning is
@@ -244,11 +274,11 @@ object HybridScan {
       // ever planned the persisted ordering satisfies its requiredOrdering
       // as-is. The wide cached columns pay neither an exchange NOR a sort
       // at query time (spec-pinned).
-      ordinalScan(s, dir, table, cachedCols, tl)
+      ordinalScanPath(s, path, cachedCols, tl)
         .repartition(col(PosCol), col(FileCol))
         .sortWithinPartitions(col(PosCol), col(FileCol))
     }
-    val fetched0 = ordinalScan(s, dir, table, fetchCols, tl)
+    val fetched0 = ordinalScanPath(s, path, fetchCols, tl)
     val fetched = fetchPredicate.fold(fetched0)(fetched0.filter)
     // Zip strategy by the planner's own size logic: a fetch side under
     // the broadcast threshold broadcasts (zero cached bytes move); above
@@ -1016,12 +1046,45 @@ object HybridScan {
       |  AND o_orderpriority = '1-URGENT'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** dm11: the ordinal zip over a PARTITIONED layout — two pruning levers
+    * composing with the cache. The value columns are cache-resident (an
+    * ordinal segment over the day-partitioned events copy); only the
+    * `day` partition column is fetched, under a day-range predicate that
+    * is PARTITION-ONLY — so the fetch side prunes to the 14 matching
+    * directories at listing time and reads ~footers beyond that (a
+    * partition column materializes from the directory name, not file
+    * bytes). The inner zip then drops the cached side's out-of-range
+    * rows by key. The oracle aggregates the ORIGINAL events table: the
+    * z03/z05 contract — layout and caching change bytes read, never
+    * results. */
+  private def dm11PartitionedZip(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.partitionedEvents(s, dir)
+    val merged = mergedScanPath(s, path, segName = s"events_by_day:$dir",
+      cachedCols = Seq("event_type", "value"),
+      fetchCols = Seq("day"),
+      fetchPredicate = Some(col("day").between(
+        lit("2024-01-05").cast("date"), lit("2024-01-18").cast("date"))),
+      cache = segmentCache(s, dir))
+    merged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  private val dm11Sql =
+    """SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-18'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm02_hybrid_merge"  -> dm02HybridMerge _,
     "dm03_adaptive_route" -> dm03AdaptiveRoute _,
     "dm04_partition_hybrid" -> dm04PartitionHybrid _,
     "dm05_routed_hybrid" -> dm05RoutedHybrid _,
     "dm09_predtrans_hybrid" -> dm09PredTransHybrid _,
+    "dm11_partitioned_zip" -> dm11PartitionedZip _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1030,5 +1093,6 @@ object HybridScan {
     "dm04_partition_hybrid" -> dm04Sql,
     "dm05_routed_hybrid" -> dm05Sql,
     "dm09_predtrans_hybrid" -> dm09Sql,
+    "dm11_partitioned_zip" -> dm11Sql,
   )
 }

@@ -870,6 +870,43 @@ class HybridScanSpec extends SparkSpec {
       flat.fingerprint == HybridScan.listTable(spark, sfDir, "orders").fingerprint)
   }
 
+  test("partitioned-layout zip: fetch side prunes to the matching day directories") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val path = graft.sources.Layout.partitionedEvents(spark, sfDir)
+      val cache = new SegmentCache(1L << 30, LRU)
+      val pred = col("day").between(
+        lit("2024-01-05").cast("date"), lit("2024-01-18").cast("date"))
+      val merged = HybridScan.mergedScanPath(spark, path, "spec-evday-zip",
+        cachedCols = Seq("event_type", "value"), fetchCols = Seq("day"),
+        fetchPredicate = Some(pred), cache = cache)
+      // row parity with a plain scan of the same partitioned copy
+      val plain = spark.read.parquet(path).filter(pred)
+        .select("event_type", "value", "day")
+      val zipped = merged.select("event_type", "value", "day")
+      assert(zipped.count() == plain.count())
+      assert(zipped.exceptAll(plain).isEmpty && plain.exceptAll(zipped).isEmpty,
+        "partitioned zip must be row-identical to the plain scan")
+      // exactly ONE storage scan in the zip (the fetch side), and it
+      // lists only the 14 in-range day directories of 30 — the partition
+      // predicate prunes at LISTING time; the value columns never touch
+      // storage (they serve from the ordinal segment)
+      merged.collect()
+      val plan = merged.queryExecution.executedPlan
+      val scans = plan.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 1,
+        s"expected one storage scan, got ${scans.size}:\n${plan.toString.take(2000)}")
+      assert(scans.head.metrics("numPartitions").value == 14,
+        s"fetch side listed ${scans.head.metrics("numPartitions").value} " +
+        "partitions, expected the 14 matching days")
+      assert(plan.toString.contains("InMemoryTableScan"),
+        "cached columns must serve from the segment")
+      cache.invalidateAll()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("hashSafe certifies every runtime path rendering, not just the listing's") {
     import HybridScan.TableListing
     assert(TableListing(Seq(("file:/a/x.parquet", 1L, 1L),

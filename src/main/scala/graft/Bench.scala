@@ -364,14 +364,15 @@ object Bench {
         val mdir = s"mockfs:$sfDir"
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         val storeBw = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong
-        def pass(label: String, mode: ScanMode, router: AdaptiveScanRouter): Unit = {
+        def passOf(queries: Seq[String])(label: String, mode: ScanMode,
+            router: AdaptiveScanRouter): Unit = {
           MockObjectFs.reset()
           MockObjectFs.bytesPerSec = storeBw << 20
           MockObjectFs.openLatencyMs = 5
           val t0 = System.nanoTime()
           try {
-            SsbCorpus.names.foreach { n =>
-              ModeExec.runQueryMode(spark, mdir, SsbCorpus.sql(n), mode, router)(
+            queries.foreach { sql =>
+              ModeExec.runQueryMode(spark, mdir, sql, mode, router)(
                 _.write.format("noop").mode("overwrite").save())
             }
             out += label -> (System.nanoTime() - t0) / 1e9
@@ -383,6 +384,7 @@ object Bench {
             MockObjectFs.openLatencyMs = 0L
           }
         }
+        val pass = passOf(SsbCorpus.names.map(SsbCorpus.sql)) _
         val pdCache = new SegmentCache(1L << 30, LRU)
         pass("pushdown", ModePushdownOnly,
           new AdaptiveScanRouter(pdCache, pushdownSlots = 64))
@@ -410,6 +412,38 @@ object Bench {
         pass("hybrid_warm", ModeHybrid, hRouter)
         out += "hybrid_routes" -> hRouter.hybrids.toDouble
         hCache.invalidateAll()
+        // ---- the SAME discipline over the reference's OTHER corpus:
+        // a two-pole TPC-H subset (h01 = widest lineitem aggregate,
+        // caching's best case when repeated; h06 = the selective scan,
+        // pushdown's best case) so the mode comparison is not an
+        // SSB-shape artifact. Kept to two queries: the throttled store
+        // prices every byte, and these two bound the regime.
+        locally {
+          import graft.operators.TpchCorpus
+          val tpch = Seq(TpchCorpus.sql(1), TpchCorpus.sql(6))
+          val tPass = passOf(tpch) _
+          val tpCache = new SegmentCache(1L << 30, LRU)
+          tPass("tpch_pushdown", ModePushdownOnly,
+            new AdaptiveScanRouter(tpCache, pushdownSlots = 64))
+          tpCache.invalidateAll()
+          val tcCache = new SegmentCache(1L << 30, LRU)
+          tPass("tpch_caching_cold", ModeCachingOnly,
+            new AdaptiveScanRouter(tcCache, pushdownSlots = 64))
+          tPass("tpch_caching_warm", ModeCachingOnly,
+            new AdaptiveScanRouter(tcCache, pushdownSlots = 64))
+          tcCache.invalidateAll()
+          val thCache = new SegmentCache(1L << 30, LRU)
+          HybridScan.mergedScan(spark, mdir, "lineitem",
+            cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+            fetchCols = Seq("l_shipdate"), fetchPredicate = None,
+            cache = thCache).count()
+          tPass("tpch_hybrid_cold", ModeHybrid,
+            new AdaptiveScanRouter(thCache, pushdownSlots = 64))
+          val thRouter = new AdaptiveScanRouter(thCache, pushdownSlots = 64)
+          tPass("tpch_hybrid_warm", ModeHybrid, thRouter)
+          out += "tpch_hybrid_routes" -> thRouter.hybrids.toDouble
+          thCache.invalidateAll()
+        }
         out.toSeq
       }
 

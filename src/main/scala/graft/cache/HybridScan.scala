@@ -114,14 +114,19 @@ object HybridScan {
     * non-recursive listing over a nested/partitioned layout returned an
     * EMPTY file set, which made the fingerprint a constant and silently
     * voided the (path, length, mtime) staleness guard — the exact
-    * mis-zip class the fingerprint exists to prevent. Recursing (one
-    * `listStatus` per directory level, hidden `_`/`.` names skipped at
-    * every level, Spark's own convention) means a nested layout
-    * fingerprints its actual data files. Still ONE `listTable` call per
-    * (query, table) — [[listingCalls]] counts invocations of this method,
-    * and the flat-table fast path is unchanged: one `listStatus`.
-    * Scheme-agnostic: resolves the table path through whatever Hadoop
-    * `FileSystem` its URI names (local, s3a, a test mock scheme). */
+    * mis-zip class the fingerprint exists to prevent.
+    *
+    * Recursion is `fs.listFiles(p, recursive = true)` — on an object
+    * store that is ONE flat LIST (s3a pages keys under the prefix),
+    * where a per-directory `listStatus` walk would issue one sequential
+    * driver-side call per directory (10⁵ hour-partitions → 10⁵ round
+    * trips). Hidden `_`/`.` path segments below the root are filtered
+    * from the results (Spark's own convention), which also keeps a
+    * `_delta_log`-style sidecar out of the fingerprint. Still ONE
+    * `listTable` call per (query, table) — [[listingCalls]] counts
+    * invocations of this method. Scheme-agnostic: resolves the table
+    * path through whatever Hadoop `FileSystem` its URI names (local,
+    * s3a, a test mock scheme). */
   def listTable(s: SparkSession, dir: String, table: String): TableListing =
     listPath(s, Tables.path(dir, table))
 
@@ -131,17 +136,24 @@ object HybridScan {
     listingCalls.incrementAndGet()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    def hidden(st: org.apache.hadoop.fs.FileStatus): Boolean = {
-      val n = st.getPath.getName
-      n.startsWith("_") || n.startsWith(".")
+    val rootPath = fs.getFileStatus(p).getPath // resolved/qualified form
+    def hiddenBelowRoot(fp: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = fp
+      while (cur != null && cur != rootPath) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
     }
-    def walk(st: org.apache.hadoop.fs.FileStatus)
-        : Seq[org.apache.hadoop.fs.FileStatus] =
-      if (st.isFile) Seq(st)
-      else fs.listStatus(st.getPath).filterNot(hidden).toSeq.flatMap(walk)
-    TableListing(walk(fs.getFileStatus(p))
-      .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
-      .sortBy(_._1))
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (!hiddenBelowRoot(st.getPath))
+        buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    }
+    TableListing(buf.sortBy(_._1).toSeq)
   }
 
   /** One shared segment cache per (session, sf-dir); released (unpersist

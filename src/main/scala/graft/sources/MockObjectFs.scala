@@ -101,6 +101,38 @@ class MockObjectFs extends RawLocalFileSystem {
     MockObjectFs.listCalls.incrementAndGet()
     super.listStatus(f)
   }
+
+  /** The default recursive `listFiles` builds `LocatedFileStatus` with a
+    * permission load that requires a `file:`-scheme URI — it throws under
+    * this scheme. A real object store serves `listFiles(recursive=true)`
+    * as ONE flat LIST over the key prefix (s3a pages keys); this mimics
+    * that contract with a local walk, counted as a single LIST call like
+    * the flat listing it stands in for. */
+  override def listFiles(f: Path, recursive: Boolean)
+      : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+    if (!recursive) return super.listFiles(f, recursive)
+    MockObjectFs.listCalls.incrementAndGet()
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isFile) Seq(st)
+      else super.listStatus(st.getPath).toSeq.flatMap(walk)
+    val it = walk(getFileStatus(f)).iterator
+    new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): org.apache.hadoop.fs.LocatedFileStatus = {
+        val st = it.next()
+        // copy into a plain FileStatus with an explicit permission: the
+        // raw-local status loads permissions lazily via a file:-only URI
+        // path, and LocatedFileStatus's constructor reads it eagerly
+        val plain = new FileStatus(st.getLen, st.isDirectory,
+          st.getReplication, st.getBlockSize, st.getModificationTime,
+          st.getAccessTime,
+          org.apache.hadoop.fs.permission.FsPermission.getFileDefault,
+          null, null, st.getPath)
+        new org.apache.hadoop.fs.LocatedFileStatus(
+          plain, getFileBlockLocations(plain, 0, plain.getLen))
+      }
+    }
+  }
 }
 
 /** Delegating stream that routes every read variant — sequential,

@@ -52,7 +52,7 @@ case class Belady(futureTrace: Seq[SegmentKey]) extends CachePolicy
   */
 class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
 
-  private case class Entry(df: DataFrame, sizeBytes: Long,
+  private case class Entry(df: DataFrame, var sizeBytes: Long,
       var hits: Long, var lastAccess: Long, costSecs: Double = 0.0)
 
   private val entries = mutable.LinkedHashMap.empty[SegmentKey, Entry]
@@ -75,6 +75,37 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
 
   private def sizeOf(df: DataFrame): Long =
     df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+
+  /** BLOCK-MANAGER truth for a persisted frame's bytes — memSize +
+    * diskSize of its columnar-buffer RDD, only when EVERY partition is
+    * resident (a partially-cached frame would under-report and
+    * over-admit). None until the frame has actually materialized.
+    * Overridable so specs calibrated in stats bytes can pin policy
+    * behavior with deterministic sizes. */
+  protected def measuredBytes(df: DataFrame): Option[Long] =
+    org.apache.spark.sql.GraftBridge.cachedBufferRddId(df).flatMap { id =>
+      df.sparkSession.sparkContext.getRDDStorageInfo.find(_.id == id)
+        .filter(i => i.numCachedPartitions == i.numPartitions && i.numPartitions > 0)
+        .map(i => i.memSize + i.diskSize)
+    }
+
+  /** Replace plan-stats size estimates with block-manager truth for every
+    * fully-materialized resident segment. The stats estimate is all a
+    * LAZY admission can price (nothing has run yet), but it is a LOGICAL
+    * width — it multiplies across joins without CBO and prices strings at
+    * declared width, so ordinal (zip-capable) segments were measured
+    * tripping capacity refusals their compressed bytes fit comfortably
+    * (r10 capacity sweep). Truing up on every miss (this is called from
+    * [[get]]'s miss path) means `usedBytes` converges to what the
+    * segments actually occupy, so admission headroom is real headroom.
+    * Sizes can true up in EITHER direction — columnar in-memory bytes can
+    * exceed a parquet-compressed stats estimate too. */
+  def trueUpSizes(): Unit = synchronized {
+    entries.valuesIterator.foreach { e =>
+      try measuredBytes(e.df).foreach(b => if (b > 0) e.sizeBytes = b)
+      catch { case _: Throwable => () }
+    }
+  }
 
   /** Eviction priority — evict the SMALLEST value first. */
   private def priority(k: SegmentKey, hits: Long, lastAccess: Long,
@@ -111,17 +142,25 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
           missCount += 1
       }
     }
-    // miss path — no lock held while Spark jobs run
+    // miss path — no lock held while Spark jobs run. True up resident
+    // sizes first: the admission below must compare the candidate against
+    // what the residents ACTUALLY occupy, not their stats estimates.
+    trueUpSizes()
     val df = produce
-    val size = sizeOf(df)
-    val cost = policy match {
+    val statsSize = sizeOf(df)
+    val (size, cost) = policy match {
       case MeasuredWLFU =>
         // eager load (the reference's CacheLoadPOp is an explicit load
         // op): materialize under persist() and time it — the measured
-        // wall-time IS the segment's benefit-per-hit weight
+        // wall-time IS the segment's benefit-per-hit weight, and the
+        // MEASURED bytes (block-manager truth, available because the
+        // load just ran) are its admission size — the reference's cache
+        // accounts segments in actual bytes (`SegmentData` buffers), not
+        // planner estimates
         df.persist(StorageLevel.MEMORY_AND_DISK)
-        measureLoad(df)
-      case _ => 0.0
+        val c = measureLoad(df)
+        (measuredBytes(df).getOrElse(statsSize), c)
+      case _ => (statsSize, 0.0)
     }
     synchronized {
       entries.get(key) match {

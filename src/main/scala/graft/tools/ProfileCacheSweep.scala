@@ -32,6 +32,15 @@ object ProfileCacheSweep {
     val mbps = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "8").toLong
     val caps = sys.env.getOrElse("SPARK_GRAFT_SWEEP_CAPS_MB", "1,4,16,1024")
       .split(",").map(_.trim.toLong).toSeq
+    // lru = lazy loads, stats-priced candidates (r10's sweep); mwlfu =
+    // eager loads with MEASURED-byte admission — the lever the r10 sweep
+    // identified (zip-capable segments were refused at capacities their
+    // real bytes fit because non-CBO stats multiply join children)
+    val policyName = sys.env.getOrElse("SPARK_GRAFT_SWEEP_POLICY", "lru")
+    def newPolicy(): graft.cache.CachePolicy = policyName match {
+      case "mwlfu" => graft.cache.MeasuredWLFU
+      case _       => LRU
+    }
     val spark = GraftSession.get("graft-profile-cache-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.hadoopConfiguration
@@ -66,11 +75,11 @@ object ProfileCacheSweep {
       ((System.nanoTime() - t0) / 1e9, MockObjectFs.bytesRead.get / 1e6, router)
     }
 
-    println(s"cache-capacity sweep on $dir (per-stream $mbps MB/s, 5 ms/GET; " +
-      "warm-pass seconds / store MB)")
+    println(s"cache-capacity sweep on $dir (per-stream $mbps MB/s, 5 ms/GET, " +
+      s"policy=$policyName; warm-pass seconds / store MB)")
     for (capMb <- caps) {
       val row = Seq(ModeCachingOnly, ModeHybrid).map { mode =>
-        val cache = new SegmentCache(capMb << 20, LRU)
+        val cache = new SegmentCache(capMb << 20, newPolicy())
         try {
           pass(mode, cache) // cold: admissions happen here
           val (secs, mb, r) = pass(mode, cache)

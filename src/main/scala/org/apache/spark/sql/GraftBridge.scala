@@ -26,4 +26,18 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The columnar-buffer RDD id behind a persisted frame, when the
+    * CacheManager holds it AND its buffers have materialized — the handle
+    * for block-manager-measured segment sizes (`CacheManager` and
+    * `CachedData` are `private[sql]`). None for unpersisted frames and
+    * for registered-but-never-executed ones. */
+  def cachedBufferRddId(df: DataFrame): Option[Int] = {
+    val cls = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cls.sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[classic.Dataset[_]])
+      .map(_.cachedRepresentation.cacheBuilder)
+      .filter(_.isCachedColumnBuffersLoaded)
+      .map(_.cachedColumnBuffers.id)
+  }
 }

@@ -118,8 +118,12 @@ class CacheSpec extends SparkSpec {
     val bytes = proj("orders", k1.columns)
       .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
     var pending: Double = 0.0
+    // capacity is calibrated in STATS bytes, so pin sizing to stats too:
+    // this test is about the measured-COST weighting; measured-SIZE
+    // admission has its own tests below
     val cache = new SegmentCache(bytes * 2 + bytes / 2, MeasuredWLFU) {
       override protected def measureLoad(df: DataFrame): Double = { df.count(); pending }
+      override protected def measuredBytes(df: DataFrame): Option[Long] = None
     }
     def get(k: SegmentKey): Unit = { pending = costs(k); cache.get(k)(proj("orders", k.columns)) }
     get(k1)                                        // k1: 1 hit x 10 s    = 10
@@ -244,5 +248,53 @@ class CacheSpec extends SparkSpec {
     val df = cache.get(k)(proj("orders", k.columns))
     assert(df.count() > 0)
     assert(cache.keys.isEmpty)
+  }
+
+  test("resident sizes true up to block-manager truth once materialized") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val k = seg("orders", "o_orderkey", "o_totalprice")
+    val df = cache.get(k)(proj("orders", k.columns))
+    val statsUsed = cache.usedBytes
+    assert(statsUsed > 0, "unmaterialized residents are priced by stats")
+    df.count() // materialize the persisted columnar buffers
+    cache.trueUpSizes()
+    // independent read of the same block-manager truth
+    val expected = org.apache.spark.sql.GraftBridge.cachedBufferRddId(df)
+      .flatMap(id => spark.sparkContext.getRDDStorageInfo.find(_.id == id))
+      .map(i => i.memSize + i.diskSize)
+    assert(expected.exists(_ > 0), "spec must see the loaded buffers")
+    assert(cache.usedBytes == expected.get,
+      s"usedBytes ${cache.usedBytes} must equal block-manager bytes ${expected.get} " +
+      s"(stats priced it at $statsUsed)")
+    cache.invalidateAll()
+  }
+
+  test("a stats-overpriced segment admits at its measured bytes under MeasuredWLFU") {
+    import graft.cache.MeasuredWLFU
+    // a self-join's basic (non-CBO) stats MULTIPLY the children — the
+    // exact overpricing that refused zip-capable ordinal segments at
+    // capacities their real bytes fit (r10 capacity sweep finding)
+    def joined() = {
+      val a = proj("orders", Seq("o_orderkey", "o_totalprice"))
+      val b = proj("orders", Seq("o_orderkey", "o_orderdate"))
+      a.join(b, "o_orderkey")
+    }
+    val statsSize = joined().queryExecution.optimizedPlan.stats.sizeInBytes
+    val capacity = 64L << 20
+    assert(statsSize > BigInt(capacity),
+      s"precondition: stats $statsSize must overprice the $capacity capacity")
+    val k = seg("orders", "joined")
+    // stats-priced admission refuses it outright...
+    val lru = new SegmentCache(capacity, LRU)
+    lru.get(k)(joined())
+    assert(lru.keys.isEmpty, "stats-priced admission must refuse")
+    // ...measured-size admission (the load just ran, real bytes known)
+    // admits the same frame comfortably
+    val measured = new SegmentCache(capacity, MeasuredWLFU)
+    measured.get(k)(joined())
+    assert(measured.keys.contains(k),
+      s"measured admission must admit (used ${measured.usedBytes} of $capacity)")
+    assert(measured.usedBytes > 0 && measured.usedBytes < capacity)
+    measured.invalidateAll(); lru.invalidateAll()
   }
 }

@@ -142,9 +142,12 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
           missCount += 1
       }
     }
-    // miss path — no lock held while Spark jobs run. True up resident
-    // sizes first: the admission below must compare the candidate against
-    // what the residents ACTUALLY occupy, not their stats estimates.
+    // miss path — no lock held while Spark jobs run. Release any
+    // admission-refused-but-materialized frames from the PREVIOUS miss
+    // (their caller's one execution is over by now), then true up
+    // resident sizes: the admission below must compare the candidate
+    // against what the residents ACTUALLY occupy, not stats estimates.
+    drainCondemned()
     trueUpSizes()
     val df = produce
     val statsSize = sizeOf(df)
@@ -201,7 +204,17 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
                 // admitted entry is never a looks-resident ghost.
                 df.persist(StorageLevel.MEMORY_AND_DISK)
                 entries.put(key, Entry(df, size, 1L, clock, cost))
-              } else df.unpersist(blocking = false)
+              } else {
+                // refused AFTER the eager load: unpersisting NOW would
+                // force the caller's one execution to re-read storage —
+                // the full segment bytes paid TWICE per refusal (measured:
+                // the mwlfu capacity sweep moved 209 MB/pass where the
+                // lazy policies moved ~half). Keep the materialized
+                // blocks for that single execution and release them at
+                // the NEXT cache interaction — transiently over budget by
+                // one refused segment, bounded and honest.
+                condemned += df
+              }
             case _ =>
               if (admit(key, size)) {
                 df.persist(StorageLevel.MEMORY_AND_DISK)
@@ -211,6 +224,22 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
           df
       }
     }
+  }
+
+  /** Admission-refused frames whose eager load already materialized —
+    * kept persisted for their caller's one execution, released at the
+    * next [[get]] miss. The plan-equality check mirrors the loser-racer
+    * rule: Spark's CacheManager keys cached data by canonicalized plan,
+    * so unpersisting a frame plan-equal to a CURRENT resident would drop
+    * the resident's blocks out from under it. */
+  private val condemned = mutable.Buffer.empty[DataFrame]
+  private def drainCondemned(): Unit = synchronized {
+    condemned.foreach { df =>
+      val sharedWithResident = entries.valuesIterator.exists(e =>
+        df.queryExecution.analyzed.sameResult(e.df.queryExecution.analyzed))
+      if (!sharedWithResident) df.unpersist(blocking = false)
+    }
+    condemned.clear()
   }
 
   /** Materialize a just-persisted segment and return the load wall-time in
@@ -256,5 +285,7 @@ class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
   def invalidateAll(): Unit = synchronized {
     entries.valuesIterator.foreach(_.df.unpersist(blocking = false))
     entries.clear()
+    condemned.foreach(_.unpersist(blocking = false))
+    condemned.clear()
   }
 }

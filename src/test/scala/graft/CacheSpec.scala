@@ -297,4 +297,23 @@ class CacheSpec extends SparkSpec {
     assert(measured.usedBytes > 0 && measured.usedBytes < capacity)
     measured.invalidateAll(); lru.invalidateAll()
   }
+
+  test("a refused measured load stays materialized for its caller, freed at the next miss") {
+    import graft.cache.MeasuredWLFU
+    // capacity 1 byte: every candidate is refused AFTER its eager load —
+    // the caller's one execution must serve from the materialized blocks
+    // (no second storage pass), released at the next cache interaction
+    val cache = new SegmentCache(1L, MeasuredWLFU)
+    val k = seg("orders", "o_orderkey")
+    val df = cache.get(k)(proj("orders", k.columns))
+    assert(cache.keys.isEmpty, "1-byte capacity must refuse")
+    assert(org.apache.spark.sql.GraftBridge.cachedBufferRddId(df).isDefined,
+      "the refused frame must keep its materialized blocks for the caller")
+    // next miss drains the condemned frame
+    val k2 = seg("orders", "o_custkey")
+    cache.get(k2)(proj("orders", k2.columns))
+    assert(org.apache.spark.sql.GraftBridge.cachedBufferRddId(df).isEmpty,
+      "the refused frame must be released at the next cache interaction")
+    cache.invalidateAll()
+  }
 }

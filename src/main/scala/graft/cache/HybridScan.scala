@@ -158,13 +158,40 @@ object HybridScan {
 
   /** One shared segment cache per (session, sf-dir); released (unpersist
     * of every resident segment) at the bench's family boundaries via the
-    * [[graft.util.SessionCache]] lifecycle like every other artifact. */
+    * [[graft.util.SessionCache]] lifecycle like every other artifact.
+    *
+    * Capacity and policy come from SESSION CONFS — the reference's
+    * `exec.conf` knobs (`resources/config/exec.conf:3,5`: `CACHE_SIZE=8GB`,
+    * `CACHING_POLICY=LFU`), read ONCE at first touch per (session, dir)
+    * like the reference reads its conf at startup:
+    *  - `spark.graft.cacheCapacity`  (size string: "8GB", "64m", bytes;
+    *    default 1 GB)
+    *  - `spark.graft.cachePolicy`    (lru | lfu | lfu-s | w-lfu;
+    *    w-lfu is [[MeasuredWLFU]] — the measured-weight, measured-SIZE
+    *    admission variant; default lru)
+    * A bad value fails loudly at first use, never silently defaults. */
   private val caches = new SessionCache[SegmentCache](
     maxEntries = 4, releaseValue = (_: SegmentCache).invalidateAll())
 
+  private[graft] def parsePolicy(v: String): CachePolicy =
+    v.toLowerCase.trim match {
+      case "lru"                      => LRU
+      case "lfu"                      => LFU
+      case "lfu-s" | "lfus"           => LFUS
+      case "w-lfu" | "wlfu" | "mwlfu" => MeasuredWLFU
+      case other => throw new IllegalArgumentException(
+        s"unknown cache policy '$other' (expected lru/lfu/lfu-s/w-lfu)")
+    }
+
   def segmentCache(s: SparkSession, dir: String): SegmentCache =
-    caches.getOrBuild(s, s"hybrid-cache:$dir")(
-      new SegmentCache(capacityBytes = 1L << 30, policy = LRU))
+    caches.getOrBuild(s, s"hybrid-cache:$dir") {
+      val cap = s.conf.getOption("spark.graft.cacheCapacity")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(1L << 30)
+      val pol = s.conf.getOption("spark.graft.cachePolicy")
+        .map(parsePolicy).getOrElse(LRU)
+      new SegmentCache(capacityBytes = cap, policy = pol)
+    }
 
   private val routers = new SessionCache[AdaptiveScanRouter](
     maxEntries = 4, releaseValue = (_: AdaptiveScanRouter) => ())
@@ -174,10 +201,22 @@ object HybridScan {
     * `spark.graft.scanMode` engine conf: its miss/zip access history and
     * admitted segments accumulate ACROSS queries, which is what lets the
     * hot-data admission loop warm a session's workload (a per-query
-    * router would reset the counters every call). */
+    * router would reset the counters every call). Conf knobs, read once
+    * at first touch like [[segmentCache]]'s:
+    *  - `spark.graft.pushdownSlots` (the store's concurrent-pushdown
+    *    budget, the reference's adaptive-pushdown parallel degree;
+    *    default 64)
+    *  - `spark.graft.hotAdmitAfter` (admission-loop threshold; ≤0
+    *    disables self-warming; default 2) */
   def sessionRouter(s: SparkSession, dir: String): AdaptiveScanRouter =
-    routers.getOrBuild(s, s"hybrid-router:$dir")(
-      new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = 64))
+    routers.getOrBuild(s, s"hybrid-router:$dir") {
+      val slots = s.conf.getOption("spark.graft.pushdownSlots")
+        .map(_.trim.toInt).getOrElse(64)
+      val hot = s.conf.getOption("spark.graft.hotAdmitAfter")
+        .map(_.trim.toInt).getOrElse(2)
+      new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = slots,
+        hotAdmitAfter = hot)
+    }
 
   /** Scan `cols` of a table with a `(file key, row index)` ordinal
     * prepended. The file key is `xxhash64(_metadata.file_path)` — a

@@ -50,7 +50,7 @@ case class Belady(futureTrace: Seq[SegmentKey]) extends CachePolicy
   * documented deviation. On a cluster the same policy object drives which
   * hot projections stay pinned across the job graph.
   */
-class SegmentCache(capacityBytes: Long, policy: CachePolicy = LRU) {
+class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
 
   private case class Entry(df: DataFrame, var sizeBytes: Long,
       var hits: Long, var lastAccess: Long, costSecs: Double = 0.0)

@@ -967,6 +967,28 @@ class HybridScanSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("exec.conf parity: session confs drive cache capacity/policy and router slots") {
+    // the reference's exec.conf CACHE_SIZE / CACHING_POLICY / parallel
+    // degree, as spark.graft.* session confs read at first touch; a
+    // cloned session isolates the conf set from the shared suite session
+    val clone = spark.newSession()
+    clone.conf.set("spark.graft.cacheCapacity", "64MB")
+    clone.conf.set("spark.graft.cachePolicy", "w-lfu")
+    clone.conf.set("spark.graft.pushdownSlots", "3")
+    val cache = HybridScan.segmentCache(clone, sfDir)
+    assert(cache.capacityBytes == (64L << 20), s"got ${cache.capacityBytes}")
+    assert(cache.policy == graft.cache.MeasuredWLFU, s"got ${cache.policy}")
+    val router = HybridScan.sessionRouter(clone, sfDir)
+    assert(router.availableSlots == 3)
+    // a bad policy fails loudly at first use, never silently defaults
+    val clone2 = spark.newSession()
+    clone2.conf.set("spark.graft.cachePolicy", "nonsense")
+    intercept[IllegalArgumentException] {
+      HybridScan.segmentCache(clone2, sfDir)
+    }
+    cache.invalidateAll()
+  }
+
   test("pushdown-only mode past the slot budget is recorded, never silent") {
     val cache = new SegmentCache(1L << 30, LRU)
     val router = new AdaptiveScanRouter(cache, pushdownSlots = 1)

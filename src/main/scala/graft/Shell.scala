@@ -27,7 +27,9 @@ package graft
   *    subsequent statement routes through the session's scan router;
   *  - `\routes <sql>;` — the cache/pushdown layer's EXPLAIN: one row
   *    per base-table leaf with the route the session router would take
-  *    and why ([[graft.plans.ModeExec.explainRoutes]]).
+  *    and why ([[graft.plans.ModeExec.explainRoutes]]);
+  *  - `\cache;` — the session cache/router counters (policy, used/
+  *    capacity bytes, hit/miss/eviction, route mix, resident segments).
   * Output rows are capped at [[MaxRows]] — an interactive client is for
   * inspection; unbounded result dumps belong in a sink write.
   */
@@ -176,6 +178,21 @@ object Shell {
           val m = graft.cache.HybridScan.ScanMode.parse(arg)
           spark.conf.set("spark.graft.scanMode", m.name)
           println(s"scan mode: ${m.name}")
+        }
+      } else if (stmt.trim.equalsIgnoreCase("\\cache")) {
+        // the session cache/router counters — the reference prints its
+        // cache metrics per run (hit/miss/eviction bookkeeping); here
+        // they are a prompt command beside \mode and \routes
+        val cache = graft.cache.HybridScan.segmentCache(spark, dir)
+        val router = graft.cache.HybridScan.sessionRouter(spark, dir)
+        println(f"cache: policy=${cache.policy} used=${cache.usedBytes / 1e6}%.1f MB" +
+          f" of ${cache.capacityBytes / 1e6}%.1f MB; hits=${cache.hits}" +
+          s" misses=${cache.misses} evictions=${cache.evictions}")
+        println(s"router: pushdowns=${router.pushdowns} pullups=${router.pullups}" +
+          s" cacheOnly=${router.cacheOnlys} hybrid=${router.hybrids}" +
+          s" overBudget=${router.overBudget} freeSlots=${router.availableSlots}")
+        cache.keys.sortBy(_.table).foreach { k =>
+          println(s"  segment ${k.table}[${k.columns.mkString(",")}]")
         }
       } else if (stmt.toLowerCase.startsWith("\\routes ")) {
         val mode = spark.conf.getOption("spark.graft.scanMode")

@@ -277,6 +277,8 @@ class ModeExecSpec extends SparkSpec {
         "a bad mode must report an error, not silently pass")
       assert(Shell.runStatement(spark, sfDir, "\\routes " + SsbCorpus.sql("1_3")),
         "\\routes must run under the session's current mode")
+      assert(Shell.runStatement(spark, sfDir, "\\cache"),
+        "\\cache prints the session cache/router counters")
       assert(Shell.runStatement(spark, sfDir, "\\mode off"))
       assert(spark.conf.getOption("spark.graft.scanMode").isEmpty)
     } finally {

@@ -100,10 +100,21 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     * segments actually occupy, so admission headroom is real headroom.
     * Sizes can true up in EITHER direction — columnar in-memory bytes can
     * exceed a parquet-compressed stats estimate too. */
-  def trueUpSizes(): Unit = synchronized {
-    entries.valuesIterator.foreach { e =>
-      try measuredBytes(e.df).foreach(b => if (b > 0) e.sizeBytes = b)
-      catch { case _: Throwable => () }
+  def trueUpSizes(): Unit = {
+    // measure OUTSIDE the monitor: the lookup canonicalizes each entry's
+    // plan, and the hit path takes this monitor — a slow true-up must
+    // not block concurrent hits (the same rule produce/measureLoad
+    // follow). Sizes re-apply by key afterwards; an entry evicted in
+    // between is simply skipped.
+    val snapshot = synchronized { entries.toSeq }
+    val measured = snapshot.flatMap { case (k, e) =>
+      try measuredBytes(e.df).filter(_ > 0).map(k -> _)
+      catch { case _: Throwable => None }
+    }
+    if (measured.nonEmpty) synchronized {
+      measured.foreach { case (k, b) =>
+        entries.get(k).foreach(_.sizeBytes = b)
+      }
     }
   }
 
@@ -233,13 +244,19 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     * so unpersisting a frame plan-equal to a CURRENT resident would drop
     * the resident's blocks out from under it. */
   private val condemned = mutable.Buffer.empty[DataFrame]
-  private def drainCondemned(): Unit = synchronized {
-    condemned.foreach { df =>
-      val sharedWithResident = entries.valuesIterator.exists(e =>
-        df.queryExecution.analyzed.sameResult(e.df.queryExecution.analyzed))
+  private def drainCondemned(): Unit = {
+    // snapshot under the monitor, compare/unpersist outside it — the
+    // sameResult walk is plan work and must not block concurrent hits
+    val (toCheck, residents) = synchronized {
+      val c = condemned.toList
+      condemned.clear()
+      (c, entries.valuesIterator.map(_.df).toList)
+    }
+    toCheck.foreach { df =>
+      val sharedWithResident = residents.exists(r =>
+        df.queryExecution.analyzed.sameResult(r.queryExecution.analyzed))
       if (!sharedWithResident) df.unpersist(blocking = false)
     }
-    condemned.clear()
   }
 
   /** Materialize a just-persisted segment and return the load wall-time in

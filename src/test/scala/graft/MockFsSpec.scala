@@ -106,4 +106,30 @@ class MockFsSpec extends SparkSpec {
       spark.catalog.setCurrentDatabase(prevDb)
     }
   }
+
+  test("nested layouts list recursively under the second scheme") {
+    // the listFiles override + recursion together: a partitioned table
+    // written through mockfs must fingerprint its real nested files
+    // (the raw-local default listFiles throws under a foreign scheme;
+    // a non-recursive listing would silently fingerprint as empty)
+    spark.range(60).selectExpr("id", "id % 3 as part")
+      .write.partitionBy("part").mode("overwrite")
+      .parquet(s"$base/nested.parquet")
+    val before = MockObjectFs.listCalls.get
+    val tl = HybridScan.listTable(spark, base, "nested")
+    assert(tl.files.nonEmpty, "nested mockfs layout must never list empty")
+    assert(tl.files.forall(_._1.contains("part=")),
+      tl.files.map(_._1).mkString(", "))
+    assert(tl.files.forall(_._1.startsWith("mockfs:")))
+    // the flat recursive listing is billed as ONE LIST, like s3a's
+    assert(MockObjectFs.listCalls.get == before + 1,
+      s"recursive listing must count as one LIST call, " +
+      s"got ${MockObjectFs.listCalls.get - before}")
+    // staleness guard live on the nested layout: rewrite one partition
+    val fp1 = tl.fingerprint
+    spark.range(5).selectExpr("id", "cast(0 as bigint) as part")
+      .write.mode("overwrite").parquet(s"$base/nested.parquet/part=0")
+    assert(HybridScan.listTable(spark, base, "nested").fingerprint != fp1,
+      "a nested rewrite through the scheme must change the fingerprint")
+  }
 }

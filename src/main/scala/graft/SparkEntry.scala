@@ -27,7 +27,7 @@ object SparkEntry {
       graft.sources.JsonLines.queries ++ graft.sources.Orc.queries ++
       TpchCorpus.queries ++ SsbCorpus.queries ++ VariantCorpus.queries ++
       Graph.queries ++ graft.cache.HybridScan.queries ++
-      graft.plans.ModeExec.queries
+      graft.plans.ModeExec.queries ++ graft.sources.StoreScheme.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
@@ -37,5 +37,5 @@ object SparkEntry {
       graft.sources.JsonLines.oracleSql ++ graft.sources.Orc.oracleSql ++
       TpchCorpus.oracleSql ++ SsbCorpus.oracleSql ++ VariantCorpus.oracleSql ++
       Graph.oracleSql ++ graft.cache.HybridScan.oracleSql ++
-      graft.plans.ModeExec.oracleSql
+      graft.plans.ModeExec.oracleSql ++ graft.sources.StoreScheme.oracleSql
 }

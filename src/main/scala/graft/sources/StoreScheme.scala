@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store-scheme CORRECTNESS entries.
+  *
+  * The reference's only deployment target is an object store
+  * (`fpdb-aws/`, `fpdb-store-server/` — every table it ever reads comes
+  * through an S3/MinIO GET). Graft's other entries read `file:` parquet;
+  * these run the same operator shapes through the instrumented
+  * `mockfs://` scheme ([[MockObjectFs]]) so that scheme handling — URI
+  * rendering, listing, footer reads, the hybrid zip's xxhash64 file
+  * keys, engine catalog registration — is exercised where the driver
+  * grades correctness (the DuckDB oracle), not only in specs.
+  *
+  * [[mount]] serves the scale-factor directory IN PLACE: MockObjectFs
+  * is local-disk backed, so `mockfs:<dir>` reads exactly the bytes the
+  * oracle's DuckDB reads from `<dir>`. Byte-identical inputs by
+  * construction, no copy step, and every read crosses the counted
+  * (throttleable) store boundary.
+  */
+object StoreScheme {
+
+  /** Register the scheme on the shared Hadoop conf and return the
+    * store rendering of `dir`. Idempotent, cheap — called per entry. */
+  def mount(s: SparkSession, dir: String): String = {
+    s.sparkContext.hadoopConfiguration
+      .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
+    if (dir.startsWith("mockfs:")) dir else s"mockfs:$dir"
+  }
+
+  /** fs01: projection + filter + aggregation scanned through the store
+    * scheme — footer, dictionary, and data-page reads all cross
+    * [[MockObjectFs]]; predicate and projection pushdown must survive
+    * the foreign scheme (the bytes end of that claim is pinned in
+    * StoreIoSpec; this entry pins the rows end under the oracle). */
+  private def fs01StoreScan(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, mount(s, dir))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date"))
+      .groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  private val fs01Sql =
+    """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS cnt
+      |FROM lineitem WHERE l_shipdate >= DATE '1997-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** fs02: the hybrid ordinal zip through the store scheme — cached
+    * `o_totalprice` zipped against an `o_orderdate` fetch whose
+    * predicate pushes into the store-side scan. The zip's join key is
+    * xxhash64 over `_metadata.file_path`, whose RENDERING differs per
+    * scheme (`mockfs:/...` vs `file:///...`) — precisely the surface a
+    * `file:`-only test can never exercise. Cache keyed at the store
+    * dir, so warm/cold calls are both correct (entry contract). */
+  private def fs02StoreHybrid(s: SparkSession, dir: String): DataFrame = {
+    val store = mount(s, dir)
+    graft.cache.HybridScan.mergedScan(s, store, "orders",
+      cachedCols = Seq("o_totalprice"),
+      fetchCols = Seq("o_orderdate"),
+      fetchPredicate = Some(
+        col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date")),
+      cache = graft.cache.HybridScan.segmentCache(s, store))
+      .agg(sum("o_totalprice").as("total"))
+  }
+
+  private val fs02Sql =
+    """SELECT sum(o_totalprice) AS total FROM orders
+      |WHERE o_orderdate >= DATE '1996-01-01'
+      |  AND o_orderdate < DATE '1997-01-01'""".stripMargin
+
+  /** fs03: a full reference corpus query (SSB Q2.2) submitted through
+    * the PUBLIC engine path with the catalog registered at the store
+    * scheme — registration reads every table's footer through mockfs,
+    * the query plans and executes against store-scheme scans, and the
+    * oracle is the same SSB text the b22 entry hashes against. */
+  private def fs03StoreSuite(s: SparkSession, dir: String): DataFrame =
+    graft.Engine.executeQuery(s, mount(s, dir),
+      graft.operators.SsbCorpus.sql("2_2"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fs01_store_scan"   -> fs01StoreScan _,
+    "fs02_store_hybrid" -> fs02StoreHybrid _,
+    "fs03_store_suite"  -> fs03StoreSuite _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "fs01_store_scan"   -> fs01Sql,
+    "fs02_store_hybrid" -> fs02Sql,
+    "fs03_store_suite"  -> graft.operators.SsbCorpus.sql("2_2"),
+  )
+}

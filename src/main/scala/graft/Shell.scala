@@ -194,6 +194,35 @@ object Shell {
         cache.keys.sortBy(_.table).foreach { k =>
           println(s"  segment ${k.table}[${k.columns.mkString(",")}]")
         }
+      } else if (stmt.toLowerCase.startsWith("\\store")) {
+        // the store-simulation cockpit beside \cache: billed GETs/bytes/
+        // LISTs since the last reset, and the bandwidth/latency throttle —
+        // live when the shell's --dir (or any query's table path) goes
+        // through the instrumented mockfs:// scheme. The reference's
+        // bytes-moved bench output (`BytesReadBench.cpp`) as a prompt
+        // command: run a query, \store, see what an object store billed.
+        val fs = graft.sources.MockObjectFs
+        stmt.substring(6).trim.split("\\s+").toList.filter(_.nonEmpty) match {
+          case Nil =>
+            val (opens, bytes, reads, lists) = fs.snapshot()
+            println(f"store: GETs=$opens bytes=${bytes / 1e6}%.1f MB " +
+              s"readCalls=$reads LISTs=$lists")
+            println("throttle: bandwidth=" +
+              (if (fs.bytesPerSec == 0) "off" else s"${fs.bytesPerSec} B/s per stream") +
+              "; latency=" +
+              (if (fs.openLatencyMs == 0) "off" else s"${fs.openLatencyMs} ms/GET"))
+          case List("reset") => fs.reset(); println("store counters reset")
+          case List("bw", v) =>
+            fs.bytesPerSec =
+              if (v.equalsIgnoreCase("off")) 0L
+              else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+            println(s"store bandwidth: ${if (fs.bytesPerSec == 0) "off" else s"${fs.bytesPerSec} B/s per stream"}")
+          case List("latency", v) =>
+            fs.openLatencyMs = if (v.equalsIgnoreCase("off")) 0L else v.toLong
+            println(s"store GET latency: ${if (fs.openLatencyMs == 0) "off" else s"${fs.openLatencyMs} ms"}")
+          case other =>
+            println(s"usage: \\store [reset | bw <size>/s|off | latency <ms>|off] (got: ${other.mkString(" ")})")
+        }
       } else if (stmt.toLowerCase.startsWith("\\routes ")) {
         val mode = spark.conf.getOption("spark.graft.scanMode")
           .map(graft.cache.HybridScan.ScanMode.parse)

@@ -105,7 +105,9 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     // plan, and the hit path takes this monitor — a slow true-up must
     // not block concurrent hits (the same rule produce/measureLoad
     // follow). Sizes re-apply by key afterwards; an entry evicted in
-    // between is simply skipped.
+    // between is simply skipped, and one replaced by a racing winner
+    // gets the old frame's measured bytes — plan-equal frames occupy
+    // the same blocks, and the next miss re-measures regardless.
     val snapshot = synchronized { entries.toSeq }
     val measured = snapshot.flatMap { case (k, e) =>
       try measuredBytes(e.df).filter(_ > 0).map(k -> _)
@@ -245,17 +247,28 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     * the resident's blocks out from under it. */
   private val condemned = mutable.Buffer.empty[DataFrame]
   private def drainCondemned(): Unit = {
-    // snapshot under the monitor, compare/unpersist outside it — the
-    // sameResult walk is plan work and must not block concurrent hits
-    val (toCheck, residents) = synchronized {
-      val c = condemned.toList
-      condemned.clear()
-      (c, entries.valuesIterator.map(_.df).toList)
+    // The plan canonicalization behind sameResult is the expensive part
+    // and must not run under the monitor (the hit path takes it) — but
+    // the keep-or-release DECISION must: between an unlocked snapshot
+    // and the unpersist a racer can admit a plan-equal resident (whose
+    // CacheManager blocks the unpersist would then drop out from under
+    // it) or evict one (leaking the condemned frame persisted forever).
+    // So: snapshot + canonicalize unlocked, decide + release against the
+    // CURRENT residents under the monitor — where the pre-warmed
+    // sameResult is a cheap tree compare, and where admit() already
+    // calls unpersist anyway (no new lock ordering).
+    val toCheck = synchronized {
+      val c = condemned.toList; condemned.clear(); c
     }
-    toCheck.foreach { df =>
-      val sharedWithResident = residents.exists(r =>
-        df.queryExecution.analyzed.sameResult(r.queryExecution.analyzed))
-      if (!sharedWithResident) df.unpersist(blocking = false)
+    if (toCheck.isEmpty) return
+    toCheck.foreach(df => df.queryExecution.analyzed.canonicalized)
+    synchronized {
+      val residents = entries.valuesIterator.map(_.df.queryExecution.analyzed).toList
+      toCheck.foreach { df =>
+        val sharedWithResident =
+          residents.exists(_.sameResult(df.queryExecution.analyzed))
+        if (!sharedWithResident) df.unpersist(blocking = false)
+      }
     }
   }
 

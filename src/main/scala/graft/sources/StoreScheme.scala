@@ -71,13 +71,30 @@ object StoreScheme {
       |WHERE o_orderdate >= DATE '1996-01-01'
       |  AND o_orderdate < DATE '1997-01-01'""".stripMargin
 
+  /** The engine registers one dir per session; running a store-scheme
+    * query on the CALLER's session would flip its registration to
+    * `mockfs:` and back, re-reading every footer twice per benchmark
+    * pass and billing the churn to whichever entry runs next. A derived
+    * session (shared context, cache manager, and hadoop conf; its own
+    * temp views and registration) keeps the store catalog permanently
+    * registered without touching the caller's. Weak keys: a stopped
+    * session must not be pinned. */
+  private val storeSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private def storeSession(s: SparkSession): SparkSession =
+    storeSessions.synchronized {
+      var s2 = storeSessions.get(s)
+      if (s2 == null) { s2 = s.newSession(); storeSessions.put(s, s2) }
+      s2
+    }
+
   /** fs03: a full reference corpus query (SSB Q2.2) submitted through
     * the PUBLIC engine path with the catalog registered at the store
     * scheme — registration reads every table's footer through mockfs,
     * the query plans and executes against store-scheme scans, and the
     * oracle is the same SSB text the b22 entry hashes against. */
   private def fs03StoreSuite(s: SparkSession, dir: String): DataFrame =
-    graft.Engine.executeQuery(s, mount(s, dir),
+    graft.Engine.executeQuery(storeSession(s), mount(s, dir),
       graft.operators.SsbCorpus.sql("2_2"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -182,6 +182,55 @@ class CacheSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("concurrent churn keeps residents persisted and accounting exact") {
+    // 8 threads hammer 6 keys through a cache small enough to force the
+    // full lifecycle concurrently: eager measured loads, admissions,
+    // evictions, refusals parked on the condemned list, drains, and
+    // per-miss size true-ups. Invariants, not routes: (1) hit+miss
+    // accounting stays exact under the monitor discipline; (2) after the
+    // dust settles every RESIDENT frame is still actually persisted —
+    // the drain decides keep-or-release against current residents under
+    // the monitor, so no drain may drop a just-admitted plan-equal
+    // resident's blocks (the storageLevel==NONE ghost this spec exists
+    // to catch); (3) every get returned a usable frame.
+    import graft.cache.MeasuredWLFU
+    val ks = Seq(
+      seg("orders", "o_orderkey"), seg("orders", "o_custkey"),
+      seg("orders", "o_totalprice"), seg("orders", "o_orderdate"),
+      seg("lineitem", "l_orderkey"), seg("lineitem", "l_quantity"))
+    val oneSeg = proj("orders", ks.head.columns)
+      .queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val cache = new SegmentCache(oneSeg * 5 / 2, MeasuredWLFU)
+    val iters = 20
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        try {
+          var i = 0
+          while (i < iters) {
+            val k = ks((t * 7 + i * 13) % ks.size)
+            val df = cache.get(k)(proj(k.table, k.columns))
+            // every returned frame — resident, refused, or racer copy —
+            // must execute correctly even if a drain runs concurrently
+            if (i % 5 == 0) assert(df.count() > 0)
+            i += 1
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(failures.isEmpty, s"worker failed: ${failures.peek()}")
+    assert(cache.hits + cache.misses == 8L * iters,
+      s"accounting drift: ${cache.hits}+${cache.misses} != ${8 * iters}")
+    cache.keys.foreach { k =>
+      val df = cache.get(k)(sys.error(s"$k must be resident"))
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        s"resident $k lost its persisted blocks (ghost entry)")
+      assert(df.count() > 0)
+    }
+    cache.invalidateAll()
+  }
+
   test("Belady evicts the segment used farthest in the future") {
     import graft.cache.Belady
     // trace: k1, k2, k3, k1 — at admission of k3 (clock 3), k1 recurs at

@@ -45,4 +45,28 @@ class ShellSpec extends AnyFunSuite {
     assert(Shell.statementEnd("SELECT 1") == -1)
     assert(Shell.statementEnd("a;b") == 1)
   }
+
+  test("\\store reports counters and drives the throttle knobs") {
+    // spark-free command paths (counters are process-global); a throw or
+    // a false return would leave the interactive store cockpit broken
+    val fs = graft.sources.MockObjectFs
+    val spark: org.apache.spark.sql.SparkSession = null // never touched
+    val out = new java.io.ByteArrayOutputStream
+    def run(cmd: String): Boolean =
+      Console.withOut(new java.io.PrintStream(out))(
+        Shell.runStatement(spark, "unused-dir", cmd))
+    try {
+      assert(run("\\store"))
+      assert(out.toString.contains("GETs=") && out.toString.contains("throttle:"))
+      assert(run("\\store bw 2m"))
+      assert(fs.bytesPerSec == 2L * 1024 * 1024)
+      assert(run("\\store latency 5"))
+      assert(fs.openLatencyMs == 5L)
+      assert(run("\\store bw off") && fs.bytesPerSec == 0L)
+      assert(run("\\store latency off") && fs.openLatencyMs == 0L)
+      assert(run("\\store reset"))
+      assert(run("\\store bogus arg2")) // usage text, not a failure
+      assert(out.toString.contains("usage:"))
+    } finally { fs.bytesPerSec = 0L; fs.openLatencyMs = 0L }
+  }
 }

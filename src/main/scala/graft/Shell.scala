@@ -194,6 +194,16 @@ object Shell {
         cache.keys.sortBy(_.table).foreach { k =>
           println(s"  segment ${k.table}[${k.columns.mkString(",")}]")
         }
+      } else if (stmt.toLowerCase.startsWith("\\sweep ")) {
+        // the reference's whole-suite mode discipline at the prompt:
+        // run the statement under PULLUP / PUSHDOWN_ONLY / CACHING_ONLY /
+        // HYBRID (cold+warm passes for the stateful modes) and print the
+        // per-mode cost/route report — ModeExec.compareModes as an
+        // interactive command. On a mockfs:// --dir the store_mb column
+        // carries FS-truth billed bytes per pass.
+        graft.plans.ModeExec.compareModes(spark, dir,
+          Seq("stmt" -> stmt.substring(7).trim))
+          .show(MaxRows, truncate = false)
       } else if (stmt.toLowerCase.startsWith("\\store")) {
         // the store-simulation cockpit beside \cache: billed GETs/bytes/
         // LISTs since the last reset, and the bandwidth/latency throttle —

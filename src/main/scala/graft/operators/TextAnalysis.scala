@@ -771,6 +771,46 @@ object TextAnalysis {
       |FROM e GROUP BY pair
       |ORDER BY freq DESC, pair LIMIT 20""".stripMargin
 
+  /** t18 — the corpus card: what a data team reports after preparing a
+    * training corpus, as ONE composed query proving the pipeline stages
+    * chain — gopher-style quality gate (word count) → exact-dedup
+    * survivors (d01's md5 rule, lowest doc_id wins) → per-(source, lang)
+    * document/token totals. Scale shape: `text` is dropped BEFORE any
+    * shuffle (the dedup exchange carries (hash, 5 scalar cols) only);
+    * the survivor is `min(struct(doc_id, ...))` — a map-side-combinable
+    * aggregate, NOT a window sort (no per-partition full ordering, and
+    * the hash groupBy is the same single shuffle d01 pays); the card
+    * aggregate then combines map-side onto the tiny (source, lang)
+    * grid. At 100 TB this plans as two all-combining exchanges over
+    * scalar rows — the heaviest object (text) never leaves the scan. */
+  private def t18CorpusCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val survivors = Tables.documents(s, dir)
+      .select(md5($"text").as("h"), $"doc_id", $"source", $"lang", $"n_chars",
+        size(words($"text")).as("n_words"))
+      .filter($"n_words" >= 50)
+      .select($"h", struct($"doc_id", $"source", $"lang", $"n_chars", $"n_words").as("rec"))
+      .groupBy($"h").agg(min($"rec").as("rec"))
+      .select($"rec.*")
+    survivors.groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"),
+        avg($"n_chars").as("avg_chars"))
+      .orderBy($"source", $"lang")
+  }
+
+  private val t18Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source, lang, n_chars,
+      |    len(string_split(text, ' ')) AS n_words, md5(text) AS h
+      |  FROM documents),
+      |q AS (SELECT * FROM toks WHERE n_words >= 50),
+      |uniq AS (
+      |  SELECT * FROM q
+      |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1)
+      |SELECT source, lang, count(*)::BIGINT AS n_docs,
+      |  sum(n_words)::BIGINT AS n_tokens, avg(n_chars) AS avg_chars
+      |FROM uniq GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_token_count" -> t01TokenCount _,
     "t02_quality"     -> t02Quality _,
@@ -789,6 +829,7 @@ object TextAnalysis {
     "t15_source_cap"  -> t15SourceCap _,
     "t16_gopher_rules" -> t16GopherRules _,
     "t17_bpe_pairs"   -> t17BpePairs _,
+    "t18_corpus_card" -> t18CorpusCard _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -809,5 +850,6 @@ object TextAnalysis {
     "t15_source_cap"  -> t15Sql,
     "t16_gopher_rules" -> t16Sql,
     "t17_bpe_pairs"   -> t17Sql,
+    "t18_corpus_card" -> t18Sql,
   )
 }

@@ -287,6 +287,19 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("shell \\sweep runs the four-mode comparison at the prompt") {
+    val out = new java.io.ByteArrayOutputStream
+    val ok = Console.withOut(new java.io.PrintStream(out))(
+      Shell.runStatement(spark, sfDir,
+        "\\sweep SELECT count(*) AS n FROM nation"))
+    assert(ok, s"\\sweep failed: ${out.toString.takeRight(500)}")
+    val printed = out.toString
+    ScanMode.all.foreach(m => assert(printed.contains(m.name),
+      s"report must carry a ${m.name} row:\n$printed"))
+    assert(printed.contains("warm"),
+      "stateful modes must report their warm pass")
+  }
+
   test("dm06/dm07/dm08 entries equal their b-corpus twins") {
     val pairs = Seq(
       "dm06_mode_pullup"  -> "1_2",

@@ -384,66 +384,51 @@ object Bench {
             MockObjectFs.openLatencyMs = 0L
           }
         }
-        val pass = passOf(SsbCorpus.names.map(SsbCorpus.sql)) _
-        val pdCache = new SegmentCache(1L << 30, LRU)
-        pass("pushdown", ModePushdownOnly,
-          new AdaptiveScanRouter(pdCache, pushdownSlots = 64))
-        pdCache.invalidateAll()
-        val cCache = new SegmentCache(1L << 30, LRU)
-        pass("caching_cold", ModeCachingOnly,
-          new AdaptiveScanRouter(cCache, pushdownSlots = 64))
-        pass("caching_warm", ModeCachingOnly,
-          new AdaptiveScanRouter(cCache, pushdownSlots = 64))
-        cCache.invalidateAll()
-        val hCache = new SegmentCache(1L << 30, LRU)
-        // hybrid's premise is partial cache state left by prior workload:
-        // prime unthrottled (scenario setup, not a measured store cost)
-        HybridScan.mergedScan(spark, mdir, "lineitem",
-          cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
-          fetchCols = Seq("l_shipdate"), fetchPredicate = None,
-          cache = hCache).count()
-        // cold: repeated column sets trip the router's hot-admission loop
-        // mid-pass; warm: those self-admitted segments serve cache-side,
-        // so the bytes delta cold→warm is the caching HALF of hybrid mode
-        // working (the route mix is the zip half)
-        pass("hybrid_cold", ModeHybrid,
-          new AdaptiveScanRouter(hCache, pushdownSlots = 64))
-        val hRouter = new AdaptiveScanRouter(hCache, pushdownSlots = 64)
-        pass("hybrid_warm", ModeHybrid, hRouter)
-        out += "hybrid_routes" -> hRouter.hybrids.toDouble
-        hCache.invalidateAll()
-        // ---- the SAME discipline over the reference's OTHER corpus:
-        // a two-pole TPC-H subset (h01 = widest lineitem aggregate,
+        // ONE sweep discipline for every corpus, so the two families'
+        // mode comparisons can never diverge by hand-kept copies:
+        // pushdown / caching cold+warm / hybrid prime + cold + warm +
+        // zip-route counter, fresh cache per mode.
+        def modeSweep(prefix: String, queries: Seq[String]): Unit = {
+          val pass = passOf(queries) _
+          def lbl(x: String) = if (prefix.isEmpty) x else s"${prefix}_$x"
+          val pdCache = new SegmentCache(1L << 30, LRU)
+          pass(lbl("pushdown"), ModePushdownOnly,
+            new AdaptiveScanRouter(pdCache, pushdownSlots = 64))
+          pdCache.invalidateAll()
+          val cCache = new SegmentCache(1L << 30, LRU)
+          pass(lbl("caching_cold"), ModeCachingOnly,
+            new AdaptiveScanRouter(cCache, pushdownSlots = 64))
+          pass(lbl("caching_warm"), ModeCachingOnly,
+            new AdaptiveScanRouter(cCache, pushdownSlots = 64))
+          cCache.invalidateAll()
+          val hCache = new SegmentCache(1L << 30, LRU)
+          // hybrid's premise is partial cache state left by prior
+          // workload: prime unthrottled (scenario setup, not a measured
+          // store cost)
+          HybridScan.mergedScan(spark, mdir, "lineitem",
+            cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
+            fetchCols = Seq("l_shipdate"), fetchPredicate = None,
+            cache = hCache).count()
+          // cold: repeated column sets trip the router's hot-admission
+          // loop mid-pass; warm: those self-admitted segments serve
+          // cache-side, so the bytes delta cold→warm is the caching HALF
+          // of hybrid mode working (the route mix is the zip half)
+          pass(lbl("hybrid_cold"), ModeHybrid,
+            new AdaptiveScanRouter(hCache, pushdownSlots = 64))
+          val hRouter = new AdaptiveScanRouter(hCache, pushdownSlots = 64)
+          pass(lbl("hybrid_warm"), ModeHybrid, hRouter)
+          out += lbl("hybrid_routes") -> hRouter.hybrids.toDouble
+          hCache.invalidateAll()
+        }
+        modeSweep("", SsbCorpus.names.map(SsbCorpus.sql))
+        // the SAME discipline over the reference's OTHER corpus: a
+        // two-pole TPC-H subset (h01 = widest lineitem aggregate,
         // caching's best case when repeated; h06 = the selective scan,
         // pushdown's best case) so the mode comparison is not an
         // SSB-shape artifact. Kept to two queries: the throttled store
         // prices every byte, and these two bound the regime.
-        locally {
-          import graft.operators.TpchCorpus
-          val tpch = Seq(TpchCorpus.sql(1), TpchCorpus.sql(6))
-          val tPass = passOf(tpch) _
-          val tpCache = new SegmentCache(1L << 30, LRU)
-          tPass("tpch_pushdown", ModePushdownOnly,
-            new AdaptiveScanRouter(tpCache, pushdownSlots = 64))
-          tpCache.invalidateAll()
-          val tcCache = new SegmentCache(1L << 30, LRU)
-          tPass("tpch_caching_cold", ModeCachingOnly,
-            new AdaptiveScanRouter(tcCache, pushdownSlots = 64))
-          tPass("tpch_caching_warm", ModeCachingOnly,
-            new AdaptiveScanRouter(tcCache, pushdownSlots = 64))
-          tcCache.invalidateAll()
-          val thCache = new SegmentCache(1L << 30, LRU)
-          HybridScan.mergedScan(spark, mdir, "lineitem",
-            cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
-            fetchCols = Seq("l_shipdate"), fetchPredicate = None,
-            cache = thCache).count()
-          tPass("tpch_hybrid_cold", ModeHybrid,
-            new AdaptiveScanRouter(thCache, pushdownSlots = 64))
-          val thRouter = new AdaptiveScanRouter(thCache, pushdownSlots = 64)
-          tPass("tpch_hybrid_warm", ModeHybrid, thRouter)
-          out += "tpch_hybrid_routes" -> thRouter.hybrids.toDouble
-          thCache.invalidateAll()
-        }
+        modeSweep("tpch", Seq(graft.operators.TpchCorpus.sql(1),
+          graft.operators.TpchCorpus.sql(6)))
         out.toSeq
       }
 

@@ -221,17 +221,21 @@ object Shell {
               (if (fs.bytesPerSec == 0) "off" else s"${fs.bytesPerSec} B/s per stream") +
               "; latency=" +
               (if (fs.openLatencyMs == 0) "off" else s"${fs.openLatencyMs} ms/GET"))
-          case List("reset") => fs.reset(); println("store counters reset")
-          case List("bw", v) =>
+          case List(sub) if sub.equalsIgnoreCase("reset") =>
+            fs.reset(); println("store counters reset")
+          case List(sub, v) if sub.equalsIgnoreCase("bw") =>
+            // the usage line advertises "2m/s"; byteStringAsBytes cannot
+            // parse the rate suffix, so strip it before parsing
+            val size = v.toLowerCase.stripSuffix("/s")
             fs.bytesPerSec =
-              if (v.equalsIgnoreCase("off")) 0L
-              else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+              if (size == "off") 0L
+              else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(size)
             println(s"store bandwidth: ${if (fs.bytesPerSec == 0) "off" else s"${fs.bytesPerSec} B/s per stream"}")
-          case List("latency", v) =>
+          case List(sub, v) if sub.equalsIgnoreCase("latency") =>
             fs.openLatencyMs = if (v.equalsIgnoreCase("off")) 0L else v.toLong
             println(s"store GET latency: ${if (fs.openLatencyMs == 0) "off" else s"${fs.openLatencyMs} ms"}")
           case other =>
-            println(s"usage: \\store [reset | bw <size>/s|off | latency <ms>|off] (got: ${other.mkString(" ")})")
+            println(s"usage: \\store [reset | bw <size>[/s]|off | latency <ms>|off] (got: ${other.mkString(" ")})")
         }
       } else if (stmt.toLowerCase.startsWith("\\routes ")) {
         val mode = spark.conf.getOption("spark.graft.scanMode")

@@ -627,7 +627,11 @@ object HybridScan {
         val seg = cache.get(pullupKey(table, need)) {
           plainScan().select(need.sorted.map(col): _*)
         }
-        noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
+        // an eager policy may have REFUSED admission after materializing
+        // `seg` — pin the condemned frame until this lease closes, so a
+        // concurrent miss can never unpersist it mid-execution
+        val rel = cache.leaseRefused(seg).getOrElse(() => ())
+        new ScanLease(seg.filter(predicate).select(cols.map(col): _*), Pullup, rel)
       }
 
       def cacheOnly(k: SegmentKey, reason: String): ScanLease = {
@@ -644,7 +648,9 @@ object HybridScan {
           else
             plainScan().select(dataCols(k).map(col): _*)
         }
-        noopLease(seg.filter(predicate).select(cols.map(col): _*), CacheOnly)
+        // same pin as pullupLoad: a race-rebuild can be admission-refused
+        val rel = cache.leaseRefused(seg).getOrElse(() => ())
+        new ScanLease(seg.filter(predicate).select(cols.map(col): _*), CacheOnly, rel)
       }
 
       mode match {
@@ -746,14 +752,30 @@ object HybridScan {
                     s"to full residency (was zipping against [${overlap.mkString(",")}])")
                   noopLease(seg.filter(predicate).select(cols.map(col): _*), Pullup)
                 } else {
-                  // admission REFUSED (capacity/policy): serve THIS query
-                  // by the zip the promotion preempted (the refused frame
-                  // was never executed — its build is plan-only work) and
-                  // reset the counter so the set re-earns promotion
-                  // instead of re-attempting it every access
+                  // admission REFUSED (capacity/policy): reset the counter
+                  // so the set re-earns promotion instead of re-attempting
+                  // it every access. Under a LAZY policy the refused frame
+                  // was never executed — its build was plan-only work, so
+                  // serve by the zip the promotion preempted. Under an
+                  // EAGER policy (MeasuredWLFU) the frame is ALREADY
+                  // materialized (the measure-load ran before admission):
+                  // discarding it for a zip would re-read storage — serve
+                  // this one query FROM the condemned frame, released when
+                  // the lease closes.
                   resetAccess("zip", table, need)
-                  hybridZip(k, overlap, notePrefix =
-                    "promotion refused by cache admission (zip counter reset); ")
+                  cache.leaseRefused(seg) match {
+                    case Some(rel) =>
+                      pullupN.incrementAndGet()
+                      logDecision(table, need, Pullup,
+                        "promotion refused by cache admission (zip counter " +
+                        "reset); serving the already-materialized frame once")
+                      new ScanLease(
+                        seg.filter(predicate).select(cols.map(col): _*),
+                        Pullup, rel)
+                    case None =>
+                      hybridZip(k, overlap, notePrefix =
+                        "promotion refused by cache admission (zip counter reset); ")
+                  }
                 }
               case Some((k, overlap)) => hybridZip(k, overlap)
               case None =>
@@ -780,13 +802,25 @@ object HybridScan {
                   // either not yet hot, or the hot admission was REFUSED —
                   // then reset the counter and route like a cold miss (an
                   // unpersisted repartition+sort frame would be strictly
-                  // worse than a straight pushdown scan)
+                  // worse than a straight pushdown scan). Exception, as in
+                  // the promotion branch: an EAGER policy already
+                  // materialized the refused frame — serve this one query
+                  // from it under a lease instead of re-reading storage.
+                  val refused = hotAdmitAfter > 0 && seen >= hotAdmitAfter
+                  val refusedLease = if (refused) cache.leaseRefused(seg) else None
                   val refusedNote =
-                    if (hotAdmitAfter > 0 && seen >= hotAdmitAfter) {
+                    if (refused) {
                       resetAccess("miss", table, need)
                       "hot-set admission refused by cache (miss counter reset); "
                     } else ""
-                  if (slots.tryAcquire()) {
+                  if (refusedLease.isDefined) {
+                    pullupN.incrementAndGet()
+                    logDecision(table, need, Pullup, refusedNote +
+                      "serving the already-materialized frame once")
+                    new ScanLease(
+                      seg.filter(predicate).select(cols.map(col): _*),
+                      Pullup, refusedLease.get)
+                  } else if (slots.tryAcquire()) {
                     pushdownN.incrementAndGet()
                     logDecision(table, need, Pushdown, refusedNote +
                       s"no usable segment (access #$seen); pushdown slot acquired")
@@ -890,12 +924,16 @@ object HybridScan {
         pullupInFlight.incrementAndGet()
         val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
         val t0 = System.nanoTime()
+        var releaseRefused: () => Unit = () => ()
         try {
           val seg = cache.get(pullupKey(table, need)) {
             s.read.parquet(Tables.path(dir, table)).select(need.sorted.map(col): _*)
           }
+          // pin a refused-but-materialized frame for exactly this bracket
+          releaseRefused = cache.leaseRefused(seg).getOrElse(() => ())
           (action(seg.filter(predicate).select(cols.map(col): _*)), Pullup)
         } finally {
+          releaseRefused()
           pullupInFlight.decrementAndGet()
           observe(Pullup, System.nanoTime() - t0, table)
         }

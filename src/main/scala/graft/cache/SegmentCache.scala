@@ -145,21 +145,32 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     * the same key concurrently; the loser finds the key resident at
     * admit time, discards its own copy, and returns the winner's. */
   def get(key: SegmentKey)(produce: => DataFrame): DataFrame = {
-    synchronized {
+    val hit: Option[DataFrame] = synchronized {
       clock += 1
       entries.get(key) match {
         case Some(e) =>
           hitCount += 1; e.hits += 1; e.lastAccess = clock
-          return e.df
+          Some(e.df)
         case None =>
           missCount += 1
+          None
       }
     }
+    hit match {
+      case Some(df) =>
+        // hits drain too: a hit-only steady state (warm workload, no
+        // further misses) must not pin a refused frame's blocks for the
+        // rest of the session — drainCondemned is one uncontended
+        // monitor acquire when nothing is parked
+        drainCondemned()
+        return df
+      case None => ()
+    }
     // miss path — no lock held while Spark jobs run. Release any
-    // admission-refused-but-materialized frames from the PREVIOUS miss
-    // (their caller's one execution is over by now), then true up
-    // resident sizes: the admission below must compare the candidate
-    // against what the residents ACTUALLY occupy, not stats estimates.
+    // admission-refused-but-materialized frames that have AGED OUT
+    // (see [[drainCondemned]]'s age rule), then true up resident sizes:
+    // the admission below must compare the candidate against what the
+    // residents ACTUALLY occupy, not stats estimates.
     drainCondemned()
     trueUpSizes()
     val df = produce
@@ -223,10 +234,11 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
                 // the full segment bytes paid TWICE per refusal (measured:
                 // the mwlfu capacity sweep moved 209 MB/pass where the
                 // lazy policies moved ~half). Keep the materialized
-                // blocks for that single execution and release them at
-                // the NEXT cache interaction — transiently over budget by
-                // one refused segment, bounded and honest.
-                condemned += df
+                // blocks for that single execution and release them once
+                // AGED (or on the caller's [[leaseRefused]] release) —
+                // transiently over budget by one refused segment, bounded
+                // and honest.
+                condemned += new Condemned(df, clock)
               }
             case _ =>
               if (admit(key, size)) {
@@ -240,12 +252,44 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
   }
 
   /** Admission-refused frames whose eager load already materialized —
-    * kept persisted for their caller's one execution, released at the
-    * next [[get]] miss. The plan-equality check mirrors the loser-racer
-    * rule: Spark's CacheManager keys cached data by canonicalized plan,
-    * so unpersisting a frame plan-equal to a CURRENT resident would drop
-    * the resident's blocks out from under it. */
-  private val condemned = mutable.Buffer.empty[DataFrame]
+    * kept persisted for their caller's one execution. Release is by AGE
+    * (the frame survives at least [[CondemnedAgeTicks]] further cache
+    * interactions — a drain on the very next miss could unpersist it
+    * out from under a caller that has not executed yet, silently
+    * re-introducing the measured 2×-bytes-per-refusal regression under
+    * concurrency) or, absolutely, by a [[leaseRefused]] lease: a leased
+    * frame is never drained until its caller releases it. An unreleased
+    * lease is released by [[invalidateAll]] (teardown). The worst case
+    * of an early unleased drain is a recompute from lineage — a storage
+    * re-read, never a wrong result. The plan-equality check mirrors the
+    * loser-racer rule: Spark's CacheManager keys cached data by
+    * canonicalized plan, so unpersisting a frame plan-equal to a CURRENT
+    * resident would drop the resident's blocks out from under it. */
+  private final class Condemned(val df: DataFrame, var tick: Long,
+      var leased: Boolean = false)
+  private val CondemnedAgeTicks = 2L
+  private val condemned = mutable.Buffer.empty[Condemned]
+
+  /** Pin a just-refused frame until the caller has executed it: returns
+    * the release function when `df` is currently parked condemned (the
+    * eager-admission policies), None otherwise (lazy policies never
+    * condemn — the caller should fall back to its unmaterialized-frame
+    * route). The release marks the frame immediately drainable and
+    * drains; callers hand it to whatever brackets their execution
+    * (HybridScan wires it into the ScanLease close). */
+  def leaseRefused(df: DataFrame): Option[() => Unit] = synchronized {
+    condemned.find(c => (c.df eq df) && !c.leased).map { c =>
+      c.leased = true
+      () => {
+        // re-tick to "already aged" relative to the CURRENT clock (an
+        // absolute sentinel like Long.MinValue would overflow the age
+        // subtraction) so the drain below takes it immediately
+        synchronized { c.leased = false; c.tick = clock - CondemnedAgeTicks }
+        drainCondemned()
+      }
+    }
+  }
+
   private def drainCondemned(): Unit = {
     // The plan canonicalization behind sameResult is the expensive part
     // and must not run under the monitor (the hit path takes it) — but
@@ -256,18 +300,22 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     // So: snapshot + canonicalize unlocked, decide + release against the
     // CURRENT residents under the monitor — where the pre-warmed
     // sameResult is a cheap tree compare, and where admit() already
-    // calls unpersist anyway (no new lock ordering).
+    // calls unpersist anyway (no new lock ordering). Only UNLEASED
+    // frames older than CondemnedAgeTicks interactions are taken.
     val toCheck = synchronized {
-      val c = condemned.toList; condemned.clear(); c
+      val (aged, keep) = condemned.partition(c =>
+        !c.leased && clock - c.tick >= CondemnedAgeTicks)
+      condemned.clear(); condemned ++= keep
+      aged.toList
     }
     if (toCheck.isEmpty) return
-    toCheck.foreach(df => df.queryExecution.analyzed.canonicalized)
+    toCheck.foreach(c => c.df.queryExecution.analyzed.canonicalized)
     synchronized {
       val residents = entries.valuesIterator.map(_.df.queryExecution.analyzed).toList
-      toCheck.foreach { df =>
+      toCheck.foreach { c =>
         val sharedWithResident =
-          residents.exists(_.sameResult(df.queryExecution.analyzed))
-        if (!sharedWithResident) df.unpersist(blocking = false)
+          residents.exists(_.sameResult(c.df.queryExecution.analyzed))
+        if (!sharedWithResident) c.df.unpersist(blocking = false)
       }
     }
   }
@@ -315,7 +363,7 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
   def invalidateAll(): Unit = synchronized {
     entries.valuesIterator.foreach(_.df.unpersist(blocking = false))
     entries.clear()
-    condemned.foreach(_.unpersist(blocking = false))
+    condemned.foreach(_.df.unpersist(blocking = false))
     condemned.clear()
   }
 }

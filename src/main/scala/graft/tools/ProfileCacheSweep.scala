@@ -37,10 +37,10 @@ object ProfileCacheSweep {
     // identified (zip-capable segments were refused at capacities their
     // real bytes fit because non-CBO stats multiply join children)
     val policyName = sys.env.getOrElse("SPARK_GRAFT_SWEEP_POLICY", "lru")
-    def newPolicy(): graft.cache.CachePolicy = policyName match {
-      case "mwlfu" => graft.cache.MeasuredWLFU
-      case _       => LRU
-    }
+    // parsePolicy fails loudly on a bad value — the session confs' rule;
+    // a typo must not run the whole sweep under LRU while the report
+    // header prints the requested name
+    def newPolicy(): graft.cache.CachePolicy = HybridScan.parsePolicy(policyName)
     val spark = GraftSession.get("graft-profile-cache-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.hadoopConfiguration

@@ -347,22 +347,61 @@ class CacheSpec extends SparkSpec {
     measured.invalidateAll(); lru.invalidateAll()
   }
 
-  test("a refused measured load stays materialized for its caller, freed at the next miss") {
-    import graft.cache.MeasuredWLFU
-    // capacity 1 byte: every candidate is refused AFTER its eager load —
-    // the caller's one execution must serve from the materialized blocks
-    // (no second storage pass), released at the next cache interaction
-    val cache = new SegmentCache(1L, MeasuredWLFU)
-    val k = seg("orders", "o_orderkey")
-    val df = cache.get(k)(proj("orders", k.columns))
-    assert(cache.keys.isEmpty, "1-byte capacity must refuse")
-    assert(org.apache.spark.sql.GraftBridge.cachedBufferRddId(df).isDefined,
+  // deterministic eager cache for the condemned-frame contract tests:
+  // fixed measured size (60 of 100 — one resident fits, two never do) and
+  // fixed load cost (priority = hits × cost, so a 3-hit resident always
+  // outranks a 1-hit candidate)
+  import org.apache.spark.sql.DataFrame
+  private def eagerCache() =
+    new SegmentCache(100L, graft.cache.MeasuredWLFU) {
+      override protected def measuredBytes(df: DataFrame) = Some(60L)
+      override protected def measureLoad(df: DataFrame) = { df.count(); 1.0 }
+    }
+  private def materialized(df: DataFrame): Boolean =
+    org.apache.spark.sql.GraftBridge.cachedBufferRddId(df).isDefined
+
+  test("a refused measured load stays materialized for its caller, freed once aged — on hits too") {
+    // resident A (hot, 3 accesses) blocks candidate B's admission: B is
+    // refused AFTER its eager load and parked condemned. The frame must
+    // SURVIVE the next interaction (a concurrent miss draining it
+    // immediately would re-read storage under B's caller — the measured
+    // 2×-bytes regression), then drain once aged — on a pure HIT
+    // workload too: a warm steady state must not pin the blocks forever.
+    val cache = eagerCache()
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))
+    val b = cache.get(k2)(proj("orders", k2.columns))
+    assert(cache.keys == Seq(k1), "the hot resident must refuse the candidate")
+    assert(materialized(b),
       "the refused frame must keep its materialized blocks for the caller")
-    // next miss drains the condemned frame
-    val k2 = seg("orders", "o_custkey")
-    cache.get(k2)(proj("orders", k2.columns))
-    assert(org.apache.spark.sql.GraftBridge.cachedBufferRddId(df).isEmpty,
-      "the refused frame must be released at the next cache interaction")
+    cache.get(k1)(proj("orders", k1.columns)) // age 1: must still be held
+    assert(materialized(b),
+      "one interaction later the frame must still be materialized")
+    cache.get(k1)(proj("orders", k1.columns)) // age 2, a HIT: drains
+    assert(!materialized(b),
+      "the aged refused frame must be released by the hit-path drain")
+    cache.invalidateAll()
+  }
+
+  test("a leased refused frame survives any number of interactions until released") {
+    val cache = eagerCache()
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))
+    cache.get(k1)(proj("orders", k1.columns))
+    val a = cache.get(k1)(proj("orders", k1.columns))
+    // a resident frame is not condemned: no lease to take
+    assert(cache.leaseRefused(a).isEmpty)
+    val b = cache.get(k2)(proj("orders", k2.columns))
+    val lease = cache.leaseRefused(b)
+    assert(lease.isDefined, "a refused eager load must be leasable")
+    // a second lease on the same frame must not double-pin
+    assert(cache.leaseRefused(b).isEmpty)
+    (1 to 4).foreach(_ => cache.get(k1)(proj("orders", k1.columns)))
+    assert(materialized(b),
+      "a leased frame must never age out while its caller holds the lease")
+    lease.get.apply()
+    assert(!materialized(b), "release must drain the frame immediately")
     cache.invalidateAll()
   }
 }

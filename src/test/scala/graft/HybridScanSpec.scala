@@ -967,6 +967,82 @@ class HybridScanSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  // deterministic eager cache for the refused-serving router tests:
+  // measured size = 10 bytes per column, fixed unit load cost
+  private def eagerCache(capacity: Long) =
+    new SegmentCache(capacity, graft.cache.MeasuredWLFU) {
+      override protected def measuredBytes(df: org.apache.spark.sql.DataFrame) =
+        Some(df.schema.size * 10L)
+      override protected def measureLoad(df: org.apache.spark.sql.DataFrame) =
+        { df.count(); 1.0 }
+    }
+
+  test("an eager-policy refused promotion serves the already-materialized frame once") {
+    // under MeasuredWLFU the promotion candidate is materialized BEFORE
+    // admission (eager measure-load); on refusal the router must serve
+    // this query FROM that frame (a zip fallback would re-read storage —
+    // the frame's build was a full pass, not plan-only work) and still
+    // reset the counter so the set re-earns promotion
+    val narrow = Seq("o_orderkey", "o_totalprice")
+    val wide = narrow :+ "o_orderdate"
+    // ordinal segments carry +2 zip-key columns: narrow=4 cols=40 bytes,
+    // wide=5 cols=50 — capacity 75 admits narrow, can never also fit wide
+    val cache = eagerCache(75L)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    def ask(cols: Seq[String]) = {
+      val l = router.scanMode(spark, sfDir, "orders", cols,
+        expr("o_totalprice > 0"), HybridScan.ModeHybrid)
+      l.close(); l
+    }
+    ask(narrow); ask(narrow) // second access admits the narrow ordinal
+    assert(cache.keys.exists(_.table.startsWith("orders@")))
+    assert(ask(wide).route == HybridScan.Hybrid)
+    assert(ask(wide).route == HybridScan.Hybrid)
+    // access 3 attempts promotion; the hot resident outranks the refused
+    // candidate — served from the condemned frame, NOT a hybrid zip
+    val refused = ask(wide)
+    assert(refused.route == HybridScan.Pullup,
+      s"eager refused promotion must serve the materialized frame, got ${refused.route}")
+    assert(!cache.keys.exists(_.columns.contains("o_orderdate")),
+      "the wide segment must not look resident")
+    val notes = router.decisions.map(_._4)
+    assert(notes.exists(_.contains("serving the already-materialized frame once")),
+      notes.mkString("; "))
+    // counter reset: the next two asks zip without re-attempting
+    assert(ask(wide).route == HybridScan.Hybrid)
+    assert(ask(wide).route == HybridScan.Hybrid)
+    // rows are the plain scan's rows (recomputed from lineage after the
+    // lease released the frame — correctness never depends on the pin)
+    val n = refused.df.count()
+    val m = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 0).count()
+    assert(n == m, s"refused-serve rows $n vs plain $m")
+    cache.invalidateAll()
+  }
+
+  test("an eager-policy refused hot-miss serves the already-materialized frame once") {
+    val cols = Seq("o_orderkey", "o_totalprice")
+    // ordinal segment = 4 cols = 40 bytes > 30 capacity: always refused
+    val cache = eagerCache(30L)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    def ask() = {
+      val l = router.scanMode(spark, sfDir, "orders", cols,
+        expr("o_totalprice > 0"), HybridScan.ModeHybrid)
+      l.close(); l
+    }
+    assert(ask().route == HybridScan.Pushdown) // access 1: cold miss
+    val refused = ask() // access 2: hot admission runs, load refused
+    assert(refused.route == HybridScan.Pullup,
+      s"eager refused hot-miss must serve the materialized frame, got ${refused.route}")
+    assert(cache.keys.isEmpty)
+    val notes = router.decisions.map(_._4)
+    assert(notes.exists(n => n.contains("hot-set admission refused") &&
+      n.contains("serving the already-materialized frame once")),
+      notes.mkString("; "))
+    // counter reset: access 3 routes like a cold miss again
+    assert(ask().route == HybridScan.Pushdown)
+    cache.invalidateAll()
+  }
+
   test("exec.conf parity: session confs drive cache capacity/policy and router slots") {
     // the reference's exec.conf CACHE_SIZE / CACHING_POLICY / parallel
     // degree, as spark.graft.* session confs read at first touch; a

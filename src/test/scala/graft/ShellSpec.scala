@@ -60,6 +60,10 @@ class ShellSpec extends AnyFunSuite {
       assert(out.toString.contains("GETs=") && out.toString.contains("throttle:"))
       assert(run("\\store bw 2m"))
       assert(fs.bytesPerSec == 2L * 1024 * 1024)
+      // the exact format the usage line advertises, and case-insensitive
+      // subcommands like every other shell command
+      assert(run("\\store BW 4m/s"))
+      assert(fs.bytesPerSec == 4L * 1024 * 1024)
       assert(run("\\store latency 5"))
       assert(fs.openLatencyMs == 5L)
       assert(run("\\store bw off") && fs.bytesPerSec == 0L)

@@ -188,13 +188,19 @@ object Dedup {
 
   private val d03Sql = {
     val bands = duckBands
+    // the `ok` CTE mirrors the Spark side's MaxBucketSize degenerate-
+    // bucket drop (bucketPairs) — d15 got this guard at round 6, this
+    // oracle needs the SAME one or a >cap bucket diverges at scale-up
     s"""WITH $duckKeysCte,
        |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
-       |banded AS ($bands)
+       |banded AS ($bands),
+       |ok AS (SELECT band_idx, band_hash FROM banded
+       |       GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM banded a JOIN banded b
        |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |  AND a.doc_id < b.doc_id
+       |JOIN ok o ON o.band_idx = a.band_idx AND o.band_hash = a.band_hash
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -310,13 +316,40 @@ object Dedup {
   private def d05SimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir), 3).orderBy(col("doc_a"), col("doc_b"))
 
-  private val d05Sql =
-    s"""WITH ${duckSimhashCte(32)}
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+  /** d05/d05b oracle: banded candidates with the SAME MaxBucketSize cap
+    * as the Spark side, then the exact hamming check — NOT an uncapped
+    * all-pairs scan, which would diverge the moment one (band, chunk)
+    * bucket exceeds the cap (with 32-bit fingerprints a band has only
+    * 256 buckets, so populations grow linearly with corpus size — the
+    * exact degenerate case the cap exists for). Same guard discipline
+    * as d03/d15's `ok` CTE. */
+  private def duckSimhashPairsSql(bits: Int, maxHamming: Int): String = {
+    val numBands = maxHamming + 1
+    val bitsPerBand = bits / numBands
+    val mask = (1L << bitsPerBand) - 1
+    s"""WITH ${duckSimhashCte(bits)},
+       |bands AS (
+       |  SELECT doc_id, b AS band_idx,
+       |    (simhash >> (b * $bitsPerBand)) & $mask AS chunk
+       |  FROM sh, (SELECT unnest(generate_series(0, ${numBands - 1})) AS b)),
+       |ok AS (SELECT band_idx, chunk FROM bands
+       |       GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.chunk = b.chunk
+       |    AND a.doc_id < b.doc_id
+       |  JOIN ok o ON o.band_idx = a.band_idx AND o.chunk = a.chunk)
+       |SELECT c.doc_a, c.doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM cand c
+       |JOIN sh x ON x.doc_id = c.doc_a
+       |JOIN sh y ON y.doc_id = c.doc_b
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val d05Sql = duckSimhashPairsSql(bits = 32, maxHamming = 3)
 
   /** d05b — the 100 TB width: 64-bit fingerprints, radius 7 (the radius
     * scales with width — a one-word edit flips about twice as many of 64
@@ -325,13 +358,7 @@ object Dedup {
     simhashPairs(Tables.documents(s, dir), maxHamming = 7, bits = 64)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val d05bSql =
-    s"""WITH ${duckSimhashCte(64)}
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
-       |ORDER BY doc_a, doc_b""".stripMargin
+  private val d05bSql = duckSimhashPairsSql(bits = 64, maxHamming = 7)
 
   /** d06 — exact n-gram Jaccard over candidate pairs that share at least one
     * shingle: the shingle self-join IS the candidate generator (docs with
@@ -609,11 +636,14 @@ object Dedup {
        |$duckKeysCte,
        |sig AS (SELECT doc_id, $duckSigSelect FROM vv),
        |banded AS ($duckBands),
+       |ok AS (SELECT band_idx, band_hash FROM banded
+       |       GROUP BY 1, 2 HAVING count(*) <= $MaxBucketSize),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |    AND a.doc_id < b.doc_id),
+       |    AND a.doc_id < b.doc_id
+       |  JOIN ok o ON o.band_idx = a.band_idx AND o.band_hash = a.band_hash),
        |edges(a, b) AS (
        |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
        |reach(src, t) AS (
@@ -1038,10 +1068,10 @@ object Dedup {
     * its [[MaxBucketSize]] degenerate-bucket cap, and the oracle's pairs
     * CTE applies the SAME cap (`ok` CTE: buckets kept only while
     * `count(*) <= cap`) — so the two sides agree by construction at any
-    * corpus scale, including one with a degenerate >cap band bucket.
-    * This closes the last known input-dependent divergence in the
-    * matrix (round-6 verdict item 3): before the guard, a capped bucket
-    * would have surfaced as a row-count diff at the next scale-up. */
+    * corpus scale, including one with a degenerate >cap band bucket
+    * (round-6 verdict item 3; the same `ok` guard is applied to every
+    * capped-candidate oracle in the matrix — d03, d05/d05b, the
+    * d08/d09/d22 groups CTE, d17/d18 — not only here). */
   private def d15MinhashEstimate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -1156,19 +1186,39 @@ object Dedup {
     // driver-held sketch — past the single filter's 2^31-bit ceiling or
     // driver memory, use [[bloomSidecarSliced]]: the hash domain
     // partitions into independent per-slice filters).
-    raiseSketchCaps(s, n)
-    seen.agg(GraftBridge.column(
-        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), n)
-          .toAggregateExpression()).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    withSketchCaps(s, n) {
+      seen.agg(GraftBridge.column(
+          new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), n)
+            .toAggregateExpression()).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    }
   }
 
-  private def raiseSketchCaps(s: SparkSession, n: Long): Unit = {
+  /** Run `body` (which must EXECUTE its sketch build, not just plan it)
+    * with the runtime bloom-filter caps raised to fit `n` items, then
+    * RESTORE the previous caps: the caps are session-global and also
+    * clamp the optimizer's own injected runtime filters — leaving them
+    * raised after one corpus-sized sidecar build would let any later
+    * unrelated join build a multi-GB filter the defaults exist to
+    * prevent. (A concurrent unrelated query can still plan inside the
+    * bracket's window — bounded and transient, unlike the permanent
+    * raise this replaces; the same session-conf caveat as ModeExec's
+    * bracket.) */
+  private def withSketchCaps[T](s: SparkSession, n: Long)(body: => T): T = {
     val needBits = math.min(n * 10, Int.MaxValue.toLong - 8)
     val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    if (s.conf.get(itemsCap).toLong < n) s.conf.set(itemsCap, n.toString)
-    if (s.conf.get(bitsCap).toLong < needBits) s.conf.set(bitsCap, needBits.toString)
+    val prevItems = s.conf.get(itemsCap)
+    val prevBits = s.conf.get(bitsCap)
+    if (prevItems.toLong >= n && prevBits.toLong >= needBits) body
+    else try {
+      if (prevItems.toLong < n) s.conf.set(itemsCap, n.toString)
+      if (prevBits.toLong < needBits) s.conf.set(bitsCap, needBits.toString)
+      body
+    } finally {
+      s.conf.set(itemsCap, prevItems)
+      s.conf.set(bitsCap, prevBits)
+    }
   }
 
   /** Hash-domain-partitioned sidecar — the scale path past the single
@@ -1194,13 +1244,14 @@ object Dedup {
     require(slices >= 1, s"slices=$slices")
     val s = seen.sparkSession
     val perSlice = math.max(1L, math.max(1L, expectedItems) / slices)
-    raiseSketchCaps(s, perSlice)
-    val rows = seen
-      .groupBy(pmod(xxhash64(col("h")), lit(slices)).as("slice"))
-      .agg(GraftBridge.column(
-        new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), perSlice)
-          .toAggregateExpression()).as("bf"))
-      .collect()
+    val rows = withSketchCaps(s, perSlice) {
+      seen
+        .groupBy(pmod(xxhash64(col("h")), lit(slices)).as("slice"))
+        .agg(GraftBridge.column(
+          new BloomFilterAggregate(GraftBridge.expression(xxhash64(col("h"))), perSlice)
+            .toAggregateExpression()).as("bf"))
+        .collect()
+    }
     val out = new Array[Array[Byte]](slices)
     rows.foreach(r => out(r.getLong(0).toInt) = r.getAs[Array[Byte]](1))
     out.toSeq
@@ -1489,8 +1540,14 @@ object Dedup {
     * band_hash) band index, `newB` the batch's bands. */
   private def pairsAgainstIndex(seenB: DataFrame, newB: DataFrame,
       maxBucket: Int): DataFrame = {
+    // DISTINCT docs, not rows: a crash-replayed append duplicates index
+    // rows, and a row count would push a legitimate bucket over the cap
+    // and silently drop all its candidates — breaking the documented
+    // replay tolerance ("duplicate bands only make duplicate candidates,
+    // distinct removes those"). countDistinct prices the bucket at its
+    // true population; the oracle counts one row per doc already.
     val okBuckets = seenB.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("n")).filter(col("n") <= maxBucket)
+      .agg(countDistinct(col("doc_id")).as("n")).filter(col("n") <= maxBucket)
       .select(col("band_idx"), col("band_hash"))
     // cap applied to the INDEX side before the batch join — a degenerate
     // bucket never expands, matching bucketPairs' drop-then-pair order

@@ -65,16 +65,21 @@ object Similarity {
     * probe side is broadcast; the corpus side streams through the scan. */
   private def s01KnnBrute(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    val emb = withNorm(Tables.embeddings(s, dir))
     val q = emb.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"norm".as("qn"))
     // corpus side streams through its scan stage — spread it across cores
-    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
+    val n = Tables.spread(
+      emb.select($"vec_id".as("nid"), $"embedding".as("ne"), $"norm".as("nn")))
     val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-    // cosine via the native expression: one codegen'd loop per pair, vs the
-    // interpreted zip_with/aggregate path (bit-identical numerics).
+    // cosine via the COMPOSED zip_with/aggregate formulation — kept
+    // deliberately: s03 is the byte-identical query through the native
+    // cosine_sim expression, and only this pairing proves the
+    // expression's numerics against the composed path (both sum in
+    // element order, so they are bit-identical; if s01 also used the
+    // expression, a numerics regression would pass both entries).
     broadcast(q).crossJoin(n)
-      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+      .withColumn("cosine", dot($"qe", $"ne") / ($"qn" * $"nn"))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", $"cosine")
@@ -349,10 +354,11 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     // max|x|/127 in double; codes are exact small ints, so every later
     // product/sum is exactly representable in double — bit-identical to
-    // the oracle regardless of accumulation order.
-    val scale = aggregate(
-      transform($"embedding", x => abs(x.cast("double"))),
-      lit(0.0), (a, x) => greatest(a, x)) / 127.0
+    // the oracle regardless of accumulation order. The scale aggregate
+    // is BOUND to a column before the quantizing transform: inlined in
+    // the lambda it would re-evaluate per element (O(dim²) per row, the
+    // interpreted-HOF pitfall Dedup.withSh3 documents) and a third time
+    // in the all-zero filter.
     // codes re-cast to float for the native cosine_sim expression: ints
     // ≤ 127 are exact in float AND double, so the codegen'd loop computes
     // the same rationals as the oracle's integer arithmetic — and one
@@ -363,11 +369,13 @@ object Similarity {
     // anyway, and dropping them on BOTH sides keeps the hash contract
     // valid on arbitrary corpora (none exist in the shipped SFs).
     val coded = emb
-      .filter(aggregate(transform($"embedding", x => abs(x.cast("double"))),
-        lit(0.0), (a, x) => greatest(a, x)) > 0.0)
+      .withColumn("scl", aggregate(
+        transform($"embedding", x => abs(x.cast("double"))),
+        lit(0.0), (a, x) => greatest(a, x)) / 127.0)
+      .filter($"scl" > 0.0)
       .select($"vec_id",
         transform($"embedding",
-          x => round(x.cast("double") / scale).cast("float")).as("code"))
+          x => round(x.cast("double") / $"scl").cast("float")).as("code"))
     val q = coded.filter($"vec_id" < 20).select($"vec_id".as("qid"), $"code".as("qc"))
     val n = Tables.spread(coded.select($"vec_id".as("nid"), $"code".as("nc")))
     val w = Window.partitionBy($"qid").orderBy($"qcosine".desc, $"nid")
@@ -812,20 +820,27 @@ object Similarity {
   def writeVectorIndex(emb: DataFrame, table: String): Unit =
     writeAssignedIndex(
       emb.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell")),
-      table)
+      table, cellFn = "sign-lsh")
 
   /** The layout core shared with the LEARNED-quantizer variant (s17):
     * persist pre-assigned (vec_id, embedding, cell) rows partitioned by
     * cell. The cell function is the caller's — deterministic sign-LSH
     * ([[writeVectorIndex]]) or a trained coarse quantizer's assignment
-    * ([[s17 below]]); the inverted-list economics are identical. */
-  def writeAssignedIndex(assigned: DataFrame, table: String): Unit = {
-    graft.plans.Bucketing.reclaim(assigned.sparkSession, table)
+    * ([[s17 below]]); the inverted-list economics are identical.
+    * `cellFn` is RECORDED as a table property: the maintenance entry
+    * points check it, so a sign-LSH append can never silently file
+    * vectors into a learned quantizer's lists (wrong cell = the vector
+    * is never probed again — permanent silent recall loss). */
+  def writeAssignedIndex(assigned: DataFrame, table: String,
+      cellFn: String = "external"): Unit = {
+    val s = assigned.sparkSession
+    graft.plans.Bucketing.reclaim(s, table)
     assigned.select(col("vec_id"), col("embedding"), col("cell"))
       .write.format("parquet")
       .partitionBy("cell")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table)
+    s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('graft.cellfn' = '$cellFn')")
   }
 
   /** Ingest-time maintenance: assign cells in a narrow map and append
@@ -839,15 +854,45 @@ object Similarity {
     val parts = meta.partitionColumnNames
     require(parts == Seq("cell"),
       s"$table is not a vector index table (partitions: $parts)")
+    // the partition LAYOUT alone cannot distinguish a sign-LSH index
+    // from a learned-quantizer one (s17) — and assigning here with the
+    // wrong cell function would file vectors into lists the probe
+    // routing never reads (silent, permanent recall loss). The cell
+    // function identity is a table property; anything else must append
+    // pre-assigned rows via [[appendAssignedIndex]].
+    val cellFn = meta.properties.getOrElse("graft.cellfn", "unknown")
+    require(cellFn == "sign-lsh",
+      s"$table's cells were assigned by '$cellFn', not sign-LSH — " +
+      "append pre-assigned rows via appendAssignedIndex instead")
+    appendAssignedRows(s, table, parts, meta.location,
+      newVectors.select(col("vec_id"), col("embedding"),
+        bucket(col("embedding")).as("cell")))
+  }
+
+  /** [[appendVectorIndex]] for an index whose cells were assigned by an
+    * EXTERNAL function (a trained coarse quantizer, s17): the caller
+    * assigns, this maintains — same heal + mirrored-layout + refresh
+    * discipline. */
+  def appendAssignedIndex(s: SparkSession, table: String, assigned: DataFrame): Unit = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val parts = meta.partitionColumnNames
+    require(parts == Seq("cell"),
+      s"$table is not a vector index table (partitions: $parts)")
+    appendAssignedRows(s, table, parts, meta.location,
+      assigned.select(col("vec_id"), col("embedding"), col("cell")))
+  }
+
+  private def appendAssignedRows(s: SparkSession, table: String,
+      parts: Seq[String], location: java.net.URI, rows: DataFrame): Unit = {
     // heal pending compaction swaps BEFORE writing (the Sink.mergeInto
     // discipline): an append into a cell whose directory is missing —
     // parked in `.compact.bak` by a crashed compaction — would RECREATE
     // the directory with only the new rows, permanently stranding the
     // parked list (recoverSwap requires the original missing, and the
     // next compaction would delete the bak as stale)
-    recoverLists(s, new org.apache.hadoop.fs.Path(meta.location))
-    newVectors.select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("cell"))
-      .write.format("parquet")
+    recoverLists(s, new org.apache.hadoop.fs.Path(location))
+    rows.write.format("parquet")
       .partitionBy(parts: _*)
       .mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(table)

@@ -572,10 +572,33 @@ class DedupSpec extends SparkSpec {
     // a clamped sketch serializes to ≤ 67108864/8 ≈ 8.39 MB — anything
     // larger proves the capacity actually took effect (measured: ~9.1 MB,
     // Spark's ~7.3 bits/item at its default fpp)
+    val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) = (spark.conf.get(itemsCap), spark.conf.get(bitsCap))
     val seen = Seq("a", "b").toDF("text").select(md5($"text").as("h"))
     val bytes = Dedup.bloomSidecar(seen, 10000000L)
     assert(bytes.length > 67108864 / 8,
       s"sketch is ${bytes.length} B — capacity was clamped by the session caps")
+    // ...and the session-global caps are RESTORED afterwards: they also
+    // clamp the optimizer's own injected runtime filters, and leaving
+    // them raised would let any later unrelated join build a multi-GB
+    // filter the defaults exist to prevent
+    assert(spark.conf.get(itemsCap) == prevItems &&
+      spark.conf.get(bitsCap) == prevBits,
+      "bloom caps must be restored after the sidecar build")
+  }
+
+  test("replayed (duplicated) index rows never push a bucket over the cap") {
+    // a crash-replayed append duplicates band ROWS; the cap must price a
+    // bucket at its DISTINCT doc population — a row count would drop a
+    // legitimate bucket and silently lose all its candidates, breaking
+    // the documented replay tolerance
+    val hotSeen = docs(2L -> base, 4L -> base, 6L -> base) // 3 distinct docs/bucket
+    val replayed = hotSeen.union(hotSeen)                  // every band row twice
+    val pairs = Dedup.incrementalLshPairs(replayed, docs(1L -> base), maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (1L, 6L)),
+      s"cap must count distinct docs, not replayed rows — got $pairs")
   }
 
   test("d17 incremental LSH: batch meets its seen near-dup; seen-side cap bounds the join") {

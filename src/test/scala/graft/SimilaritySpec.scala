@@ -259,6 +259,37 @@ class SimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_flat")
   }
 
+  test("sign-LSH append refuses a learned-quantizer index; pre-assigned append maintains it") {
+    import spark.implicits._
+    // a learned index's lists are keyed by an EXTERNAL cell function; a
+    // sign-LSH append would file vectors into lists the probe routing
+    // never reads — silent, permanent recall loss. The layout looks
+    // identical (partitioned by `cell`), so the guard is the recorded
+    // cell-function table property, not the partition scheme.
+    val table = "s17_guard_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+      // stand-in learned assignment: any deterministic non-sign-LSH cells
+      val assigned = emb.select($"vec_id", $"embedding",
+        pmod($"vec_id", lit(4)).cast("int").as("cell"))
+      Similarity.writeAssignedIndex(assigned.filter($"vec_id" % 2 === 0), table)
+      intercept[IllegalArgumentException] {
+        Similarity.appendVectorIndex(spark, table, emb.filter($"vec_id" % 2 === 1))
+      }
+      Similarity.appendAssignedIndex(spark, table,
+        assigned.filter($"vec_id" % 2 === 1))
+      // the append landed in the CALLER-assigned lists: the table now
+      // holds the full corpus under the same cell keying
+      val got = spark.table(table)
+        .select($"vec_id", $"cell".cast("int")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = assigned.select($"vec_id", $"cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == want, "pre-assigned append must preserve the caller's cells")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("vector index compaction folds per-append files list-locally, rows unchanged") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._

@@ -40,6 +40,20 @@ object Layout {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, String]])
 
+  /** The shared two-level (session, cache key) → fixture-path idiom
+    * behind every layout copy: build once per JVM under the key, reuse
+    * across JVMs via [[Fixtures.ensure]]. `name` is the fixture's
+    * directory name under `dir`; `suffix` disambiguates cache keys for
+    * multiple layouts of the same dir. */
+  private def cachedFixture(s: SparkSession, dir: String, suffix: String,
+      name: String)(build: String => Unit): String =
+    cache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
+    ).computeIfAbsent(dir + suffix, { _ =>
+      val out = Fixtures.path(dir, name)
+      Fixtures.ensure(s, out)(build(out))
+    })
+
   /** Path of the ship-date-clustered copy of `dir`'s lineitem.
     *
     * The clustering key is a materialized `l_shipday DATE` (the day of
@@ -55,17 +69,13 @@ object Layout {
     * scans anyway — day resolution is what Delta/Iceberg partition
     * transforms (`days(ts)`) use for exactly this reason. */
   private[graft] def clusteredLineitem(s: SparkSession, dir: String): String =
-    cache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(dir, { _ =>
-      Fixtures.ensure(s, Fixtures.path(dir, "lineitem_by_shipday")) {
-        Tables.lineitem(s, dir)
-          .withColumn("l_shipday", col("l_shipdate").cast("date"))
-          .repartitionByRange(NumFiles, col("l_shipday"))
-          .sortWithinPartitions("l_shipday")
-          .write.mode("overwrite").parquet(Fixtures.path(dir, "lineitem_by_shipday"))
-      }
-    })
+    cachedFixture(s, dir, "", "lineitem_by_shipday") { out =>
+      Tables.lineitem(s, dir)
+        .withColumn("l_shipday", col("l_shipdate").cast("date"))
+        .repartitionByRange(NumFiles, col("l_shipday"))
+        .sortWithinPartitions("l_shipday")
+        .write.mode("overwrite").parquet(out)
+    }
 
   /** Spread the low 16 bits of `x` so bit i lands at position 2i — the
     * standard Morton bit-twiddle (4 mask-shift rounds), expressed as
@@ -108,29 +118,24 @@ object Layout {
     * is compute-and-drop: readers see the original schema; the layout
     * alone carries the benefit (`LayoutSpec` measures both axes). */
   private[graft] def zorderedLineitem(s: SparkSession, dir: String): String =
-    cache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(dir + "#z", { _ =>
-      val out = Fixtures.path(dir, "lineitem_zorder")
-      // 64 files, not 16: an N-file z-layout gives each axis ~log2(N)/2
-      // bits of resolution, and at 16 a 2-bit (25%-wide) tile axis barely
-      // out-prunes the predicate widths worth demonstrating. Production
-      // sizes by target file size; more files = finer tiles = better
-      // per-axis pruning, the opposite of linear clustering where file
-      // count only changes granularity along ONE axis.
-      Fixtures.ensure(s, out) {
-        val li = Tables.lineitem(s, dir)
-        val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
-          min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
-        li.withColumn("__z", morton2(
-            scale16(col("l_partkey"), b.getLong(0), b.getLong(1)),
-            scale16(col("l_suppkey"), b.getLong(2), b.getLong(3))))
-          .repartitionByRange(64, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
-          .write.mode("overwrite").parquet(out)
-      }
-    })
+    // 64 files, not 16: an N-file z-layout gives each axis ~log2(N)/2
+    // bits of resolution, and at 16 a 2-bit (25%-wide) tile axis barely
+    // out-prunes the predicate widths worth demonstrating. Production
+    // sizes by target file size; more files = finer tiles = better
+    // per-axis pruning, the opposite of linear clustering where file
+    // count only changes granularity along ONE axis.
+    cachedFixture(s, dir, "#z", "lineitem_zorder") { out =>
+      val li = Tables.lineitem(s, dir)
+      val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
+      li.withColumn("__z", morton2(
+          scale16(col("l_partkey"), b.getLong(0), b.getLong(1)),
+          scale16(col("l_suppkey"), b.getLong(2), b.getLong(3))))
+        .repartitionByRange(64, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(out)
+    }
 
   // Box bounds sit in the low key range because the testdata's key
   // domains scale with SF (sf0.001 tops out at partkey 199 / suppkey 9);
@@ -213,16 +218,11 @@ object Layout {
     * z03's `l_shipday` (timestamp partition values round-trip through
     * directory names lossily; dates are exact). */
   private[graft] def partitionedEvents(s: SparkSession, dir: String): String =
-    cache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(dir + "#evday", { _ =>
-      val out = Fixtures.path(dir, "events_by_day")
-      Fixtures.ensure(s, out) {
-        Tables.events(s, dir)
-          .withColumn("day", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("day").parquet(out)
-      }
-    })
+    cachedFixture(s, dir, "#evday", "events_by_day") { out =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
 
   /** Mid-range day of the events table's 2024-01-01..2024-01-30 span
     * (same span at every shipped SF): one of 30 day-partitions. */

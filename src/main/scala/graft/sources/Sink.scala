@@ -69,6 +69,10 @@ object Sink {
         fs.exists(new Path(p.getParent, s".${p.getName}.compact.bak")))
         && !recoverSwap(spark, path))
       sys.error(s"mergeInto: cannot restore $path after an interrupted swap")
+    // an empty batch applies nothing: skip the full-table read + rewrite
+    // + two-rename swap (and its crash window) it would otherwise pay —
+    // streaming restarts routinely deliver zero-row micro-batches
+    if (latest.isEmpty) return
     val merged =
       if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
       else latest
@@ -119,6 +123,12 @@ object Sink {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a previous compact (or merge) that died between its two swap
+    // renames — without this a crashed compact leaves the table path
+    // missing and a re-run throws a raw FileNotFoundException instead of
+    // honoring the self-healing contract mergeInto documents
+    if (!fs.exists(p) && !recoverSwap(spark, path))
+      sys.error(s"compact: $path is missing and no swap snapshot exists to restore")
     def dataFiles(d: Path) =
       fs.listStatus(d).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(p)

@@ -10,10 +10,13 @@ import graft.sources.Tables
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
-/** Accumulating session state for streaming sessionization. */
+/** Accumulating open-session state for streaming sessionization —
+  * `lastTsMs` is the session's latest EVENT time, the anchor for both
+  * the gap split and the event-time close. */
 case class SessionState(nEvents: Long, totalValue: Double, lastTsMs: Long)
 
-/** Emitted when a streaming session times out. */
+/** One CLOSED session (gap-split or watermark-closed) — never a running
+  * partial, so a consumer may count every row as a finished session. */
 case class SessionSummary(user_id: Long, n_events: Long, total_value: Double)
 
 /** Streaming surface — green-field relative to the reference (it has no
@@ -40,9 +43,23 @@ object EventStream {
   }
 
   /** Streaming variant: 2h watermark bounds state; late events beyond it
-    * are dropped deterministically instead of growing executor state. */
-  def streamingHourlyStats(events: DataFrame): DataFrame =
-    hourlyStats(events.withWatermark("ts", "2 hours"))
+    * are dropped deterministically instead of growing executor state.
+    * Grouping is `window(ts, 1 hour)`, NOT the batch twin's
+    * `date_trunc`: event-time metadata does not propagate through
+    * date_trunc, so under it the watermark could neither evict hourly
+    * state (unbounded growth on a long-running stream) nor finalize
+    * groups for Append mode — the window's `start` is the identical
+    * hour value, projected to the batch schema. */
+  def streamingHourlyStats(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value").as("total_value"),
+        avg($"value").as("avg_value"))
+      .select($"window.start".as("hour"), $"event_type",
+        $"n_events", $"total_value", $"avg_value")
+  }
 
   /** Open a parquet-backed event stream (file source; in production this is
     * a Kafka source with the same downstream plan).
@@ -68,35 +85,76 @@ object EventStream {
     Tables.normalizeEventTime(stream)
   }
 
-  /** Streaming sessionization via typed state: 30-minute inactivity gap,
-    * processing-time timeout closes the session. This is the
-    * `mapGroupsWithState` pattern for state Spark's windowed aggs can't
-    * express (variable-length sessions). `withTimeout = false` disables the
-    * clock (deterministic testing: every update still emits the running
-    * summary). */
+  /** Streaming sessionization via typed state: 30-minute EVENT-TIME
+    * inactivity gap — the same boundary rule as the ev03 batch twin — so
+    * a replayed or backfilled stream (events seconds apart in processing
+    * time, hours apart in event time) splits into exactly the sessions
+    * the batch computation finds; micro-batch cadence never moves a
+    * boundary. This is the `flatMapGroupsWithState` pattern for state
+    * Spark's windowed aggs can't express (variable-length sessions).
+    *
+    * Emission is CLOSE-ONLY: a gap inside or across micro-batches closes
+    * the running session (emitting its summary) and opens the next; with
+    * `withTimeout` the open session also closes via an EVENT-TIME
+    * timeout when the watermark (2h, applied here) passes its last event
+    * plus the gap. Running partials are never emitted — under the old
+    * per-update emission a consumer saw one session as several growing
+    * rows and could only over-count. `withTimeout = false` disables the
+    * watermark clock (deterministic testing: only event-time gaps close
+    * sessions; the final open session stays in state). */
   def sessionize(events: Dataset[Event], withTimeout: Boolean = true): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    // batch execution has no watermark to time out against: gap splits
+    // still apply, the trailing open session is simply never emitted
+    val useTimeout = withTimeout && events.isStreaming
     val timeoutConf =
-      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      if (useTimeout) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
-    events
+    val src = if (useTimeout) events.withWatermark("ts", "2 hours") else events
+    src
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionSummary](timeoutConf) {
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), timeoutConf) {
         case (userId, it, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionSummary(userId, s.nEvents, s.totalValue)
+            Iterator.single(SessionSummary(userId, s.nEvents, s.totalValue))
           } else {
-            val evts = it.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-            val next = SessionState(
-              prev.nEvents + evts.size,
-              prev.totalValue + evts.map(_.value).sum,
-              evts.map(_.ts.getTime).foldLeft(prev.lastTsMs)(math.max))
-            state.update(next)
-            if (withTimeout) state.setTimeoutDuration("30 minutes")
-            SessionSummary(userId, next.nEvents, next.totalValue)
+            // event-time order within the batch; the open session carries
+            // across batches in state. (Cross-batch out-of-order beyond
+            // the watermark is the source's contract to bound, as for any
+            // event-time operator.)
+            val evts = it.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionSummary]
+            evts.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case Some(s) if t - s.lastTsMs > gapMs =>
+                  closed += SessionSummary(userId, s.nEvents, s.totalValue)
+                  Some(SessionState(1L, e.value, t))
+                case Some(s) =>
+                  Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    math.max(s.lastTsMs, t)))
+                case None =>
+                  Some(SessionState(1L, e.value, t))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              if (useTimeout) {
+                // close when the WATERMARK passes last event + gap; the
+                // register must stay ahead of the current watermark or
+                // Spark rejects it (a session already past the horizon
+                // closes at the next tick)
+                val horizon = math.max(s.lastTsMs + gapMs,
+                  state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(horizon)
+              }
+            }
+            closed.result().iterator
           }
       }
   }
@@ -118,19 +176,8 @@ object EventStream {
     * condition lets Spark evict rows older than the window. The same code
     * runs in batch (ev05 below) — Catalyst plans the batch twin as an
     * equi-join on user plus a range filter. */
-  def clickErrorCorrelation(events: DataFrame): DataFrame = {
-    import events.sparkSession.implicits._
-    val isStreaming = events.isStreaming
-    def side(df: DataFrame) = if (isStreaming) df.withWatermark("ts", "1 hour") else df
-    val clicks = side(events.filter($"event_type" === "click"))
-      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
-    val errors = side(events.filter($"event_type" === "error"))
-      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
-    clicks.join(errors,
-      $"c_user" === $"e_user" &&
-      $"e_ts" >= $"c_ts" &&
-      $"e_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"))
-  }
+  def clickErrorCorrelation(events: DataFrame): DataFrame =
+    clickErrorJoin(events, "inner")
 
   /** LEFT OUTER stream-stream join — clicks with their correlated errors
     * OR a null row if none arrived in the window. The semantics Spark
@@ -139,7 +186,13 @@ object EventStream {
     * null rows trail the matched ones by up to the watermark delay (the
     * batch twin, ev15, emits them immediately — same rows, different
     * latency). State stays bounded exactly as in the inner variant. */
-  def clickErrorLeftOuter(events: DataFrame): DataFrame = {
+  def clickErrorLeftOuter(events: DataFrame): DataFrame =
+    clickErrorJoin(events, "left_outer")
+
+  /** The shared definition behind the inner/outer twins — ONE place for
+    * the watermark delay, the window width, and the projections, so the
+    * two entries can never silently test different joins. */
+  private def clickErrorJoin(events: DataFrame, joinType: String): DataFrame = {
     import events.sparkSession.implicits._
     val isStreaming = events.isStreaming
     def side(df: DataFrame) = if (isStreaming) df.withWatermark("ts", "1 hour") else df
@@ -151,7 +204,7 @@ object EventStream {
       $"c_user" === $"e_user" &&
       $"e_ts" >= $"c_ts" &&
       $"e_ts" <= $"c_ts" + expr("INTERVAL 10 MINUTES"),
-      "left_outer")
+      joinType)
   }
 
   /** As-of join: for each left row, the single latest right row with
@@ -173,6 +226,12 @@ object EventStream {
     import left.sparkSession.implicits._
     require(!left.columns.contains(payload),
       s"asofJoin: left already has a column named '$payload'")
+    // the union/window plumbing below owns these three names — a caller
+    // column would be silently overwritten, mis-matched on, and dropped
+    val internal = Seq("__side", "__rv", "__matched")
+    val clash = (left.columns ++ right.columns).filter(internal.contains)
+    require(clash.isEmpty,
+      s"asofJoin: column names ${clash.mkString(", ")} are reserved internals")
     // The carried value is a STRUCT that is null exactly on left rows:
     // last(..., ignoreNulls) must skip left rows but NOT a right row whose
     // payload happens to be NULL — a naked last(payload) would reach past

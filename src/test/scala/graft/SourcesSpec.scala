@@ -202,6 +202,37 @@ class SourcesSpec extends SparkSpec {
     // recoverSwap alone is also safe to call when nothing is wrong
     assert(!graft.sources.Sink.recoverSwap(spark, table),
       "recoverSwap must be a no-op on a healthy table")
+    // an EMPTY batch applies nothing and must not rewrite the table (or
+    // enter the swap window at all): the parquet files stay untouched
+    val filesBefore = fs.listStatus(p).map(_.getPath.getName).toSet
+    graft.sources.Sink.mergeInto(spark, table,
+      Seq.empty[(Long, Double, Long)].toDF("k", "v", "ord"), "k", "ord")
+    assert(fs.listStatus(p).map(_.getPath.getName).toSet == filesBefore,
+      "empty batch must short-circuit before the rewrite")
+  }
+
+  test("compact heals its own interrupted swap before recompacting") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val tmp = Files.createTempDirectory("graft_compactcrash").toFile.getAbsolutePath
+    val out = s"$tmp/t"
+    (1L to 8L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4).write.parquet(out)
+    val p = new Path(out)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the compact crash window: table moved aside, new dir never swapped
+    val bak = new Path(p.getParent, s".${p.getName}.compact.bak")
+    assert(fs.rename(p, bak) && !fs.exists(p), "failed to stage the crash state")
+    // a re-run must restore the snapshot and compact it — the mergeInto
+    // self-healing contract, honored by compact itself (previously a raw
+    // FileNotFoundException)
+    val (nBefore, nAfter) = graft.sources.Sink.compact(spark, out)
+    assert(nBefore >= 2 && nAfter >= 1 && nAfter < nBefore, s"$nBefore -> $nAfter")
+    assert(spark.read.parquet(out).count() == 8, "healed table lost rows")
+    // a genuinely missing table (no snapshot) still fails loudly
+    intercept[RuntimeException] {
+      graft.sources.Sink.compact(spark, s"$tmp/never_existed")
+    }
   }
 
   test("orderCol ties resolve to one deterministic survivor") {

@@ -39,20 +39,87 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
-  test("sessionize tracks per-user state across a stream") {
+  test("streamingHourlyStats finalizes hours in Append mode once the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the point of the window(ts) grouping: event-time metadata reaches
+    // the aggregate, so Append mode is ACCEPTED and hour groups finalize
+    // (state evicts) when the 2h watermark passes. Under the previous
+    // date_trunc grouping this query was rejected at analysis — and in
+    // Update mode its state grew without bound.
+    val input = MemoryStream[Event]
+    input.addData(sample: _*)
+    val q = EventStream.streamingHourlyStats(input.toDF())
+      .writeStream.format("memory").queryName("hourly_append_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(90L, ts(700), 99L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(91L, ts(1400), 99L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // every sampled hour (00..02) is far behind the advanced watermark,
+    // so Append must have emitted it — identical to the batch twin
+    val streamed = spark.table("hourly_append_test")
+      .filter($"hour" < "2024-01-01 03:00:00")
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.hourlyStats(sample.toDF())
+      .select($"hour", $"event_type", $"n_events", $"total_value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"append-mode hours diverged: $streamed vs $batch")
+  }
+
+  test("sessionize splits sessions on EVENT-time gaps, emitting closed sessions only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // deliver in TWO micro-batches split mid-session: boundaries must
+    // come from the events' timestamps, not micro-batch cadence (the
+    // replay/backfill property — a batch twin of ev03's gap rule)
+    input.addData(sample.take(2): _*)
+    val q = EventStream.sessionize(input.toDS(), withTimeout = false)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      input.addData(sample.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessions_test").as[graft.streaming.SessionSummary]
+      .collect().map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    // user 10: ts 5,20 | gap 50 min | 70 → one CLOSED session (2 events,
+    // 7200 value... values 1+2=3.0); user 11: ts 65 | gap 65 min | 130 →
+    // one closed session (1 event, 3.0). The trailing open sessions
+    // ({70} and {130}) are state, not output — no partials ever emitted.
+    assert(out == Set((10L, 2L, 3.0), (11L, 1L, 3.0)), s"got $out")
+  }
+
+  test("sessionize closes idle sessions by event-time timeout when the watermark passes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
     input.addData(sample: _*)
-    val q = EventStream.sessionize(input.toDS(), withTimeout = false)
-      .writeStream.format("memory").queryName("sessions_test")
-      .outputMode(OutputMode.Update()).start()
-    try q.processAllAvailable()
-    finally q.stop()
-    val out = spark.table("sessions_test").as[graft.streaming.SessionSummary]
-      .collect().map(s => s.user_id -> s).toMap
-    assert(out(10L).n_events == 3 && math.abs(out(10L).total_value - 7.0) < 1e-9)
-    assert(out(11L).n_events == 2 && math.abs(out(11L).total_value - 8.0) < 1e-9)
+    val q = EventStream.sessionize(input.toDS(), withTimeout = true)
+      .writeStream.format("memory").queryName("sessions_timeout_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark (2h delay) far past every open session's
+      // last event + gap: the flush user's own session stays open, every
+      // sampled session must close — gap-split AND timeout-closed alike
+      input.addData(Event(90L, ts(700), 99L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      input.addData(Event(91L, ts(1400), 99L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessions_timeout_test")
+      .as[graft.streaming.SessionSummary]
+      .collect().filter(_.user_id != 99L)
+      .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(out == Set((10L, 2L, 3.0), (10L, 1L, 4.0),
+      (11L, 1L, 3.0), (11L, 1L, 5.0)), s"got $out")
   }
 
   test("streaming dedup drops replayed events within the watermark") {

@@ -60,12 +60,19 @@ object Engine {
   // dead artifact would fail with missing-block errors instead of
   // resolving-or-rebuilding. With the view gone, a CTE query re-registers
   // (getOrBuild rebuilds) and a direct `partsupp` reference fails honestly
-  // at analysis ("table not found") rather than mid-execution.
+  // at analysis ("table not found") rather than mid-execution. The drop is
+  // CONDITIONAL on the view actually pointing at the released frame: the
+  // build now runs outside the registration lock, so a losing racer's
+  // release (SessionCache frees the duplicate) must not drop the view the
+  // winner just registered.
   private val partsuppCache = new graft.util.SessionCache[DataFrame](
     releaseValue = { df =>
       graft.util.SessionCache.releaseFrame(df)
-      try df.sparkSession.catalog.dropTempView("partsupp")
-      catch { case _: Throwable => () }
+      try {
+        val cur = df.sparkSession.table("partsupp")
+        if (cur.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))
+          df.sparkSession.catalog.dropTempView("partsupp")
+      } catch { case _: Throwable => () }
     })
 
   /** Materialize the session's derived artifacts and register their
@@ -80,17 +87,6 @@ object Engine {
         .createOrReplaceTempView("partsupp")
     }
 
-  /** Strip the derived-partsupp CTE and point the `partsupp` view at the
-    * session's materialized artifact. Must run under the registration
-    * lock with views already pointing at `dir`. Queries without the
-    * exact CTE block pass through untouched. */
-  private def rewritePartsupp(spark: SparkSession, dir: String, sql: String): String =
-    partsuppCte match {
-      case Some((block, _)) if sql.contains(block) =>
-        registerDerived(spark, dir)
-        sql.replace(block, "")
-      case _ => sql
-    }
 
   /** Register the scale-factor directory's tables (skipped when this
     * session's views already point at `dir`) and run one SQL query.
@@ -117,10 +113,14 @@ object Engine {
         val mode = graft.cache.HybridScan.ScanMode.parse(m)
         val leases = scala.collection.mutable.Buffer
           .empty[graft.cache.HybridScan.ScanLease]
-        val df = graft.plans.ModeExec.executeQueryMode(spark, dir, sql, mode,
+        // finally, not sequentially: a rewrite failure on a LATER leaf of
+        // a multi-table query must still release the slots the earlier
+        // leaves acquired on the long-lived session router — leaked
+        // permits would otherwise degrade every later query for the
+        // session's lifetime
+        try graft.plans.ModeExec.executeQueryMode(spark, dir, sql, mode,
           graft.cache.HybridScan.sessionRouter(spark, dir), leases)
-        leases.foreach(_.close())
-        df
+        finally leases.foreach(_.close())
     }
 
   /** The raw engine path: registration + CTE rewrite + Catalyst, no mode
@@ -137,21 +137,54 @@ object Engine {
     // never contend with each other — a concurrent-user engine must not
     // serialize all submissions on one JVM-wide monitor.
     val r = lockFor(spark)
-    r.synchronized {
-      if (r.dir != dir) {
-        Tables.registerAll(spark, dir)
-        // registerAll re-points the 10 base views; the derived partsupp
-        // view must not survive pointing at the PREVIOUS dir's artifact —
-        // a non-CTE query naming partsupp would silently read stale rows
-        // (the exact mixed-views hazard this lock exists to prevent). The
-        // artifact itself stays cached under its (session, olddir) key.
-        try spark.catalog.dropTempView("partsupp")
-        catch { case _: Throwable => () }
-        r.dir = dir
-      }
-      spark.sql(rewritePartsupp(spark, dir, sql))
+    val cte = partsuppCte.filter { case (block, _) => sql.contains(block) }
+    cte match {
+      case None =>
+        r.synchronized {
+          ensureRegistered(spark, dir, r)
+          spark.sql(sql)
+        }
+      case Some((block, body)) =>
+        // ANALYZE the CTE body under the lock (cheap plan resolution;
+        // once analyzed it is immune to later view swaps) but run the
+        // expensive materialization OUTSIDE it — the first CTE query
+        // used to hold the registration lock for the entire lineitem
+        // aggregation, stalling even a concurrent SELECT 1 at planning.
+        // Same-key racing builds are safe: SessionCache keeps one
+        // winner, and the conditional view-drop above keeps a losing
+        // racer's release from touching the winner's view.
+        val bodyPlan = r.synchronized {
+          ensureRegistered(spark, dir, r)
+          spark.sql(body)
+        }
+        val art = partsuppCache
+          .getOrBuild(spark, s"$dir#partsupp")(bodyPlan.localCheckpoint())
+        r.synchronized {
+          // a concurrent query may have flipped the session to another
+          // dir (dropping the view) between the brackets — re-point at
+          // `dir` before registering the view and analyzing the text
+          ensureRegistered(spark, dir, r)
+          art.createOrReplaceTempView("partsupp")
+          spark.sql(sql.replace(block, ""))
+        }
     }
   }
+
+  /** Point the session's views at `dir` (idempotent; caller holds the
+    * registration lock). registerAll re-points the 10 base views; the
+    * derived partsupp view must not survive pointing at the PREVIOUS
+    * dir's artifact — a non-CTE query naming partsupp would silently
+    * read stale rows (the exact mixed-views hazard the lock exists to
+    * prevent). The artifact itself stays cached under its
+    * (session, olddir) key. */
+  private def ensureRegistered(spark: SparkSession, dir: String,
+      r: Registration): Unit =
+    if (r.dir != dir) {
+      Tables.registerAll(spark, dir)
+      try spark.catalog.dropTempView("partsupp")
+      catch { case _: Throwable => () }
+      r.dir = dir
+    }
 
   /** The per-session registration lock (spec hook: stripe assertions). */
   private[graft] def lockFor(spark: SparkSession): Registration =

@@ -55,8 +55,17 @@ object Server {
     System.setProperty("derby.stream.error.file", "/tmp/graft-derby/derby.log")
     spark.sqlContext.setConf("hive.server2.thrift.bind.host", "localhost")
     spark.sqlContext.setConf("hive.server2.thrift.port", port.toString)
-    Tables.registerAll(spark, dir)
-    Engine.registerDerived(spark, dir) // partsupp, materialized once
+    // register under the ENGINE's per-session record, not beside it: with
+    // the dir unrecorded, the first Engine.executeQuery on this session
+    // (an attached shell, an embedded caller) would re-register and drop
+    // the partsupp view every JDBC client depends on — and pay a
+    // redundant 10-footer registerAll for the same dir
+    val r = Engine.lockFor(spark)
+    r.synchronized {
+      Tables.registerAll(spark, dir)
+      Engine.registerDerived(spark, dir) // partsupp, materialized once
+      r.dir = dir
+    }
     HiveThriftServer2.startWithContext(spark.sqlContext)
   }
 

@@ -85,11 +85,28 @@ object Shell {
   private[graft] def statementEnd(text: CharSequence): Int = {
     var i = 0
     var quote: Char = 0
+    var lineComment = false
+    var blockComment = false
     while (i < text.length) {
       val c = text.charAt(i)
-      if (quote != 0) {
+      // comments first: a quote or ';' inside `--` or `/* */` is text,
+      // not syntax — "-- don't" used to open a literal that never
+      // closed, swallowing every later statement boundary in a script
+      if (lineComment) { if (c == '\n') lineComment = false }
+      else if (blockComment) {
+        if (c == '*' && i + 1 < text.length && text.charAt(i + 1) == '/') {
+          blockComment = false; i += 1
+        }
+      }
+      else if (quote != 0) {
         if (c == '\\' && quote != '`' && i + 1 < text.length) i += 1
         else if (c == quote) quote = 0
+      }
+      else if (c == '-' && i + 1 < text.length && text.charAt(i + 1) == '-') {
+        lineComment = true; i += 1
+      }
+      else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*') {
+        blockComment = true; i += 1
       }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return i
@@ -148,6 +165,15 @@ object Shell {
         print(if (buf.toString.trim.isEmpty) "graft> " else "    -> "); Console.flush()
         line = in.readLine()
       }
+    }
+    // EOF with an unterminated trailing statement (echo "select 1" | shell):
+    // run it rather than silently discarding it — the same rule
+    // splitStatements applies for -e/-f
+    if (!done) {
+      val tail = buf.toString.trim
+      if (tail.nonEmpty && !tail.equalsIgnoreCase("exit") &&
+          !tail.equalsIgnoreCase("quit"))
+        runStatement(spark, dir, tail)
     }
   }
 

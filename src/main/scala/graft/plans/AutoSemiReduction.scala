@@ -79,6 +79,15 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
 
   private def safeToCopy(p: LogicalPlan): Boolean =
     p.collectLeaves().forall(_.isInstanceOf[MultiInstanceRelation]) &&
+      // ROW-SELECTING operators are out even when deterministic-flagged:
+      // Spark only guarantees an unordered LIMIT/Sample/Tail selects a
+      // consistent subset PER EXECUTION, not across independent plan
+      // copies — a copy retaining a different subset would semi-filter
+      // fact rows the main dim would have matched (silent row loss)
+      !p.exists {
+        case _: GlobalLimit | _: LocalLimit | _: Sample | _: Tail => true
+        case _ => false
+      } &&
       p.collect { case n => n.expressions }.flatten.forall { e =>
         e.deterministic &&
           !e.exists(x => x.isInstanceOf[Alias] || x.isInstanceOf[SubqueryExpression])

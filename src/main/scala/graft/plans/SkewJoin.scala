@@ -29,6 +29,11 @@ object SkewJoin {
       factKey: Column, dimKey: Column, factSaltSource: Column,
       salts: Int): DataFrame = {
     require(salts > 0, s"salts=$salts must be positive")
+    // the salt plumbing owns these names — a caller column would be
+    // silently replaced by withColumn and then dropped
+    val clash = (fact.columns ++ dim.columns).filter(Set("__fsalt", "__dsalt"))
+    require(clash.isEmpty,
+      s"salted: column names ${clash.mkString(", ")} are reserved internals")
     // md5 first byte mod salts: deterministic, engine-portable, uniform.
     // coalesce: a NULL salt source must still salt (md5(NULL) is NULL and
     // a NULL salt would silently DROP the row from the inner join)

@@ -55,6 +55,26 @@ class AutoSemiReductionSpec extends SparkSpec {
     }
   }
 
+  test("a row-selecting dim (LIMIT) is never copied for a semi pass") {
+    import spark.implicits._
+    // an unordered LIMIT's row selection is only stable PER EXECUTION:
+    // an independently re-executed copy may retain a different subset,
+    // and semi-filtering the fact against it would silently drop rows
+    // the main dim matches — safeToCopy must refuse the subtree even
+    // though every expression in it is deterministic
+    def build(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir)
+      val sup = Tables.supplier(spark, sfDir)
+        .filter($"s_nationkey" === 1L).limit(3)
+      li.join(sup, $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey").agg(sum($"l_quantity").as("q"))
+    }
+    withShuffledDim(build) {
+      assert(semiJoins(build()) == 0,
+        s"LIMIT subtree must not be copied:\n${build().queryExecution.optimizedPlan}")
+    }
+  }
+
   test("broadcastable dim is left alone — semi pass would be pure cost") {
     import spark.implicits._
     // the round-2 q04 regression shape: the filtered dim broadcasts, so the

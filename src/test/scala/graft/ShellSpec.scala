@@ -46,6 +46,21 @@ class ShellSpec extends AnyFunSuite {
     assert(Shell.statementEnd("a;b") == 1)
   }
 
+  test("statement splitting ignores quotes and ';' inside SQL comments") {
+    // "-- don't" used to open a literal that never closed: the whole
+    // script was submitted as one broken statement
+    assert(Shell.splitStatements("-- don't touch\nselect 1;\nselect 2;")
+      == Seq("-- don't touch\nselect 1", "select 2"))
+    // a ';' inside a line comment is text, not a boundary
+    assert(Shell.splitStatements("select 1; -- half; done\nselect 2;")
+      == Seq("select 1", "-- half; done\nselect 2"))
+    assert(Shell.splitStatements("/* x; 'y */ select 1; select 2;")
+      == Seq("/* x; 'y */ select 1", "select 2"))
+    // comment markers inside literals stay literal
+    assert(Shell.splitStatements("select '--;'; select 2;")
+      == Seq("select '--;'", "select 2"))
+  }
+
   test("\\store reports counters and drives the throttle knobs") {
     // spark-free command paths (counters are process-global); a throw or
     // a false return would leave the interactive store cockpit broken

@@ -138,20 +138,31 @@ object Graph {
   /** g01 — classic PageRank, 3 iterations, over all nodes. */
   private def g01Pagerank(s: SparkSession, dir: String): DataFrame =
     rankCache.getOrBuild(s, s"$dir#g01")({
-      val edges = purchaseEdges(s, dir)
-      pagerank(edges, uniformTele(edges))
+      // checkpoint the edge list ONCE: the teleport vector's node set
+      // derives from the same edges, and without the checkpoint its
+      // distinct re-ran the full orders⋈lineitem join a second time
+      val edges = purchaseEdges(s, dir).localCheckpoint()
+      try pagerank(edges, uniformTele(edges))
+      finally graft.util.SessionCache.releaseFrame(edges)
     }).orderBy(col("id"))
 
   /** Shared SQL prelude: edge construction + degree + the three unrolled
     * update rounds are identical between g01/g02 up to the teleport CTE. */
   private def roundsSql(prev: Int, cur: Int): String =
+    // $Damping interpolated, never hardcoded: the engine and the oracle
+    // must change together when the constant does (the file's own
+    // pairing discipline for SeedNation etc.)
     s"""i$cur AS (
        |  SELECT e.dst AS id, sum(r.pr / dg.outdeg) AS inflow
        |  FROM edges e JOIN p$prev r ON e.src = r.id JOIN deg dg ON e.src = dg.id
        |  GROUP BY e.dst),
        |p$cur AS (
-       |  SELECT t.id, 0.15 * t.t + 0.85 * coalesce(i.inflow, 0) AS pr
+       |  SELECT t.id, ${1.0 - Damping} * t.t + $Damping * coalesce(i.inflow, 0) AS pr
        |  FROM tele t LEFT JOIN i$cur i ON t.id = i.id),""".stripMargin
+
+  /** The Iters update rounds, unrolled — `p0` in, `p$Iters` out. */
+  private def allRoundsSql: String =
+    (1 to Iters).map(i => roundsSql(i - 1, i)).mkString("\n")
 
   private val graphSql =
     """WITH pairs AS (
@@ -166,10 +177,8 @@ object Graph {
        |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
        |tele AS (SELECT id, 1.0 / nn.n AS t FROM deg CROSS JOIN nn),
        |p0 AS (SELECT id, t AS pr FROM tele),
-       |${roundsSql(0, 1)}
-       |${roundsSql(1, 2)}
-       |${roundsSql(2, 3)}
-       |fin AS (SELECT id, pr FROM p3)
+       |$allRoundsSql
+       |fin AS (SELECT id, pr FROM p$Iters)
        |SELECT id, pr FROM fin ORDER BY id""".stripMargin
 
   /** g02 — personalized PageRank from a seed set (customers of one
@@ -179,7 +188,9 @@ object Graph {
   private def g02PprSeeds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     rankCache.getOrBuild(s, s"$dir#g02")({
-      val edges = purchaseEdges(s, dir)
+      // same one-checkpoint discipline as g01: the node set must not
+      // re-run the edge join
+      val edges = purchaseEdges(s, dir).localCheckpoint()
       val nodes = edges.select($"src".as("id"))
         .union(edges.select($"dst".as("id"))).distinct()
       val seeds = Tables.customer(s, dir)
@@ -190,7 +201,8 @@ object Graph {
         .crossJoin(broadcast(k))
         .select($"id",
           when($"sid".isNotNull, lit(1.0) / $"n_seeds").otherwise(lit(0.0)).as("t"))
-      pagerank(edges, tele)
+      try pagerank(edges, tele)
+      finally graft.util.SessionCache.releaseFrame(edges)
     }).filter(pmod($"id", lit(2)) === SuppParity)
       .orderBy($"id")
   }
@@ -204,10 +216,8 @@ object Graph {
        |  SELECT n.id, CASE WHEN s.sid IS NOT NULL THEN 1.0 / ns.k ELSE 0 END AS t
        |  FROM nodes n LEFT JOIN seeds s ON n.id = s.sid CROSS JOIN ns),
        |p0 AS (SELECT id, t AS pr FROM tele),
-       |${roundsSql(0, 1)}
-       |${roundsSql(1, 2)}
-       |${roundsSql(2, 3)}
-       |fin AS (SELECT id, pr FROM p3)
+       |$allRoundsSql
+       |fin AS (SELECT id, pr FROM p$Iters)
        |SELECT id, pr FROM fin WHERE id % 2 = 1 ORDER BY id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

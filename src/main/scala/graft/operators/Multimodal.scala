@@ -10,9 +10,12 @@ case class MediaRow(
     width: Int, height: Int, sample_rate: Int)
 
 /** Decoded features for one asset (the output shape of the decode stage). */
+/** Byte statistics are None for an EMPTY decoded buffer — the SQL twin
+  * (an aggregate over zero elements) is NULL there, and 0.0/0 would
+  * break oracle parity on the first zero-length document. */
 case class MediaFeatures(
     media_id: Long, kind: String, n_bytes: Long,
-    mean_byte: Double, max_byte: Int, thumb_md5: String)
+    mean_byte: Option[Double], max_byte: Option[Int], thumb_md5: String)
 
 /** Multimodal columns: image/audio/video as opaque `binary` payloads with
   * typed metadata, plus the decode / feature-extract / resize / frame-sample
@@ -83,6 +86,10 @@ object Multimodal {
     val media: Dataset[MediaRow] =
       graft.sources.Tables.spread(mediaTable(s, dir)).as[MediaRow]
     media.mapPartitions { rows =>
+      // per-partition setup — the reason this is mapPartitions: one
+      // digest instance per partition (digest() resets it per call),
+      // not a provider lookup + allocation per media row
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { m =>
         val buf = decodeStub(m.payload)
         var sum = 0L; var max = 0
@@ -93,10 +100,10 @@ object Multimodal {
           i += 1
         }
         val thumb = buf.take(64)
-        val md = java.security.MessageDigest.getInstance("MD5")
         val hex = md.digest(thumb).map(b => f"${b & 0xff}%02x").mkString
         MediaFeatures(m.media_id, m.kind, buf.length.toLong,
-          if (buf.isEmpty) 0.0 else sum.toDouble / buf.length, max, hex)
+          if (buf.isEmpty) None else Some(sum.toDouble / buf.length),
+          if (buf.isEmpty) None else Some(max), hex)
       }
     }.toDF().orderBy($"media_id")
   }

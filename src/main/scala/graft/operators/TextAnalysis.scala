@@ -597,7 +597,6 @@ object TextAnalysis {
   }
 
   private val t14Sql = {
-    val stops = stopwords.map(x => s"'$x'").mkString(", ")
     val h = "md5('wsample:' || doc_id::VARCHAR)"
     def hex(i: Int) = s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
     val bucket = s"(((${hex(1)} * 16 + ${hex(2)}) * 16 + ${hex(3)}) * 16 + ${hex(4)})"
@@ -645,7 +644,6 @@ object TextAnalysis {
   private[graft] val SourceCap = 10
 
   private val t15Sql = {
-    val stops = stopwords.map(x => s"'$x'").mkString(", ")
     s"""WITH scored AS (
        |  SELECT source, doc_id,
        |    $qualityScoreSql AS q

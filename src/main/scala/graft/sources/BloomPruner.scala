@@ -73,13 +73,17 @@ object BloomPruner {
 
   private[graft] def shardedByCustkey(s: SparkSession, dir: String): (TableSpec, Seq[ShardBloom]) =
     artifact.getOrBuild(s, dir) {
-      val out = s"/tmp/graft-bloom/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_csv"
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-        .repartition(8, col("o_custkey"))
-        .write.mode("overwrite")
-        .option("delimiter", "|").option("header", "false")
-        .csv(out)
+      // write-once via Fixtures: the old mode("overwrite") into a
+      // dir-keyed /tmp path let a SECOND session on the same dir delete
+      // the part-files the first session's cached spec still points at
+      val out = Fixtures.ensure(s, Fixtures.path(dir, "orders_bloom_csv")) {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false")
+          .csv(Fixtures.path(dir, "orders_bloom_csv"))
+      }
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
         .map(_.getPath.toString).sorted.toSeq

@@ -39,9 +39,14 @@ object Catalog {
     val name = str("name").getOrElse(sys.error("schema.json: missing name"))
     val fields = (ast \ "fields") match {
       case JArray(fs) => fs.map { f =>
-        val fname = (f \ "name").asInstanceOf[JString].s
-        val ftype = (f \ "type").asInstanceOf[JString].s
-        StructField(fname, sparkType(ftype))
+        // descriptive failure, not a ClassCastException: name WHICH
+        // table/attribute is malformed (the `name` path's discipline)
+        def fstr(attr: String): String = f \ attr match {
+          case JString(s) => s
+          case _ => sys.error(s"schema.json: table '$name' has a field " +
+            s"with missing/non-string '$attr'")
+        }
+        StructField(fstr("name"), sparkType(fstr("type")))
       }
       case _ => Nil
     }

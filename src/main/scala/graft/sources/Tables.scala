@@ -58,6 +58,14 @@ object Tables {
   }
 
   def events(s: SparkSession, d: String): DataFrame = {
+    // session-global BY DESIGN, not scoped: the flag affects row decode
+    // at execution time, so restoring it after this call could break the
+    // returned (lazy) frame's later scans. Documented side effect: any
+    // OTHER parquet table with TIMESTAMP(NANOS) columns read on this
+    // session surfaces them as raw-nanos LongType rather than failing —
+    // acceptable for a flag whose alternative is an unconditional read
+    // error on nanos data (and the testdata's events is the only nanos
+    // producer in scope).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTime(s.read.parquet(path(d, "events")))
   }

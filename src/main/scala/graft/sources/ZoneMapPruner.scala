@@ -92,22 +92,24 @@ object ZoneMapPruner {
     * would persist next to the data. Range sharding by key gives each
     * shard a tight (min,max), the date-partitioned-logs shape pruning
     * exists for. */
-  // weak session keys: stopped sessions must not be pinned by the cache
-  private val shardCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (TableSpec, Seq[ShardZoneMap])]])
+  // bounded per-(session, dir) cache of the parsed spec + sidecar; the
+  // FILES follow the Fixtures write-once discipline — the old
+  // mode("overwrite") into a dir-keyed /tmp path meant a SECOND session
+  // on the same dir deleted the first session's part-files out from
+  // under its cached TableSpec paths (server mode runs many sessions)
+  private val shardCache =
+    new graft.util.SessionCache[(TableSpec, Seq[ShardZoneMap])]()
 
   private[graft] def shardedOrders(s: SparkSession, dir: String): (TableSpec, Seq[ShardZoneMap]) =
-    shardCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, (TableSpec, Seq[ShardZoneMap])]
-    ).computeIfAbsent(dir, { _ =>
-      val out = s"/tmp/graft-zonemap/${dir.replaceAll("[^A-Za-z0-9]", "_")}/orders_csv"
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-        .repartitionByRange(8, col("o_orderkey"))
-        .write.mode("overwrite")
-        .option("delimiter", "|").option("header", "false")
-        .csv(out)
+    shardCache.getOrBuild(s, s"$dir#zonemap") {
+      val out = Fixtures.ensure(s, Fixtures.path(dir, "orders_zonemap_csv")) {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+          .repartitionByRange(8, col("o_orderkey"))
+          .write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false")
+          .csv(Fixtures.path(dir, "orders_zonemap_csv"))
+      }
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
         .map(_.getPath.toString).sorted.toSeq
@@ -119,7 +121,7 @@ object ZoneMapPruner {
       val spec = TableSpec("orders_csv", "csv", files, Some(schema), "|")
       val zones = build(Catalog.read(s, spec), Seq("o_orderkey"))
       (spec, zones)
-    })
+    }
 
   /** z01 — the reference's CSV partition-pruning story end-to-end
     * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`): a

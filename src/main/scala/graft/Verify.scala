@@ -31,6 +31,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // delete any PREVIOUS run's output for this entry: a failure
+        // that leaves stale parquet in a reused outDir would be graded
+        // as a pass against oracle_sql.json — the compare must see the
+        // entry as missing, not as last run's rows
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -31,12 +31,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Nullable beyond the children: a LENGTH MISMATCH yields NULL — a
+    * truncated/corrupt embedding must not produce a confident score
+    * over the common prefix, and the composed `zip_with`/`aggregate`
+    * formulation (whose numerics this expression is checked against)
+    * yields NULL there too (zip_with pads with nulls). */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -61,17 +69,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    double $xi = (double) $a.getFloat($i);
-         |    double $yi = (double) $b.getFloat($i);
-         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      double $xi = (double) $a.getFloat($i);
+         |      double $yi = (double) $b.getFloat($i);
+         |      $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |    }
          |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -100,11 +112,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"cosine_sim expects (array<float>, array<float>), got ${children.size} args")
+        CosineSimilarity(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"word_shingles expects (word array, k int literal), got ${children.size} args")
         val k = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => sys.error(s"word_shingles: k must be an int literal, got $other")
@@ -124,7 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
-      (children: Seq[Expression]) => CmsEstimate(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"cms_estimate expects (sketch, key), got ${children.size} args")
+        CmsEstimate(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("minhash_lcg"),
       new ExpressionInfo(classOf[MinHashLcg].getName, "minhash_lcg"),
@@ -141,6 +163,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
       (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"minhash_sig expects (shingles array, numHashes int literal), got ${children.size} args")
         val k = children(1) match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => sys.error(s"minhash_sig: numHashes must be an int literal, got $other")

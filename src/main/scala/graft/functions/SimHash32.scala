@@ -36,10 +36,17 @@ case class SimHash(child: Expression, bits: Int)
   override def dataType: DataType = LongType
   override def prettyName: String = s"simhash$bits"
 
+  // one digest per thread, not per ROW: getInstance does provider lookup
+  // + allocation, pure waste inside the per-document hot loop (digest()
+  // resets the instance per call; MessageDigest is not thread-safe, so
+  // thread-local rather than per-expression)
+  @transient private lazy val mdLocal =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
+
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {

@@ -43,7 +43,17 @@ case class WordShingles(child: Expression, k: Int, unique: Boolean = true)
     while (i <= n - k) {
       val parts = Array.ofDim[UTF8String](k)
       var j = 0
-      while (j < k) { parts(j) = words.getUTF8String(i + j); j += 1 }
+      while (j < k) {
+        // normalize a NULL word to the empty string EXPLICITLY: without
+        // the check the value is representation-dependent (UnsafeArrayData
+        // decodes a null slot as "", GenericArrayData yields null which
+        // concatWs SKIPS) — the same logical row would fingerprint
+        // differently depending on which physical plan produced the array
+        parts(j) =
+          if (words.isNullAt(i + j)) UTF8String.EMPTY_UTF8
+          else words.getUTF8String(i + j)
+        j += 1
+      }
       seen.add(UTF8String.concatWs(space, parts: _*))
       i += 1
     }

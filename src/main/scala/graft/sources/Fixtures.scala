@@ -52,6 +52,27 @@ private[graft] object Fixtures {
     s"$Root/$readable-$exact/$name"
   }
 
+  // per-(session, dir#name) memo of built fixture paths — the shared
+  // two-level idiom Layout/JsonLines/Orc each used to hand-roll. Weak
+  // session keys (values are plain path strings, so the WeakHashMap
+  // value→key pitfall does not apply); the fixture NAME is part of the
+  // key, so fixtures of different modules over the same dir never clash.
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, String]])
+
+  /** [[ensure]] behind a per-(session, dir, name) memo: compute the
+    * fixture path once, build at most once per JVM, reuse across JVMs.
+    * `build` receives the output path. */
+  def cached(s: SparkSession, dir: String, name: String)(
+      build: String => Unit): String =
+    memo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
+    ).computeIfAbsent(s"$dir#$name", { _ =>
+      val out = path(dir, name)
+      ensure(s, out)(build(out))
+    })
+
   /** Return `out` with the fixture present: reuse a completed write,
     * else run `write` (which must produce a Spark `_SUCCESS` marker). */
   def ensure(s: SparkSession, out: String)(write: => Unit): String = {

@@ -45,20 +45,11 @@ object JsonLines {
     StructField("source", StringType),
     StructField("n_chars", org.apache.spark.sql.types.LongType)))
 
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]])
-
   /** Path of the JSONL copy of `dir`'s documents, written once. */
   private[graft] def jsonlDocuments(s: SparkSession, dir: String): String =
-    cache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(dir, { _ =>
-      Fixtures.ensure(s, Fixtures.path(dir, "documents_jsonl")) {
-        Tables.documents(s, dir).write.mode("overwrite")
-          .json(Fixtures.path(dir, "documents_jsonl"))
-      }
-    })
+    Fixtures.cached(s, dir, "documents_jsonl") { out =>
+      Tables.documents(s, dir).write.mode("overwrite").json(out)
+    }
 
   /** Declared-schema JSONL read with corrupt-line quarantine. */
   private[graft] def readDocuments(s: SparkSession, path: String): DataFrame =
@@ -81,14 +72,13 @@ object JsonLines {
       .agg(
         count(lit(1)).as("n_docs"),
         sum($"n_chars").as("total_chars"),
-        sum(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long"))
-          .as("text_checksum"))
+        sum(Tables.md5Checksum($"text")).as("text_checksum"))
       .orderBy($"lang", $"source")
   }
 
   private val j01Sql =
-    """SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-      |  sum(('0x' || substring(md5(text), 1, 8))::BIGINT)::BIGINT AS text_checksum
+    s"""SELECT lang, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+      |  sum(${Tables.md5ChecksumSql("text")})::BIGINT AS text_checksum
       |FROM documents
       |GROUP BY lang, source ORDER BY lang, source""".stripMargin
 

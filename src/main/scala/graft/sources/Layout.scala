@@ -32,27 +32,9 @@ object Layout {
     * is a function of target file size (e.g. 1 GiB), not a constant. */
   private val NumFiles = 16
 
-  // per-(session, dir) clustered copy of lineitem, built once per JVM
-  // and reused across JVMs via Fixtures (files on local disk — no Spark
-  // storage to release, so a plain weak-keyed map rather than a
-  // SessionCache of persisted frames)
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]])
-
-  /** The shared two-level (session, cache key) → fixture-path idiom
-    * behind every layout copy: build once per JVM under the key, reuse
-    * across JVMs via [[Fixtures.ensure]]. `name` is the fixture's
-    * directory name under `dir`; `suffix` disambiguates cache keys for
-    * multiple layouts of the same dir. */
-  private def cachedFixture(s: SparkSession, dir: String, suffix: String,
-      name: String)(build: String => Unit): String =
-    cache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(dir + suffix, { _ =>
-      val out = Fixtures.path(dir, name)
-      Fixtures.ensure(s, out)(build(out))
-    })
+  // clustered copies of lineitem/events, built once per JVM and reused
+  // across JVMs — the [[Fixtures.cached]] memo (shared with
+  // JsonLines/Orc; files on local disk, no Spark storage to release)
 
   /** Path of the ship-date-clustered copy of `dir`'s lineitem.
     *
@@ -69,7 +51,7 @@ object Layout {
     * scans anyway — day resolution is what Delta/Iceberg partition
     * transforms (`days(ts)`) use for exactly this reason. */
   private[graft] def clusteredLineitem(s: SparkSession, dir: String): String =
-    cachedFixture(s, dir, "", "lineitem_by_shipday") { out =>
+    Fixtures.cached(s, dir, "lineitem_by_shipday") { out =>
       Tables.lineitem(s, dir)
         .withColumn("l_shipday", col("l_shipdate").cast("date"))
         .repartitionByRange(NumFiles, col("l_shipday"))
@@ -124,7 +106,7 @@ object Layout {
     // sizes by target file size; more files = finer tiles = better
     // per-axis pruning, the opposite of linear clustering where file
     // count only changes granularity along ONE axis.
-    cachedFixture(s, dir, "#z", "lineitem_zorder") { out =>
+    Fixtures.cached(s, dir, "lineitem_zorder") { out =>
       val li = Tables.lineitem(s, dir)
       val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
         min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
@@ -218,7 +200,7 @@ object Layout {
     * z03's `l_shipday` (timestamp partition values round-trip through
     * directory names lossily; dates are exact). */
   private[graft] def partitionedEvents(s: SparkSession, dir: String): String =
-    cachedFixture(s, dir, "#evday", "events_by_day") { out =>
+    Fixtures.cached(s, dir, "events_by_day") { out =>
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
         .write.mode("overwrite").partitionBy("day").parquet(out)

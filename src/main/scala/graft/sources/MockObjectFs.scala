@@ -110,12 +110,32 @@ class MockObjectFs extends RawLocalFileSystem {
     * the flat listing it stands in for. */
   override def listFiles(f: Path, recursive: Boolean)
       : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
-    if (!recursive) return super.listFiles(f, recursive)
+    // BOTH arms bypass the default implementation: the default builds
+    // LocatedFileStatus from the raw-local status, whose permission load
+    // goes through a file:-only URI path and throws under this scheme —
+    // non-recursive callers (FileInputFormat listings) hit it just like
+    // recursive ones did
     MockObjectFs.listCalls.incrementAndGet()
     def walk(st: FileStatus): Seq[FileStatus] =
       if (st.isFile) Seq(st)
       else super.listStatus(st.getPath).toSeq.flatMap(walk)
-    val it = walk(getFileStatus(f)).iterator
+    val statuses =
+      if (recursive) walk(getFileStatus(f))
+      else super.listStatus(f).toSeq.filter(_.isFile)
+    locatedIterator(statuses)
+  }
+
+  /** Single-directory located listing — files AND directories, per the
+    * FileSystem contract (Spark's file index recurses through these). */
+  override def listLocatedStatus(f: Path)
+      : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+    MockObjectFs.listCalls.incrementAndGet()
+    locatedIterator(super.listStatus(f).toSeq)
+  }
+
+  private def locatedIterator(statuses: Seq[FileStatus])
+      : org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val it = statuses.iterator
     new org.apache.hadoop.fs.RemoteIterator[org.apache.hadoop.fs.LocatedFileStatus] {
       override def hasNext: Boolean = it.hasNext
       override def next(): org.apache.hadoop.fs.LocatedFileStatus = {

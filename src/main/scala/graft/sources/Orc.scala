@@ -27,21 +27,12 @@ import org.apache.spark.sql.functions._
   */
 object Orc {
 
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]])
-
   /** Path of the ORC copy of `dir`'s events, written once per (session,
-    * dir) and reused across JVMs via [[Fixtures]]. */
+    * dir) and reused across JVMs via [[Fixtures.cached]]. */
   private[graft] def orcEvents(s: SparkSession, dir: String): String =
-    cache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(dir, { _ =>
-      Fixtures.ensure(s, Fixtures.path(dir, "events_orc")) {
-        Tables.events(s, dir).write.mode("overwrite")
-          .orc(Fixtures.path(dir, "events_orc"))
-      }
-    })
+    Fixtures.cached(s, dir, "events_orc") { out =>
+      Tables.events(s, dir).write.mode("overwrite").orc(out)
+    }
 
   /** o01 — aggregate over the ORC round-trip of events: per-type counts,
     * an exact integer value checksum (per-row millis cast, so no
@@ -60,18 +51,17 @@ object Orc {
         sum(floor($"value" * 1000).cast("long")).as("value_millis"),
         min($"ts").as("first_ts"),
         max($"ts").as("last_ts"),
-        sum(conv(substring(md5($"props"), 1, 8), 16, 10).cast("long"))
-          .as("props_checksum"))
+        sum(graft.sources.Tables.md5Checksum($"props")).as("props_checksum"))
       .orderBy($"event_type")
   }
 
   private val o01Sql =
-    """SELECT event_type, count(*) AS n_events,
-      |  sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT AS value_millis,
-      |  min(ts) AS first_ts, max(ts) AS last_ts,
-      |  sum(('0x' || substring(md5(props), 1, 8))::BIGINT)::BIGINT AS props_checksum
-      |FROM events
-      |GROUP BY event_type ORDER BY event_type""".stripMargin
+    s"""SELECT event_type, count(*) AS n_events,
+       |  sum(CAST(floor(value * 1000) AS BIGINT))::BIGINT AS value_millis,
+       |  min(ts) AS first_ts, max(ts) AS last_ts,
+       |  sum(${graft.sources.Tables.md5ChecksumSql("props")})::BIGINT AS props_checksum
+       |FROM events
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_scan" -> o01OrcScan _,

@@ -26,6 +26,20 @@ object Tables {
   /** Path convention from TESTDATA.md; a directory of part-files works too. */
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Cross-engine content checksum of a text column: the first 8 hex
+    * chars of its md5 as a BIGINT — summed per group, any mangled
+    * character in any row changes the value. [[md5ChecksumSql]] is the
+    * DuckDB-equivalent twin; the pair must change together (shared by
+    * the JSONL/ORC round-trip entries). */
+  def md5Checksum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  }
+
+  /** DuckDB twin of [[md5Checksum]] over a SQL expression string. */
+  def md5ChecksumSql(expr: String): String =
+    s"('0x' || substring(md5($expr), 1, 8))::BIGINT"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))

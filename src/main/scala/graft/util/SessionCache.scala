@@ -51,15 +51,24 @@ final class SessionCache[V](maxEntries: Int = 8,
   // values fall back to the old drop-the-reference/GC path rather than
   // pinning storage forever. Inline eager release remains only for the
   // losing racer below (whose value was never handed out).
+  // WEAK references on the deferred list: a deferred value must be
+  // eagerly releasable at the next quiescence point, but it must NOT be
+  // strongly pinned until one — absent any release call, a strong list
+  // would hold up to DeferredCap evicted frames (and their sessions) for
+  // the JVM lifetime, violating the "worst case is maxEntries retained"
+  // contract above. Weak refs keep the GC+ContextCleaner fallback live:
+  // an unreferenced deferred frame collects normally, and the drain
+  // simply skips cleared refs.
   private val DeferredCap = 64
   private val deferred =
-    new java.util.ArrayDeque[(SparkSession, V)]() // monitor-protected
+    new java.util.ArrayDeque[(SparkSession, java.lang.ref.WeakReference[V])]()
   private val map = new java.util.LinkedHashMap[(SparkSession, String), V](
     16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
       if (size() <= maxEntries) return false
-      deferred.addLast((e.getKey._1, e.getValue()))
+      deferred.addLast((e.getKey._1,
+        new java.lang.ref.WeakReference[V](e.getValue())))
       while (deferred.size() > DeferredCap) deferred.pollFirst() // → GC path
       true
     }
@@ -98,15 +107,19 @@ final class SessionCache[V](maxEntries: Int = 8,
     }
     val dit = deferred.iterator()
     while (dit.hasNext) {
-      val (ds, v) = dit.next()
-      if (ds eq s) { releaseQuietly(v); dit.remove() }
+      val (ds, ref) = dit.next()
+      if (ds eq s) {
+        val v = ref.get()
+        if (v != null) releaseQuietly(v) // cleared ref: GC path already took it
+        dit.remove()
+      }
     }
   }
 
   /** Deferred (capacity-evicted, not yet released) values for `s` (spec hook). */
   def deferredEntries(s: SparkSession): Int = synchronized {
     var n = 0
-    deferred.forEach { case (ds, _) => if (ds eq s) n += 1 }
+    deferred.forEach { case (ds, ref) => if ((ds eq s) && ref.get() != null) n += 1 }
     n
   }
 

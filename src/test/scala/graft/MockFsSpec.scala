@@ -132,4 +132,33 @@ class MockFsSpec extends SparkSpec {
     assert(HybridScan.listTable(spark, base, "nested").fingerprint != fp1,
       "a nested rewrite through the scheme must change the fingerprint")
   }
+
+  test("non-recursive listFiles and listLocatedStatus work under the scheme") {
+    // the DEFAULT implementations build LocatedFileStatus through the
+    // raw-local permission load (file:-only) and throw under mockfs —
+    // both single-directory arms must take the permission-safe copy the
+    // recursive branch uses (FileInputFormat-style callers hit these)
+    import org.apache.hadoop.fs.Path
+    spark.range(12).selectExpr("id", "id % 2 as part")
+      .write.partitionBy("part").mode("overwrite")
+      .parquet(s"$base/listing.parquet")
+    val p = new Path(s"$base/listing.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Iterator.continually(fs.listFiles(p, false))
+      .take(1).flatMap { it =>
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getPath.getName
+        b.result()
+      }.toSeq
+    assert(!files.exists(_.startsWith("part=")),
+      "non-recursive listFiles must return only this directory's FILES")
+    val located = {
+      val it = fs.listLocatedStatus(p)
+      val b = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(located.exists(st => st.isDirectory && st.getPath.getName.startsWith("part=")),
+      "listLocatedStatus must include subdirectories (file-index contract)")
+  }
 }

@@ -21,6 +21,31 @@ class SimilaritySpec extends SparkSpec {
     assert(diff < 1e-12, s"expression drifts from composed math by $diff")
   }
 
+  test("cosine_sim of mismatched-length arrays is NULL, not a prefix score") {
+    import spark.implicits._
+    // a truncated/corrupt embedding must not yield a confident cosine
+    // over the common prefix — the composed zip_with formulation (and a
+    // SQL oracle) are NULL there, and the native expression must agree.
+    // Both eval paths: codegen (projection) and interpreted (the same
+    // expression evaluated via a filter on a literal frame).
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(CosineSimilarity.column($"a", $"b").as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty, "mismatched lengths must be NULL")
+    assert(got(1).exists(c => math.abs(c - 1.0) < 1e-12))
+    // interpreted path agrees (expression evaluated driver-side)
+    val expr = CosineSimilarity(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f, 3.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, 2.0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    assert(expr.eval(null) == null, "interpreted eval must also be NULL")
+  }
+
   test("cosine_sim of a vector with itself is 1.0") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sfDir)

@@ -118,8 +118,12 @@ object Engine {
         // leaves acquired on the long-lived session router — leaked
         // permits would otherwise degrade every later query for the
         // session's lifetime
+        // leasesSpanExecution=false: this route returns a LAZY frame and
+        // closes leases at plan time, so the router must not serve a
+        // condemned frame whose pin would end before execution
         try graft.plans.ModeExec.executeQueryMode(spark, dir, sql, mode,
-          graft.cache.HybridScan.sessionRouter(spark, dir), leases)
+          graft.cache.HybridScan.sessionRouter(spark, dir), leases,
+          leasesSpanExecution = false)
         finally leases.foreach(_.close())
     }
 

@@ -86,16 +86,18 @@ object Shell {
     var i = 0
     var quote: Char = 0
     var lineComment = false
-    var blockComment = false
+    var blockDepth = 0 // Spark SQL bracketed comments NEST (SQL standard)
     while (i < text.length) {
       val c = text.charAt(i)
       // comments first: a quote or ';' inside `--` or `/* */` is text,
       // not syntax — "-- don't" used to open a literal that never
       // closed, swallowing every later statement boundary in a script
       if (lineComment) { if (c == '\n') lineComment = false }
-      else if (blockComment) {
+      else if (blockDepth > 0) {
         if (c == '*' && i + 1 < text.length && text.charAt(i + 1) == '/') {
-          blockComment = false; i += 1
+          blockDepth -= 1; i += 1
+        } else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*') {
+          blockDepth += 1; i += 1
         }
       }
       else if (quote != 0) {
@@ -106,7 +108,7 @@ object Shell {
         lineComment = true; i += 1
       }
       else if (c == '/' && i + 1 < text.length && text.charAt(i + 1) == '*') {
-        blockComment = true; i += 1
+        blockDepth = 1; i += 1
       }
       else if (c == '\'' || c == '"' || c == '`') quote = c
       else if (c == ';') return i

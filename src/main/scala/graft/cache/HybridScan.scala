@@ -591,8 +591,19 @@ object HybridScan {
       *  - `ModeCachingOnly`: serve from resident segments, load on miss,
       *    never push down (the cache-only + pullup-load branches);
       *  - `ModeHybrid`: the full preference lattice (default). */
+    /** @param leaseSpansExecution true (default) when the caller closes
+      *        the returned lease AFTER executing the frame (the
+      *        runQueryMode bracket): a refused-but-materialized eager
+      *        frame may then be SERVED under the lease's pin. False for
+      *        plan-only callers that close leases before the lazy frame
+      *        ever executes (Engine's conf route, explainRoutes): serving
+      *        a condemned frame there would unpersist it at close and
+      *        recompute its repartition+sort lineage at execution —
+      *        strictly worse than the fallback routes, so those paths
+      *        release the refused frame promptly and fall back. */
     def scanMode(s: SparkSession, dir: String, table: String,
-        cols: Seq[String], predicate: Column, mode: ScanMode): ScanLease = {
+        cols: Seq[String], predicate: Column, mode: ScanMode,
+        leaseSpansExecution: Boolean = true): ScanLease = {
       // every column the scan must produce BEFORE the filter runs: the
       // projection plus any predicate-only columns — coverage decisions
       // (and the pullup segment) are made on this set, so a predicate on
@@ -629,8 +640,12 @@ object HybridScan {
         }
         // an eager policy may have REFUSED admission after materializing
         // `seg` — pin the condemned frame until this lease closes, so a
-        // concurrent miss can never unpersist it mid-execution
-        val rel = cache.leaseRefused(seg).getOrElse(() => ())
+        // concurrent miss can never unpersist it mid-execution. Plan-only
+        // callers close before execution: there the pin would become an
+        // unpersist-before-execute, so the frame is left to the aged drain.
+        val rel =
+          if (leaseSpansExecution) cache.leaseRefused(seg).getOrElse(() => ())
+          else () => ()
         new ScanLease(seg.filter(predicate).select(cols.map(col): _*), Pullup, rel)
       }
 
@@ -648,8 +663,10 @@ object HybridScan {
           else
             plainScan().select(dataCols(k).map(col): _*)
         }
-        // same pin as pullupLoad: a race-rebuild can be admission-refused
-        val rel = cache.leaseRefused(seg).getOrElse(() => ())
+        // same pin-vs-aged-drain rule as pullupLoad
+        val rel =
+          if (leaseSpansExecution) cache.leaseRefused(seg).getOrElse(() => ())
+          else () => ()
         new ScanLease(seg.filter(predicate).select(cols.map(col): _*), CacheOnly, rel)
       }
 
@@ -763,7 +780,9 @@ object HybridScan {
                   // this one query FROM the condemned frame, released when
                   // the lease closes.
                   resetAccess("zip", table, need)
-                  cache.leaseRefused(seg) match {
+                  val lease =
+                    if (leaseSpansExecution) cache.leaseRefused(seg) else None
+                  lease match {
                     case Some(rel) =>
                       pullupN.incrementAndGet()
                       logDecision(table, need, Pullup,
@@ -773,6 +792,10 @@ object HybridScan {
                         seg.filter(predicate).select(cols.map(col): _*),
                         Pullup, rel)
                     case None =>
+                      // plan-only caller: free the wasted eager load NOW
+                      // (it was never handed out) instead of aging it
+                      if (!leaseSpansExecution)
+                        cache.leaseRefused(seg).foreach(_.apply())
                       hybridZip(k, overlap, notePrefix =
                         "promotion refused by cache admission (zip counter reset); ")
                   }
@@ -807,7 +830,11 @@ object HybridScan {
                   // materialized the refused frame — serve this one query
                   // from it under a lease instead of re-reading storage.
                   val refused = hotAdmitAfter > 0 && seen >= hotAdmitAfter
-                  val refusedLease = if (refused) cache.leaseRefused(seg) else None
+                  val refusedLease =
+                    if (refused && leaseSpansExecution) cache.leaseRefused(seg)
+                    else None
+                  if (refused && !leaseSpansExecution)
+                    cache.leaseRefused(seg).foreach(_.apply())
                   val refusedNote =
                     if (refused) {
                       resetAccess("miss", table, need)

@@ -612,7 +612,7 @@ object Dedup {
     * pipeline and the label-propagation rounds. Bounded LRU retention
     * (see SessionCache for why weak keys can't work here). */
   private val groupCache = new graft.util.SessionCache[DataFrame](
-    releaseValue = graft.util.SessionCache.releaseFrame)
+    releaseValue = graft.util.SessionCache.releaseFrame, gcReclaimable = true)
 
   private def dupGroups(s: SparkSession, dir: String): DataFrame =
     groupCache.getOrBuild(s, dir)({
@@ -805,7 +805,7 @@ object Dedup {
     * index and the dup-group artifact, recomputing it per query would
     * double the family's dominant cost for no semantic reason. */
   private val semDupCache = new graft.util.SessionCache[DataFrame](
-    releaseValue = graft.util.SessionCache.releaseFrame)
+    releaseValue = graft.util.SessionCache.releaseFrame, gcReclaimable = true)
 
   private def exactSemDups(s: SparkSession, dir: String): DataFrame =
     semDupCache.getOrBuild(s, dir)({
@@ -1204,22 +1204,39 @@ object Dedup {
     * bracket's window — bounded and transient, unlike the permanent
     * raise this replaces; the same session-conf caveat as ModeExec's
     * bracket.) */
-  private def withSketchCaps[T](s: SparkSession, n: Long)(body: => T): T = {
-    val needBits = math.min(n * 10, Int.MaxValue.toLong - 8)
-    val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val prevItems = s.conf.get(itemsCap)
-    val prevBits = s.conf.get(bitsCap)
-    if (prevItems.toLong >= n && prevBits.toLong >= needBits) body
-    else try {
-      if (prevItems.toLong < n) s.conf.set(itemsCap, n.toString)
-      if (prevBits.toLong < needBits) s.conf.set(bitsCap, needBits.toString)
-      body
-    } finally {
-      s.conf.set(itemsCap, prevItems)
-      s.conf.set(bitsCap, prevBits)
+  // Brackets SERIALIZE per session: without the monitor, bracket A's
+  // restore could land between bracket B's skip-raise check (caps look
+  // sufficient) and B's job submission, silently clamping B's sketch to
+  // the defaults — an undersized filter raises the false-positive rate
+  // and wrongly drops unseen docs. Sketch builds are rare, seconds-long
+  // operations; serializing them is the honest cost (the ModeExec
+  // mode-bracket discipline).
+  private val sketchCapLocks =
+    new java.util.WeakHashMap[SparkSession, Object]
+  private def sketchCapLock(s: SparkSession): Object =
+    sketchCapLocks.synchronized {
+      var l = sketchCapLocks.get(s)
+      if (l == null) { l = new Object; sketchCapLocks.put(s, l) }
+      l
     }
-  }
+
+  private def withSketchCaps[T](s: SparkSession, n: Long)(body: => T): T =
+    sketchCapLock(s).synchronized {
+      val needBits = math.min(n * 10, Int.MaxValue.toLong - 8)
+      val itemsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsCap = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val prevItems = s.conf.get(itemsCap)
+      val prevBits = s.conf.get(bitsCap)
+      if (prevItems.toLong >= n && prevBits.toLong >= needBits) body
+      else try {
+        if (prevItems.toLong < n) s.conf.set(itemsCap, n.toString)
+        if (prevBits.toLong < needBits) s.conf.set(bitsCap, needBits.toString)
+        body
+      } finally {
+        s.conf.set(itemsCap, prevItems)
+        s.conf.set(bitsCap, prevBits)
+      }
+    }
 
   /** Hash-domain-partitioned sidecar — the scale path past the single
     * filter's ceilings, which are REAL at corpus scale: one

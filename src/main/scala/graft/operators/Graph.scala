@@ -61,7 +61,7 @@ object Graph {
     * Everything intermediate (edge set, degrees, per-round vectors) is
     * freed eagerly inside [[pagerank]] itself. */
   private val rankCache = new graft.util.SessionCache[DataFrame](
-    releaseValue = graft.util.SessionCache.releaseFrame)
+    releaseValue = graft.util.SessionCache.releaseFrame, gcReclaimable = true)
 
   /** Directed customer→supplier purchase edges: one edge per DISTINCT
     * (custkey, suppkey) pair appearing in orders⋈lineitem. The distinct

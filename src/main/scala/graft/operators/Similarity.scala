@@ -167,7 +167,7 @@ object Similarity {
     * cached DataFrame strongly references its session, which would
     * re-reach a weak key via the map). */
   private val ivfCache = new graft.util.SessionCache[DataFrame](
-    releaseValue = graft.util.SessionCache.releaseFrame)
+    releaseValue = graft.util.SessionCache.releaseFrame, gcReclaimable = true)
 
   /** Cells materialized per vector in the IVF artifact: rk = 1 is the
     * classic single-cell assignment (s04); ranks 2..IvfProbes feed
@@ -428,7 +428,8 @@ object Similarity {
     * is ONE pass: explode each vector into its subvectors, broadcast-join
     * the 128-row codebook, keep the nearest cell per (vec_id, m). */
   private val pqCache = new graft.util.SessionCache[(DataFrame, DataFrame)](
-    releaseValue = { case (codes, _) => graft.util.SessionCache.releaseFrame(codes) })
+    releaseValue = { case (codes, _) => graft.util.SessionCache.releaseFrame(codes) },
+    gcReclaimable = true)
 
   private def subvectors(e: Column): Column =
     transform(sequence(lit(0), lit(PqM - 1)),
@@ -863,7 +864,11 @@ object Similarity {
     val cellFn = meta.properties.getOrElse("graft.cellfn", "unknown")
     require(cellFn == "sign-lsh",
       s"$table's cells were assigned by '$cellFn', not sign-LSH — " +
-      "append pre-assigned rows via appendAssignedIndex instead")
+      "append pre-assigned rows via appendAssignedIndex instead. " +
+      "(If this IS a sign-LSH index whose build crashed between " +
+      "saveAsTable and the property write, or one built before the " +
+      "property existed, repair with: ALTER TABLE " + table +
+      " SET TBLPROPERTIES ('graft.cellfn' = 'sign-lsh'))")
     appendAssignedRows(s, table, parts, meta.location,
       newVectors.select(col("vec_id"), col("embedding"),
         bucket(col("embedding")).as("cell")))

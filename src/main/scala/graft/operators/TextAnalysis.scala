@@ -484,7 +484,7 @@ object TextAnalysis {
     * the t04 note), and multiplicity is REQUIRED (an LM counts
     * occurrences, not WordShingles' distinct shingle sets). */
   private val lmCache = new graft.util.SessionCache[DataFrame](
-    releaseValue = graft.util.SessionCache.releaseFrame)
+    releaseValue = graft.util.SessionCache.releaseFrame, gcReclaimable = true)
 
   /** Corpus bigram occurrences (doc_id, bg), with multiplicity. */
   private def corpusBigrams(s: SparkSession, dir: String): DataFrame = {

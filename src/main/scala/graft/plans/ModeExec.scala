@@ -89,18 +89,21 @@ object ModeExec extends PredicateHelper {
     * the query's execution is done ([[runQueryMode]] does). */
   def executeQueryMode(s: SparkSession, dir: String, sql: String,
       mode: ScanMode, router: AdaptiveScanRouter,
-      leases: mutable.Buffer[ScanLease] = mutable.Buffer.empty): DataFrame = {
+      leases: mutable.Buffer[ScanLease] = mutable.Buffer.empty,
+      leasesSpanExecution: Boolean = true): DataFrame = {
     // the RAW engine path: the rewriter must see the pristine optimized
     // plan, and must not recurse when the spark.graft.scanMode conf is set
     val base = Engine.plan(s, dir, sql)
     val rewritten =
-      rewriteLeaves(s, dir, base.queryExecution.optimizedPlan, mode, router, leases)
+      rewriteLeaves(s, dir, base.queryExecution.optimizedPlan, mode, router,
+        leases, leasesSpanExecution)
     GraftBridge.ofRows(s, rewritten)
   }
 
   private def rewriteLeaves(s: SparkSession, dir: String, plan: LogicalPlan,
       mode: ScanMode, router: AdaptiveScanRouter,
-      leases: mutable.Buffer[ScanLease]): LogicalPlan = {
+      leases: mutable.Buffer[ScanLease],
+      leasesSpanExecution: Boolean): LogicalPlan = {
 
     def substitute(rel: LogicalPlan, table: String,
         pred: Option[Expression], required: AttributeSet): LogicalPlan = {
@@ -115,7 +118,8 @@ object ModeExec extends PredicateHelper {
       val predicate: Column = pred.map(e => GraftBridge.column(e.transform {
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })).getOrElse(lit(true))
-      val lease = router.scanMode(s, dir, table, needed.map(_.name), predicate, mode)
+      val lease = router.scanMode(s, dir, table, needed.map(_.name), predicate,
+        mode, leasesSpanExecution)
       leases += lease
       val routed = lease.df.queryExecution.analyzed
       // re-bind the routed output to the original attribute ids so every
@@ -282,7 +286,8 @@ object ModeExec extends PredicateHelper {
     val r = routerOpt.getOrElse(router(s, dir))
     r.clearDecisions()
     val leases = mutable.Buffer.empty[ScanLease]
-    try executeQueryMode(s, dir, sql, mode, r, leases)
+    // plan-only: leases close before anything executes
+    try executeQueryMode(s, dir, sql, mode, r, leases, leasesSpanExecution = false)
     finally leases.foreach(_.close())
     r.decisions.map { case (t, cols, route, why) =>
       (t, cols.mkString(","), route, why)

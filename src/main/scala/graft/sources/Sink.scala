@@ -54,6 +54,12 @@ object Sink {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // empty-batch probe on the RAW batch, before the window dedup plan
+    // exists: isEmpty on `latest` would execute the row_number shuffle
+    // once for the probe and again for the write — a limit-1 scan of the
+    // raw micro-batch costs nothing (row_number over empty is empty, so
+    // the conditions are equivalent)
+    val batchEmpty = updates.isEmpty
     val tieBreak = md5(to_json(struct(updates.columns.map(col): _*)))
     val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, tieBreak.asc)
     val latest = updates.withColumn("__rn", row_number().over(w))
@@ -72,7 +78,7 @@ object Sink {
     // an empty batch applies nothing: skip the full-table read + rewrite
     // + two-rename swap (and its crash window) it would otherwise pay —
     // streaming restarts routinely deliver zero-row micro-batches
-    if (latest.isEmpty) return
+    if (batchEmpty) return
     val merged =
       if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
       else latest

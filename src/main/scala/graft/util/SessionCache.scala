@@ -32,8 +32,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * idempotent and side-effect-free, so the duplicate work is benign —
   * but the loser's value IS released, it would otherwise leak storage).
   */
+/** @param gcReclaimable true iff `releaseValue`'s entire effect is also
+  *        achieved by GC + ContextCleaner reclaiming the value (pure
+  *        `releaseFrame` hooks over checkpointed frames): such values
+  *        may be held WEAKLY on the deferred-eviction list, so an
+  *        unreleased eviction can never pin storage for the JVM
+  *        lifetime. Leave false (strong deferral, released at the next
+  *        quiescence point) when the hook has side effects GC cannot
+  *        perform — dropping a catalog table, re-pointing a temp view:
+  *        a weakly-held value could be collected first and the hook
+  *        silently skipped, leaking the external resource. */
 final class SessionCache[V](maxEntries: Int = 8,
-    releaseValue: V => Unit = (_: V) => ()) {
+    releaseValue: V => Unit = (_: V) => (),
+    gcReclaimable: Boolean = false) {
 
   SessionCache.register(this)
 
@@ -51,24 +62,27 @@ final class SessionCache[V](maxEntries: Int = 8,
   // values fall back to the old drop-the-reference/GC path rather than
   // pinning storage forever. Inline eager release remains only for the
   // losing racer below (whose value was never handed out).
-  // WEAK references on the deferred list: a deferred value must be
-  // eagerly releasable at the next quiescence point, but it must NOT be
-  // strongly pinned until one — absent any release call, a strong list
-  // would hold up to DeferredCap evicted frames (and their sessions) for
-  // the JVM lifetime, violating the "worst case is maxEntries retained"
-  // contract above. Weak refs keep the GC+ContextCleaner fallback live:
-  // an unreferenced deferred frame collects normally, and the drain
-  // simply skips cleared refs.
+  // Deferred-list retention per the `gcReclaimable` contract: WEAK for
+  // values GC fully reclaims (a deferred frame must not be pinned for
+  // the JVM lifetime when no release point ever comes — the drain skips
+  // cleared refs and ContextCleaner has already done the work), STRONG
+  // for values whose release hook has side effects GC cannot perform
+  // (the hook MUST run at the next quiescence point or the external
+  // resource leaks).
+  private final class Deferred(val session: SparkSession, v: V) {
+    private val weak =
+      if (gcReclaimable) new java.lang.ref.WeakReference[V](v) else null
+    private val strong: V = if (gcReclaimable) null.asInstanceOf[V] else v
+    def get: V = if (gcReclaimable) weak.get() else strong
+  }
   private val DeferredCap = 64
-  private val deferred =
-    new java.util.ArrayDeque[(SparkSession, java.lang.ref.WeakReference[V])]()
+  private val deferred = new java.util.ArrayDeque[Deferred]()
   private val map = new java.util.LinkedHashMap[(SparkSession, String), V](
     16, 0.75f, /*accessOrder=*/ true) {
     override def removeEldestEntry(
         e: java.util.Map.Entry[(SparkSession, String), V]): Boolean = {
       if (size() <= maxEntries) return false
-      deferred.addLast((e.getKey._1,
-        new java.lang.ref.WeakReference[V](e.getValue())))
+      deferred.addLast(new Deferred(e.getKey._1, e.getValue()))
       while (deferred.size() > DeferredCap) deferred.pollFirst() // → GC path
       true
     }
@@ -107,9 +121,9 @@ final class SessionCache[V](maxEntries: Int = 8,
     }
     val dit = deferred.iterator()
     while (dit.hasNext) {
-      val (ds, ref) = dit.next()
-      if (ds eq s) {
-        val v = ref.get()
+      val d = dit.next()
+      if (d.session eq s) {
+        val v = d.get
         if (v != null) releaseQuietly(v) // cleared ref: GC path already took it
         dit.remove()
       }
@@ -119,7 +133,7 @@ final class SessionCache[V](maxEntries: Int = 8,
   /** Deferred (capacity-evicted, not yet released) values for `s` (spec hook). */
   def deferredEntries(s: SparkSession): Int = synchronized {
     var n = 0
-    deferred.forEach { case (ds, ref) => if ((ds eq s) && ref.get() != null) n += 1 }
+    deferred.forEach(d => if ((d.session eq s) && d.get != null) n += 1)
     n
   }
 

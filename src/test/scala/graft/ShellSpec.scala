@@ -59,6 +59,10 @@ class ShellSpec extends AnyFunSuite {
     // comment markers inside literals stay literal
     assert(Shell.splitStatements("select '--;'; select 2;")
       == Seq("select '--;'", "select 2"))
+    // bracketed comments NEST in Spark SQL: the first */ must not end
+    // the outer comment (a mid-comment ';' used to split the statement)
+    assert(Shell.splitStatements("/* a /* b */ c; */ select 1;")
+      == Seq("/* a /* b */ c; */ select 1"))
   }
 
   test("\\store reports counters and drives the throttle knobs") {

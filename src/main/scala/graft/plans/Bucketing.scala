@@ -33,7 +33,12 @@ object Bucketing {
     * hit the wrong) directory outside the default database. */
   def reclaim(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val id = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    // PARSE the name: TableIdentifier("db.tbl") would treat the whole
+    // string as an unqualified table in the current database, resolving
+    // the location to <warehouse>/db.tbl instead of <warehouse>/db.db/tbl
+    // — deleting a directory that may belong to someone else while the
+    // real orphan survives
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(id))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -144,20 +144,19 @@ object ModeExec extends PredicateHelper {
     // leaf substitutes a scan of exactly the columns the query touches
     def go(p: LogicalPlan, required: AttributeSet): LogicalPlan = p match {
       case Filter(cond0, leaf) if leafTable(dir)(leaf).isDefined =>
+        val table = leafTable(dir)(leaf).get // resolved once, not per-use
         val cond = goSubqueries(cond0)
         val routable = splitConjunctivePredicates(cond).filter(e =>
           e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
         // the retained outer Filter needs EVERY cond attribute in the
         // substitution's output, routable or not
-        Filter(cond, substitute(leaf, leafTable(dir)(leaf).get,
+        Filter(cond, substitute(leaf, table,
           routable.reduceOption(And), required ++ cond.references))
       case leaf if leafTable(dir)(leaf).isDefined =>
         substitute(leaf, leafTable(dir)(leaf).get, None, required)
       case other =>
-        other.transformExpressions {
-          case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-            se.withNewPlan(go(se.plan, AttributeSet(se.plan.output)))
-        }.mapChildren(go(_, required ++ other.references))
+        other.mapExpressions(goSubqueries)
+          .mapChildren(go(_, required ++ other.references))
     }
     go(plan, AttributeSet(plan.output))
   }
@@ -283,7 +282,13 @@ object ModeExec extends PredicateHelper {
       mode: ScanMode = ModeHybrid,
       routerOpt: Option[AdaptiveScanRouter] = None): DataFrame = {
     import s.implicits._
-    val r = routerOpt.getOrElse(router(s, dir))
+    // default to the SESSION router, not a throwaway: an explain must
+    // report the routes the deployment's own router (conf-driven slots,
+    // accumulated heat, resident segments) would take — a fresh 8-slot
+    // router could claim "pushdown" where the next real query warms or
+    // serves cache-side. (An explain does tick the session router's
+    // access counters — it IS an access, same as the shell's \routes.)
+    val r = routerOpt.getOrElse(HybridScan.sessionRouter(s, dir))
     r.clearDecisions()
     val leases = mutable.Buffer.empty[ScanLease]
     // plan-only: leases close before anything executes
@@ -299,18 +304,30 @@ object ModeExec extends PredicateHelper {
   private def router(s: SparkSession, dir: String): AdaptiveScanRouter =
     new AdaptiveScanRouter(HybridScan.segmentCache(s, dir), pushdownSlots = 8)
 
+  /** The dm entries return LAZY frames the verify driver executes later —
+    * the Engine conf route's shape, so the same rules apply: leases must
+    * not span execution (a refused eager frame's pin would leak — the
+    * lease lands in a buffer nobody closes) and the plan-time slot
+    * leases are closed before returning. */
+  private def planOnly(s: SparkSession, dir: String, sql: String,
+      mode: ScanMode, r: AdaptiveScanRouter): DataFrame = {
+    val leases = mutable.Buffer.empty[ScanLease]
+    try executeQueryMode(s, dir, sql, mode, r, leases, leasesSpanExecution = false)
+    finally leases.foreach(_.close())
+  }
+
   /** dm06: SSB Q1.2 executed in PULLUP mode — raw columns up, predicate
     * compute-side, no cache participation. Result contract only (the
     * driver executes the returned frame outside [[runQueryMode]]'s conf
     * bracket); the no-PushedFilters plan shape is pinned in ModeExecSpec. */
   private def dm06ModePullup(s: SparkSession, dir: String): DataFrame =
-    executeQueryMode(s, dir, SsbCorpus.sql("1_2"), ModePullup, router(s, dir))
+    planOnly(s, dir, SsbCorpus.sql("1_2"), ModePullup, router(s, dir))
 
   /** dm07: SSB Q1.3 executed in CACHING_ONLY mode — first call loads each
     * leaf's segment, later calls serve cache-resident; identical rows
     * either way (warm/cold order-independence is the entry contract). */
   private def dm07ModeCaching(s: SparkSession, dir: String): DataFrame =
-    executeQueryMode(s, dir, SsbCorpus.sql("1_3"), ModeCachingOnly, router(s, dir))
+    planOnly(s, dir, SsbCorpus.sql("1_3"), ModeCachingOnly, router(s, dir))
 
   /** dm08: SSB Q1.1 executed in HYBRID mode with a partial lineitem
     * ordinal segment resident — the ROUTER must discover it and zip
@@ -324,7 +341,7 @@ object ModeExec extends PredicateHelper {
       cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
       fetchCols = Seq("l_shipdate"), fetchPredicate = None, cache = cache)
     val r = new AdaptiveScanRouter(cache, pushdownSlots = 8)
-    val df = executeQueryMode(s, dir, SsbCorpus.sql("1_1"), ModeHybrid, r)
+    val df = planOnly(s, dir, SsbCorpus.sql("1_1"), ModeHybrid, r)
     if (r.hybrids < 1)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"dm08: expected a Hybrid-routed lineitem leaf, got " +

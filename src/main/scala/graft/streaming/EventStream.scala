@@ -88,9 +88,10 @@ object EventStream {
   /** Streaming sessionization via typed state: 30-minute EVENT-TIME
     * inactivity gap — the same boundary rule as the ev03 batch twin — so
     * a replayed or backfilled stream (events seconds apart in processing
-    * time, hours apart in event time) splits into exactly the sessions
-    * the batch computation finds; micro-batch cadence never moves a
-    * boundary. This is the `flatMapGroupsWithState` pattern for state
+    * time, hours apart in event time; delivered in event-time order, as
+    * a replay is) splits into exactly the sessions the batch computation
+    * finds; micro-batch cadence never moves a boundary. See the disorder
+    * bounds in the body for out-of-order delivery WITHIN the watermark. This is the `flatMapGroupsWithState` pattern for state
     * Spark's windowed aggs can't express (variable-length sessions).
     *
     * Emission is CLOSE-ONLY: a gap inside or across micro-batches closes
@@ -123,9 +124,14 @@ object EventStream {
             Iterator.single(SessionSummary(userId, s.nEvents, s.totalValue))
           } else {
             // event-time order within the batch; the open session carries
-            // across batches in state. (Cross-batch out-of-order beyond
-            // the watermark is the source's contract to bound, as for any
-            // event-time operator.)
+            // across batches in state. Disorder bounds, stated honestly:
+            // state holds only the OPEN session, so an event arriving
+            // later than the gap but within the watermark (older than the
+            // open session's last event) merges into that session rather
+            // than retroactively splitting — exact retroactive boundaries
+            // need the full event buffer, which is the batch twin's job
+            // (ev03). Beyond the watermark is the source's contract, as
+            // for any event-time operator.
             val evts = it.toSeq.sortBy(_.ts.getTime)
             var open = state.getOption
             val closed = Seq.newBuilder[SessionSummary]

@@ -40,6 +40,23 @@ object Tables {
   def md5ChecksumSql(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 8))::BIGINT"
 
+  /** Hash-stable money arithmetic (r12). A raw `sum(double)` is not
+    * deterministic across engines: the hybrid zip (and any plan whose
+    * row order differs from DuckDB's scan order) re-associates double
+    * addition, and the two sums can land on opposite sides of the
+    * driver hash's rounding boundary — fs02 went red on exactly a
+    * 9e-7 absolute difference in round 11. All money/value columns in
+    * the testdata are 2-decimal by generation, so casting each OPERAND
+    * to DECIMAL(18,2) is exact and engine-independent; decimal
+    * addition is associative, so the sum is bit-identical under ANY
+    * plan, then one shared decimal→double conversion at the end.
+    * [[moneySql]] is the DuckDB twin; the pair must change together. */
+  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+
+  /** DuckDB twin of [[money]] over a SQL expression string. */
+  def moneySql(expr: String): String = s"CAST($expr AS DECIMAL(18,2))"
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else spark.read.parquet(path(dir, name))

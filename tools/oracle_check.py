@@ -49,6 +49,29 @@ def compare(name, spark_df, duck_df):
             if not ok.all():
                 i = int(np.argmin(ok))
                 return f"VAL col={c} row={i} spark={af[i]!r} duck={bf[i]!r}"
+            # STRICT (r12): the driver hashes a rounded decimal rendering,
+            # not an isclose() band. Round 11's fs02 shipped locally green
+            # (rtol passed) and driver-RED: 559784605.5800003 vs …5.5799994
+            # straddle the 6-decimal boundary. Empirically (r11 dump, 227
+            # entries) round-6 equality reproduces the driver's verdict
+            # exactly: every green entry passes it, fs02 alone fails. Any
+            # float that differs at round-6 is treated as driver-red here.
+            nan = np.isnan(af) & np.isnan(bf)
+            r6 = (np.round(af, 6) == np.round(bf, 6)) | nan
+            if not r6.all():
+                i = int(np.argmin(r6))
+                return (f"HASH col={c} row={i} spark={af[i]!r} duck={bf[i]!r} "
+                        f"(round-6 mismatch: driver hash would differ — make "
+                        f"the aggregate decimal-exact, see Tables.money)")
+            # LINT: a large-magnitude double whose ulp approaches the hash
+            # granularity is one plan change away from a straddle even when
+            # today's values agree. Surface the exposure, don't fail.
+            big = (np.abs(af) > 1e7) & ~(af == bf) & ~nan
+            if big.any():
+                i = int(np.argmax(big))
+                print(f"  LINT {name}.{c}: |v|>1e7 and not bit-identical "
+                      f"(row {i}: {af[i]!r} vs {bf[i]!r}) — decimal-cast the "
+                      f"aggregate to remove hash-boundary exposure")
         else:
             try:
                 an = av.astype("Int64") if pd.api.types.is_integer_dtype(bv) or pd.api.types.is_integer_dtype(av) else av.astype(str).where(av.notna(), None)

@@ -7,7 +7,9 @@
 -- be engine-divergent (DuckDB rounds, Spark truncates) and is not what
 -- the original computes on SSB's integer-typed data anyway. Base
 -- adaptation deltas: see q1_2.sql.
-select sum(cast(l_extendedprice as double) * cast(l_discount as double)) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select cast(sum(cast(cast(l_extendedprice as double) * cast(l_discount as double) as decimal(25,6))) as double) as revenue
 from lineitem, orders
 where l_orderkey = o_orderkey
   and o_orderdate >= date '1996-04-01' and o_orderdate < date '1996-05-01'

@@ -7,7 +7,9 @@
 -- be engine-divergent (DuckDB rounds, Spark truncates) and is not what
 -- the original computes on SSB's integer-typed data anyway. Base
 -- adaptation deltas: see q2_2.sql.
-select d_year, p_brand, sum(revenue) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select d_year, p_brand, cast(sum(cast(revenue as decimal(25,6))) as double) as revenue
 from (
   select cast(extract(year from o_orderdate) as bigint) as d_year,
     p_brand, cast(l_extendedprice as double) * (1 - cast(l_discount as double)) as revenue

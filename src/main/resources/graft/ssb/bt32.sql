@@ -7,7 +7,9 @@
 -- be engine-divergent (DuckDB rounds, Spark truncates) and is not what
 -- the original computes on SSB's integer-typed data anyway. Base
 -- adaptation deltas: see q3_2.sql.
-select c_nation, s_nation, d_year, sum(revenue) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select c_nation, s_nation, d_year, cast(sum(cast(revenue as decimal(25,6))) as double) as revenue
 from (
   select n2.n_name as c_nation, n1.n_name as s_nation,
     cast(extract(year from o_orderdate) as bigint) as d_year,

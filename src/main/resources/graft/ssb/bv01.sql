@@ -4,7 +4,9 @@
 -- Brand#21..Brand#27 lexicographic range; s_region EUROPE via
 -- nation->region; integer discounts 1..3 -> 0.01..0.03; the 1993 date
 -- window re-drawn to 1996 (data domain 1995-2001).
-select sum(revenue) as revenue, d_yearmonthnum, p_brand
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select cast(sum(cast(revenue as decimal(25,6))) as double) as revenue, d_yearmonthnum, p_brand
 from (
   select l_extendedprice * (1 - l_discount) as revenue,
     cast(extract(year from o_orderdate) * 100

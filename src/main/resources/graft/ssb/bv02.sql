@@ -4,7 +4,9 @@
 -- one level up too: customer and supplier both in ASIA; quantity window
 -- kept; 1992 -> 1996. ORDER BY gains nation tiebreaks after the
 -- reference's (d_yearmonthnum, revenue desc) for determinism.
-select c_nation, s_nation, d_yearmonthnum, sum(revenue) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select c_nation, s_nation, d_yearmonthnum, cast(sum(cast(revenue as decimal(25,6))) as double) as revenue
 from (
   select n2.n_name as c_nation, n1.n_name as s_nation,
     cast(extract(year from o_orderdate) * 100

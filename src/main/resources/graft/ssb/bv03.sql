@@ -3,7 +3,9 @@
 -- absent, the q4_1 convention); p_mfgr MFGR#2/MFGR#3 -> two p_type
 -- classes; customer+supplier regions MIDDLE EAST; integer discounts 0..2
 -- -> 0.00..0.02; 1992 -> 1997.
-select d_yearmonthnum, s_nation, p_type, sum(profit) as profit
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select d_yearmonthnum, s_nation, p_type, cast(sum(cast(profit as decimal(25,6))) as double) as profit
 from (
   select cast(extract(year from o_orderdate) * 100
             + extract(month from o_orderdate) as bigint) as d_yearmonthnum,

@@ -2,7 +2,9 @@
 -- Q2-family at month grain, single brand): p_brand1 'MFGR#5120' ->
 -- 'Brand#12'; s_region ASIA; quantity 17..27 kept; the 1997 window kept
 -- (in the data domain).
-select sum(revenue) as revenue, d_yearmonthnum, p_brand
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select cast(sum(cast(revenue as decimal(25,6))) as double) as revenue, d_yearmonthnum, p_brand
 from (
   select l_extendedprice * (1 - l_discount) as revenue,
     cast(extract(year from o_orderdate) * 100

@@ -4,7 +4,9 @@
 -- nations on both customer and supplier sides (the q3_3 convention);
 -- quantity 12..22 kept; 1993 -> 1998. Deterministic ORDER BY tiebreaks
 -- as in bv02.
-select c_nation, s_nation, d_yearmonthnum, sum(revenue) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select c_nation, s_nation, d_yearmonthnum, cast(sum(cast(revenue as decimal(25,6))) as double) as revenue
 from (
   select n2.n_name as c_nation, n1.n_name as s_nation,
     cast(extract(year from o_orderdate) * 100

@@ -1,5 +1,7 @@
 -- SSB Q2.1 (p_category 'MFGR#12' -> p_type; p_brand1 -> p_brand)
-select d_year, p_brand, sum(revenue) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select d_year, p_brand, cast(sum(cast(revenue as decimal(25,6))) as double) as revenue
 from (
   select cast(extract(year from o_orderdate) as bigint) as d_year,
     p_brand, l_extendedprice * (1 - l_discount) as revenue

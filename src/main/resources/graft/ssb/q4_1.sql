@@ -1,6 +1,8 @@
 -- SSB Q4.1 (lo_supplycost absent -> profit is revenue net of tax;
 -- p_mfgr classes -> p_type classes)
-select d_year, c_nation, sum(profit) as profit
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select d_year, c_nation, cast(sum(cast(profit as decimal(25,6))) as double) as profit
 from (
   select cast(extract(year from o_orderdate) as bigint) as d_year,
     n2.n_name as c_nation,

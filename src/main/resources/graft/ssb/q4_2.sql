@@ -1,5 +1,7 @@
 -- SSB Q4.2 (drill to supplier nation and part class, two years)
-select d_year, s_nation, p_type, sum(profit) as profit
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select d_year, s_nation, p_type, cast(sum(cast(profit as decimal(25,6))) as double) as profit
 from (
   select cast(extract(year from o_orderdate) as bigint) as d_year,
     n1.n_name as s_nation, p_type,

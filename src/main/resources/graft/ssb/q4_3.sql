@@ -1,5 +1,7 @@
 -- SSB Q4.3 (s_city -> supplier nation within EUROPE; p_brand1 -> p_brand)
-select d_year, s_nation, p_brand, sum(profit) as profit
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select d_year, s_nation, p_brand, cast(sum(cast(profit as decimal(25,6))) as double) as profit
 from (
   select cast(extract(year from o_orderdate) as bigint) as d_year,
     n1.n_name as s_nation, p_brand,

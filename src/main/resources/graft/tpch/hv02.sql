@@ -9,7 +9,7 @@ with partsupp as (
   select
     l_partkey as ps_partkey,
     l_suppkey as ps_suppkey,
-    min(l_extendedprice / l_quantity) as ps_supplycost,
+    cast(min(l_extendedprice) as decimal(12,2)) * 0.01 as ps_supplycost,
     cast(sum(l_quantity) as bigint) as ps_availqty
   from lineitem
   group by l_partkey, l_suppkey

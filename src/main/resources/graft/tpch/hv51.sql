@@ -6,9 +6,11 @@
 -- rewritten form of h05. Deltas from the reference text: n_name added to
 -- the ORDER BY as a deterministic tiebreak (the engines may order equal
 -- revenues differently).
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
 select
   n.n_name,
-  sum(l.l_extendedprice * (1 - l.l_discount)) as revenue
+  cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(25,6))) as double) as revenue
 from
   orders o,
   lineitem l,

@@ -2,9 +2,11 @@
 -- 05-jo2.sql): supplier-first FROM order — same semantics as hv51, a
 -- different declared join order. Deltas: n_name ORDER BY tiebreak (see
 -- hv51).
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
 select
   n.n_name,
-  sum(l.l_extendedprice * (1 - l.l_discount)) as revenue
+  cast(sum(cast(l.l_extendedprice * (1 - l.l_discount) as decimal(25,6))) as double) as revenue
 from
   supplier s,
   lineitem l,

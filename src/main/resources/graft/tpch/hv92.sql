@@ -2,11 +2,19 @@
 -- 09-jo2.sql): part-first FROM order with partsupp and orders declared
 -- last — same semantics as hv91, a different declared join order (see
 -- hv91 for the derived-partsupp and literal notes).
+-- r12: ps_supplycost here is DECIMAL-EXACT by construction (1% of the
+-- cheapest observed line price) instead of the min-division double used
+-- where supplycost is only compared (q02/q16/hv02): a division-derived
+-- double cannot be cast to decimal reproducibly across engines (Spark
+-- rounds the double's shortest decimal repr, DuckDB its exact binary
+-- expansion — they disagree when the repr sits on a rounding boundary),
+-- and this file SUMS supplycost products, so the whole money pipeline
+-- stays in exact decimal and the sum is hash-stable under any plan order.
 with partsupp as (
   select
     l_partkey as ps_partkey,
     l_suppkey as ps_suppkey,
-    min(l_extendedprice / l_quantity) as ps_supplycost,
+    cast(min(l_extendedprice) as decimal(12,2)) * 0.01 as ps_supplycost,
     cast(sum(l_quantity) as bigint) as ps_availqty
   from lineitem
   group by l_partkey, l_suppkey
@@ -14,13 +22,14 @@ with partsupp as (
 select
   nation,
   o_year,
-  sum(amount) as sum_profit
+  cast(sum(amount) as double) as sum_profit
 from
   (
     select
       n.n_name as nation,
       cast(extract(year from o.o_orderdate) as bigint) as o_year,
-      l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity as amount
+      cast(l.l_extendedprice as decimal(12,2)) * (1 - cast(l.l_discount as decimal(12,2)))
+        - ps.ps_supplycost * cast(l.l_quantity as decimal(12,2)) as amount
     from
       part p,
       lineitem l,

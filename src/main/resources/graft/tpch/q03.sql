@@ -1,8 +1,10 @@
 -- TPC-H Q3 shipping priority (o_shippriority column absent -> dropped
 -- from the output; l_orderkey is unique per group so the limit is total)
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
 select
     l_orderkey,
-    sum(l_extendedprice * (1 - l_discount)) as revenue,
+    cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,6))) as double) as revenue,
     o_orderdate
 from customer, orders, lineitem
 where c_mktsegment = 'BUILDING'

@@ -1,5 +1,7 @@
 -- TPC-H Q5 local supplier volume
-select n_name, sum(l_extendedprice * (1 - l_discount)) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select n_name, cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,6))) as double) as revenue
 from customer, orders, lineitem, supplier, nation, region
 where c_custkey = o_custkey
   and l_orderkey = o_orderkey

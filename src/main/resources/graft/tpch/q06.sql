@@ -1,5 +1,7 @@
 -- TPC-H Q6 forecasting revenue change
-select sum(l_extendedprice * l_discount) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select cast(sum(cast(l_extendedprice * l_discount as decimal(25,6))) as double) as revenue
 from lineitem
 where l_shipdate >= date '1996-01-01'
   and l_shipdate < date '1997-01-01'

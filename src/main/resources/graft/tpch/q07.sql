@@ -1,6 +1,8 @@
 -- TPC-H Q7 volume shipping (nation names follow the testdata domain;
 -- extract() cast so both engines emit bigint)
-select supp_nation, cust_nation, l_year, sum(volume) as revenue
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select supp_nation, cust_nation, l_year, cast(sum(cast(volume as decimal(25,6))) as double) as revenue
 from (
   select
     n1.n_name as supp_nation,

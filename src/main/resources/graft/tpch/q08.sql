@@ -1,6 +1,9 @@
 -- TPC-H Q8 national market share
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
 select o_year,
-  sum(case when nation = 'NATION_7' then volume else 0 end) / sum(volume) as mkt_share
+  cast(sum(cast(case when nation = 'NATION_7' then volume else 0 end as decimal(25,6))) as double)
+    / cast(sum(cast(volume as decimal(25,6))) as double) as mkt_share
 from (
   select
     cast(extract(year from o_orderdate) as bigint) as o_year,

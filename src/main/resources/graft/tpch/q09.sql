@@ -1,6 +1,8 @@
 -- TPC-H Q9 product type profit (partsupp absent -> profit has no
 -- supplycost term; 'green' is not in the p_name domain -> 'red')
-select nation, o_year, sum(amount) as sum_profit
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select nation, o_year, cast(sum(cast(amount as decimal(25,6))) as double) as sum_profit
 from (
   select
     n_name as nation,

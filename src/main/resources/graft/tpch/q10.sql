@@ -1,6 +1,8 @@
 -- TPC-H Q10 returned item reporting (c_address/c_phone/c_comment absent)
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
 select c_custkey, c_name,
-  sum(l_extendedprice * (1 - l_discount)) as revenue,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) as decimal(25,6))) as double) as revenue,
   c_acctbal, n_name
 from customer, orders, lineitem, nation
 where c_custkey = o_custkey

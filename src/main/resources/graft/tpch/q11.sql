@@ -4,18 +4,26 @@
 -- preserved verbatim. Literal deltas: 'GERMANY' -> 'NATION_8' (a nation
 -- with suppliers at every shipped SF, sf0.001 included); the original's
 -- reserved-word alias "value" -> part_value.
+-- r12: ps_supplycost here is DECIMAL-EXACT by construction (1% of the
+-- cheapest observed line price) instead of the min-division double used
+-- where supplycost is only compared (q02/q16/hv02): a division-derived
+-- double cannot be cast to decimal reproducibly across engines (Spark
+-- rounds the double's shortest decimal repr, DuckDB its exact binary
+-- expansion — they disagree when the repr sits on a rounding boundary),
+-- and this file SUMS supplycost products, so the whole money pipeline
+-- stays in exact decimal and the sum is hash-stable under any plan order.
 with partsupp as (
   select
     l_partkey as ps_partkey,
     l_suppkey as ps_suppkey,
-    min(l_extendedprice / l_quantity) as ps_supplycost,
+    cast(min(l_extendedprice) as decimal(12,2)) * 0.01 as ps_supplycost,
     cast(sum(l_quantity) as bigint) as ps_availqty
   from lineitem
   group by l_partkey, l_suppkey
 )
 select
   ps.ps_partkey,
-  sum(ps.ps_supplycost * ps.ps_availqty) as part_value
+  cast(sum(ps.ps_supplycost * ps.ps_availqty) as double) as part_value
 from
   partsupp ps,
   supplier s,
@@ -27,9 +35,9 @@ where
 group by
   ps.ps_partkey
 having
-  sum(ps.ps_supplycost * ps.ps_availqty) > (
+  cast(sum(ps.ps_supplycost * ps.ps_availqty) as double) > (
     select
-      sum(ps.ps_supplycost * ps.ps_availqty) * 0.0001000000
+      cast(sum(ps.ps_supplycost * ps.ps_availqty) as double) * 0.0001000000
     from
       partsupp ps,
       supplier s,

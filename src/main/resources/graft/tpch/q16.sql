@@ -1,5 +1,6 @@
 -- TPC-H Q16 parts/supplier relationship. partsupp derived from lineitem
--- as in q02.sql (same CTE text in both engines). Structure preserved:
+-- as in q02.sql (same CTE text in both engines; r12: supplycost is
+-- decimal-exact — see q11.sql header). Structure preserved:
 -- anti-semi NOT IN subquery over supplier + COUNT(DISTINCT) grouped on
 -- three part attributes. Literal deltas: p_type 'MEDIUM POLISHED%' ->
 -- 'MEDIUM%' (single-word domain); the s_comment LIKE '%Customer%
@@ -9,7 +10,7 @@ with partsupp as (
   select
     l_partkey as ps_partkey,
     l_suppkey as ps_suppkey,
-    min(l_extendedprice / l_quantity) as ps_supplycost,
+    cast(min(l_extendedprice) as decimal(12,2)) * 0.01 as ps_supplycost,
     cast(sum(l_quantity) as bigint) as ps_availqty
   from lineitem
   group by l_partkey, l_suppkey

@@ -1,6 +1,8 @@
 -- TPC-H Q17 small-quantity-order revenue (p_container absent -> the
 -- part class is brand + type)
-select sum(l_extendedprice) / 7.0 as avg_yearly
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select cast(sum(cast(l_extendedprice as decimal(25,6))) as double) / 7.0 as avg_yearly
 from lineitem, part
 where p_partkey = l_partkey
   and p_brand = 'Brand#23'

@@ -1,7 +1,9 @@
 -- TPC-H Q22 global sales opportunity (c_phone absent -> the country
 -- code is the customer id's last two digits; every customer has SOME
 -- order in this data, so the anti-join is on recent orders)
-select cntrycode, count(*) as numcust, sum(c_acctbal) as totacctbal
+-- r12: money sums decimal-exact inside sum() — hash-stable under any
+-- plan order; same text both engines (see graft.sources.Tables.exactSum)
+select cntrycode, count(*) as numcust, cast(sum(cast(c_acctbal as decimal(25,6))) as double) as totacctbal
 from (
   select substring(c_name, 17, 2) as cntrycode, c_acctbal, c_custkey
   from customer

@@ -1019,11 +1019,11 @@ object HybridScan {
       cache = segmentCache(s, dir))
     merged
       .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+      .agg(graft.sources.Tables.exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
   }
 
   private val dm02Sql =
-    """SELECT sum(l_extendedprice * l_discount) AS revenue
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -1066,12 +1066,12 @@ object HybridScan {
     partitionHybridScan(s, path, Seq("event_type", "value", "day"),
       region, s"events_by_day:$dir#le-0115", pred, segmentCache(s, dir))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), graft.sources.Tables.exactSum(col("value")).as("total_value"))
       .orderBy("event_type")
   }
 
   private val dm04Sql =
-    """SELECT event_type, count(*) AS n_events, sum(value) AS total_value
+    """SELECT event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
       |FROM events
       |WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
       |  AND CAST(ts AS DATE) <= DATE '2024-01-22'
@@ -1115,11 +1115,11 @@ object HybridScan {
     }
     lease.close()
     lease.df.filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+      .agg(graft.sources.Tables.exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
   }
 
   private val dm05Sql =
-    """SELECT sum(l_extendedprice * l_discount) AS revenue
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
@@ -1148,14 +1148,14 @@ object HybridScan {
       fact, Seq((ord, $"l_orderkey" === $"o_orderkey")))
     reduced.join(ord, $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+      .agg(graft.sources.Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy($"o_orderpriority")
   }
 
   private val dm09Sql =
     """SELECT o_orderpriority,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-07-01'
@@ -1182,13 +1182,13 @@ object HybridScan {
         lit("2024-01-05").cast("date"), lit("2024-01-18").cast("date"))),
       cache = segmentCache(s, dir))
     merged.groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"),
+      .agg(count(lit(1)).as("n_events"), graft.sources.Tables.exactSum(col("value")).as("total_value"),
         countDistinct(col("day")).as("n_days"))
       .orderBy("event_type")
   }
 
   private val dm11Sql =
-    """SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+    """SELECT event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
       |  count(DISTINCT CAST(ts AS DATE)) AS n_days
       |FROM events
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-18'

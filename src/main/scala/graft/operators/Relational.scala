@@ -33,9 +33,9 @@ object Relational {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
-        sum($"l_extendedprice").as("sum_base_price"),
-        sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
-        sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        Tables.exactSum($"l_extendedprice").as("sum_base_price"),
+        Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
         avg($"l_quantity").as("avg_qty"),
         avg($"l_extendedprice").as("avg_price"),
         avg($"l_discount").as("avg_disc"),
@@ -46,9 +46,9 @@ object Relational {
   private val q01Sql =
     """SELECT l_returnflag, l_linestatus,
       |  sum(l_quantity) AS sum_qty,
-      |  sum(l_extendedprice) AS sum_base_price,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-      |  sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(25,6))) AS DOUBLE) AS sum_charge,
       |  avg(l_quantity) AS avg_qty,
       |  avg(l_extendedprice) AS avg_price,
       |  avg(l_discount) AS avg_disc,
@@ -70,14 +70,14 @@ object Relational {
         $"l_shipdate" < lit("1998-01-01").cast("timestamp") &&
         $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24.0)
       .agg(
-        sum($"l_extendedprice" * $"l_discount").as("revenue"),
+        Tables.exactSum($"l_extendedprice" * $"l_discount").as("revenue"),
         count(lit(1)).as("n_rows"),
         min($"l_quantity").as("min_qty"),
         max($"l_extendedprice").as("max_price"))
   }
 
   private val q02Sql =
-    """SELECT sum(l_extendedprice * l_discount) AS revenue,
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
       |  count(*) AS n_rows,
       |  min(l_quantity) AS min_qty,
       |  max(l_extendedprice) AS max_price
@@ -119,14 +119,14 @@ object Relational {
     cust.join(ord, $"c_custkey" === $"o_custkey")
       .join(li, $"o_orderkey" === $"l_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .agg(Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
       .limit(10)
   }
 
   private val q04Sql =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |  JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -154,13 +154,13 @@ object Relational {
       .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
       .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .agg(Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"revenue".desc, $"n_name")
   }
 
   private val q05Sql =
     """SELECT n_name,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -369,14 +369,14 @@ object Relational {
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= add_months(lit("1995-06-01").cast("date"), -17).cast("timestamp"))
       .groupBy(year($"l_shipdate").as("ship_year"), month($"l_shipdate").as("ship_month"))
-      .agg(sum($"l_extendedprice").as("gross"), count(lit(1)).as("n"))
+      .agg(Tables.exactSum($"l_extendedprice").as("gross"), count(lit(1)).as("n"))
       .orderBy($"ship_year", $"ship_month")
   }
 
   private val q16Sql =
     """SELECT EXTRACT(year FROM l_shipdate) AS ship_year,
       |  EXTRACT(month FROM l_shipdate) AS ship_month,
-      |  sum(l_extendedprice) AS gross, count(*) AS n
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross, count(*) AS n
       |FROM lineitem
       |WHERE l_shipdate >= CAST(DATE '1995-06-01' - INTERVAL 17 MONTH AS TIMESTAMP)
       |GROUP BY 1, 2
@@ -564,7 +564,7 @@ object Relational {
       .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
         $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+      .agg(Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
     val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
     val sup = Tables.supplier(s, dir)
     sup.join(rev, $"s_suppkey" === $"l_suppkey")
@@ -575,7 +575,7 @@ object Relational {
 
   private val q22Sql =
     """WITH revenue AS (
-      |  SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS total_revenue
+      |  SELECT l_suppkey, CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS total_revenue
       |  FROM lineitem
       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -595,15 +595,14 @@ object Relational {
     val p = Tables.part(s, dir)
     li.join(p, $"l_partkey" === $"p_partkey")
       .agg((lit(100.0) *
-        sum(when($"p_type".like("PROMO%"), $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        Tables.exactSum(when($"p_type".like("PROMO%"), $"l_extendedprice" * (lit(1.0) - $"l_discount"))
           .otherwise(0.0)) /
-        sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
+        Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("promo_revenue"))
   }
 
   private val q23Sql =
-    """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-      |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS promo_revenue
+    """SELECT 100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS promo_revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
@@ -619,11 +618,11 @@ object Relational {
     li.join(broadcast(brand), $"l_partkey" === $"p_partkey")
       .join(partAvg, $"l_partkey" === $"ap_partkey")
       .filter($"l_quantity" < $"half_avg_qty")
-      .agg((sum($"l_extendedprice") / 7.0).as("avg_yearly"))
+      .agg((Tables.exactSum($"l_extendedprice") / 7.0).as("avg_yearly"))
   }
 
   private val q24Sql =
-    """SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0 AS avg_yearly
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_brand = 'Brand#23'
       |  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
@@ -723,12 +722,12 @@ object Relational {
           $"l_quantity".between(10.0, 40.0)) ||
         ($"p_brand" === "Brand#34" && $"p_size".between(1, 35) &&
           $"l_quantity".between(20.0, 50.0)))
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+      .agg(Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
         count(lit(1)).as("n"))
   }
 
   private val q29Sql =
-    """SELECT sum(l_extendedprice * (1.0 - l_discount)) AS revenue, count(*) AS n
+    """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue, count(*) AS n
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
       |       AND l_quantity BETWEEN 1.0 AND 30.0)
@@ -795,13 +794,13 @@ object Relational {
       .filter($"c_acctbal" > $"avg_bal")
       .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"cntrycode")
-      .agg(count(lit(1)).as("numcust"), sum($"c_acctbal").as("totacctbal"))
+      .agg(count(lit(1)).as("numcust"), Tables.exactSum($"c_acctbal").as("totacctbal"))
       .orderBy($"cntrycode")
   }
 
   private val q31Sql =
     """SELECT substring(c_name, 17, 2) AS cntrycode, count(*) AS numcust,
-      |  sum(c_acctbal) AS totacctbal
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS totacctbal
       |FROM customer
       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -813,14 +812,14 @@ object Relational {
     * proves a reference user can submit their SQL unchanged. */
   private def q32SqlText(s: SparkSession, dir: String): DataFrame =
     graft.Engine.executeQuery(s, dir,
-      """SELECT n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+      """SELECT n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > 0.0
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin)
 
   private val q32Sql =
-    """SELECT n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+    """SELECT n_name, count(*) AS n_cust, CAST(sum(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_bal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |WHERE c_acctbal > 0.0
       |GROUP BY n_name
@@ -863,14 +862,14 @@ object Relational {
       .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
         ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
       .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
-      .agg(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .agg(Tables.exactSum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
       .orderBy($"supp_nation", $"cust_nation", $"l_year")
   }
 
   private val q33Sql =
     """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
       |  EXTRACT(year FROM l_shipdate) AS l_year,
-      |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
       |FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -911,16 +910,15 @@ object Relational {
       .join(broadcast(n2), $"c_nationkey" === $"ck")
       .join(broadcast(reg), $"crk" === $"r_regionkey")
       .groupBy(year($"o_orderdate").as("o_year"))
-      .agg((sum(when($"supp_nation" === "NATION_5", vol).otherwise(0.0)) / sum(vol))
+      .agg((Tables.exactSum(when($"supp_nation" === "NATION_5", vol).otherwise(0.0)) / Tables.exactSum(vol))
         .as("mkt_share"))
       .orderBy($"o_year")
   }
 
   private val q34Sql =
     """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-      |  sum(CASE WHEN n1.n_name = 'NATION_5'
-      |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-      |    / sum(l_extendedprice * (1.0 - l_discount)) AS mkt_share
+      |  CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_5' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(25,6))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
       |FROM lineitem
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  JOIN orders ON l_orderkey = o_orderkey
@@ -1165,7 +1163,7 @@ object Relational {
         $"o_totalprice", lit("6-INSERTED").as("o_orderpriority"))
     upsert(base, upd.unionByName(ins), "o_orderkey")
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("total"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum($"o_totalprice").as("total"))
       .orderBy($"o_orderpriority")
   }
 
@@ -1183,7 +1181,7 @@ object Relational {
       |  SELECT * FROM base
       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
       |    AND o_orderkey NOT IN (SELECT o_orderkey FROM ins))
-      |SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+      |SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q51 — regression/correlation aggregates: per-group least-squares
@@ -1472,21 +1470,21 @@ object Relational {
     def partial(df: DataFrame): DataFrame = df
       .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"),
         $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("total"))
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast("decimal(25,6)")).as("total"))
     val orders = Tables.orders(s, dir)
     val matView = partial(orders.filter($"o_orderdate" < cutoff)) // "stored"
     val delta = partial(orders.filter($"o_orderdate" >= cutoff))  // new data only
     matView.unionByName(delta)
       .groupBy($"month", $"o_orderpriority")
-      .agg(sum($"n").as("n"), sum($"total").as("total"),
-        (sum($"total") / sum($"n")).as("avg_price"))
+      .agg(sum($"n").as("n"), sum($"total").cast("double").as("total"),
+        (sum($"total").cast("double") / sum($"n")).as("avg_price"))
       .orderBy($"month", $"o_orderpriority")
   }
 
   private val q55Sql =
     """SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
-      |       count(*) AS n, sum(o_totalprice) AS total,
-      |       sum(o_totalprice) / count(*) AS avg_price
+      |       count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / count(*) AS avg_price
       |FROM orders
       |GROUP BY 1, 2 ORDER BY month, o_orderpriority""".stripMargin
 
@@ -1506,12 +1504,12 @@ object Relational {
       concat($"l_orderkey", lit(":"), $"l_linenumber"),
       salts = 8)
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum($"l_extendedprice").as("gross"))
+      .agg(count(lit(1)).as("n"), Tables.exactSum($"l_extendedprice").as("gross"))
       .orderBy($"o_orderpriority")
   }
 
   private val q43Sql =
-    """SELECT o_orderpriority, count(*) AS n, sum(l_extendedprice) AS gross
+    """SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS gross
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

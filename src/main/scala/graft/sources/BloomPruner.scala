@@ -105,12 +105,12 @@ object BloomPruner {
     val (spec, blooms) = shardedByCustkey(s, dir)
     readPruned(s, spec, blooms, 42L)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total_price"))
+      .agg(count(lit(1)).as("n_orders"), Tables.exactSum(col("o_totalprice")).as("total_price"))
       .orderBy(col("o_orderstatus"))
   }
 
   private val z02Sql =
-    """SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS total_price
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
       |FROM orders WHERE o_custkey = 42
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

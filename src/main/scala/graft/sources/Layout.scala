@@ -133,7 +133,7 @@ object Layout {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("l_returnflag"))
 
   /** z04 — a two-column key-box scan over the z-ordered copy; the oracle
@@ -144,7 +144,7 @@ object Layout {
 
   private val z04Sql =
     s"""SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
-       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+       |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
        |FROM lineitem
        |WHERE l_partkey >= $PartLo AND l_partkey < $PartHi
        |  AND l_suppkey >= $SuppLo AND l_suppkey < $SuppHi
@@ -168,7 +168,7 @@ object Layout {
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_quantity")).as("sum_qty"),
-        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        Tables.exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("l_returnflag"))
 
   /** z03 — the range scan over the clustered copy. The oracle runs the
@@ -179,7 +179,7 @@ object Layout {
 
   private val z03Sql =
     s"""SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty,
-       |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+       |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
        |FROM lineitem
        |WHERE CAST(l_shipdate AS DATE) >= DATE '$RangeLo'
        |  AND CAST(l_shipdate AS DATE) < DATE '$RangeHi'
@@ -213,7 +213,7 @@ object Layout {
   private[graft] def dayQuery(df: DataFrame): DataFrame =
     df.filter(col("day") === lit(EventDay).cast("date"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), Tables.exactSum(col("value")).as("total_value"))
       .orderBy(col("event_type"))
 
   /** z05 — a one-day scan over the day-partitioned copy; the oracle runs
@@ -224,7 +224,7 @@ object Layout {
     dayQuery(s.read.parquet(partitionedEvents(s, dir)))
 
   private val z05Sql =
-    s"""SELECT event_type, count(*) AS n_events, sum(value) AS total_value
+    s"""SELECT event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
        |FROM events
        |WHERE CAST(ts AS DATE) = DATE '$EventDay'
        |GROUP BY event_type ORDER BY event_type""".stripMargin

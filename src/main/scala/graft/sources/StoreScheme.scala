@@ -63,11 +63,11 @@ object StoreScheme {
         col("o_orderdate") >= lit("1996-01-01").cast("date") &&
         col("o_orderdate") < lit("1997-01-01").cast("date")),
       cache = graft.cache.HybridScan.segmentCache(s, store))
-      .agg(sum("o_totalprice").as("total"))
+      .agg(Tables.exactSum(col("o_totalprice")).as("total"))
   }
 
   private val fs02Sql =
-    """SELECT sum(o_totalprice) AS total FROM orders
+    """SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total FROM orders
       |WHERE o_orderdate >= DATE '1996-01-01'
       |  AND o_orderdate < DATE '1997-01-01'""".stripMargin
 

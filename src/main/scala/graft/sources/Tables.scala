@@ -40,22 +40,31 @@ object Tables {
   def md5ChecksumSql(expr: String): String =
     s"('0x' || substring(md5($expr), 1, 8))::BIGINT"
 
-  /** Hash-stable money arithmetic (r12). A raw `sum(double)` is not
+  /** Hash-stable double summation (r12). A raw `sum(double)` is not
     * deterministic across engines: the hybrid zip (and any plan whose
     * row order differs from DuckDB's scan order) re-associates double
-    * addition, and the two sums can land on opposite sides of the
-    * driver hash's rounding boundary — fs02 went red on exactly a
-    * 9e-7 absolute difference in round 11. All money/value columns in
-    * the testdata are 2-decimal by generation, so casting each OPERAND
-    * to DECIMAL(18,2) is exact and engine-independent; decimal
-    * addition is associative, so the sum is bit-identical under ANY
-    * plan, then one shared decimal→double conversion at the end.
-    * [[moneySql]] is the DuckDB twin; the pair must change together. */
-  def money(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c.cast("decimal(18,2)")
+    * addition, and for sums ≥~1e7 the few-ulp difference approaches
+    * the driver hash's rounding granularity — fs02 went red on exactly
+    * a 9e-7 absolute difference on a 5.6e8 sum in round 11.
+    *
+    * The fix is exact by construction: the PER-ROW expression is
+    * bit-identical in both engines (same text, IEEE ops, same
+    * associativity); casting that double to DECIMAL(25,6) is one
+    * deterministic rounding (measured: Spark and DuckDB agree on
+    * double→decimal rounding including .5 ties — both HALF_UP away
+    * from zero); and decimal addition is associative, so the sum is
+    * identical under ANY plan order. One final decimal→double cast on
+    * both sides keeps the output dtype class unchanged.
+    * [[exactSumSql]] is the DuckDB twin; the pair must change
+    * together. 6 fractional digits cover every money/value expression
+    * in the corpus (2-decimal operands, ≤3-factor products); 19
+    * integer digits ≫ any 100 TB sum. */
+  def exactSum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.sum(e.cast("decimal(25,6)")).cast("double")
 
-  /** DuckDB twin of [[money]] over a SQL expression string. */
-  def moneySql(expr: String): String = s"CAST($expr AS DECIMAL(18,2))"
+  /** DuckDB twin of [[exactSum]] over a SQL expression string. */
+  def exactSumSql(expr: String): String =
+    s"CAST(sum(CAST($expr AS DECIMAL(25,6))) AS DOUBLE)"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)

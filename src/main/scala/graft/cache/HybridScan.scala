@@ -137,14 +137,20 @@ object HybridScan {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val rootPath = fs.getFileStatus(p).getPath // resolved/qualified form
+    // Compare by URI path PREFIX, not Path equality (r11 ADVICE): a
+    // FileSystem that qualifies getFileStatus and listFiles paths
+    // differently would make a parent-pointer walk run PAST the root,
+    // and a hidden-prefixed ancestor above the table root (a '.cache'
+    // parent, say) would then silently filter every file — an empty
+    // listing and a constant fingerprint. Only the segments BELOW the
+    // root are tested; a listed path outside the root fails loudly.
+    val rootUri = rootPath.toUri.getPath.stripSuffix("/")
     def hiddenBelowRoot(fp: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = fp
-      while (cur != null && cur != rootPath) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return true
-        cur = cur.getParent
-      }
-      false
+      val u = fp.toUri.getPath
+      require(u == rootUri || u.startsWith(rootUri + "/"),
+        s"listed path $fp is not under table root $rootPath")
+      u.substring(rootUri.length).split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
     }
     val it = fs.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]

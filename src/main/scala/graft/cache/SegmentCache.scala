@@ -60,6 +60,9 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
   private var hitCount = 0L
   private var missCount = 0L
   private var evictCount = 0L
+  /** Misses since the last [[trueUpSizes]] pass (throttle state). */
+  private var missesSinceTrueUp = 0L
+  private val TrueUpEveryMisses = 8L
 
   def usedBytes: Long = entries.valuesIterator.map(_.sizeBytes).sum
   def hits: Long = hitCount
@@ -95,9 +98,10 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     * width — it multiplies across joins without CBO and prices strings at
     * declared width, so ordinal (zip-capable) segments were measured
     * tripping capacity refusals their compressed bytes fit comfortably
-    * (r10 capacity sweep). Truing up on every miss (this is called from
-    * [[get]]'s miss path) means `usedBytes` converges to what the
-    * segments actually occupy, so admission headroom is real headroom.
+    * (r10 capacity sweep). Called from [[get]]'s miss path — throttled
+    * (every [[TrueUpEveryMisses]] misses, plus unconditionally before a
+    * would-be refusal) so `usedBytes` converges to what the segments
+    * actually occupy without paying O(residents × RDDs) on every miss.
     * Sizes can true up in EITHER direction — columnar in-memory bytes can
     * exceed a parquet-compressed stats estimate too. */
   def trueUpSizes(): Unit = {
@@ -168,11 +172,8 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     }
     // miss path — no lock held while Spark jobs run. Release any
     // admission-refused-but-materialized frames that have AGED OUT
-    // (see [[drainCondemned]]'s age rule), then true up resident sizes:
-    // the admission below must compare the candidate against what the
-    // residents ACTUALLY occupy, not stats estimates.
+    // (see [[drainCondemned]]'s age rule).
     drainCondemned()
-    trueUpSizes()
     val df = produce
     val statsSize = sizeOf(df)
     val (size, cost) = policy match {
@@ -188,6 +189,21 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
         val c = measureLoad(df)
         (measuredBytes(df).getOrElse(statsSize), c)
       case _ => (statsSize, 0.0)
+    }
+    // True up resident sizes before the admission DECIDES — but not on
+    // every miss: per resident the true-up canonicalizes a plan and
+    // scans getRDDStorageInfo (O(residents × RDDs) driver work on the
+    // hot miss path — r11 ADVICE). Throttled to (a) every
+    // [[TrueUpEveryMisses]] misses, keeping usedBytes convergent under
+    // miss-heavy churn, or (b) whenever THIS admission would be refused
+    // at the currently-recorded usedBytes — refusal is the only decision
+    // stale sizes can get wrong in a way that matters (a stale-small
+    // accept is transient over-budget the next true-up corrects; a
+    // stale-large refusal forgoes the admission permanently).
+    missesSinceTrueUp += 1
+    if (missesSinceTrueUp >= TrueUpEveryMisses ||
+        synchronized(usedBytes) + size > capacityBytes) {
+      trueUpSizes(); missesSinceTrueUp = 0
     }
     synchronized {
       entries.get(key) match {
@@ -312,10 +328,23 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     toCheck.foreach(c => c.df.queryExecution.analyzed.canonicalized)
     synchronized {
       val residents = entries.valuesIterator.map(_.df.queryExecution.analyzed).toList
+      // Plan-equal frames share ONE CacheManager entry, so the release
+      // must also spare frames plan-equal to a SIBLING still parked in
+      // `condemned` (two refusals of the same plan: the first to age
+      // must not drop blocks out from under the second, possibly
+      // still-leased, caller — r11 ADVICE). Compared against the
+      // CURRENT buffer, not the pre-drain snapshot: a frame parked by a
+      // racer between the snapshot and here is still-executing by
+      // definition. Frames added since the unlocked warm pay their
+      // canonicalization under the monitor — rare (a racing refusal in
+      // a drain window), bounded (one plan), and the alternative is
+      // exactly the use-after-unpersist this guard exists to prevent.
+      val kept = condemned.map(_.df.queryExecution.analyzed).toList
       toCheck.foreach { c =>
-        val sharedWithResident =
-          residents.exists(_.sameResult(c.df.queryExecution.analyzed))
-        if (!sharedWithResident) c.df.unpersist(blocking = false)
+        val plan = c.df.queryExecution.analyzed
+        val shared = residents.exists(_.sameResult(plan)) ||
+          kept.exists(_.sameResult(plan))
+        if (!shared) c.df.unpersist(blocking = false)
       }
     }
   }

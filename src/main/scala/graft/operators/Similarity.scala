@@ -79,7 +79,13 @@ object Similarity {
     // element order, so they are bit-identical; if s01 also used the
     // expression, a numerics regression would pass both entries).
     broadcast(q).crossJoin(n)
-      .withColumn("cosine", dot($"qe", $"ne") / ($"qn" * $"nn"))
+      // zero-norm guard (r11 ADVICE): 0.0/0.0 is NaN, which would rank
+      // non-deterministically and diverge from the native cosine_sim's
+      // 0.0 — the exact cross-check s03 exists for. No zero embedding
+      // exists in the shipped corpora, so values are unchanged there;
+      // on an arbitrary corpus both paths now agree at 0.0.
+      .withColumn("cosine", when($"qn" * $"nn" > 0.0,
+        dot($"qe", $"ne") / ($"qn" * $"nn")).otherwise(0.0))
       .withColumn("rank", row_number().over(w))
       .filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", $"cosine")

@@ -54,24 +54,45 @@ private[graft] object Fixtures {
 
   // per-(session, dir#name) memo of built fixture paths — the shared
   // two-level idiom Layout/JsonLines/Orc each used to hand-roll. Weak
-  // session keys (values are plain path strings, so the WeakHashMap
-  // value→key pitfall does not apply); the fixture NAME is part of the
-  // key, so fixtures of different modules over the same dir never clash.
+  // session keys (values are task holders, not the session, so the
+  // WeakHashMap value→key pitfall does not apply); the fixture NAME is
+  // part of the key, so fixtures of different modules over the same dir
+  // never clash. Values are FutureTasks, NOT results: the multi-minute
+  // Spark write runs OUTSIDE the map's bin lock (r11 ADVICE — I/O
+  // inside computeIfAbsent serializes unrelated same-bin fixtures and
+  // a reentrant same-session cached() call from inside a build violates
+  // the CHM contract). putIfAbsent elects one builder; everyone else
+  // awaits the task. A reentrant call for a DIFFERENT fixture now just
+  // runs; a same-key reentrant call would self-deadlock on its own task
+  // (a programming error either way — CHM threw IllegalStateException).
   private val memo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, String]])
+      java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.FutureTask[String]]])
 
   /** [[ensure]] behind a per-(session, dir, name) memo: compute the
     * fixture path once, build at most once per JVM, reuse across JVMs.
-    * `build` receives the output path. */
+    * `build` receives the output path. A failed build is removed from
+    * the memo (and its cause rethrown to every waiter), so a later call
+    * retries instead of replaying a cached failure. */
   def cached(s: SparkSession, dir: String, name: String)(
-      build: String => Unit): String =
-    memo.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, String]
-    ).computeIfAbsent(s"$dir#$name", { _ =>
+      build: String => Unit): String = {
+    val m = memo.computeIfAbsent(s, // cheap: allocates a map, no I/O
+      _ => new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.FutureTask[String]])
+    val key = s"$dir#$name"
+    val mine = new java.util.concurrent.FutureTask[String]({ () =>
       val out = path(dir, name)
       ensure(s, out)(build(out))
     })
+    val task = Option(m.putIfAbsent(key, mine)).getOrElse { mine.run(); mine }
+    try task.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException =>
+        m.remove(key, task)
+        throw e.getCause
+    }
+  }
 
   /** Return `out` with the fixture present: reuse a completed write,
     * else run `write` (which must produce a Spark `_SUCCESS` marker). */

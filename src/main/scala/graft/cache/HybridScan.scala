@@ -130,6 +130,65 @@ object HybridScan {
   def listTable(s: SparkSession, dir: String, table: String): TableListing =
     listPath(s, Tables.path(dir, table))
 
+  // ---- session-scoped listing cache (r12) --------------------------------
+  // The mode router used to re-LIST every base-table leaf of every query
+  // (one listing per routing decision was already the r10 floor — but a
+  // session under `spark.graft.scanMode` pays it per QUERY, serialized on
+  // the driver; on an object store with O(10^5)-file tables a paged LIST
+  // is seconds). The reference loads its catalogue metadata once at client
+  // start and trusts it (`fpdb-catalogue`); Spark's own InMemoryFileIndex
+  // caches file listings until REFRESH TABLE. The router follows both:
+  // ONE listing per (session, table path), invalidated by graft's OWN
+  // write paths (Sink.compact/mergeInto, index appends) and explicitly by
+  // [[refreshListings]] — the REFRESH TABLE analog for external writers.
+  // An EXTERNAL mid-session rewrite is outside the trust contract exactly
+  // as it is for Spark's catalog cache; direct mergedScan/listPath callers
+  // are unaffected (they list fresh, and the in-place-rewrite staleness
+  // spec pins that path).
+  private val sessionListings = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, TableListing]])
+
+  private def listingKey(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.toString
+
+  /** [[listPath]] through the session listing cache: at most one real
+    * listing per (session, path) between invalidations. Raced lookups may
+    * list twice; one result wins, both are correct (read-only metadata). */
+  def listPathSession(s: SparkSession, path: String): TableListing = {
+    val m = sessionListings.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, TableListing])
+    val k = listingKey(path)
+    val cached = m.get(k)
+    if (cached != null) cached
+    else {
+      val tl = listPath(s, path) // outside any map lock (it is real I/O)
+      val prior = m.putIfAbsent(k, tl)
+      if (prior != null) prior else tl
+    }
+  }
+
+  /** Drop cached listings at or under `path`, across every session — a
+    * write changed the disk for everyone. Graft's writers call this;
+    * external writers are covered by calling it directly (REFRESH TABLE
+    * analog). A dropped entry is re-listed on next touch; the worst case
+    * of a MISSED invalidation is the documented catalog-cache staleness,
+    * never a mis-zip of fresh bytes against a fresh fingerprint. */
+  def invalidateListings(path: String): Unit = {
+    val k = listingKey(path)
+    sessionListings.synchronized {
+      sessionListings.values.forEach { m =>
+        m.keySet.removeIf(e => e == k || e.startsWith(k + "/"))
+      }
+    }
+  }
+
+  /** Drop every cached listing for `s` (full refresh). */
+  def refreshListings(s: SparkSession): Unit = {
+    val m = sessionListings.get(s)
+    if (m != null) m.clear()
+  }
+
   /** [[listTable]] for an arbitrary table root path — the entry point a
     * partitioned/nested layout uses directly. */
   def listPath(s: SparkSession, path: String): TableListing = {
@@ -663,7 +722,8 @@ object HybridScan {
           // segments rebuild through the mergedScan builder (partition +
           // sort by the zip keys), plain ones as a bare projection
           if (k.columns.contains(FileCol))
-            ordinalScan(s, dir, table, dataCols(k), listTable(s, dir, table))
+            ordinalScan(s, dir, table, dataCols(k),
+              listPathSession(s, Tables.path(dir, table)))
               .repartition(col(PosCol), col(FileCol))
               .sortWithinPartitions(col(PosCol), col(FileCol))
           else
@@ -701,8 +761,11 @@ object HybridScan {
         case ModeHybrid =>
           // ONE listing serves the fingerprint check here AND the merged
           // scan's segment key below — the router must not multiply
-          // listings per routing decision (listingCalls spec-pinned)
-          val tl = listTable(s, dir, table)
+          // listings per routing decision (listingCalls spec-pinned), and
+          // it comes from the SESSION listing cache (r12): a conf-mode
+          // workload lists each table once per session, not once per
+          // query; graft's writers invalidate (see listPathSession)
+          val tl = listPathSession(s, Tables.path(dir, table))
           // resident = plain pullup segments (unfingerprinted) plus
           // ordinal segments built under the CURRENT file listing; an
           // ordinal segment whose layout fingerprint no longer matches is

@@ -1410,6 +1410,7 @@ object Dedup {
       .sortBy(spec.sortColumnNames.head, spec.sortColumnNames.tail: _*)
       .saveAsTable(table)
     s.catalog.refreshTable(table)
+    graft.cache.HybridScan.invalidateListings(meta.location.toString)
   }
 
   /** Union two [[bloomSidecar]] sketches built with the SAME capacity
@@ -1626,6 +1627,7 @@ object Dedup {
     // micro-batch clone, [[ingestStream]]), `s`'s cached file listing
     // would silently keep serving the pre-append index
     s.catalog.refreshTable(table)
+    graft.cache.HybridScan.invalidateListings(meta.location.toString)
   }
 
   private def d17IncrementalLsh(s: SparkSession, dir: String): DataFrame = {

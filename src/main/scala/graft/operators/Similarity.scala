@@ -908,6 +908,9 @@ object Similarity {
       .mode(org.apache.spark.sql.SaveMode.Append)
       .saveAsTable(table)
     s.catalog.refreshTable(table)
+    // writer invalidation (r12): the index just grew on disk — any
+    // session listing cache over its location must re-list
+    graft.cache.HybridScan.invalidateListings(location.toString)
   }
 
   /** Repair every list whose compaction died mid-swap: data parked in

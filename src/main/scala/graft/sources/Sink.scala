@@ -15,8 +15,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Sink {
 
   /** Persist `df` as parquet partitioned by `cols` (Hive-style layout). */
-  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit = {
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+    graft.cache.HybridScan.invalidateListings(path) // writer invalidation (r12)
+  }
 
   /** Read a partitioned table back; filters on the partition columns
     * prune directories at plan time. */
@@ -93,6 +95,10 @@ object Sink {
       sys.error(s"mergeInto: cannot swap in $tmp")
     }
     fs.delete(bak, true)
+    // the table's files just changed under any session listing cache —
+    // graft's own writers invalidate (external writers call
+    // HybridScan.invalidateListings themselves, the REFRESH TABLE analog)
+    graft.cache.HybridScan.invalidateListings(path)
   }
 
   /** Restore a table whose last mergeInto/compact died between its two
@@ -160,6 +166,7 @@ object Sink {
       sys.error(s"compact: cannot swap in $tmp")
     }
     fs.delete(bak, true)
+    graft.cache.HybridScan.invalidateListings(path) // writer invalidation (r12)
     (before.length, afterCount)
   }
 }

@@ -202,6 +202,7 @@ class HybridScanSpec extends SparkSpec {
       cachedCols = Seq("l_extendedprice", "l_discount", "l_quantity"),
       fetchCols = Seq("l_shipdate"), fetchPredicate = Some(pred),
       cache = cache).count()
+    HybridScan.refreshListings(spark) // deterministic first-touch (r12 cache)
     val before = HybridScan.listingCalls.get()
     val lease = router.scan(spark, sfDir, "lineitem",
       Seq("l_extendedprice", "l_discount", "l_quantity", "l_shipdate"), pred)
@@ -209,6 +210,76 @@ class HybridScanSpec extends SparkSpec {
     assert(lease.route == HybridScan.Hybrid)
     val delta = HybridScan.listingCalls.get() - before
     assert(delta == 1, s"hybrid routing must list once, listed $delta times")
+  }
+
+  test("a conf-mode workload lists each table once per SESSION, not per query") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    HybridScan.refreshListings(spark)
+    val before = HybridScan.listingCalls.get()
+    // six routing decisions over two tables — the r11 verdict's
+    // scale-killer shape was one LIST per decision per query
+    (1 to 3).foreach { i =>
+      router.scan(spark, sfDir, "lineitem",
+        Seq("l_extendedprice", "l_discount"),
+        expr(s"l_quantity < ${10 + i}")).close()
+      router.scan(spark, sfDir, "orders",
+        Seq("o_orderpriority", "o_orderdate"),
+        expr(s"o_orderkey % ${7 + i} = 0")).close()
+    }
+    val delta = HybridScan.listingCalls.get() - before
+    assert(delta == 2,
+      s"6 routing decisions over 2 tables must pay 2 listings, paid $delta")
+    cache.invalidateAll()
+  }
+
+  test("graft's own writers invalidate the session listing cache") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("listing-inval")
+    try {
+      val table = root.resolve("t.parquet").toString
+      spark.range(100).selectExpr("id", "id * 2 as v")
+        .repartition(4).write.parquet(table)
+      val fp1 = HybridScan.listPathSession(spark, table).fingerprint
+      val before = HybridScan.listingCalls.get()
+      assert(HybridScan.listPathSession(spark, table).fingerprint == fp1 &&
+        HybridScan.listingCalls.get() == before,
+        "second touch must serve the cached listing")
+      graft.sources.Sink.compact(spark, table, targetBytes = 1L << 30)
+      val fp2 = HybridScan.listPathSession(spark, table).fingerprint
+      assert(HybridScan.listingCalls.get() == before + 1,
+        "compact must invalidate: next touch re-lists")
+      assert(fp2 != fp1, "the re-listed fingerprint must see the compacted layout")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("refreshListings is the REFRESH TABLE analog for external rewrites") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("listing-refresh")
+    try {
+      val table = root.resolve("t.parquet").toString
+      spark.range(50).selectExpr("id").coalesce(1).write.parquet(table)
+      val fp1 = HybridScan.listPathSession(spark, table).fingerprint
+      // EXTERNAL write the cache cannot see: documented trust contract —
+      // the cached listing keeps serving until an explicit refresh
+      spark.range(80).selectExpr("id").coalesce(1)
+        .write.mode("append").parquet(table)
+      assert(HybridScan.listPathSession(spark, table).fingerprint == fp1,
+        "an un-refreshed session serves the cached listing (trust contract)")
+      HybridScan.refreshListings(spark)
+      assert(HybridScan.listPathSession(spark, table).fingerprint != fp1,
+        "refreshListings must force a fresh listing")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
   }
 
   test("router admits pushdown while a slot is leased, falls back to pullup when saturated") {

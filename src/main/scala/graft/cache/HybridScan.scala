@@ -103,6 +103,23 @@ object HybridScan {
       }
       allDistinct(raw) && allDistinct(uriStrs) && allDistinct(slashed)
     }
+
+    /** Fingerprint of ONE partition's files — the rows whose path
+      * contains `/segment/` (e.g. `day=2024-01-05`). Region-keyed
+      * segments carry THIS in their key instead of the whole-table
+      * fingerprint, so rewriting one partition rotates only that
+      * partition's segments: the others keep serving (the reference's
+      * per-partition staleness unit, `Partition.h:23-41`). */
+    def regionFingerprint(segment: String): String =
+      TableListing(files.filter(_._1.contains(s"/$segment/"))).fingerprint
+
+    /** Distinct `col=value` partition values present in this listing's
+      * paths, in directory-name (Hive) rendering. */
+    def partitionValues(partitionCol: String): Seq[String] = {
+      val re = s"/${java.util.regex.Pattern.quote(partitionCol)}=([^/]+)/".r
+      files.flatMap(f => re.findFirstMatchIn(f._1).map(_.group(1)))
+        .distinct.sorted
+    }
   }
 
   /** Listing invocations since JVM start — spec hook proving the hybrid
@@ -931,6 +948,182 @@ object HybridScan {
       }
     }
 
+    /** [[scanPartitionedMode]] on the full lattice. */
+    def scanPartitioned(s: SparkSession, path: String, segName: String,
+        cols: Seq[String], predicate: Column, partitionCol: String): ScanLease =
+      scanPartitionedMode(s, path, segName, cols, predicate, partitionCol,
+        ModeHybrid)
+
+    /** Per-PARTITION route lattice over a hive-partitioned layout (r12) —
+      * the reference's ACTUAL cache granularity: its `SegmentKey` is
+      * (partition, column, range) and its hybrid transformer wires
+      * CACHING vs PUSHDOWN independently per partition
+      * (`PrePToS3PTransformer.cpp:197-460`). [[scanMode]]'s whole-table
+      * admission is right for flat tables; at 100 TB "the hot table" is
+      * never hot uniformly — the hot DAYS/REGIONS are — and a whole-table
+      * promotion is a full-table load triggered by the third access. Here
+      * every touched partition value earns heat separately
+      * (`hotAdmitAfter` accesses, same scan-resistant rule), is admitted
+      * as its OWN region-keyed segment (its own bytes, its own eviction
+      * priority, its own per-partition listing fingerprint), and serves
+      * cache-side while the still-cold partitions scan storage in one
+      * partition-pruned, predicate-pushed pass. Admission never costs
+      * more than one partition's load; eviction under pressure sheds the
+      * coldest DAYS, not the table.
+      *
+      * Partition-only predicate conjuncts select the touched values
+      * driver-side (over the listing's directory names — no file I/O);
+      * the remaining conjuncts push into the cold scan and filter the
+      * cached side post-serve. Partitions are disjoint, so the
+      * cache/storage union is exact by construction — every route is
+      * result-identical, the [[ScanMode]] contract. */
+    def scanPartitionedMode(s: SparkSession, path: String, segName: String,
+        cols: Seq[String], predicate: Column, partitionCol: String,
+        mode: ScanMode, leaseSpansExecution: Boolean = true): ScanLease = {
+      val need =
+        (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
+      def plainScan() = s.read.parquet(path)
+      mode match {
+        case ModePullup =>
+          pullupN.incrementAndGet()
+          logDecision(segName, need, Pullup,
+            "mode=pullup: raw partitions up, filter compute-side")
+          return noopLease(plainScan().select(need.map(col): _*)
+            .filter(predicate).select(cols.map(col): _*), Pullup)
+        case ModePushdownOnly =>
+          val acquired = slots.tryAcquire()
+          val why =
+            if (acquired) "mode=pushdown: partition-pruned, predicate pushed"
+            else {
+              overBudgetN.incrementAndGet()
+              s"mode=pushdown [over-budget: ${pushdownSlots}-slot store " +
+                "saturated; mode forces pushdown, admitted anyway]"
+            }
+          pushdownN.incrementAndGet()
+          logDecision(segName, need, Pushdown, why)
+          return new ScanLease(
+            plainScan().filter(predicate).select(cols.map(col): _*),
+            Pushdown, if (acquired) () => slots.release() else () => ())
+        case _ => ()
+      }
+      val tl = listPathSession(s, path)
+      val allVals = tl.partitionValues(partitionCol)
+      val dtype = plainScan().schema(partitionCol).dataType
+      def partLit(v: String) = lit(v).cast(dtype)
+      // touched partitions: evaluate the partition-only conjuncts on the
+      // directory values via a local relation — exact, no file I/O
+      val conj = conjunctsOf(
+        org.apache.spark.sql.GraftBridge.parsedExpression(predicate))
+      val partOnly = conj.filter(p => referencedColsE(p) == Set(partitionCol))
+      val touched: Seq[String] = partOnly
+        .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+        .map(org.apache.spark.sql.GraftBridge.column) match {
+        case None => allVals
+        case Some(pp) =>
+          val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          allVals.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
+          s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__pv",
+                org.apache.spark.sql.types.StringType))))
+            .select(col("__pv"), col("__pv").cast(dtype).as(partitionCol))
+            .filter(pp) // resolves against the typed alias — exact
+            .collect().map(_.getString(0)).toSeq
+      }
+      if (touched.isEmpty) {
+        pushdownN.incrementAndGet()
+        logDecision(segName, need, Pushdown,
+          "no partition matches the predicate: empty partition-pruned scan")
+        return noopLease(
+          plainScan().filter(predicate).select(cols.map(col): _*), Pushdown)
+      }
+      val needSorted = need.sorted
+      def regionOf(v: String) = s"$partitionCol=$v"
+      def buildRegion(v: String, cs: Seq[String]) =
+        plainScan().filter(col(partitionCol) === partLit(v))
+          .select(cs.map(col): _*)
+      val servedHot = scala.collection.mutable.Buffer.empty[String]
+      val hotFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+      val releases = scala.collection.mutable.Buffer.empty[() => Unit]
+      val coldVals = scala.collection.mutable.Buffer.empty[String]
+      touched.foreach { v =>
+        val region = regionOf(v)
+        val rfp = tl.regionFingerprint(region)
+        val keyTable = s"$segName@$rfp"
+        val heat = countAccess("part", segName, needSorted :+ region)
+        val resident = cache.keys.find(k => k.table == keyTable &&
+          k.region == region && need.forall(k.columns.contains))
+        def admitRegion(): Unit = {
+          val k = SegmentKey(keyTable, needSorted, region)
+          val seg = cache.get(k)(buildRegion(v, needSorted))
+          if (cache.keys.contains(k)) { servedHot += v; hotFrames += seg }
+          else {
+            resetAccess("part", segName, needSorted :+ region)
+            val relOpt = if (leaseSpansExecution) cache.leaseRefused(seg) else None
+            relOpt match {
+              case Some(rel) => // eager refusal: serve this once under lease
+                servedHot += v; hotFrames += seg; releases += rel
+              case None =>
+                if (!leaseSpansExecution) cache.leaseRefused(seg).foreach(_.apply())
+                if (mode == ModeCachingOnly) {
+                  // caching-only cannot push down: serve the unadmitted
+                  // frame compute-side (pullup semantics for this region)
+                  servedHot += v; hotFrames += seg
+                } else coldVals += v
+            }
+          }
+        }
+        resident match {
+          case Some(k) =>
+            val seg = cache.get(k)(buildRegion(v, k.columns))
+            servedHot += v; hotFrames += seg
+          case None =>
+            if (mode == ModeCachingOnly ||
+                (hotAdmitAfter > 0 && heat >= hotAdmitAfter)) admitRegion()
+            else coldVals += v
+        }
+      }
+      val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+      hotFrames.foreach(seg =>
+        frames += seg.filter(predicate).select(cols.map(col): _*))
+      var release: () => Unit = () => releases.foreach(_.apply())
+      var coldRoute: Option[Route] = None
+      if (coldVals.nonEmpty) {
+        // ONE storage pass over every cold partition: the region
+        // disjunction prunes directories at listing time, the full
+        // predicate pushes into the surviving files
+        val coldPred = coldVals.map(v => col(partitionCol) === partLit(v))
+          .reduce(_ || _)
+        val acquired = slots.tryAcquire()
+        coldRoute = Some(if (acquired) Pushdown else Pullup)
+        val coldScan =
+          if (acquired) plainScan().filter(coldPred && predicate)
+            .select(cols.map(col): _*)
+          else plainScan().filter(coldPred).select(need.map(col): _*)
+            .filter(predicate).select(cols.map(col): _*)
+        frames += coldScan
+        if (acquired) {
+          val r0 = release; release = () => { r0(); slots.release() }
+        }
+      }
+      val route = (servedHot.nonEmpty, coldRoute) match {
+        case (true, Some(_)) => Hybrid
+        case (true, None)    => CacheOnly
+        case (false, Some(r)) => r
+        case (false, None)    => Pushdown // unreachable: touched covered
+      }
+      route match {
+        case Hybrid    => hybridN.incrementAndGet()
+        case CacheOnly => cacheOnlyN.incrementAndGet()
+        case Pushdown  => pushdownN.incrementAndGet()
+        case Pullup    => pullupN.incrementAndGet()
+      }
+      logDecision(segName, need, route,
+        s"per-partition: cache=[${servedHot.mkString(",")}] " +
+        s"storage=[${coldVals.mkString(",")}]" +
+        coldRoute.fold("")(r => s" (cold side ${r.toString.toLowerCase})"))
+      new ScanLease(frames.reduce(_ unionByName _), route, release)
+    }
+
     // ---- the reference's actual admission estimate
     // (`AdaptPushdownManager::receiveOne`): a saturated store does not
     // mean an unconditional fallback — it queues the request when the
@@ -1263,6 +1456,51 @@ object HybridScan {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-18'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** dm12 (r12): the per-PARTITION route lattice end-to-end — the
+    * reference's actual cache granularity (`SegmentKey.h`: (partition,
+    * column, range); `PrePToS3PTransformer.cpp:197-460` wires CACHING vs
+    * PUSHDOWN per partition). Two heating scans earn the 01-06..01-10
+    * days their per-day admissions (one region-keyed segment EACH —
+    * never a whole-table load); the reported query then spans
+    * 01-06..01-16, so its hot days serve cache-side and its cold days
+    * scan storage partition-pruned, unioned exactly (disjoint
+    * partitions). A fresh router per call keeps the heat ladder
+    * deterministic; the shared session cache may be warm or cold on any
+    * call — both correct, the entry contract. The oracle aggregates the
+    * ORIGINAL events table: routing may change bytes read, never
+    * results. */
+  private def dm12PartitionRouter(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.partitionedEvents(s, dir)
+    val cache = segmentCache(s, dir)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+    val cols = Seq("event_type", "value", "day")
+    def window(hi: String) = col("day").between(
+      lit("2024-01-06").cast("date"), lit(hi).cast("date"))
+    // plan-only heating brackets (closed before anything executes) —
+    // leaseSpansExecution=false, the dm06-08 rule
+    (1 to 2).foreach { _ =>
+      router.scanPartitionedMode(s, path, s"events_by_day:$dir", cols,
+        window("2024-01-10"), "day", ModeHybrid,
+        leaseSpansExecution = false).close()
+    }
+    val lease = router.scanPartitionedMode(s, path, s"events_by_day:$dir",
+      cols, window("2024-01-16"), "day", ModeHybrid,
+      leaseSpansExecution = false)
+    lease.close()
+    lease.df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.sources.Tables.exactSum(col("value")).as("total_value"),
+        countDistinct(col("day")).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  private val dm12Sql =
+    """SELECT event_type, count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+      |  count(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-06' AND DATE '2024-01-16'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm02_hybrid_merge"  -> dm02HybridMerge _,
     "dm03_adaptive_route" -> dm03AdaptiveRoute _,
@@ -1270,6 +1508,7 @@ object HybridScan {
     "dm05_routed_hybrid" -> dm05RoutedHybrid _,
     "dm09_predtrans_hybrid" -> dm09PredTransHybrid _,
     "dm11_partitioned_zip" -> dm11PartitionedZip _,
+    "dm12_partition_router" -> dm12PartitionRouter _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1279,5 +1518,6 @@ object HybridScan {
     "dm05_routed_hybrid" -> dm05Sql,
     "dm09_predtrans_hybrid" -> dm09Sql,
     "dm11_partitioned_zip" -> dm11Sql,
+    "dm12_partition_router" -> dm12Sql,
   )
 }

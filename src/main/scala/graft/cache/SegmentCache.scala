@@ -6,10 +6,18 @@ import org.apache.spark.storage.StorageLevel
 
 /** Cache key: one column-projection segment of a table — the reference's
   * `SegmentKey` is (partition, column, byte-range)
-  * (`fpdb-cache/include/fpdb/cache/SegmentKey.h`); in Spark the natural
-  * cacheable unit is a column-pruned projection of a table (a whole-table
-  * analog of its per-partition column segment). */
-case class SegmentKey(table: String, columns: Seq[String])
+  * (`fpdb-cache/include/fpdb/cache/SegmentKey.h`). In Spark the natural
+  * cacheable unit is a column-pruned projection; `region` carries the
+  * reference's PARTITION dimension (r12): "" is the whole table (the
+  * pre-r12 key, unchanged for every existing call site), and a
+  * `"col=value"` region names one partition's column segment — the unit
+  * the reference's per-partition Mode wiring caches and evicts
+  * independently (`PrePToS3PTransformer.cpp:197-460`,
+  * `fpdb-catalogue/.../Partition.h:23-41`). At 100 TB the hot
+  * days/regions are hot, never the whole table: a region-keyed segment
+  * admits, serves, and evicts per partition, so warming the hot region
+  * never triggers a full-table load. */
+case class SegmentKey(table: String, columns: Seq[String], region: String = "")
 
 /** Replacement policies of the reference's segment cache
   * (`fpdb-cache/src/policy/` — one .cpp per policy, `README.md:100`): LRU,

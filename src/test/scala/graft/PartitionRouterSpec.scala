@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cache.{HybridScan, LRU, MeasuredWLFU, SegmentCache, SegmentKey}
+import graft.cache.HybridScan.{AdaptiveScanRouter, CacheOnly, Hybrid,
+  ModeCachingOnly, ModeHybrid, ModePullup, ModePushdownOnly, Pushdown}
+
+/** Per-PARTITION segment granularity (r12) — the reference's actual
+  * cacheable unit: `SegmentKey` = (partition, column, range)
+  * (`fpdb-cache/include/fpdb/cache/SegmentKey.h`) with CACHING vs
+  * PUSHDOWN wired independently per partition
+  * (`PrePToS3PTransformer.cpp:197-460`). The router must admit and serve
+  * hot PARTITIONS of a partitioned table, never promote the whole table,
+  * and evict cold days individually. */
+class PartitionRouterSpec extends SparkSpec {
+
+  private def eventsPath = graft.sources.Layout.partitionedEvents(spark, sfDir)
+  private val cols = Seq("event_type", "value", "day")
+
+  private def dayRange(lo: String, hi: String) =
+    col("day") >= lit(lo).cast("date") && col("day") <= lit(hi).cast("date")
+
+  private def oracle(lo: String, hi: String) =
+    spark.read.parquet(eventsPath).filter(dayRange(lo, hi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(25,6)"))
+        .cast("double").as("total"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+
+  private def viaRouter(router: AdaptiveScanRouter, lo: String, hi: String,
+      mode: HybridScan.ScanMode = ModeHybrid) = {
+    val lease = router.scanPartitionedMode(spark, eventsPath, "events_by_day",
+      cols, dayRange(lo, hi), "day", mode)
+    try lease.df.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(25,6)"))
+        .cast("double").as("total"))
+      .orderBy("event_type").collect().map(_.toSeq).toSeq
+    finally lease.close()
+  }
+
+  test("hot days serve from cache while cold days push down, results exact") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 2)
+    val want = oracle("2024-01-05", "2024-01-08")
+    // heat the 05..08 window: 2 accesses earn admission on the 3rd
+    (1 to 3).foreach { _ =>
+      assert(viaRouter(router, "2024-01-05", "2024-01-08") == want)
+    }
+    // the hot days are now region-keyed residents — one segment per day,
+    // never a whole-table segment
+    val regions = cache.keys.filter(_.region.nonEmpty).map(_.region).sorted
+    assert(regions == Seq("day=2024-01-05", "day=2024-01-06",
+      "day=2024-01-07", "day=2024-01-08"),
+      s"expected 4 per-day segments, got $regions")
+    assert(!cache.keys.exists(_.region.isEmpty),
+      "no whole-table segment may exist on the partitioned path")
+    // a wider query spanning hot + cold days: hot from cache, cold from
+    // storage, in ONE lease whose route is Hybrid
+    val wantWide = oracle("2024-01-05", "2024-01-12")
+    val lease = router.scanPartitionedMode(spark, eventsPath,
+      "events_by_day", cols, dayRange("2024-01-05", "2024-01-12"), "day",
+      ModeHybrid)
+    try {
+      assert(lease.route == Hybrid,
+        s"hot+cold span must route Hybrid, got ${lease.route}")
+      val got = lease.df.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(25,6)"))
+          .cast("double").as("total"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      assert(got == wantWide, "hybrid union must equal the plain scan")
+    } finally lease.close()
+    val d = router.decisions.last
+    assert(d._4.contains("cache=[2024-01-05,2024-01-06,2024-01-07,2024-01-08]"),
+      s"decision must show the hot days cache-side: ${d._4}")
+    assert(d._4.contains("storage=[2024-01-09"),
+      s"decision must show the cold days storage-side: ${d._4}")
+    cache.invalidateAll()
+  }
+
+  test("capacity < table but > hot region: hot days admitted, never the table") {
+    // one day of the sf0.001 events copy is a few KB; 5 MB holds the
+    // 4-day hot region comfortably and would NOT hold a whole-table
+    // ordinal segment of the same columns at larger SFs — the admission
+    // unit is what this pins: per-day loads, per-day bytes
+    val cache = new SegmentCache(5L << 20, MeasuredWLFU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 2)
+    val want = oracle("2024-01-10", "2024-01-13")
+    (1 to 3).foreach { _ =>
+      assert(viaRouter(router, "2024-01-10", "2024-01-13") == want)
+    }
+    val regions = cache.keys.map(_.region)
+    assert(regions.nonEmpty && regions.forall(_.startsWith("day=")),
+      s"only per-day segments may be admitted, got $regions")
+    assert(cache.usedBytes <= (5L << 20),
+      "admitted bytes must respect the capacity at measured size")
+    // cold days outside the hot region still route storage-side
+    val lease = router.scanPartitionedMode(spark, eventsPath,
+      "events_by_day", cols, dayRange("2024-01-20", "2024-01-25"), "day",
+      ModeHybrid)
+    try assert(lease.route == Pushdown,
+      s"an unheated range must push down, got ${lease.route}")
+    finally lease.close()
+    cache.invalidateAll()
+  }
+
+  test("all four modes are row-identical on the partitioned path") {
+    val want = oracle("2024-01-03", "2024-01-20")
+    Seq(ModePullup, ModePushdownOnly, ModeCachingOnly, ModeHybrid).foreach {
+      mode =>
+        val cache = new SegmentCache(1L << 30, LRU)
+        val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+          hotAdmitAfter = 2)
+        assert(viaRouter(router, "2024-01-03", "2024-01-20", mode) == want,
+          s"mode $mode must be result-identical")
+        cache.invalidateAll()
+    }
+  }
+
+  test("caching-only mode serves every touched partition cache-side") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 2)
+    val lease = router.scanPartitionedMode(spark, eventsPath,
+      "events_by_day", cols, dayRange("2024-01-02", "2024-01-04"), "day",
+      ModeCachingOnly)
+    try assert(lease.route == CacheOnly,
+      s"caching-only must serve cache-side, got ${lease.route}")
+    finally lease.close()
+    assert(cache.keys.count(_.region.nonEmpty) == 3,
+      "each touched day loads as its own segment")
+    cache.invalidateAll()
+  }
+
+  test("rewriting ONE partition rotates only that partition's segments") {
+    import java.nio.file.{Files, Path, Paths}
+    // private copy: this test rewrites a partition in place
+    val root = Files.createTempDirectory("part-rewrite")
+    try {
+      val table = root.resolve("ev").toString
+      spark.read.parquet(eventsPath)
+        .filter(dayRange("2024-01-01", "2024-01-06"))
+        .write.partitionBy("day").parquet(table)
+      val cache = new SegmentCache(1L << 30, LRU)
+      val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+        hotAdmitAfter = 1)
+      def run() = {
+        HybridScan.refreshListings(spark) // external writes below
+        val lease = router.scanPartitionedMode(spark, table, "ev",
+          Seq("event_type", "value", "day"),
+          dayRange("2024-01-02", "2024-01-03"), "day", ModeHybrid)
+        try lease.df.count() finally lease.close()
+      }
+      val n0 = run(); run() // heat + admit both days
+      val before = cache.keys.filter(_.region.nonEmpty)
+      assert(before.size == 2, s"two per-day residents expected: $before")
+      // rewrite day=2024-01-02 externally (append rows into it); the
+      // fixture staged the appended rows FIRST (Spark cannot read and
+      // append the same path in one job)
+      val extra = spark.read.parquet(s"$table/day=2024-01-02").limit(5)
+        .collect().length
+      val stage = root.resolve("stage").toString
+      spark.read.parquet(s"$table/day=2024-01-02").limit(5)
+        .write.parquet(stage)
+      spark.read.parquet(stage).write.mode("append")
+        .parquet(s"$table/day=2024-01-02")
+      // an EXTERNAL writer also needs Spark's own file-status cache
+      // refreshed (standard REFRESH TABLE semantics) — run() refreshes
+      // graft's listing cache, this refreshes Spark's
+      spark.catalog.refreshByPath(table)
+      val n1 = run()
+      assert(n1 == n0 + extra,
+        s"post-rewrite scan must see the appended rows ($n0 + $extra vs $n1)")
+      val d02 = cache.keys.filter(_.region == "day=2024-01-02")
+      val d03 = cache.keys.filter(_.region == "day=2024-01-03")
+      // the untouched partition serves its ORIGINAL segment; the
+      // rewritten one is re-keyed under the NEW per-partition
+      // fingerprint (its old key is an invisible orphan until evicted)
+      assert(d03 == before.filter(_.region == "day=2024-01-03"),
+        "the untouched partition's segment must survive as-is")
+      val oldTables = before.filter(_.region == "day=2024-01-02").map(_.table)
+      assert(d02.exists(k => !oldTables.contains(k.table)),
+        s"the rewritten partition must re-key under a fresh fingerprint: $d02")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
+  }
+}

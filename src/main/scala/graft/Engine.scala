@@ -124,7 +124,13 @@ object Engine {
         try graft.plans.ModeExec.executeQueryMode(spark, dir, sql, mode,
           graft.cache.HybridScan.sessionRouter(spark, dir), leases,
           leasesSpanExecution = false)
-        finally leases.foreach(_.close())
+        finally {
+          leases.foreach(_.close())
+          // one snapshot per conf-routed query (no-op without
+          // spark.graft.heatPath): the next session's router seeds its
+          // EWMAs and access heat from here instead of starting cold
+          graft.cache.HybridScan.saveHeat(spark, dir)
+        }
     }
 
   /** The raw engine path: registration + CTE rewrite + Catalyst, no mode

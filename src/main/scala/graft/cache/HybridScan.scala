@@ -296,8 +296,54 @@ object HybridScan {
         .map(_.trim.toInt).getOrElse(64)
       val hot = s.conf.getOption("spark.graft.hotAdmitAfter")
         .map(_.trim.toInt).getOrElse(2)
-      new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = slots,
+      val r = new AdaptiveScanRouter(segmentCache(s, dir), pushdownSlots = slots,
         hotAdmitAfter = hot)
+      // seed from the previous run's sidecar (r12): the reference's
+      // AdaptPushdownManager lives for the STORE SERVER's lifetime, so a
+      // new client session routes on history from day one — graft's
+      // router is session-scoped and would otherwise start cold (a
+      // first contended request must fall back instead of queueing
+      // until both EWMAs re-measure; every hot column set must re-earn
+      // its admissions). With `spark.graft.heatPath` set, the router
+      // seeds its service-time EWMAs, per-table pullup costs, and
+      // access heat from the last snapshot and writes one back after
+      // every conf-routed query (atomic rename — a reader never sees a
+      // torn file). A stale or corrupt snapshot degrades to a cold
+      // start: heat only biases ROUTES, never results.
+      heatPathOf(s).foreach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          try r.seedHeat(new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8))
+          catch { case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"ignoring unreadable heat snapshot $p: ${e.getMessage}")
+          }
+      }
+      r
+    }
+
+  private def heatPathOf(s: SparkSession): Option[java.nio.file.Path] =
+    s.conf.getOption("spark.graft.heatPath").filter(_.nonEmpty)
+      .map(java.nio.file.Paths.get(_))
+
+  /** Persist the session router's measured history to
+    * `spark.graft.heatPath` (no-op when the conf is unset). Called by
+    * the engine after each conf-routed query; safe to call any time. */
+  def saveHeat(s: SparkSession, dir: String): Unit =
+    heatPathOf(s).foreach { p =>
+      try {
+        Option(p.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        java.nio.file.Files.write(tmp, sessionRouter(s, dir).heatSnapshot
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"could not save heat snapshot to $p: ${e.getMessage}")
+      }
     }
 
   /** Scan `cols` of a table with a `(file key, row index)` ordinal
@@ -1183,6 +1229,51 @@ object HybridScan {
       * slot [[execute]]'s pullup observations update). */
     private[graft] def seedTableCost(table: String, secs: Double): Unit =
       tableCostSecs.put(table, Double.box(secs))
+
+    /** This router's measured history as a line-oriented snapshot —
+      * service-time EWMAs, per-table pullup costs, and the hot-admission
+      * access counters. The reference keeps exactly this state for the
+      * store server's LIFETIME (`AdaptPushdownManager` members live in
+      * the long-running fpdb-store-server process, not in any client);
+      * a session-scoped router uses the snapshot + [[seedHeat]] to give
+      * a RESTARTED session the same property (`spark.graft.heatPath`).
+      * Values never contain '=', so the LAST '=' splits key from value
+      * even for access keys that embed `col=value` regions. */
+    def heatSnapshot: String = {
+      val sb = new StringBuilder("v=1\n")
+      sb.append(s"pushdown_est_nanos=$pushdownEstNanos\n")
+      sb.append(s"pullup_est_nanos=$pullupEstNanos\n")
+      tableCostSecs.forEach((t, c) => sb.append(s"cost.$t=$c\n"): Unit)
+      missSeen.forEach((k, v) => sb.append(s"seen.$k=${v.get}\n"): Unit)
+      sb.toString
+    }
+
+    /** Seed measured history from a [[heatSnapshot]]. Explicit
+      * constructor seeds win (specs inject exact costs); snapshot values
+      * fill only the slots still unmeasured, and unparseable lines are
+      * skipped — a truncated snapshot cold-starts the remainder instead
+      * of failing the session. */
+    private[graft] def seedHeat(text: String): Unit = {
+      text.linesIterator.foreach { line =>
+        val i = line.lastIndexOf('=')
+        if (i > 0) {
+          val (k, v) = (line.substring(0, i), line.substring(i + 1))
+          try k match {
+            case "pushdown_est_nanos" =>
+              if (pushdownEstNanos <= 0) pushdownEstNanos = v.toDouble
+            case "pullup_est_nanos" =>
+              if (pullupEstNanos <= 0) pullupEstNanos = v.toDouble
+            case _ if k.startsWith("cost.") =>
+              tableCostSecs.putIfAbsent(k.stripPrefix("cost."),
+                Double.box(v.toDouble))
+            case _ if k.startsWith("seen.") =>
+              missSeen.putIfAbsent(k.stripPrefix("seen."),
+                new AtomicLong(v.toLong))
+            case _ => ()
+          } catch { case _: NumberFormatException => () }
+        }
+      }
+    }
 
     /** The reference's dynamic fallback weight
       * (`AdaptPushdownManager::receiveOne`: `ceil(numFallBackReqs /

@@ -1,0 +1,141 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+
+import org.apache.spark.sql.functions._
+
+import graft.cache.{HybridScan, LRU, SegmentCache}
+import graft.cache.HybridScan.{AdaptiveScanRouter, Pullup, Pushdown}
+
+/** Router heat persistence (r12) — the reference's AdaptPushdownManager
+  * state (service-time averages, request history) lives for the STORE
+  * SERVER's lifetime, so every new client session routes on measured
+  * history. Graft's session-scoped router gets the same property via a
+  * heat snapshot: `spark.graft.heatPath` saves after each conf-routed
+  * query and seeds the next session's router at build. */
+class RouterHeatSpec extends SparkSpec {
+
+  private val cols = Seq("o_orderkey", "o_totalprice")
+  private val pred = col("o_totalprice") > lit(0.0)
+
+  test("heat snapshot round-trips estimates, table costs, and survives junk") {
+    val a = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 2e6,
+      initialPullupEstNanos = 3e9)
+    a.seedTableCost("lineitem", 7.5)
+    val b = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1)
+    b.seedHeat(a.heatSnapshot)
+    assert(b.estimates == a.estimates,
+      s"EWMAs must round-trip: ${b.estimates} vs ${a.estimates}")
+    assert(b.measuredWeight(graft.cache.SegmentKey("lineitem", Seq("x"))) == 7.5,
+      "per-table pullup cost must round-trip into the W-LFU weight")
+    // explicit constructor seeds WIN over a snapshot (specs inject costs)
+    val c = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 9e9)
+    c.seedHeat(a.heatSnapshot)
+    assert(c.estimates._1 == 9e9, "a measured estimate must not be overwritten")
+    assert(c.estimates._2 == 3e9, "unmeasured slots fill from the snapshot")
+    // a corrupt snapshot cold-starts the remainder, never throws
+    val d = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1)
+    d.seedHeat("v=1\npushdown_est_nanos=not-a-number\ngarbage\n=\ncost.t=1.5")
+    assert(d.estimates._1 == 0.0)
+    assert(d.measuredWeight(graft.cache.SegmentKey("t", Seq("x"))) == 1.5)
+  }
+
+  test("a restarted router's FIRST contended request queues on seeded history") {
+    // session 1 measured: pushdown cheap, pullup dear
+    val prior = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 1e6,
+      initialPullupEstNanos = 1e10)
+    val snapshot = prior.heatSnapshot
+
+    def contendedRoute(r: AdaptiveScanRouter): (Boolean, HybridScan.Route) = {
+      val pool = Executors.newFixedThreadPool(2)
+      try {
+        val inAction = new CountDownLatch(1)
+        val release = new CountDownLatch(1)
+        val held = pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            r.execute(spark, sfDir, "orders", cols, pred) { df =>
+              inAction.countDown(); release.await(30, TimeUnit.SECONDS)
+              df.count()
+            }; ()
+          }
+        })
+        assert(inAction.await(30, TimeUnit.SECONDS))
+        val contended = pool.submit(
+          new java.util.concurrent.Callable[HybridScan.Route] {
+            override def call(): HybridScan.Route =
+              r.execute(spark, sfDir, "orders", cols, pred)(_.count())._2
+          })
+        Thread.sleep(200)
+        val waited = !contended.isDone
+        release.countDown()
+        held.get(60, TimeUnit.SECONDS)
+        (waited, contended.get(60, TimeUnit.SECONDS))
+      } finally pool.shutdownNow()
+    }
+
+    // cold restart (no snapshot): an unmeasured pushdown estimate claims
+    // nothing, so the first contended request FALLS BACK — the exact
+    // cold-start cost the snapshot exists to remove
+    val cold = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1)
+    // (route is the decisive signal — a fallback executes Pullup without
+    // ever waiting on the held slot; wall-clock is not asserted here
+    // because a cold pullup's own execution can outlast any fixed sleep)
+    val (_, coldRoute) = contendedRoute(cold)
+    assert(coldRoute == Pullup,
+      s"a cold router's first contention must fall back: $coldRoute")
+    assert(cold.pullups == 1 && cold.pushdowns == 1)
+
+    // seeded restart: the same first contended request QUEUES for the
+    // slot (seeded 1ms pushdown vs 10s pullup) and executes as pushdown
+    val seeded = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1)
+    seeded.seedHeat(snapshot)
+    val (waited, route) = contendedRoute(seeded)
+    assert(waited, "the seeded router must queue, not fall back")
+    assert(route == Pushdown, s"queued request must execute pushdown: $route")
+    assert(seeded.pullups == 0 && seeded.pushdowns == 2)
+  }
+
+  test("conf-mode sessions save heat; a restarted session admits on first touch") {
+    val tmp = java.nio.file.Files.createTempFile("graft-heat", ".snapshot")
+    java.nio.file.Files.delete(tmp) // saveHeat creates it
+    val sql = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1"
+    def session() = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.heatPath", tmp.toString)
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      s
+    }
+    val s1 = session()
+    try {
+      // two queries: miss (pushdown) then hot admission — and a snapshot
+      // after each, carrying the access counters forward
+      (1 to 2).foreach(_ => Engine.executeQuery(s1, sfDir, sql).collect())
+      assert(java.nio.file.Files.isRegularFile(tmp), "saveHeat must write")
+      val text = new String(java.nio.file.Files.readAllBytes(tmp))
+      assert(text.contains("seen.miss|orders|"),
+        s"snapshot must carry the access heat:\n$text")
+      assert(HybridScan.segmentCache(s1, sfDir).keys.nonEmpty,
+        "the second access earns admission (hotAdmitAfter=2)")
+    } finally HybridScan.segmentCache(s1, sfDir).invalidateAll()
+    // a RESTARTED session: its own empty cache, but seeded heat — the
+    // FIRST access continues the counter past the threshold and admits
+    // immediately, where a cold session would pay two pushdown passes
+    val s2 = session()
+    try {
+      assert(HybridScan.segmentCache(s2, sfDir).keys.isEmpty)
+      Engine.executeQuery(s2, sfDir, sql).collect()
+      assert(HybridScan.segmentCache(s2, sfDir).keys.nonEmpty,
+        "a seeded session must admit the known-hot set on FIRST access")
+    } finally {
+      HybridScan.segmentCache(s2, sfDir).invalidateAll()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+}

@@ -395,21 +395,30 @@ object Bench {
         // ONE sweep discipline for every corpus, so the two families'
         // mode comparisons can never diverge by hand-kept copies:
         // pushdown / caching cold+warm / hybrid prime + cold + warm +
-        // zip-route counter, fresh cache per mode.
-        def modeSweep(prefix: String, queries: Seq[String]): Unit = {
+        // zip-route counter, fresh cache per mode. `capacity`/`policy`
+        // re-run the stateful modes at a CAPACITY POINT (the §18.1
+        // crossover methodology); `statefulOnly` skips the
+        // capacity-independent pushdown pass there (its number is the
+        // full-capacity sweep's, unchanged by cache size).
+        def modeSweep(prefix: String, queries: Seq[String],
+            capacity: Long = 1L << 30,
+            policy: graft.cache.CachePolicy = LRU,
+            statefulOnly: Boolean = false): Unit = {
           val pass = passOf(queries) _
           def lbl(x: String) = if (prefix.isEmpty) x else s"${prefix}_$x"
-          val pdCache = new SegmentCache(1L << 30, LRU)
-          pass(lbl("pushdown"), ModePushdownOnly,
-            new AdaptiveScanRouter(pdCache, pushdownSlots = 64))
-          pdCache.invalidateAll()
-          val cCache = new SegmentCache(1L << 30, LRU)
+          if (!statefulOnly) {
+            val pdCache = new SegmentCache(capacity, policy)
+            pass(lbl("pushdown"), ModePushdownOnly,
+              new AdaptiveScanRouter(pdCache, pushdownSlots = 64))
+            pdCache.invalidateAll()
+          }
+          val cCache = new SegmentCache(capacity, policy)
           pass(lbl("caching_cold"), ModeCachingOnly,
             new AdaptiveScanRouter(cCache, pushdownSlots = 64))
           pass(lbl("caching_warm"), ModeCachingOnly,
             new AdaptiveScanRouter(cCache, pushdownSlots = 64))
           cCache.invalidateAll()
-          val hCache = new SegmentCache(1L << 30, LRU)
+          val hCache = new SegmentCache(capacity, policy)
           // hybrid's premise is partial cache state left by prior
           // workload: prime unthrottled (scenario setup, not a measured
           // store cost)
@@ -429,14 +438,27 @@ object Bench {
           hCache.invalidateAll()
         }
         modeSweep("", SsbCorpus.names.map(SsbCorpus.sql))
-        // the SAME discipline over the reference's OTHER corpus: a
-        // two-pole TPC-H subset (h01 = widest lineitem aggregate,
-        // caching's best case when repeated; h06 = the selective scan,
-        // pushdown's best case) so the mode comparison is not an
-        // SSB-shape artifact. Kept to two queries: the throttled store
-        // prices every byte, and these two bound the regime.
-        modeSweep("tpch", Seq(graft.operators.TpchCorpus.sql(1),
-          graft.operators.TpchCorpus.sql(6)))
+        // the SAME discipline over the reference's OTHER corpus, in
+        // full: all 22 TPC-H queries (the reference's `TPCHBench.cpp`
+        // benches this family wholesale; r11 ran a two-pole h01/h06
+        // subset). TPC-H's shapes are exactly where the mode discipline
+        // earns or loses differently from SSB: ~22 distinct lineitem
+        // column sets mean few repeat often enough to promote, so
+        // hybrid keeps paying per-query fetch bytes where SSB's
+        // repeated sets go resident (measured r12: hybrid_warm moves
+        // 43.8 MB vs caching_warm's 0 — and is WALL-SLOWER than its own
+        // cold pass, because narrower zip fetches run fewer concurrent
+        // throttled streams; honest physics, recorded, not tuned away).
+        val tpchAll = graft.operators.TpchCorpus.ids
+          .map(graft.operators.TpchCorpus.sql)
+        modeSweep("tpch", tpchAll)
+        // the §18.1 capacity crossover, re-asked on TPC-H: at 24 MB
+        // (where SSB's hybrid beat caching 1.5× time / 2.3× bytes under
+        // measured-size admission) do TPC-H's wider, less-repetitive
+        // column sets keep the crossover? Stateful modes only —
+        // pushdown is capacity-independent (its row is tpch_pushdown).
+        modeSweep("tpch24mb", tpchAll, capacity = 24L << 20,
+          policy = graft.cache.MeasuredWLFU, statefulOnly = true)
         out.toSeq
       }
 

@@ -33,13 +33,21 @@ import graft.sources.MockObjectFs
   * Env knobs: `SPARK_GRAFT_SF_DIR` (source data, served through mockfs
   * in place — no copy), `SPARK_GRAFT_STORE_MBPS` (per-stream bandwidth,
   * default 32), `SPARK_GRAFT_STORE_OPEN_MS` (per-open latency, default
-  * 5).
+  * 5), `SPARK_GRAFT_CORPUS` (`ssb` default, or `tpch` — the reference's
+  * `TPCHBench.cpp` runs its OTHER corpus through the same discipline).
   */
 object ProfileStoreModes {
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mbps = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "32").toLong
     val openMs = sys.env.getOrElse("SPARK_GRAFT_STORE_OPEN_MS", "5").toLong
+    val corpus: Seq[(String, String)] =
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS", "ssb") match {
+        case "ssb"  => SsbCorpus.names.map(n => n -> SsbCorpus.sql(n))
+        case "tpch" => graft.operators.TpchCorpus.ids
+          .map(i => s"h$i" -> graft.operators.TpchCorpus.sql(i))
+        case other  => sys.error(s"unknown SPARK_GRAFT_CORPUS '$other'")
+      }
     val spark = GraftSession.get("graft-profile-store-modes")
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.hadoopConfiguration
@@ -60,8 +68,8 @@ object ProfileStoreModes {
       throttleOn()
       val t0 = System.nanoTime()
       val secs = try {
-        SsbCorpus.names.foreach { n =>
-          ModeExec.runQueryMode(spark, dir, SsbCorpus.sql(n), mode, router)(
+        corpus.foreach { case (_, sql) =>
+          ModeExec.runQueryMode(spark, dir, sql, mode, router)(
             _.write.format("noop").mode("overwrite").save())
         }
         (System.nanoTime() - t0) / 1e9
@@ -78,8 +86,8 @@ object ProfileStoreModes {
     // carry that bias into exactly the comparison the probe exists to make
     locally {
       val warmCache = new SegmentCache(1L << 30, LRU)
-      SsbCorpus.names.foreach { n =>
-        ModeExec.runQueryMode(spark, dir, SsbCorpus.sql(n),
+      corpus.foreach { case (_, sql) =>
+        ModeExec.runQueryMode(spark, dir, sql,
           HybridScan.ModePushdownOnly,
           new AdaptiveScanRouter(warmCache, pushdownSlots = 64))(
           _.write.format("noop").mode("overwrite").save())

@@ -146,14 +146,16 @@ class ModeExecSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
-  test("TPC-H queries (joins, EXISTS, scalar subqueries, derived partsupp) run row-identical under all four modes") {
+  test("all 22 TPC-H queries run row-identical under all four modes") {
     import graft.operators.TpchCorpus
-    // a structurally diverse subset: h01 scan+agg, h04 EXISTS
-    // (decorrelated to a semi join), h06 selective scan, h11 the
-    // partsupp session artifact + an uncorrelated HAVING scalar subquery
-    // (the artifact leaf is a checkpointed RDD — correctly left alone;
-    // its sibling scans still route), h17 a correlated scalar subquery
-    for (i <- Seq(1, 4, 6, 11, 17)) {
+    // the reference's `TPCHBench.cpp` discipline: its ENTIRE primary
+    // corpus under every Mode.h mode, not a structural sample (r12,
+    // was h01/h04/h06/h11/h17). This is exactly where leaf rewriting
+    // could mis-route: h04/h21/h22 correlated EXISTS, h02/h11/h16 the
+    // derived-partsupp session artifact (a checkpointed leaf — left
+    // alone, its SIBLING scans must still route), h15 the revenue CTE
+    // read twice, h17/h20 correlated scalar subqueries
+    for (i <- TpchCorpus.ids) {
       val sql = TpchCorpus.sql(i)
       val expect = rows(Engine.executeQuery(spark, sfDir, sql))
       for (mode <- ScanMode.all) {

@@ -462,6 +462,77 @@ object Bench {
         out.toSeq
       }
 
+    // ---- per-partition router economics (r12): the day-partitioned
+    // events copy on the throttled store, cache capacity BELOW the
+    // table but ABOVE the hot region — the regime the reference's
+    // per-partition SegmentKey exists for. A whole-table promotion has
+    // nothing to offer here (the full-table segment can never fit, so
+    // every admission attempt is refused and every query pays storage
+    // forever); the per-partition router admits the hot DAYS as
+    // individual region-keyed segments on their second access, serves
+    // them resident from the third, and routes a wider span hybrid:
+    // hot days cache-side, cold days in one partition-pruned pushdown.
+    val partitionModes: Seq[(String, Double)] =
+      if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
+        import graft.sources.MockObjectFs
+        import org.apache.spark.sql.functions.{col, lit, count => fCount}
+        val local = graft.sources.Layout.partitionedEvents(spark, sfDir)
+        val mpath = s"mockfs:$local"
+        val storeBw = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        def du(f: java.io.File): Long = Option(f.listFiles())
+          .map(_.map(x => if (x.isDirectory) du(x) else x.length()).sum)
+          .getOrElse(0L)
+        // a third of the table holds the 5-day hot region (~1/6 of the
+        // 30-day span) with headroom, and can never hold the table
+        val tableBytes = du(new java.io.File(local))
+        val cache = new SegmentCache(math.max(1L << 20, tableBytes / 3),
+          MeasuredWLFU)
+        val router = new AdaptiveScanRouter(cache, pushdownSlots = 64,
+          hotAdmitAfter = 2)
+        val cols = Seq("event_type", "value", "day")
+        def window(lo: String, hi: String) =
+          col("day") >= lit(lo).cast("date") &&
+            col("day") <= lit(hi).cast("date")
+        def pass(label: String, lo: String, hi: String,
+            r: AdaptiveScanRouter,
+            mode: HybridScan.ScanMode = ModeHybrid): Unit = {
+          MockObjectFs.reset()
+          MockObjectFs.bytesPerSec = storeBw << 20
+          MockObjectFs.openLatencyMs = 5
+          val t0 = System.nanoTime()
+          try {
+            val lease = r.scanPartitionedMode(spark, mpath,
+              "events_by_day", cols, window(lo, hi), "day", mode)
+            try lease.df.groupBy(col("event_type"))
+              .agg(fCount(lit(1)))
+              .write.format("noop").mode("overwrite").save()
+            finally lease.close()
+            out += label -> (System.nanoTime() - t0) / 1e9
+            out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] partition-router $label failed: ${e.getMessage}")
+          } finally {
+            MockObjectFs.bytesPerSec = 0L
+            MockObjectFs.openLatencyMs = 0L
+          }
+        }
+        // the hot 5-day region: miss → heat (per-day admission on the
+        // second access) → resident on the third
+        pass("hot_cold", "2024-01-05", "2024-01-09", router)
+        pass("hot_admit", "2024-01-05", "2024-01-09", router)
+        pass("hot_warm", "2024-01-05", "2024-01-09", router)
+        out += "days_resident" -> cache.keys.count(_.region.nonEmpty).toDouble
+        out += "table_segments" -> cache.keys.count(_.region.isEmpty).toDouble
+        // a 15-day span over the warm cache vs the same span cache-less
+        pass("wide_hybrid", "2024-01-05", "2024-01-19", router)
+        pass("wide_pushdown", "2024-01-05", "2024-01-19",
+          new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+            pushdownSlots = 64), ModePushdownOnly)
+        cache.invalidateAll()
+        out.toSeq
+      }
+
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-run suite totals — the round-over-round variance record
     val runTotals = (0 until benchRuns).map { i =>
@@ -487,6 +558,7 @@ object Bench {
                ",\"shuffle_bytes\":" + sh + "}" }.mkString("{", ",", "}")},
          |"scan_modes":${scanModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"store_modes":${storeModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"partition_router":${partitionModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"modes":{"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warm.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_load":${loads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
@@ -510,7 +582,9 @@ object Bench {
       // the per-pass "_mb" store-byte record lives in BENCH_DETAIL.json
       val st = if (storeModes.isEmpty) "" else
         s""","store_modes":${jmap(storeModes.filterNot(_._1.endsWith("_mb")), dp)}"""
-      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
+      val pr = if (partitionModes.isEmpty) "" else
+        s""","partition_router":${jmap(partitionModes, dp)}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))
     // stop Spark BEFORE printing: the driver keeps the tail of the output

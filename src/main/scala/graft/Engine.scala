@@ -94,10 +94,20 @@ object Engine {
     * The reference selects a deployment-wide execution mode in
     * `exec.conf` (`Mode.h:13-18`); graft's equivalent knob is the
     * SESSION CONF `spark.graft.scanMode` (pullup / pushdown / caching /
-    * hybrid): when set, every query entering the engine — including a
-    * JDBC client's, via `SET spark.graft.scanMode=caching` on its own
-    * connection — has its base-table leaves routed through the session's
-    * [[graft.cache.HybridScan.sessionRouter]] under that mode
+    * hybrid): when set, every query entering THE ENGINE — this method:
+    * the shell, the Verify/Bench drivers, any embedded caller — has its
+    * base-table leaves routed through the session's
+    * [[graft.cache.HybridScan.sessionRouter]] under that mode. A JDBC
+    * client on [[Server]]'s shared single-session endpoint can SET the
+    * conf (it lands on the shared session and governs every engine
+    * entry from that moment), but its own thrift SELECTs execute
+    * `spark.sql` directly — transport parity, not mode parity. Routing
+    * is deliberately NOT a Catalyst rule: the substitution runs jobs
+    * (eager segment loads), takes slot leases that need deterministic
+    * closure, and ticks admission counters — none of which belongs in a
+    * fixpoint optimizer batch that may re-fire per query. The
+    * reference's server owns execution end-to-end (`Server.cpp`);
+    * graft's equivalent owned entry is this method
     * ([[graft.plans.ModeExec.executeQueryMode]]). Unset (the default)
     * means the pristine Catalyst path. The conf route carries the ROWS
     * contract (routes are result-identical by construction); plan-purity

@@ -37,6 +37,16 @@ object ProfileCacheSweep {
     // identified (zip-capable segments were refused at capacities their
     // real bytes fit because non-CBO stats multiply join children)
     val policyName = sys.env.getOrElse("SPARK_GRAFT_SWEEP_POLICY", "lru")
+    // `SPARK_GRAFT_CORPUS`: ssb (default) or tpch — the capacity
+    // crossover is workload-shaped (repetition earns residency), so the
+    // sweep must be runnable on the reference's other family too
+    val corpus: Seq[String] =
+      sys.env.getOrElse("SPARK_GRAFT_CORPUS", "ssb") match {
+        case "ssb"  => SsbCorpus.names.map(SsbCorpus.sql)
+        case "tpch" => graft.operators.TpchCorpus.ids
+          .map(graft.operators.TpchCorpus.sql)
+        case other  => sys.error(s"unknown SPARK_GRAFT_CORPUS '$other'")
+      }
     // parsePolicy fails loudly on a bad value — the session confs' rule;
     // a typo must not run the whole sweep under LRU while the report
     // header prints the requested name
@@ -50,8 +60,8 @@ object ProfileCacheSweep {
     // JIT warmup, unthrottled (same discipline as ProfileStoreModes)
     locally {
       val c = new SegmentCache(1L << 30, LRU)
-      SsbCorpus.names.foreach { n =>
-        ModeExec.runQueryMode(spark, dir, SsbCorpus.sql(n),
+      corpus.foreach { sql =>
+        ModeExec.runQueryMode(spark, dir, sql,
           HybridScan.ModePushdownOnly,
           new AdaptiveScanRouter(c, pushdownSlots = 64))(
           _.write.format("noop").mode("overwrite").save())
@@ -65,8 +75,8 @@ object ProfileCacheSweep {
       MockObjectFs.bytesPerSec = mbps << 20
       MockObjectFs.openLatencyMs = 5
       val t0 = System.nanoTime()
-      try SsbCorpus.names.foreach { n =>
-        ModeExec.runQueryMode(spark, dir, SsbCorpus.sql(n), mode, router)(
+      try corpus.foreach { sql =>
+        ModeExec.runQueryMode(spark, dir, sql, mode, router)(
           _.write.format("noop").mode("overwrite").save())
       } finally {
         MockObjectFs.bytesPerSec = 0L

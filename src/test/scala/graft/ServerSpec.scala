@@ -71,6 +71,59 @@ class ServerSpec extends SparkSpec {
       }, 120.seconds)
       assert(results.forall(_ == expect),
         s"all concurrent JDBC clients must see the shared catalog: $results")
+
+      // ---- mode-routed concurrency on the server's shared session (r12)
+      // A JDBC client SETs the deployment mode; it lands on the SHARED
+      // single-session conf (the exec.conf contract) and governs every
+      // query entering the engine from then on. The thrift SELECTs
+      // themselves execute spark.sql directly (transport parity, not
+      // mode parity — Engine.executeQuery's scaladoc states the
+      // boundary and why routing is not a Catalyst rule), so the pinned
+      // combination is: wire clients SETting + querying WHILE
+      // conf-routed engine queries run concurrently on the same
+      // session, serial-equal results and no leaked pushdown slots.
+      val sql = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+      val baseline = Engine.executeQuery(spark, sfDir, sql) // conf unset
+        .collect().map(_.toSeq).toSeq
+      val cache = graft.cache.HybridScan.segmentCache(spark, sfDir)
+      try {
+        val c = DriverManager.getConnection(url, "graft", "")
+        try c.createStatement().execute("SET spark.graft.scanMode=hybrid")
+        finally c.close()
+        assert(spark.conf.get("spark.graft.scanMode") == "hybrid",
+          "a JDBC SET must land on the shared session conf")
+        val router = graft.cache.HybridScan.sessionRouter(spark, sfDir)
+        val slots0 = router.availableSlots
+        val mixed = Await.result(Future.traverse((1 to 8).toVector) { i =>
+          Future {
+            if (i % 2 == 0) {
+              // conf-routed engine query — the conf route holds no
+              // session-global bracket (no pullup conf toggle; leases
+              // close at plan time), so it is safe to run concurrently
+              // with the wire clients by construction
+              Engine.executeQuery(spark, sfDir, sql)
+                .collect().map(_.toSeq).toSeq
+            } else {
+              val c = DriverManager.getConnection(url, "graft", "")
+              try {
+                val r = c.createStatement().executeQuery(sql)
+                val buf = scala.collection.mutable.Buffer.empty[Seq[Any]]
+                while (r.next()) buf += Seq(r.getString(1), r.getLong(2))
+                buf.toSeq
+              } finally c.close()
+            }
+          }
+        }, 180.seconds)
+        assert(mixed.forall(_ == baseline),
+          "every concurrent client, routed or wire, must equal the serial result")
+        assert(router.pushdowns + router.pullups + router.cacheOnlys +
+          router.hybrids > 0, "the engine queries must have routed")
+        assert(router.availableSlots == slots0,
+          s"pushdown slots must all be released: ${router.availableSlots} vs $slots0")
+      } finally {
+        spark.conf.unset("spark.graft.scanMode")
+        cache.invalidateAll()
+      }
     } finally server.stop()
   }
 }

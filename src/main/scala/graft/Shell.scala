@@ -219,8 +219,37 @@ object Shell {
         println(s"router: pushdowns=${router.pushdowns} pullups=${router.pullups}" +
           s" cacheOnly=${router.cacheOnlys} hybrid=${router.hybrids}" +
           s" overBudget=${router.overBudget} freeSlots=${router.availableSlots}")
-        cache.keys.sortBy(_.table).foreach { k =>
-          println(s"  segment ${k.table}[${k.columns.mkString(",")}]")
+        cache.keys.sortBy(k => (k.table, k.region)).foreach { k =>
+          val region = if (k.region.isEmpty) "" else s" @${k.region}"
+          println(s"  segment ${k.table}[${k.columns.mkString(",")}]$region")
+        }
+      } else if (stmt.toLowerCase.startsWith("\\heat")) {
+        // the router's server-lifetime state (the reference keeps its
+        // AdaptPushdownManager members for the store server's lifetime)
+        // at the prompt: measured service EWMAs, per-table pullup costs,
+        // and the snapshot sidecar a restarted session seeds from.
+        // \heat save forces a snapshot now (the engine also saves after
+        // every conf-routed query when spark.graft.heatPath is set).
+        val router = graft.cache.HybridScan.sessionRouter(spark, dir)
+        stmt.substring(5).trim.toLowerCase match {
+          case "" =>
+            val (pd, pu) = router.estimates
+            println(f"service estimates: pushdown=${pd / 1e6}%.3f ms" +
+              f"  pullup=${pu / 1e6}%.3f ms")
+            val snap = router.heatSnapshot.linesIterator.toSeq
+            snap.filter(_.startsWith("cost.")).foreach(l => println(s"  $l"))
+            println(s"access counters: ${snap.count(_.startsWith("seen."))}")
+            println("snapshot path: " +
+              spark.conf.getOption("spark.graft.heatPath")
+                .getOrElse("unset (heat dies with the session)"))
+          case "save" =>
+            if (spark.conf.getOption("spark.graft.heatPath").forall(_.isEmpty))
+              println("error: set spark.graft.heatPath before \\heat save")
+            else {
+              graft.cache.HybridScan.saveHeat(spark, dir)
+              println("heat snapshot saved")
+            }
+          case other => println(s"usage: \\heat [save] (got '$other')")
         }
       } else if (stmt.toLowerCase.startsWith("\\sweep ")) {
         // the reference's whole-suite mode discipline at the prompt:

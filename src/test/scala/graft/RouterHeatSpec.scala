@@ -138,4 +138,32 @@ class RouterHeatSpec extends SparkSpec {
       java.nio.file.Files.deleteIfExists(tmp)
     }
   }
+
+  test("shell \\heat prints router state and saves the snapshot") {
+    val tmp = java.nio.file.Files.createTempFile("graft-heat-shell", ".snap")
+    java.nio.file.Files.delete(tmp)
+    val s = spark.newSession()
+    val out = new java.io.ByteArrayOutputStream
+    def run(cmd: String): String = {
+      out.reset()
+      assert(Console.withOut(new java.io.PrintStream(out))(
+        Shell.runStatement(s, sfDir, cmd)), s"$cmd failed: $out")
+      out.toString
+    }
+    try {
+      val bare = run("\\heat")
+      assert(bare.contains("service estimates") &&
+        bare.contains("unset (heat dies with the session)"), bare)
+      // save without a path errors loudly, never writes
+      assert(run("\\heat save").contains("error"), "pathless save must refuse")
+      s.conf.set("spark.graft.heatPath", tmp.toString)
+      assert(run("\\heat save").contains("saved"))
+      assert(java.nio.file.Files.isRegularFile(tmp), "\\heat save must write")
+      assert(run("\\heat").contains(tmp.toString), "state must show the path")
+    } finally {
+      try s.conf.unset("spark.graft.heatPath") catch { case _: Throwable => () }
+      java.nio.file.Files.deleteIfExists(tmp)
+      HybridScan.segmentCache(s, sfDir).invalidateAll()
+    }
+  }
 }

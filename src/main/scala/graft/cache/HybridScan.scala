@@ -185,17 +185,22 @@ object HybridScan {
     }
   }
 
-  /** Drop cached listings at or under `path`, across every session — a
-    * write changed the disk for everyone. Graft's writers call this;
-    * external writers are covered by calling it directly (REFRESH TABLE
-    * analog). A dropped entry is re-listed on next touch; the worst case
-    * of a MISSED invalidation is the documented catalog-cache staleness,
-    * never a mis-zip of fresh bytes against a fresh fingerprint. */
+  /** Drop cached listings at, under, or ABOVE `path`, across every
+    * session — a write changed the disk for everyone, and a cached
+    * listing of an ancestor directory contains the written files too
+    * (today's writers all pass table roots; the ancestor direction
+    * keeps a future partition-dir caller safe). Graft's writers call
+    * this; external writers are covered by calling it directly (REFRESH
+    * TABLE analog). A dropped entry is re-listed on next touch; the
+    * worst case of a MISSED invalidation is the documented
+    * catalog-cache staleness, never a mis-zip of fresh bytes against a
+    * fresh fingerprint. */
   def invalidateListings(path: String): Unit = {
     val k = listingKey(path)
     sessionListings.synchronized {
       sessionListings.values.forEach { m =>
-        m.keySet.removeIf(e => e == k || e.startsWith(k + "/"))
+        m.keySet.removeIf(e => e == k || e.startsWith(k + "/") ||
+          k.startsWith(e + "/"))
       }
     }
   }

@@ -166,8 +166,32 @@ object HybridScan {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, TableListing]])
 
+  /** Monotonic invalidation epoch: a listing STARTED before an
+    * invalidation must not be cached AFTER it (a slow object-store LIST
+    * racing a writer would otherwise insert the pre-write file set for
+    * the rest of the session — the exact staleness the writer hooks
+    * promise away). Coarse on purpose: any invalidation anywhere stops
+    * every in-flight listing from caching; the loser's penalty is one
+    * re-list, never a wrong serve. */
+  private val listingEpoch = new AtomicLong(0)
+
+  /** Cache key: the path's FULL URI rendering. Scheme/authority stay IN
+    * the key (a `mockfs:` listing's file paths differ from the same
+    * directory's `file:` rendering — serving one for the other would
+    * break fingerprints), but the rendering is normalized through
+    * Hadoop Path so `/x`, `/x/` and `file:///x` variants of one scheme
+    * collapse. */
   private def listingKey(path: String): String =
     new org.apache.hadoop.fs.Path(path).toUri.toString
+
+  /** The scheme-INSENSITIVE component used for invalidation matching:
+    * writers render locations as `file:/x` or bare `/x` interchangeably
+    * (java.net.URI vs Hadoop Path), and a write through one scheme
+    * changes what every scheme's listing of that directory would see —
+    * over-invalidating across schemes costs a re-list, while
+    * under-invalidating serves stale metadata. */
+  private def invalidationKey(pathOrKey: String): String =
+    new org.apache.hadoop.fs.Path(pathOrKey).toUri.getPath
 
   /** [[listPath]] through the session listing cache: at most one real
     * listing per (session, path) between invalidations. Raced lookups may
@@ -179,9 +203,14 @@ object HybridScan {
     val cached = m.get(k)
     if (cached != null) cached
     else {
+      val epoch0 = listingEpoch.get
       val tl = listPath(s, path) // outside any map lock (it is real I/O)
-      val prior = m.putIfAbsent(k, tl)
-      if (prior != null) prior else tl
+      // cache only if NO invalidation landed while we listed — else the
+      // result is served once (it was true when read) but not kept
+      if (listingEpoch.get == epoch0) {
+        val prior = m.putIfAbsent(k, tl)
+        if (prior != null) prior else tl
+      } else tl
     }
   }
 
@@ -189,24 +218,29 @@ object HybridScan {
     * session — a write changed the disk for everyone, and a cached
     * listing of an ancestor directory contains the written files too
     * (today's writers all pass table roots; the ancestor direction
-    * keeps a future partition-dir caller safe). Graft's writers call
+    * keeps a future partition-dir caller safe). Matching is
+    * scheme-insensitive (see [[invalidationKey]]). Graft's writers call
     * this; external writers are covered by calling it directly (REFRESH
     * TABLE analog). A dropped entry is re-listed on next touch; the
     * worst case of a MISSED invalidation is the documented
     * catalog-cache staleness, never a mis-zip of fresh bytes against a
     * fresh fingerprint. */
   def invalidateListings(path: String): Unit = {
-    val k = listingKey(path)
+    val k = invalidationKey(path)
+    listingEpoch.incrementAndGet() // fence in-flight listings (see above)
     sessionListings.synchronized {
       sessionListings.values.forEach { m =>
-        m.keySet.removeIf(e => e == k || e.startsWith(k + "/") ||
-          k.startsWith(e + "/"))
+        m.keySet.removeIf { e0 =>
+          val e = invalidationKey(e0)
+          e == k || e.startsWith(k + "/") || k.startsWith(e + "/")
+        }
       }
     }
   }
 
   /** Drop every cached listing for `s` (full refresh). */
   def refreshListings(s: SparkSession): Unit = {
+    listingEpoch.incrementAndGet() // fence in-flight listings here too
     val m = sessionListings.get(s)
     if (m != null) m.clear()
   }
@@ -314,12 +348,23 @@ object HybridScan {
       // access heat from the last snapshot and writes one back after
       // every conf-routed query (atomic rename — a reader never sees a
       // torn file). A stale or corrupt snapshot degrades to a cold
-      // start: heat only biases ROUTES, never results.
+      // start: heat only biases ROUTES, never results. The snapshot is
+      // DIR-scoped: costs are keyed by bare table name, so seeding a
+      // different sf-dir's history (one shared heatPath, two dirs)
+      // would plant another dataset's measured constants — a dir
+      // mismatch cold-starts instead (r12 review).
       heatPathOf(s).foreach { p =>
         if (java.nio.file.Files.isRegularFile(p))
-          try r.seedHeat(new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8))
-          catch { case e: Exception =>
+          try {
+            val text = new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8)
+            val snapDir = text.linesIterator
+              .find(_.startsWith("dir=")).map(_.stripPrefix("dir="))
+            if (snapDir.forall(_ == dir)) r.seedHeat(text)
+            else org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"heat snapshot $p is for ${snapDir.get}, not $dir: " +
+                "cold-starting")
+          } catch { case e: Exception =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"ignoring unreadable heat snapshot $p: ${e.getMessage}")
           }
@@ -340,8 +385,11 @@ object HybridScan {
         Option(p.getParent)
           .foreach(java.nio.file.Files.createDirectories(_))
         val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-        java.nio.file.Files.write(tmp, sessionRouter(s, dir).heatSnapshot
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // dir header first: the loader refuses a snapshot from another
+        // sf-dir (costs are keyed by bare table name — see sessionRouter)
+        java.nio.file.Files.write(tmp,
+          (s"dir=$dir\n" + sessionRouter(s, dir).heatSnapshot)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp, p,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -666,10 +714,19 @@ object HybridScan {
       * separates the full-miss counter from the zipped-partial counter:
       * promotion of an already-zipping set is judged on how often it
       * ZIPS, not on accesses it served other ways. Bounded history: past
-      * the cap the map resets — admission is a best-effort heuristic and
-      * forgetting only delays warming by one access. */
+      * the cap, a QUARTER of the entries are evicted (arbitrary CHM
+      * order) instead of clearing the map — per-partition region keys
+      * put high-partition-count tables at thousands of live counters,
+      * and a full clear mid-loop would starve exactly those tables of
+      * admission forever (every early-iterated partition's heat wiped
+      * before it reaches the threshold, every pass — r12 review).
+      * Eviction only delays a survivor's warming by one access. */
     private def countAccess(kind: String, table: String, need: Seq[String]): Long = {
-      if (missSeen.size > 4096) missSeen.clear()
+      if (missSeen.size > 65536) {
+        val it = missSeen.keySet.iterator
+        var i = 0
+        while (it.hasNext) { it.next(); if (i % 4 == 0) it.remove(); i += 1 }
+      }
       missSeen.computeIfAbsent(s"$kind|$table|${need.sorted.mkString(",")}",
         _ => new AtomicLong).incrementAndGet()
     }
@@ -1033,7 +1090,13 @@ object HybridScan {
         mode: ScanMode, leaseSpansExecution: Boolean = true): ScanLease = {
       val need =
         (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
-      def plainScan() = s.read.parquet(path)
+      // ONE relation resolution for the whole routing decision: every
+      // derived frame (mode early-returns, region builds, the cold scan)
+      // filters/selects off this base — a fresh s.read.parquet per use
+      // would re-resolve (re-LIST) the table each time, several paged
+      // LISTs per query on the object store this cache exists to spare
+      val base = s.read.parquet(path)
+      def plainScan() = base
       mode match {
         case ModePullup =>
           pullupN.incrementAndGet()
@@ -1060,9 +1123,52 @@ object HybridScan {
       val tl = listPathSession(s, path)
       val allVals = tl.partitionValues(partitionCol)
       val dtype = plainScan().schema(partitionCol).dataType
-      def partLit(v: String) = lit(v).cast(dtype)
-      // touched partitions: evaluate the partition-only conjuncts on the
-      // directory values via a local relation — exact, no file I/O
+      // Directory renderings are Hive-ESCAPED and may be the
+      // default-partition sentinel for NULL: match rows by the UNESCAPED
+      // value (null for the sentinel) under null-safe equality, or the
+      // hybrid/caching routes would silently drop exactly those
+      // partitions' rows that pullup/pushdown return (r12 review — the
+      // route-identity contract is the whole point).
+      val NullPart = "__HIVE_DEFAULT_PARTITION__"
+      def unescape(v: String): String = org.apache.spark.sql.catalyst
+        .catalog.ExternalCatalogUtils.unescapePathName(v)
+      def partLit(v: String) =
+        (if (v == NullPart) lit(null) else lit(unescape(v))).cast(dtype)
+      // one driver-side frame over the directory values: the typed
+      // rendering guards the cast and evaluates the partition-only
+      // conjuncts — exact, no file I/O
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      allVals.foreach(v => rows.add(org.apache.spark.sql.Row(
+        v, if (v == NullPart) null else unescape(v))))
+      val pvFrame = s.createDataFrame(rows,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__pv",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__uv",
+              org.apache.spark.sql.types.StringType))))
+        .select(col("__pv"), col("__uv").cast(dtype).as(partitionCol))
+      // a non-sentinel directory value whose typed cast is NULL has no
+      // exact row match (null-safe equality would also capture the TRUE
+      // null partition): refuse the per-partition route LOUDLY and serve
+      // the window as one partition-pruned storage scan — always
+      // result-identical, never silently wrong
+      val uncastable = pvFrame
+        .filter(col("__pv") =!= lit(NullPart) && col(partitionCol).isNull)
+        .collect().map(_.getString(0)).toSeq
+      if (uncastable.nonEmpty) {
+        val acquired = mode != ModeCachingOnly && slots.tryAcquire()
+        val route = if (acquired) Pushdown else Pullup
+        (if (acquired) pushdownN else pullupN).incrementAndGet()
+        logDecision(segName, need, route,
+          s"partition values not exactly renderable as ${dtype.simpleString} " +
+          s"(${uncastable.take(3).mkString(",")}): per-partition route " +
+          "refused, serving one partition-pruned storage scan")
+        return new ScanLease(
+          plainScan().filter(predicate).select(cols.map(col): _*),
+          route, if (acquired) () => slots.release() else () => ())
+      }
+      // touched partitions: partition-only conjuncts evaluated on the
+      // typed directory values (IS NULL keeps the sentinel partition)
       val conj = conjunctsOf(
         org.apache.spark.sql.GraftBridge.parsedExpression(predicate))
       val partOnly = conj.filter(p => referencedColsE(p) == Set(partitionCol))
@@ -1070,15 +1176,7 @@ object HybridScan {
         .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
         .map(org.apache.spark.sql.GraftBridge.column) match {
         case None => allVals
-        case Some(pp) =>
-          val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-          allVals.foreach(v => rows.add(org.apache.spark.sql.Row(v)))
-          s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("__pv",
-                org.apache.spark.sql.types.StringType))))
-            .select(col("__pv"), col("__pv").cast(dtype).as(partitionCol))
-            .filter(pp) // resolves against the typed alias — exact
-            .collect().map(_.getString(0)).toSeq
+        case Some(pp) => pvFrame.filter(pp).collect().map(_.getString(0)).toSeq
       }
       if (touched.isEmpty) {
         pushdownN.incrementAndGet()
@@ -1090,7 +1188,7 @@ object HybridScan {
       val needSorted = need.sorted
       def regionOf(v: String) = s"$partitionCol=$v"
       def buildRegion(v: String, cs: Seq[String]) =
-        plainScan().filter(col(partitionCol) === partLit(v))
+        plainScan().filter(col(partitionCol) <=> partLit(v))
           .select(cs.map(col): _*)
       val servedHot = scala.collection.mutable.Buffer.empty[String]
       val hotFrames = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -1142,7 +1240,7 @@ object HybridScan {
         // ONE storage pass over every cold partition: the region
         // disjunction prunes directories at listing time, the full
         // predicate pushes into the surviving files
-        val coldPred = coldVals.map(v => col(partitionCol) === partLit(v))
+        val coldPred = coldVals.map(v => col(partitionCol) <=> partLit(v))
           .reduce(_ || _)
         val acquired = slots.tryAcquire()
         coldRoute = Some(if (acquired) Pushdown else Pullup)

@@ -70,20 +70,35 @@ private[graft] object Fixtures {
       java.util.concurrent.ConcurrentHashMap[String,
         java.util.concurrent.FutureTask[String]]])
 
+  // keys THIS THREAD is currently building — a same-key reentrant call
+  // would get() the FutureTask its own run() is live on: an unbounded
+  // silent hang where the pre-FutureTask CHM at least threw "Recursive
+  // update". Detect and fail fast with the same loudness.
+  private val building = ThreadLocal.withInitial[java.util.HashSet[String]](
+    () => new java.util.HashSet[String])
+
   /** [[ensure]] behind a per-(session, dir, name) memo: compute the
     * fixture path once, build at most once per JVM, reuse across JVMs.
     * `build` receives the output path. A failed build is removed from
     * the memo (and its cause rethrown to every waiter), so a later call
-    * retries instead of replaying a cached failure. */
+    * retries instead of replaying a cached failure. A same-key
+    * reentrant call from inside its own build fails fast (see
+    * [[building]]). */
   def cached(s: SparkSession, dir: String, name: String)(
       build: String => Unit): String = {
     val m = memo.computeIfAbsent(s, // cheap: allocates a map, no I/O
       _ => new java.util.concurrent.ConcurrentHashMap[String,
         java.util.concurrent.FutureTask[String]])
     val key = s"$dir#$name"
+    if (building.get.contains(key))
+      throw new IllegalStateException(
+        s"reentrant Fixtures.cached for '$key' from inside its own build")
     val mine = new java.util.concurrent.FutureTask[String]({ () =>
-      val out = path(dir, name)
-      ensure(s, out)(build(out))
+      building.get.add(key)
+      try {
+        val out = path(dir, name)
+        ensure(s, out)(build(out))
+      } finally building.get.remove(key)
     })
     val task = Option(m.putIfAbsent(key, mine)).getOrElse { mine.run(); mine }
     try task.get()

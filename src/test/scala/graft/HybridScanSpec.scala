@@ -258,6 +258,29 @@ class HybridScanSpec extends SparkSpec {
     }
   }
 
+  test("invalidation matches scheme-insensitively: a file:-rendered writer drops a bare-path listing") {
+    import java.nio.file.Files
+    // Dedup/Similarity writers render locations as java.net URIs
+    // ('file:/x') while routers cache bare '/x' keys — the r12 review
+    // found the invalidation silently matching nothing across that pair
+    val root = Files.createTempDirectory("listing-scheme")
+    try {
+      val table = root.resolve("t.parquet").toString
+      spark.range(10).write.parquet(table)
+      HybridScan.listPathSession(spark, table) // cached under bare path
+      val before = HybridScan.listingCalls.get()
+      HybridScan.invalidateListings(s"file:$table") // writer's rendering
+      HybridScan.listPathSession(spark, table)
+      assert(HybridScan.listingCalls.get() == before + 1,
+        "a file:-scheme invalidation must drop the bare-path cache entry")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("refreshListings is the REFRESH TABLE analog for external rewrites") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Files.createTempDirectory("listing-refresh")

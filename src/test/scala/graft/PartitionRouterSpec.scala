@@ -134,6 +134,85 @@ class PartitionRouterSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("null and escaped partition values keep every route result-identical") {
+    import java.nio.file.Files
+    // a table partitioned by a STRING column with a NULL value (the
+    // __HIVE_DEFAULT_PARTITION__ directory) and a value Hive must escape
+    // ('a=b' → 'a%3Db'): the r12 review found === against the raw
+    // directory rendering silently dropped both partitions' rows from
+    // the hybrid/caching routes — the route-identity contract in the
+    // exact corner it exists for
+    val root = Files.createTempDirectory("part-null")
+    try {
+      val table = root.resolve("t").toString
+      val df = spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("x", 1L), org.apache.spark.sql.Row("x", 2L),
+          org.apache.spark.sql.Row(null, 3L), org.apache.spark.sql.Row("a=b", 4L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+      df.write.partitionBy("k").parquet(table)
+      val want = spark.read.parquet(table).select("k", "v").orderBy("v")
+        .collect().map(_.toSeq).toSeq
+      assert(want.size == 4, s"fixture must carry all rows: $want")
+      Seq(HybridScan.ModePullup, ModePushdownOnly, ModeCachingOnly,
+          ModeHybrid).foreach { mode =>
+        val cache = new SegmentCache(1L << 30, LRU)
+        val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+          hotAdmitAfter = 1) // admit on first touch: exercise the builds
+        (1 to 2).foreach { _ =>
+          val lease = router.scanPartitionedMode(spark, table, "t",
+            Seq("k", "v"), lit(true), "k", mode)
+          try {
+            val got = lease.df.orderBy("v").collect().map(_.toSeq).toSeq
+            assert(got == want,
+              s"mode $mode must keep null/escaped partitions: $got vs $want")
+          } finally lease.close()
+        }
+        cache.invalidateAll()
+      }
+      // a directory value that does not parse as a date: Spark's own
+      // partition inference degrades the column to STRING (so our casts
+      // are identity and every route stays exact — asserted); the
+      // router's uncastable-rendering fallback is defense-in-depth for
+      // a future path that carries a USER-declared typed schema, which
+      // inference can never hand us here
+      val t2 = root.resolve("t2").toString
+      spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row(java.sql.Date.valueOf("2024-01-01"), 1L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("d",
+            org.apache.spark.sql.types.DateType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+        .write.partitionBy("d").parquet(t2)
+      val weird = new java.io.File(s"$t2/d=not-a-date")
+      assert(weird.mkdir())
+      val src = new java.io.File(s"$t2/d=2024-01-01").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(src.toPath, weird.toPath.resolve(src.getName))
+      assert(spark.read.parquet(t2).schema("d").dataType ==
+        org.apache.spark.sql.types.StringType,
+        "mixed renderings must have degraded the partition column to string")
+      val cache = new SegmentCache(1L << 30, LRU)
+      val router = new AdaptiveScanRouter(cache, pushdownSlots = 8)
+      val wantAll = spark.read.parquet(t2).count()
+      val lease = router.scanPartitionedMode(spark, t2, "t2",
+        Seq("d", "v"), lit(true), "d", ModeHybrid)
+      try assert(lease.df.count() == wantAll,
+        "the string-degraded partition column must still return every row")
+      finally lease.close()
+      cache.invalidateAll()
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("rewriting ONE partition rotates only that partition's segments") {
     import java.nio.file.{Files, Path, Paths}
     // private copy: this test rewrites a partition in place

@@ -246,7 +246,7 @@ object Shell {
             if (spark.conf.getOption("spark.graft.heatPath").forall(_.isEmpty))
               println("error: set spark.graft.heatPath before \\heat save")
             else {
-              graft.cache.HybridScan.saveHeat(spark, dir)
+              graft.cache.HybridScan.saveHeat(spark, dir, force = true)
               println("heat snapshot saved")
             }
           case other => println(s"usage: \\heat [save] (got '$other')")

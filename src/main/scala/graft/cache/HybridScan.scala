@@ -209,7 +209,12 @@ object HybridScan {
       // result is served once (it was true when read) but not kept
       if (listingEpoch.get == epoch0) {
         val prior = m.putIfAbsent(k, tl)
-        if (prior != null) prior else tl
+        // re-check AFTER the insert: an invalidation between the check
+        // and putIfAbsent would have removed the key before we wrote it
+        // (r12 review TOCTOU) — undo, so staleness is never PERMANENT;
+        // a reader racing this window serves the entry at most once
+        if (listingEpoch.get != epoch0) { m.remove(k); tl }
+        else if (prior != null) prior else tl
       } else tl
     }
   }
@@ -376,23 +381,39 @@ object HybridScan {
     s.conf.getOption("spark.graft.heatPath").filter(_.nonEmpty)
       .map(java.nio.file.Paths.get(_))
 
+  private val heatSaveTicks = new AtomicLong(0)
+
   /** Persist the session router's measured history to
     * `spark.graft.heatPath` (no-op when the conf is unset). Called by
-    * the engine after each conf-routed query; safe to call any time. */
-  def saveHeat(s: SparkSession, dir: String): Unit =
+    * the engine after each conf-routed query; safe to call any time.
+    * Throttled once the history is big: rendering 64k access counters
+    * and fsyncing them per query would be a per-query driver-side
+    * serial cost on exactly the high-partition-count workloads that
+    * grow the map (r12 review) — a small history still saves every
+    * call, a large one every 16th (`force` = always, the `\heat save`
+    * path). The tmp file is uniquely named per attempt: two concurrent
+    * saves must never interleave one tmp's write with the other's
+    * atomic rename (last rename wins; a reader never sees a torn file,
+    * as promised). */
+  def saveHeat(s: SparkSession, dir: String, force: Boolean = false): Unit =
     heatPathOf(s).foreach { p =>
       try {
-        Option(p.getParent)
-          .foreach(java.nio.file.Files.createDirectories(_))
-        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-        // dir header first: the loader refuses a snapshot from another
-        // sf-dir (costs are keyed by bare table name — see sessionRouter)
-        java.nio.file.Files.write(tmp,
-          (s"dir=$dir\n" + sessionRouter(s, dir).heatSnapshot)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        java.nio.file.Files.move(tmp, p,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val r = sessionRouter(s, dir)
+        if (force || r.heatKeyCount <= 1024 ||
+            heatSaveTicks.incrementAndGet() % 16 == 0) {
+          Option(p.getParent)
+            .foreach(java.nio.file.Files.createDirectories(_))
+          val tmp = p.resolveSibling(p.getFileName.toString +
+            s".tmp.${Thread.currentThread.getId}.${System.nanoTime}")
+          // dir header first: the loader refuses a snapshot from another
+          // sf-dir (costs are keyed by bare table name — see sessionRouter)
+          java.nio.file.Files.write(tmp,
+            (s"dir=$dir\n" + r.heatSnapshot)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
       } catch { case e: Exception =>
         org.slf4j.LoggerFactory.getLogger(getClass)
           .warn(s"could not save heat snapshot to $p: ${e.getMessage}")
@@ -1163,9 +1184,14 @@ object HybridScan {
           s"partition values not exactly renderable as ${dtype.simpleString} " +
           s"(${uncastable.take(3).mkString(",")}): per-partition route " +
           "refused, serving one partition-pruned storage scan")
-        return new ScanLease(
-          plainScan().filter(predicate).select(cols.map(col): _*),
-          route, if (acquired) () => slots.release() else () => ())
+        // route-true shapes: only an acquired slot earns the
+        // predicate-pushed scan; the fallback pulls raw columns up
+        val df =
+          if (acquired) plainScan().filter(predicate).select(cols.map(col): _*)
+          else plainScan().select(need.map(col): _*).filter(predicate)
+            .select(cols.map(col): _*)
+        return new ScanLease(df, route,
+          if (acquired) () => slots.release() else () => ())
       }
       // touched partitions: partition-only conjuncts evaluated on the
       // typed directory values (IS NULL keeps the sentinel partition)
@@ -1186,79 +1212,122 @@ object HybridScan {
           plainScan().filter(predicate).select(cols.map(col): _*), Pushdown)
       }
       val needSorted = need.sorted
-      def regionOf(v: String) = s"$partitionCol=$v"
-      def buildRegion(v: String, cs: Seq[String]) =
-        plainScan().filter(col(partitionCol) <=> partLit(v))
+      // collapse directory renderings to TYPED partition values: two
+      // renderings can cast to ONE value (k=1 vs k=01, 2024-1-5 vs
+      // 2024-01-05) and row matching is by VALUE — ungrouped, two hot
+      // segments would EACH capture every rendering's rows (duplicate
+      // rows in the union, r12 review). Canonical rendering = sorted
+      // first; the group's fingerprint spans every member's files, so
+      // rewriting ANY of its directories rotates the segment.
+      val typedOf: Map[String, String] = pvFrame
+        .select(col("__pv"), col(partitionCol).cast("string"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) "\u0000" /* no path value contains NUL */ else r.getString(1))).toMap
+      val groups: Seq[(String, Seq[String])] = {
+        val byTyped = touched.groupBy(typedOf)
+        touched.map(typedOf).distinct.map(t => t -> byTyped(t).sorted)
+      }
+      // files per rendering in ONE pass (regionFingerprint per touched
+      // partition re-scanned the whole listing — O(touched × files)
+      // driver work per decision, r12 review); group fingerprints hash
+      // path-sorted file rows, deterministic across rendering order
+      val fileRe = s"/${java.util.regex.Pattern.quote(partitionCol)}=([^/]+)/".r
+      val filesByRendering: Map[String, Seq[(String, Long, Long)]] =
+        tl.files.groupBy(f =>
+          fileRe.findFirstMatchIn(f._1).map(_.group(1)).getOrElse(""))
+      def groupFp(members: Seq[String]): String =
+        TableListing(members.flatMap(filesByRendering.getOrElse(_, Nil))
+          .sortBy(_._1)).fingerprint
+      def buildRegion(canon: String, cs: Seq[String]) =
+        plainScan().filter(col(partitionCol) <=> partLit(canon))
           .select(cs.map(col): _*)
       val servedHot = scala.collection.mutable.Buffer.empty[String]
+      val hotVals = scala.collection.mutable.Buffer.empty[String]
       val hotFrames = scala.collection.mutable.Buffer.empty[DataFrame]
       val releases = scala.collection.mutable.Buffer.empty[() => Unit]
       val coldVals = scala.collection.mutable.Buffer.empty[String]
-      touched.foreach { v =>
-        val region = regionOf(v)
-        val rfp = tl.regionFingerprint(region)
-        val keyTable = s"$segName@$rfp"
+      groups.foreach { case (_, members) =>
+        val canon = members.head
+        val region = s"$partitionCol=$canon"
+        val keyTable = s"$segName@${groupFp(members)}"
         val heat = countAccess("part", segName, needSorted :+ region)
         val resident = cache.keys.find(k => k.table == keyTable &&
           k.region == region && need.forall(k.columns.contains))
+        def serveHot(seg: DataFrame): Unit = {
+          servedHot += canon; hotVals += canon; hotFrames += seg
+        }
         def admitRegion(): Unit = {
           val k = SegmentKey(keyTable, needSorted, region)
-          val seg = cache.get(k)(buildRegion(v, needSorted))
-          if (cache.keys.contains(k)) { servedHot += v; hotFrames += seg }
+          val seg = cache.get(k)(buildRegion(canon, needSorted))
+          if (cache.keys.contains(k)) serveHot(seg)
           else {
             resetAccess("part", segName, needSorted :+ region)
             val relOpt = if (leaseSpansExecution) cache.leaseRefused(seg) else None
             relOpt match {
               case Some(rel) => // eager refusal: serve this once under lease
-                servedHot += v; hotFrames += seg; releases += rel
+                serveHot(seg); releases += rel
               case None =>
                 if (!leaseSpansExecution) cache.leaseRefused(seg).foreach(_.apply())
                 if (mode == ModeCachingOnly) {
                   // caching-only cannot push down: serve the unadmitted
                   // frame compute-side (pullup semantics for this region)
-                  servedHot += v; hotFrames += seg
-                } else coldVals += v
+                  serveHot(seg)
+                } else coldVals += canon
             }
           }
         }
         resident match {
           case Some(k) =>
-            val seg = cache.get(k)(buildRegion(v, k.columns))
-            servedHot += v; hotFrames += seg
+            serveHot(cache.get(k)(buildRegion(canon, k.columns)))
           case None =>
             if (mode == ModeCachingOnly ||
                 (hotAdmitAfter > 0 && heat >= hotAdmitAfter)) admitRegion()
-            else coldVals += v
+            else coldVals += canon
         }
       }
       val frames = scala.collection.mutable.Buffer.empty[DataFrame]
       hotFrames.foreach(seg =>
         frames += seg.filter(predicate).select(cols.map(col): _*))
       var release: () => Unit = () => releases.foreach(_.apply())
-      var coldRoute: Option[Route] = None
-      if (coldVals.nonEmpty) {
-        // ONE storage pass over every cold partition: the region
-        // disjunction prunes directories at listing time, the full
-        // predicate pushes into the surviving files
-        val coldPred = coldVals.map(v => col(partitionCol) <=> partLit(v))
-          .reduce(_ || _)
-        val acquired = slots.tryAcquire()
-        coldRoute = Some(if (acquired) Pushdown else Pullup)
-        val coldScan =
-          if (acquired) plainScan().filter(coldPred && predicate)
-            .select(cols.map(col): _*)
-          else plainScan().filter(coldPred).select(need.map(col): _*)
-            .filter(predicate).select(cols.map(col): _*)
-        frames += coldScan
-        if (acquired) {
-          val r0 = release; release = () => { r0(); slots.release() }
-        }
+      // The storage side is the COMPLEMENT of the hot values, not an
+      // explicit cold-value disjunction (r12 review): a listing the
+      // session cache served STALE can be missing whole partitions, and
+      // an enumerated cold side would silently drop their rows where
+      // pullup/pushdown (fresh relation) return them. The complement
+      // carries the full predicate — known cold partitions are pruned
+      // into it natively, listing-unknown partitions fall through to
+      // storage, and when everything touched is hot it prunes to zero
+      // files. Listing staleness therefore costs ROUTING (a partition
+      // served storage-side that could have been admitted) or REFRESH
+      // semantics on a rewritten-in-place hot partition (Spark's own
+      // catalog-cache contract), never rows of partitions the listing
+      // has not seen.
+      val hotDisj = hotVals.toSeq match {
+        case Seq() => lit(false)
+        case vs    => vs.map(v => col(partitionCol) <=> partLit(v)).reduce(_ || _)
+      }
+      // a slot is leased only for KNOWN cold work; the all-hot case's
+      // complement normally prunes to zero files (listing-unknown
+      // partitions ride it unmetered — rare, and tiny by definition of
+      // "the cache had never heard of them")
+      val acquired = coldVals.nonEmpty && mode != ModeCachingOnly &&
+        slots.tryAcquire()
+      val coldRoute: Option[Route] =
+        if (coldVals.nonEmpty) Some(if (acquired) Pushdown else Pullup) else None
+      val coldScan =
+        if (acquired) plainScan().filter(!hotDisj && predicate)
+          .select(cols.map(col): _*)
+        else plainScan().filter(!hotDisj).select(need.map(col): _*)
+          .filter(predicate).select(cols.map(col): _*)
+      frames += coldScan
+      if (acquired) {
+        val r0 = release; release = () => { r0(); slots.release() }
       }
       val route = (servedHot.nonEmpty, coldRoute) match {
         case (true, Some(_)) => Hybrid
         case (true, None)    => CacheOnly
         case (false, Some(r)) => r
-        case (false, None)    => Pushdown // unreachable: touched covered
+        case (false, None)    => Pushdown // touched all refused plan-only
       }
       route match {
         case Hybrid    => hybridN.incrementAndGet()
@@ -1269,7 +1338,8 @@ object HybridScan {
       logDecision(segName, need, route,
         s"per-partition: cache=[${servedHot.mkString(",")}] " +
         s"storage=[${coldVals.mkString(",")}]" +
-        coldRoute.fold("")(r => s" (cold side ${r.toString.toLowerCase})"))
+        coldRoute.fold(" (storage side is the safety complement)")(r =>
+          s" (cold side ${r.toString.toLowerCase})"))
       new ScanLease(frames.reduce(_ unionByName _), route, release)
     }
 
@@ -1332,6 +1402,11 @@ object HybridScan {
       * slot [[execute]]'s pullup observations update). */
     private[graft] def seedTableCost(table: String, secs: Double): Unit =
       tableCostSecs.put(table, Double.box(secs))
+
+    /** Live access-counter count — [[HybridScan.saveHeat]]'s throttle
+      * input (rendering a large history per query is driver-side serial
+      * cost; a small one is free). */
+    private[graft] def heatKeyCount: Int = missSeen.size
 
     /** This router's measured history as a line-oriented snapshot —
       * service-time EWMAs, per-table pullup costs, and the hot-admission

@@ -213,6 +213,56 @@ class PartitionRouterSpec extends SparkSpec {
     }
   }
 
+  test("a listing-unknown partition still reaches the result via the complement") {
+    import java.nio.file.Files
+    // the r12 review's worst finding: the cold side used to enumerate
+    // the LISTING's partition values, so a partition the session
+    // listing cache had never seen (external writer, no invalidation)
+    // silently lost its rows in the hybrid route while pullup returned
+    // them. The storage side is now the COMPLEMENT of the hot values:
+    // unknown partitions fall through to storage by construction.
+    val root = Files.createTempDirectory("part-stale")
+    try {
+      val table = root.resolve("t").toString
+      spark.read.parquet(eventsPath)
+        .filter(dayRange("2024-01-01", "2024-01-02"))
+        .write.partitionBy("day").parquet(table)
+      val cache = new SegmentCache(1L << 30, LRU)
+      val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+        hotAdmitAfter = 1)
+      def count() = {
+        val lease = router.scanPartitionedMode(spark, table, "t", cols,
+          lit(true), "day", HybridScan.ModeHybrid)
+        try lease.df.count() finally lease.close()
+      }
+      val n0 = count(); count() // heat + admit both known days
+      assert(cache.keys.count(_.region.nonEmpty) == 2)
+      // EXTERNAL writer adds a whole new partition WITHOUT touching
+      // graft's listing cache (only Spark's own file-index cache is
+      // refreshed — the base relation resolves fresh anyway)
+      val stage = root.resolve("stage").toString
+      spark.read.parquet(eventsPath)
+        .filter(dayRange("2024-01-03", "2024-01-03"))
+        .write.partitionBy("day").parquet(stage)
+      val added = spark.read.parquet(stage).count()
+      val src = new java.io.File(s"$stage/day=2024-01-03")
+      val dst = new java.io.File(s"$table/day=2024-01-03")
+      assert(src.renameTo(dst), "fixture: move the new partition in")
+      spark.catalog.refreshByPath(table)
+      assert(count() == n0 + added,
+        "the unknown partition's rows must ride the safety complement")
+      val d = router.decisions.last
+      assert(d._4.contains("cache=[2024-01-01,2024-01-02]"),
+        s"the known days must still serve cache-side: ${d._4}")
+      cache.invalidateAll()
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete()
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("rewriting ONE partition rotates only that partition's segments") {
     import java.nio.file.{Files, Path, Paths}
     // private copy: this test rewrites a partition in place

@@ -104,15 +104,6 @@ object HybridScan {
       allDistinct(raw) && allDistinct(uriStrs) && allDistinct(slashed)
     }
 
-    /** Fingerprint of ONE partition's files — the rows whose path
-      * contains `/segment/` (e.g. `day=2024-01-05`). Region-keyed
-      * segments carry THIS in their key instead of the whole-table
-      * fingerprint, so rewriting one partition rotates only that
-      * partition's segments: the others keep serving (the reference's
-      * per-partition staleness unit, `Partition.h:23-41`). */
-    def regionFingerprint(segment: String): String =
-      TableListing(files.filter(_._1.contains(s"/$segment/"))).fingerprint
-
     /** Distinct `col=value` partition values present in this listing's
       * paths, in directory-name (Hive) rendering. */
     def partitionValues(partitionCol: String): Seq[String] = {

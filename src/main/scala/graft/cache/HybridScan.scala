@@ -202,9 +202,11 @@ object HybridScan {
         val prior = m.putIfAbsent(k, tl)
         // re-check AFTER the insert: an invalidation between the check
         // and putIfAbsent would have removed the key before we wrote it
-        // (r12 review TOCTOU) — undo, so staleness is never PERMANENT;
-        // a reader racing this window serves the entry at most once
-        if (listingEpoch.get != epoch0) { m.remove(k); tl }
+        // (r12 review TOCTOU) — undo OUR OWN insert only (conditional
+        // remove: another thread's post-invalidation fresh listing must
+        // not be evicted), so staleness is never PERMANENT; a reader
+        // racing this window serves the entry at most once
+        if (listingEpoch.get != epoch0) { m.remove(k, tl); tl }
         else if (prior != null) prior else tl
       } else tl
     }
@@ -396,14 +398,21 @@ object HybridScan {
             .foreach(java.nio.file.Files.createDirectories(_))
           val tmp = p.resolveSibling(p.getFileName.toString +
             s".tmp.${Thread.currentThread.getId}.${System.nanoTime}")
-          // dir header first: the loader refuses a snapshot from another
-          // sf-dir (costs are keyed by bare table name — see sessionRouter)
-          java.nio.file.Files.write(tmp,
-            (s"dir=$dir\n" + r.heatSnapshot)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          java.nio.file.Files.move(tmp, p,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          try {
+            // dir header first: the loader refuses a snapshot from
+            // another sf-dir (costs are keyed by bare table name)
+            java.nio.file.Files.write(tmp,
+              (s"dir=$dir\n" + r.heatSnapshot)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } finally
+            // a throwing write/move must not leave its uniquely-named
+            // tmp behind — one orphan per failed save is unbounded on a
+            // persistently failing path (deleteIfExists no-ops after a
+            // successful move)
+            java.nio.file.Files.deleteIfExists(tmp)
         }
       } catch { case e: Exception =>
         org.slf4j.LoggerFactory.getLogger(getClass)
@@ -1159,14 +1168,21 @@ object HybridScan {
             org.apache.spark.sql.types.StructField("__uv",
               org.apache.spark.sql.types.StringType))))
         .select(col("__pv"), col("__uv").cast(dtype).as(partitionCol))
+      // ONE collect answers both driver-side questions (uncastable
+      // check and the typed-value grouping below) — this path is
+      // plan-overhead-dominated, so per-decision jobs over the tiny
+      // local frame are the thing to economize
+      val pvPairs: Seq[(String, Option[String])] = pvFrame
+        .select(col("__pv"), col(partitionCol).cast("string"))
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getString(1)))).toSeq
       // a non-sentinel directory value whose typed cast is NULL has no
       // exact row match (null-safe equality would also capture the TRUE
       // null partition): refuse the per-partition route LOUDLY and serve
       // the window as one partition-pruned storage scan — always
       // result-identical, never silently wrong
-      val uncastable = pvFrame
-        .filter(col("__pv") =!= lit(NullPart) && col(partitionCol).isNull)
-        .collect().map(_.getString(0)).toSeq
+      val uncastable =
+        pvPairs.collect { case (raw, None) if raw != NullPart => raw }
       if (uncastable.nonEmpty) {
         val acquired = mode != ModeCachingOnly && slots.tryAcquire()
         val route = if (acquired) Pushdown else Pullup
@@ -1210,10 +1226,9 @@ object HybridScan {
       // rows in the union, r12 review). Canonical rendering = sorted
       // first; the group's fingerprint spans every member's files, so
       // rewriting ANY of its directories rotates the segment.
-      val typedOf: Map[String, String] = pvFrame
-        .select(col("__pv"), col(partitionCol).cast("string"))
-        .collect().map(r => r.getString(0) ->
-          (if (r.isNullAt(1)) "\u0000" /* no path value contains NUL */ else r.getString(1))).toMap
+      // NUL marks the null group — no path-derived value can contain it
+      val typedOf: Map[String, String] =
+        pvPairs.map { case (raw, t) => raw -> t.getOrElse("\u0000") }.toMap
       val groups: Seq[(String, Seq[String])] = {
         val byTyped = touched.groupBy(typedOf)
         touched.map(typedOf).distinct.map(t => t -> byTyped(t).sorted)
@@ -1232,7 +1247,8 @@ object HybridScan {
       def buildRegion(canon: String, cs: Seq[String]) =
         plainScan().filter(col(partitionCol) <=> partLit(canon))
           .select(cs.map(col): _*)
-      val servedHot = scala.collection.mutable.Buffer.empty[String]
+      // hotVals is triple-duty: the complement's hot disjunction (the
+      // correctness-critical use), the route decision, and the log line
       val hotVals = scala.collection.mutable.Buffer.empty[String]
       val hotFrames = scala.collection.mutable.Buffer.empty[DataFrame]
       val releases = scala.collection.mutable.Buffer.empty[() => Unit]
@@ -1245,7 +1261,7 @@ object HybridScan {
         val resident = cache.keys.find(k => k.table == keyTable &&
           k.region == region && need.forall(k.columns.contains))
         def serveHot(seg: DataFrame): Unit = {
-          servedHot += canon; hotVals += canon; hotFrames += seg
+          hotVals += canon; hotFrames += seg
         }
         def admitRegion(): Unit = {
           val k = SegmentKey(keyTable, needSorted, region)
@@ -1288,11 +1304,14 @@ object HybridScan {
       // carries the full predicate — known cold partitions are pruned
       // into it natively, listing-unknown partitions fall through to
       // storage, and when everything touched is hot it prunes to zero
-      // files. Listing staleness therefore costs ROUTING (a partition
-      // served storage-side that could have been admitted) or REFRESH
-      // semantics on a rewritten-in-place hot partition (Spark's own
-      // catalog-cache contract), never rows of partitions the listing
-      // has not seen.
+      // files. The partition unit here is the typed VALUE (groups,
+      // above), so the staleness guarantee is value-space: rows of a
+      // VALUE the listing has never seen always reach the result via
+      // the complement; new bytes landing in an already-HOT value's
+      // value-space (another rendering of it included) are an in-place
+      // rewrite of that partition — REFRESH semantics, Spark's own
+      // catalog-cache contract. Staleness therefore costs ROUTING or a
+      // REFRESH, never rows of an unseen value.
       val hotDisj = hotVals.toSeq match {
         case Seq() => lit(false)
         case vs    => vs.map(v => col(partitionCol) <=> partLit(v)).reduce(_ || _)
@@ -1314,7 +1333,7 @@ object HybridScan {
       if (acquired) {
         val r0 = release; release = () => { r0(); slots.release() }
       }
-      val route = (servedHot.nonEmpty, coldRoute) match {
+      val route = (hotVals.nonEmpty, coldRoute) match {
         case (true, Some(_)) => Hybrid
         case (true, None)    => CacheOnly
         case (false, Some(r)) => r
@@ -1327,7 +1346,7 @@ object HybridScan {
         case Pullup    => pullupN.incrementAndGet()
       }
       logDecision(segName, need, route,
-        s"per-partition: cache=[${servedHot.mkString(",")}] " +
+        s"per-partition: cache=[${hotVals.mkString(",")}] " +
         s"storage=[${coldVals.mkString(",")}]" +
         coldRoute.fold(" (storage side is the safety complement)")(r =>
           s" (cold side ${r.toString.toLowerCase})"))

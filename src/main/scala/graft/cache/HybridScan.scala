@@ -670,7 +670,8 @@ object HybridScan {
       initialPullupEstNanos: Double = 0.0,
       pullupWeight: Double = 1.0,
       maxPullupReqs: Int = 10,
-      hotAdmitAfter: Int = 2) {
+      hotAdmitAfter: Int = 2,
+      maxHotRegions: Int = 256) {
     private val slots = new Semaphore(pushdownSlots)
     private val pushdownN  = new AtomicLong(0)
     private val pullupN    = new AtomicLong(0)
@@ -1258,7 +1259,16 @@ object HybridScan {
         val region = s"$partitionCol=$canon"
         val keyTable = s"$segName@${groupFp(members)}"
         val heat = countAccess("part", segName, needSorted :+ region)
-        val resident = cache.keys.find(k => k.table == keyTable &&
+        // union-width cap: past `maxHotRegions` hot legs, further values
+        // ride the complement even when resident/eligible — a
+        // 5000-partition hot span would otherwise plan a 5000-way union
+        // of InMemoryRelations (driver planning blowup for marginal byte
+        // savings; the §19.4 scale note made a knob). Not a mode
+        // violation for caching-only: the overflow legs are the same
+        // compute-side raw scan its refusal arm serves.
+        val hotCapped = hotVals.size >= maxHotRegions
+        val resident = if (hotCapped) None else
+          cache.keys.find(k => k.table == keyTable &&
           k.region == region && need.forall(k.columns.contains))
         def serveHot(seg: DataFrame): Unit = {
           hotVals += canon; hotFrames += seg
@@ -1287,7 +1297,8 @@ object HybridScan {
           case Some(k) =>
             serveHot(cache.get(k)(buildRegion(canon, k.columns)))
           case None =>
-            if (mode == ModeCachingOnly ||
+            if (hotCapped) coldVals += canon
+            else if (mode == ModeCachingOnly ||
                 (hotAdmitAfter > 0 && heat >= hotAdmitAfter)) admitRegion()
             else coldVals += canon
         }

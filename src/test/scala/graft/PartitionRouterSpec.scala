@@ -213,6 +213,27 @@ class PartitionRouterSpec extends SparkSpec {
     }
   }
 
+  test("maxHotRegions caps the union width; overflow rides the complement exactly") {
+    // the §19.4 scale note as a knob: a 5000-partition hot span must not
+    // plan a 5000-way union of InMemoryRelations — past the cap, values
+    // ride the storage complement even when admission-eligible
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 1, maxHotRegions = 2)
+    val want = oracle("2024-01-05", "2024-01-08") // 4 touched days
+    (1 to 3).foreach { _ =>
+      assert(viaRouter(router, "2024-01-05", "2024-01-08") == want,
+        "capped routing must stay result-identical")
+    }
+    assert(cache.keys.count(_.region.nonEmpty) == 2,
+      s"only maxHotRegions segments may exist: ${cache.keys}")
+    val d = router.decisions.last
+    assert(d._4.contains("cache=[2024-01-05,2024-01-06]") &&
+      d._4.contains("storage=[2024-01-07,2024-01-08]"),
+      s"overflow days must ride the storage side: ${d._4}")
+    cache.invalidateAll()
+  }
+
   test("a listing-unknown partition still reaches the result via the complement") {
     import java.nio.file.Files
     // the r12 review's worst finding: the cold side used to enumerate

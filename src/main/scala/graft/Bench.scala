@@ -364,6 +364,31 @@ object Bench {
     // same bytes as pushdown on this unclustered data and its local
     // number is already in scan_modes. The queries are JIT-warm from the
     // scan_modes block above.
+    // ONE throttle bracket for every throttled-store measurement block
+    // (store_modes AND partition_router): reset → per-stream bw + 5 ms
+    // GET → body → record secs + FS-truth MB → unthrottle. A hand-kept
+    // copy per block is exactly how two blocks' byte numbers drift
+    // apart under different store physics.
+    def throttledPass(out: scala.collection.mutable.ArrayBuffer[(String, Double)],
+        family: String, label: String)(body: => Unit): Unit = {
+      import graft.sources.MockObjectFs
+      MockObjectFs.reset()
+      MockObjectFs.bytesPerSec =
+        sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong << 20
+      MockObjectFs.openLatencyMs = 5
+      val t0 = System.nanoTime()
+      try {
+        body
+        out += label -> (System.nanoTime() - t0) / 1e9
+        out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $family $label failed: ${e.getMessage}")
+      } finally {
+        MockObjectFs.bytesPerSec = 0L
+        MockObjectFs.openLatencyMs = 0L
+      }
+    }
+
     val storeModes: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
         import graft.sources.MockObjectFs
@@ -371,27 +396,14 @@ object Bench {
           .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
         val mdir = s"mockfs:$sfDir"
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        val storeBw = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong
         def passOf(queries: Seq[String])(label: String, mode: ScanMode,
-            router: AdaptiveScanRouter): Unit = {
-          MockObjectFs.reset()
-          MockObjectFs.bytesPerSec = storeBw << 20
-          MockObjectFs.openLatencyMs = 5
-          val t0 = System.nanoTime()
-          try {
+            router: AdaptiveScanRouter): Unit =
+          throttledPass(out, "store-mode", label) {
             queries.foreach { sql =>
               ModeExec.runQueryMode(spark, mdir, sql, mode, router)(
                 _.write.format("noop").mode("overwrite").save())
             }
-            out += label -> (System.nanoTime() - t0) / 1e9
-            out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] store-mode $label failed: ${e.getMessage}")
-          } finally {
-            MockObjectFs.bytesPerSec = 0L
-            MockObjectFs.openLatencyMs = 0L
           }
-        }
         // ONE sweep discipline for every corpus, so the two families'
         // mode comparisons can never diverge by hand-kept copies:
         // pushdown / caching cold+warm / hybrid prime + cold + warm +
@@ -476,9 +488,12 @@ object Bench {
       if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
         import graft.sources.MockObjectFs
         import org.apache.spark.sql.functions.{col, lit, count => fCount}
+        // the block registers its own scheme — running it must not
+        // depend on the store_modes block having executed first
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
         val local = graft.sources.Layout.partitionedEvents(spark, sfDir)
         val mpath = s"mockfs:$local"
-        val storeBw = sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         def du(f: java.io.File): Long = Option(f.listFiles())
           .map(_.map(x => if (x.isDirectory) du(x) else x.length()).sum)
@@ -496,27 +511,15 @@ object Bench {
             col("day") <= lit(hi).cast("date")
         def pass(label: String, lo: String, hi: String,
             r: AdaptiveScanRouter,
-            mode: HybridScan.ScanMode = ModeHybrid): Unit = {
-          MockObjectFs.reset()
-          MockObjectFs.bytesPerSec = storeBw << 20
-          MockObjectFs.openLatencyMs = 5
-          val t0 = System.nanoTime()
-          try {
+            mode: HybridScan.ScanMode = ModeHybrid): Unit =
+          throttledPass(out, "partition-router", label) {
             val lease = r.scanPartitionedMode(spark, mpath,
               "events_by_day", cols, window(lo, hi), "day", mode)
             try lease.df.groupBy(col("event_type"))
               .agg(fCount(lit(1)))
               .write.format("noop").mode("overwrite").save()
             finally lease.close()
-            out += label -> (System.nanoTime() - t0) / 1e9
-            out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] partition-router $label failed: ${e.getMessage}")
-          } finally {
-            MockObjectFs.bytesPerSec = 0L
-            MockObjectFs.openLatencyMs = 0L
           }
-        }
         // the hot 5-day region: miss → heat (per-day admission on the
         // second access) → resident on the third
         pass("hot_cold", "2024-01-05", "2024-01-09", router)
@@ -583,7 +586,8 @@ object Bench {
       val st = if (storeModes.isEmpty) "" else
         s""","store_modes":${jmap(storeModes.filterNot(_._1.endsWith("_mb")), dp)}"""
       val pr = if (partitionModes.isEmpty) "" else
-        s""","partition_router":${jmap(partitionModes, dp)}"""
+        s""","partition_router":${
+          jmap(partitionModes.filterNot(_._1.endsWith("_mb")), dp)}"""
       s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))

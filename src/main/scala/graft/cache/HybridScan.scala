@@ -707,7 +707,6 @@ object HybridScan {
       import scala.jdk.CollectionConverters._
       decisionLog.asScala.toSeq
     }
-    def clearDecisions(): Unit = decisionLog.clear()
 
     /** Hot-data admission memory for [[scanMode]]'s HYBRID mode — the
       * loop that makes the cache WARM ITSELF from the workload instead of

@@ -152,11 +152,11 @@ object ModeExec extends PredicateHelper {
         // substitution's output, routable or not
         Filter(cond, substitute(leaf, table,
           routable.reduceOption(And), required ++ cond.references))
-      case leaf if leafTable(dir)(leaf).isDefined =>
-        substitute(leaf, leafTable(dir)(leaf).get, None, required)
-      case other =>
-        other.mapExpressions(goSubqueries)
+      case other => leafTable(dir)(other) match {
+        case Some(table) => substitute(other, table, None, required)
+        case None => other.mapExpressions(goSubqueries)
           .mapChildren(go(_, required ++ other.references))
+      }
     }
     go(plan, AttributeSet(plan.output))
   }
@@ -276,8 +276,12 @@ object ModeExec extends PredicateHelper {
     * route, reason). The reference's AdaptPushdownManager logs these
     * admission calls server-side; surfacing them as a query result is
     * what lets a user see WHY lineitem zipped while orders pushed down.
-    * Routing happens at plan time, so no table data is scanned to
-    * produce the report (segment loads the routing admits stay lazy). */
+    * Routing happens at plan time and the report is the NEW decisions
+    * the plan produced. An explain IS an access: it ticks the session
+    * router's counters (same as `\routes`), and when that crosses the
+    * admission threshold it performs the admission a real query would —
+    * under an eager policy (MeasuredWLFU) that is a real segment load at
+    * explain time, deployment truth by design, not a free dry-run. */
   def explainRoutes(s: SparkSession, dir: String, sql: String,
       mode: ScanMode = ModeHybrid,
       routerOpt: Option[AdaptiveScanRouter] = None): DataFrame = {
@@ -286,15 +290,17 @@ object ModeExec extends PredicateHelper {
     // report the routes the deployment's own router (conf-driven slots,
     // accumulated heat, resident segments) would take — a fresh 8-slot
     // router could claim "pushdown" where the next real query warms or
-    // serves cache-side. (An explain does tick the session router's
-    // access counters — it IS an access, same as the shell's \routes.)
+    // serves cache-side. The report is the decision-ring SUFFIX added
+    // by this plan, NOT a clear+read: clearing the shared ring raced
+    // concurrent engine queries on the same session (their rows showed
+    // up as this query's, or a concurrent clear emptied this one —
+    // r12 review). Under concurrency the suffix can still interleave a
+    // concurrent query's rows; best-effort by design, like any EXPLAIN
+    // against live shared state.
     val r = routerOpt.getOrElse(HybridScan.sessionRouter(s, dir))
-    r.clearDecisions()
-    val leases = mutable.Buffer.empty[ScanLease]
-    // plan-only: leases close before anything executes
-    try executeQueryMode(s, dir, sql, mode, r, leases, leasesSpanExecution = false)
-    finally leases.foreach(_.close())
-    r.decisions.map { case (t, cols, route, why) =>
+    val before = r.decisions.size
+    planOnly(s, dir, sql, mode, r)
+    r.decisions.drop(before).map { case (t, cols, route, why) =>
       (t, cols.mkString(","), route, why)
     }.toDF("table", "columns", "route", "reason")
   }

@@ -381,8 +381,13 @@ object Bench {
         body
         out += label -> (System.nanoTime() - t0) / 1e9
         out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only (an OOM must propagate, not be logged away), and
+        // an explicit -1 marker: a missing key reads as "not run" where
+        // this label RAN and failed (r12 ADVICE)
         System.err.println(s"[bench] $family $label failed: ${e.getMessage}")
+        out += label -> -1.0
+        out += s"${label}_mb" -> -1.0
       } finally {
         MockObjectFs.bytesPerSec = 0L
         MockObjectFs.openLatencyMs = 0L

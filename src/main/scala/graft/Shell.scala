@@ -141,6 +141,12 @@ object Shell {
         splitStatements(text).map(runStatement(spark, cfg.dir, _)).forall(identity)
       case None => repl(spark, cfg.dir); true
     }
+    // best-effort final heat save (no-op without spark.graft.heatPath):
+    // the throttled per-query save persists every 16th call once the
+    // history is large, so a session ending between saves would lose up
+    // to 15 queries of heat (r12 ADVICE)
+    try graft.cache.HybridScan.saveHeat(spark, cfg.dir, force = true)
+    catch { case _: Throwable => () }
     spark.stop()
     if (!ok) sys.exit(1)
   }

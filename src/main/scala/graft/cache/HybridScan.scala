@@ -204,8 +204,9 @@ object HybridScan {
         // and putIfAbsent would have removed the key before we wrote it
         // (r12 review TOCTOU) — undo OUR OWN insert only (conditional
         // remove: another thread's post-invalidation fresh listing must
-        // not be evicted), so staleness is never PERMANENT; a reader
-        // racing this window serves the entry at most once
+        // not be evicted), so staleness is never PERMANENT; readers
+        // racing this window may be served the entry briefly until the
+        // undo lands (value-space staleness contract covers them)
         if (listingEpoch.get != epoch0) { m.remove(k, tl); tl }
         else if (prior != null) prior else tl
       } else tl
@@ -358,10 +359,34 @@ object HybridScan {
               java.nio.charset.StandardCharsets.UTF_8)
             val snapDir = text.linesIterator
               .find(_.startsWith("dir=")).map(_.stripPrefix("dir="))
-            if (snapDir.forall(_ == dir)) r.seedHeat(text)
-            else org.slf4j.LoggerFactory.getLogger(getClass)
-              .warn(s"heat snapshot $p is for ${snapDir.get}, not $dir: " +
-                "cold-starting")
+            // age gate (r12 verdict): the dir header guards the
+            // wrong-DATASET case; this guards the stale-SAME-dataset
+            // case — a week-old snapshot of a since-rewritten table
+            // would seed service EWMAs and pullup costs as if fresh,
+            // and seeded values ANCHOR (seedHeat fills only unmeasured
+            // slots; the reference re-measures continuously,
+            // `AdaptPushdownManager.cpp:24-60`). Past
+            // `spark.graft.heatMaxAgeMs` (default 7 days) the snapshot
+            // is DISCARDED — a cold start converges on live
+            // measurements, where a discounted stale seed would still
+            // bias first routes toward history that may be gone. A
+            // header-less snapshot (pre-r13 format) seeds as before.
+            val writtenAt = text.linesIterator
+              .find(_.startsWith("written_at_ms="))
+              .flatMap(l => l.stripPrefix("written_at_ms=").toLongOption)
+            val maxAgeMs = s.conf.getOption("spark.graft.heatMaxAgeMs")
+              .map(_.trim.toLong).getOrElse(7L * 24 * 3600 * 1000)
+            val aged = writtenAt.exists(t =>
+              System.currentTimeMillis() - t > maxAgeMs)
+            if (snapDir.exists(_ != dir))
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"heat snapshot $p is for ${snapDir.get}, not $dir: " +
+                  "cold-starting")
+            else if (aged)
+              org.slf4j.LoggerFactory.getLogger(getClass)
+                .warn(s"heat snapshot $p is older than ${maxAgeMs} ms: " +
+                  "discarding (the router re-measures live)")
+            else r.seedHeat(text)
           } catch { case e: Exception =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"ignoring unreadable heat snapshot $p: ${e.getMessage}")
@@ -374,35 +399,39 @@ object HybridScan {
     s.conf.getOption("spark.graft.heatPath").filter(_.nonEmpty)
       .map(java.nio.file.Paths.get(_))
 
-  private val heatSaveTicks = new AtomicLong(0)
-
   /** Persist the session router's measured history to
     * `spark.graft.heatPath` (no-op when the conf is unset). Called by
-    * the engine after each conf-routed query; safe to call any time.
+    * the engine after each conf-routed query, and best-effort at shell
+    * exit (`Shell.main` forces a final save so a session ending between
+    * throttled saves does not lose its tail); safe to call any time.
     * Throttled once the history is big: rendering 64k access counters
     * and fsyncing them per query would be a per-query driver-side
     * serial cost on exactly the high-partition-count workloads that
     * grow the map (r12 review) — a small history still saves every
     * call, a large one every 16th (`force` = always, the `\heat save`
-    * path). The tmp file is uniquely named per attempt: two concurrent
-    * saves must never interleave one tmp's write with the other's
-    * atomic rename (last rename wins; a reader never sees a torn file,
-    * as promised). */
+    * and exit paths). The tick counter is PER ROUTER (r12 ADVICE: a
+    * global counter let two dirs sharing the JVM alias each other's
+    * save cadence). The tmp file is uniquely named per attempt: two
+    * concurrent saves must never interleave one tmp's write with the
+    * other's atomic rename (last rename wins; a reader never sees a
+    * torn file, as promised). */
   def saveHeat(s: SparkSession, dir: String, force: Boolean = false): Unit =
     heatPathOf(s).foreach { p =>
       try {
         val r = sessionRouter(s, dir)
         if (force || r.heatKeyCount <= 1024 ||
-            heatSaveTicks.incrementAndGet() % 16 == 0) {
+            r.saveTicks.incrementAndGet() % 16 == 0) {
           Option(p.getParent)
             .foreach(java.nio.file.Files.createDirectories(_))
           val tmp = p.resolveSibling(p.getFileName.toString +
             s".tmp.${Thread.currentThread.getId}.${System.nanoTime}")
           try {
             // dir header first: the loader refuses a snapshot from
-            // another sf-dir (costs are keyed by bare table name)
+            // another sf-dir (costs are keyed by bare table name);
+            // written_at_ms lets it discard an AGED one (r12 verdict)
             java.nio.file.Files.write(tmp,
-              (s"dir=$dir\n" + r.heatSnapshot)
+              (s"dir=$dir\nwritten_at_ms=${System.currentTimeMillis()}\n" +
+                r.heatSnapshot)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             java.nio.file.Files.move(tmp, p,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -698,8 +727,10 @@ object HybridScan {
       * long-lived session router never grows without limit. */
     private val decisionLog =
       new java.util.concurrent.ConcurrentLinkedDeque[(String, Seq[String], String, String)]
+    private val decisionCount = new AtomicLong(0)
     private def logDecision(table: String, need: Seq[String],
         route: Route, reason: String): Unit = {
+      decisionCount.incrementAndGet()
       decisionLog.addLast((table, need, route.toString, reason))
       while (decisionLog.size > 256) decisionLog.pollFirst()
     }
@@ -707,6 +738,12 @@ object HybridScan {
       import scala.jdk.CollectionConverters._
       decisionLog.asScala.toSeq
     }
+    /** Monotonic total of decisions EVER logged — the ring above evicts
+      * from the head once full, so "how many new decisions did this plan
+      * add" must be answered by a counter delta, never by a size delta
+      * (a pinned-at-256 ring would make every size-based suffix empty —
+      * r12 ADVICE). */
+    def decisionsTotal: Long = decisionCount.get
 
     /** Hot-data admission memory for [[scanMode]]'s HYBRID mode — the
       * loop that makes the cache WARM ITSELF from the workload instead of
@@ -1427,6 +1464,11 @@ object HybridScan {
       * input (rendering a large history per query is driver-side serial
       * cost; a small one is free). */
     private[graft] def heatKeyCount: Int = missSeen.size
+
+    /** [[HybridScan.saveHeat]]'s large-history throttle state — PER
+      * ROUTER, so two dirs sharing one JVM never alias each other's
+      * save cadence (r12 ADVICE). */
+    private[graft] val saveTicks = new AtomicLong(0)
 
     /** This router's measured history as a line-oriented snapshot —
       * service-time EWMAs, per-table pullup costs, and the hot-admission

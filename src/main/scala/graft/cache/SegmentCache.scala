@@ -68,8 +68,12 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
   private var hitCount = 0L
   private var missCount = 0L
   private var evictCount = 0L
-  /** Misses since the last [[trueUpSizes]] pass (throttle state). */
-  private var missesSinceTrueUp = 0L
+  /** Miss counter driving the [[trueUpSizes]] throttle — atomic because
+    * it ticks on the UNLOCKED miss path (a racing non-atomic var could
+    * under-fire the periodic true-up arbitrarily, r12 ADVICE); the
+    * refusal-path guard below covers the decision that matters either
+    * way. */
+  private val missesSinceTrueUp = new java.util.concurrent.atomic.AtomicLong(0)
   private val TrueUpEveryMisses = 8L
 
   def usedBytes: Long = entries.valuesIterator.map(_.sizeBytes).sum
@@ -208,11 +212,9 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
     // stale sizes can get wrong in a way that matters (a stale-small
     // accept is transient over-budget the next true-up corrects; a
     // stale-large refusal forgoes the admission permanently).
-    missesSinceTrueUp += 1
-    if (missesSinceTrueUp >= TrueUpEveryMisses ||
-        synchronized(usedBytes) + size > capacityBytes) {
-      trueUpSizes(); missesSinceTrueUp = 0
-    }
+    if (missesSinceTrueUp.incrementAndGet() % TrueUpEveryMisses == 0 ||
+        synchronized(usedBytes) + size > capacityBytes)
+      trueUpSizes()
     synchronized {
       entries.get(key) match {
         case Some(e) => // losing racer: the key was admitted while we loaded

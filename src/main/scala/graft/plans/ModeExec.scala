@@ -298,9 +298,14 @@ object ModeExec extends PredicateHelper {
     // concurrent query's rows; best-effort by design, like any EXPLAIN
     // against live shared state.
     val r = routerOpt.getOrElse(HybridScan.sessionRouter(s, dir))
-    val before = r.decisions.size
+    // suffix by MONOTONIC decision-count delta, not ring-size delta: the
+    // 256-entry ring evicts from the head once full, so on a long-lived
+    // session router `decisions.size` pins at 256 and a size-based drop
+    // would truncate (or empty) the report (r12 ADVICE)
+    val before = r.decisionsTotal
     planOnly(s, dir, sql, mode, r)
-    r.decisions.drop(before).map { case (t, cols, route, why) =>
+    val added = math.min(r.decisionsTotal - before, 256L).toInt
+    r.decisions.takeRight(added).map { case (t, cols, route, why) =>
       (t, cols.mkString(","), route, why)
     }.toDF("table", "columns", "route", "reason")
   }

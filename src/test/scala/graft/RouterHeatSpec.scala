@@ -139,6 +139,64 @@ class RouterHeatSpec extends SparkSpec {
     }
   }
 
+  test("an aged snapshot is discarded; a fresh one still pre-routes") {
+    // r12 verdict item 5: the dir header guards the wrong-dataset case,
+    // not the stale-same-dataset case — a week-old snapshot would seed
+    // service EWMAs and pullup costs as if fresh, and seeds ANCHOR
+    // (seedHeat fills unmeasured slots only). Past
+    // spark.graft.heatMaxAgeMs the loader must discard, not discount:
+    // a cold start converges on live measurements.
+    val donor = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 2e6,
+      initialPullupEstNanos = 3e9)
+    def snapshotAt(writtenAtMs: Long): java.nio.file.Path = {
+      val tmp = java.nio.file.Files.createTempFile("graft-heat-age", ".snap")
+      java.nio.file.Files.write(tmp,
+        (s"dir=$sfDir\nwritten_at_ms=$writtenAtMs\n" + donor.heatSnapshot)
+          .getBytes("UTF-8"))
+      tmp
+    }
+    def routerSeededFrom(p: java.nio.file.Path,
+        maxAgeMs: Option[Long] = None): AdaptiveScanRouter = {
+      val s = spark.newSession()
+      s.conf.set("spark.graft.heatPath", p.toString)
+      maxAgeMs.foreach(v => s.conf.set("spark.graft.heatMaxAgeMs", v.toString))
+      try HybridScan.sessionRouter(s, sfDir)
+      finally HybridScan.segmentCache(s, sfDir).invalidateAll()
+    }
+    val fresh = snapshotAt(System.currentTimeMillis())
+    val aged = snapshotAt(System.currentTimeMillis() - 8L * 24 * 3600 * 1000)
+    try {
+      assert(routerSeededFrom(fresh).estimates == (2e6, 3e9),
+        "a fresh snapshot must seed the EWMAs")
+      assert(routerSeededFrom(aged).estimates == (0.0, 0.0),
+        "a snapshot older than the (default 7d) max age must be discarded")
+      // the age bound is configurable: the same aged snapshot seeds when
+      // the session allows a longer horizon
+      assert(routerSeededFrom(aged,
+        maxAgeMs = Some(30L * 24 * 3600 * 1000)).estimates == (2e6, 3e9),
+        "spark.graft.heatMaxAgeMs must govern the age gate")
+      // saveHeat itself stamps the header, so round-tripped snapshots
+      // age correctly without any caller cooperation
+      val s = spark.newSession()
+      val out = java.nio.file.Files.createTempFile("graft-heat-stamp", ".snap")
+      java.nio.file.Files.delete(out)
+      try {
+        s.conf.set("spark.graft.heatPath", out.toString)
+        HybridScan.saveHeat(s, sfDir, force = true)
+        val text = new String(java.nio.file.Files.readAllBytes(out))
+        assert(text.linesIterator.exists(_.startsWith("written_at_ms=")),
+          s"saveHeat must stamp the written-at header:\n$text")
+      } finally {
+        java.nio.file.Files.deleteIfExists(out)
+        HybridScan.segmentCache(s, sfDir).invalidateAll()
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(fresh)
+      java.nio.file.Files.deleteIfExists(aged)
+    }
+  }
+
   test("shell \\heat prints router state and saves the snapshot") {
     val tmp = java.nio.file.Files.createTempFile("graft-heat-shell", ".snap")
     java.nio.file.Files.delete(tmp)

@@ -370,12 +370,16 @@ object Bench {
     // copy per block is exactly how two blocks' byte numbers drift
     // apart under different store physics.
     def throttledPass(out: scala.collection.mutable.ArrayBuffer[(String, Double)],
-        family: String, label: String)(body: => Unit): Unit = {
+        family: String, label: String, totalMbps: Long = 0L)(body: => Unit): Unit = {
       import graft.sources.MockObjectFs
       MockObjectFs.reset()
       MockObjectFs.bytesPerSec =
         sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong << 20
       MockObjectFs.openLatencyMs = 5
+      // optional AGGREGATE cap (instance-level network bound) — wall
+      // time then tracks TOTAL bytes once streams saturate it; see
+      // MockObjectFs.totalBytesPerSec. 0 = per-stream physics only.
+      MockObjectFs.totalBytesPerSec = totalMbps << 20
       val t0 = System.nanoTime()
       try {
         body
@@ -391,6 +395,7 @@ object Bench {
       } finally {
         MockObjectFs.bytesPerSec = 0L
         MockObjectFs.openLatencyMs = 0L
+        MockObjectFs.totalBytesPerSec = 0L
       }
     }
 
@@ -497,8 +502,19 @@ object Bench {
         // depend on the store_modes block having executed first
         spark.sparkContext.hadoopConfiguration
           .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
-        val local = graft.sources.Layout.partitionedEvents(spark, sfDir)
+        // BENCH-SCALE copy (×64 rows, ~4 files/day — r12 verdict item 6):
+        // the correctness fixture's 83 KB single-file days made this
+        // block plan-overhead-dominated, so its 1.45× byte win showed no
+        // wall win (10 vs 15 one-file reads both run fully parallel
+        // under a per-stream throttle). The scaled copy plus the
+        // AGGREGATE cap below put the block in the regime the feature
+        // exists for: wall time tracks the bytes that cross the store.
+        val local = graft.sources.Layout.partitionedEventsScaled(spark, sfDir)
         val mpath = s"mockfs:$local"
+        // aggregate (instance-level) bandwidth for this block: 4 MB/s —
+        // two per-stream connections' worth, saturated by every pass
+        val totalMbps =
+          sys.env.getOrElse("SPARK_GRAFT_STORE_TOTAL_MBPS", "4").toLong
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         def du(f: java.io.File): Long = Option(f.listFiles())
           .map(_.map(x => if (x.isDirectory) du(x) else x.length()).sum)
@@ -517,7 +533,7 @@ object Bench {
         def pass(label: String, lo: String, hi: String,
             r: AdaptiveScanRouter,
             mode: HybridScan.ScanMode = ModeHybrid): Unit =
-          throttledPass(out, "partition-router", label) {
+          throttledPass(out, "partition-router", label, totalMbps) {
             val lease = r.scanPartitionedMode(spark, mpath,
               "events_by_day", cols, window(lo, hi), "day", mode)
             try lease.df.groupBy(col("event_type"))

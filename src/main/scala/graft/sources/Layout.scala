@@ -206,6 +206,29 @@ object Layout {
         .write.mode("overwrite").partitionBy("day").parquet(out)
     }
 
+  /** BENCH-SCALE day-partitioned events copy (r13): the same layout as
+    * [[partitionedEvents]] with rows replicated ×`factor` and ~
+    * `filesPerDay` files per day directory. Exists because the sf0.1
+    * fixture's ~83 KB single-file days made the partition-router bench
+    * block plan-overhead-dominated: its byte win (1.45×) showed NO wall
+    * win because 10 vs 15 one-file reads both run fully parallel under
+    * a per-stream throttle (r12 verdict item 6). Used ONLY by the bench
+    * block — correctness entries keep the unscaled copy (their oracle
+    * aggregates the original events). Replication is exact (every
+    * source row appears `factor` times), so per-day byte ratios mirror
+    * the unscaled layout. */
+  private[graft] def partitionedEventsScaled(s: SparkSession, dir: String,
+      factor: Int = 64, filesPerDay: Int = 4): String =
+    Fixtures.cached(s, dir, s"events_by_day_x$factor") { out =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .repartition(30 * filesPerDay, col("day"),
+          pmod(col("rep"), lit(filesPerDay)))
+        .drop("rep")
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+    }
+
   /** Mid-range day of the events table's 2024-01-01..2024-01-30 span
     * (same span at every shipped SF): one of 30 day-partitions. */
   private[graft] val EventDay = "2024-01-15"

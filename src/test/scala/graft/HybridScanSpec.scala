@@ -233,6 +233,37 @@ class HybridScanSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("spark.graft.cacheDirectListings opts direct mergedScan callers into the session cache") {
+    // default OFF: direct callers list fresh every call (the in-place-
+    // rewrite staleness spec's contract); a deployment on an object
+    // store can opt in and stop paying a paged LIST per query (r12
+    // verdict stretch item) — accepting the conf route's REFRESH
+    // contract for external writers
+    val s = spark.newSession()
+    val cache = new SegmentCache(1L << 30, LRU)
+    def merge(): Unit = HybridScan.mergedScan(s, sfDir, "lineitem",
+      cachedCols = Seq("l_extendedprice", "l_discount"),
+      fetchCols = Seq("l_shipdate"), fetchPredicate = None,
+      cache = cache).count()
+    try {
+      HybridScan.refreshListings(s)
+      val b0 = HybridScan.listingCalls.get()
+      merge(); merge()
+      val fresh = HybridScan.listingCalls.get() - b0
+      assert(fresh == 2, s"default must list per call, listed $fresh")
+      s.conf.set("spark.graft.cacheDirectListings", "true")
+      val b1 = HybridScan.listingCalls.get()
+      merge(); merge()
+      val cached = HybridScan.listingCalls.get() - b1
+      assert(cached == 1,
+        s"opt-in must list once per (session, table), listed $cached")
+    } finally {
+      try s.conf.unset("spark.graft.cacheDirectListings")
+      catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
   test("graft's own writers invalidate the session listing cache") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("listing-inval")

@@ -269,6 +269,55 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("conf-mode routes a PARTITIONED leaf per partition: days resident, never the table") {
+    // r12 verdict item 1: dm12 proved the per-partition router; this
+    // pins that the DEPLOYMENT path reaches it — SET
+    // spark.graft.scanMode=hybrid + Engine.executeQuery over a user
+    // view of the day-partitioned events copy, no dedicated API call.
+    // The reference wires per-partition modes inside its plan
+    // transformer for every query (PrePToS3PTransformer.cpp:197-460);
+    // graft's equivalent transformer is the conf-mode leaf rewrite.
+    val s = spark.newSession()
+    val path = graft.sources.Layout.partitionedEvents(s, sfDir)
+    s.read.parquet(path).createOrReplaceTempView("events_by_day")
+    def sqlOf(hi: String) =
+      s"""SELECT event_type, count(*) AS n
+         |FROM events_by_day
+         |WHERE day BETWEEN DATE '2024-01-06' AND DATE '$hi'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    val expect = rows(Engine.plan(s, sfDir, sqlOf("2024-01-10")))
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      // the per-DAY admission ladder across engine submissions: miss →
+      // heat (admit on the second access) → resident on the third
+      for (_ <- 1 to 3)
+        assertRowsEqual(rows(Engine.executeQuery(s, sfDir, sqlOf("2024-01-10"))),
+          expect, "conf-routed per-partition hybrid")
+      val regions = cache.keys.filter(_.region.nonEmpty)
+      assert(regions.nonEmpty,
+        "per-day segments must be resident through the conf route " +
+        "(days_resident > 0)")
+      assert(regions.forall(_.region.startsWith("day=")),
+        s"regions must be day-keyed: ${regions.map(_.region)}")
+      assert(!cache.keys.exists(_.region.isEmpty),
+        "NO whole-table segment may be admitted on the partitioned path " +
+        s"(table_segments must be 0): ${cache.keys}")
+      // a wider window through the same conf route: hot days cache-side,
+      // cold days the partition-pruned complement — route Hybrid
+      val expectWide = rows(Engine.plan(s, sfDir, sqlOf("2024-01-16")))
+      assertRowsEqual(rows(Engine.executeQuery(s, sfDir, sqlOf("2024-01-16"))),
+        expectWide, "hot+cold span through the conf route")
+      val r = HybridScan.sessionRouter(s, sfDir)
+      assert(r.hybrids > 0,
+        s"the wide span must route Hybrid (pd=${r.pushdowns} " +
+        s"pu=${r.pullups} co=${r.cacheOnlys} hy=${r.hybrids})")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
   test("shell \\mode and \\routes drive the session knob") {
     val cache = HybridScan.segmentCache(spark, sfDir)
     try {

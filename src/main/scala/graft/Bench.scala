@@ -497,7 +497,7 @@ object Bench {
     val partitionModes: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
         import graft.sources.MockObjectFs
-        import org.apache.spark.sql.functions.{col, lit, count => fCount}
+        import org.apache.spark.sql.functions.{col, lit, count => fCount, sum => fSum}
         // the block registers its own scheme — running it must not
         // depend on the store_modes block having executed first
         spark.sparkContext.hadoopConfiguration
@@ -519,10 +519,15 @@ object Bench {
         def du(f: java.io.File): Long = Option(f.listFiles())
           .map(_.map(x => if (x.isDirectory) du(x) else x.length()).sum)
           .getOrElse(0L)
-        // a third of the table holds the 5-day hot region (~1/6 of the
-        // 30-day span) with headroom, and can never hold the table
+        // capacity = the table's DISK bytes: segments are admitted at
+        // MEASURED in-memory columnar bytes, ~2-3× the jittered parquet
+        // bytes (r13 measured), so this holds the 5-day hot region
+        // (~1/6 of the 30-day span) with headroom and can never hold
+        // the whole table — the regime the per-partition unit exists
+        // for (the old tableBytes/3 rule priced against disk bytes and
+        // silently refused 3 of the 5 hot days once the fixture grew)
         val tableBytes = du(new java.io.File(local))
-        val cache = new SegmentCache(math.max(1L << 20, tableBytes / 3),
+        val cache = new SegmentCache(math.max(1L << 20, tableBytes),
           MeasuredWLFU)
         val router = new AdaptiveScanRouter(cache, pushdownSlots = 64,
           hotAdmitAfter = 2)
@@ -536,8 +541,12 @@ object Bench {
           throttledPass(out, "partition-router", label, totalMbps) {
             val lease = r.scanPartitionedMode(spark, mpath,
               "events_by_day", cols, window(lo, hi), "day", mode)
+            // sum(value) so the pass READS the incompressible double
+            // column: a count-only aggregate prunes to the dictionary-
+            // encoded event_type chunk (~KBs) and the block measures
+            // plan overhead instead of byte economics (r13 measured)
             try lease.df.groupBy(col("event_type"))
-              .agg(fCount(lit(1)))
+              .agg(fCount(lit(1)), fSum(col("value")))
               .write.format("noop").mode("overwrite").save()
             finally lease.close()
           }

@@ -367,8 +367,18 @@ object HybridScan {
             val writtenAt = text.linesIterator
               .find(_.startsWith("written_at_ms="))
               .flatMap(l => l.stripPrefix("written_at_ms=").toLongOption)
+            // toLongOption + its own warn: a malformed conf value must
+            // blame the CONF, not fall into the unreadable-snapshot
+            // handler and silently discard a valid snapshot (review)
             val maxAgeMs = s.conf.getOption("spark.graft.heatMaxAgeMs")
-              .map(_.trim.toLong).getOrElse(7L * 24 * 3600 * 1000)
+              .flatMap { v =>
+                val parsed = v.trim.toLongOption
+                if (parsed.isEmpty)
+                  org.slf4j.LoggerFactory.getLogger(getClass)
+                    .warn(s"ignoring unparseable spark.graft.heatMaxAgeMs" +
+                      s"='$v' (expected milliseconds); using the default")
+                parsed
+              }.getOrElse(7L * 24 * 3600 * 1000)
             val aged = writtenAt.exists(t =>
               System.currentTimeMillis() - t > maxAgeMs)
             if (snapDir.exists(_ != dir))
@@ -379,7 +389,7 @@ object HybridScan {
               org.slf4j.LoggerFactory.getLogger(getClass)
                 .warn(s"heat snapshot $p is older than ${maxAgeMs} ms: " +
                   "discarding (the router re-measures live)")
-            else r.seedHeat(text)
+            else { r.seedHeat(text); r.seedStampMs = writtenAt }
           } catch { case e: Exception =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"ignoring unreadable heat snapshot $p: ${e.getMessage}")
@@ -421,10 +431,15 @@ object HybridScan {
           try {
             // dir header first: the loader refuses a snapshot from
             // another sf-dir (costs are keyed by bare table name);
-            // written_at_ms lets it discard an AGED one (r12 verdict)
+            // written_at_ms lets it discard an AGED one (r12 verdict).
+            // A router with NO live measurements re-saves the SEED's
+            // timestamp, not now — else idle seed→save round-trips
+            // would re-stamp a dead snapshot fresh forever (review)
+            val stampMs =
+              if (r.heatDirty.get) System.currentTimeMillis()
+              else r.seedStampMs.getOrElse(System.currentTimeMillis())
             java.nio.file.Files.write(tmp,
-              (s"dir=$dir\nwritten_at_ms=${System.currentTimeMillis()}\n" +
-                r.heatSnapshot)
+              (s"dir=$dir\nwritten_at_ms=$stampMs\n" + r.heatSnapshot)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
             java.nio.file.Files.move(tmp, p,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -544,7 +559,8 @@ object HybridScan {
     // (graft's writers invalidate; external writers need
     // refreshListings) (r12 verdict stretch item).
     val tl = listing.getOrElse(
-      if (s.conf.getOption("spark.graft.cacheDirectListings").contains("true"))
+      if (s.conf.getOption("spark.graft.cacheDirectListings")
+            .exists(_.trim.equalsIgnoreCase("true"))) // SET sends TRUE/True too
         listPathSession(s, path)
       else listPath(s, path))
     val fp = tl.fingerprint
@@ -574,7 +590,11 @@ object HybridScan {
     // sort on the cached side, one hash build over the thin fetch side
     // (measured 1.8 → 0.9 s on the 16× replicated Q6 merge).
     val threshold = s.sessionState.conf.autoBroadcastJoinThreshold
-    val fetchBytes = fetched.queryExecution.optimizedPlan.stats.sizeInBytes
+    // withActive: the zip-strategy estimate must read THIS session's
+    // conf even on a pool thread with no inherited active session
+    // (stats visitor choice is thread-conf-dependent — r13 review)
+    val fetchBytes = org.apache.spark.sql.GraftBridge.withActive(s)(
+      fetched.queryExecution.optimizedPlan.stats.sizeInBytes)
     val zipSide =
       if (fetchBytes > BigInt(threshold)) fetched.hint("shuffle_hash") else fetched
     seg.join(zipSide, Seq(PosCol, FileCol)).drop(FileCol, PosCol)
@@ -784,6 +804,7 @@ object HybridScan {
       * before it reaches the threshold, every pass — r12 review).
       * Eviction only delays a survivor's warming by one access. */
     private def countAccess(kind: String, table: String, need: Seq[String]): Long = {
+      heatDirty.set(true) // live activity: the next heat save is a real measurement
       if (missSeen.size > 65536) {
         val it = missSeen.keySet.iterator
         var i = 0
@@ -1489,6 +1510,7 @@ object HybridScan {
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
 
     private def observe(route: Route, nanos: Long, table: String = null): Unit = synchronized {
+      heatDirty.set(true)
       route match {
         case Pushdown =>
           pushdownEstNanos =
@@ -1534,6 +1556,19 @@ object HybridScan {
       * ROUTER, so two dirs sharing one JVM never alias each other's
       * save cadence (r12 ADVICE). */
     private[graft] val saveTicks = new AtomicLong(0)
+
+    /** True once this router has measured or counted ANYTHING beyond
+      * snapshot seeds. Guards the age gate against launder-by-re-save:
+      * an idle session that seeds from a snapshot and force-saves at
+      * exit (shell path) would otherwise round-trip the SEEDED values
+      * under a fresh `written_at_ms` — daily idle sessions would
+      * re-stamp forever and a snapshot of a since-rewritten table
+      * would never age out (r13 review). A clean router's save
+      * preserves the seed snapshot's own timestamp instead. */
+    private[graft] val heatDirty =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    /** `written_at_ms` of the snapshot this router seeded from. */
+    @volatile private[graft] var seedStampMs: Option[Long] = None
 
     /** This router's measured history as a line-oriented snapshot —
       * service-time EWMAs, per-table pullup costs, and the hot-admission

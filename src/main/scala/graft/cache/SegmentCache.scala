@@ -88,8 +88,14 @@ class SegmentCache(val capacityBytes: Long, val policy: CachePolicy = LRU) {
   def evictions: Long = evictCount
   def keys: Seq[SegmentKey] = entries.keys.toSeq
 
+  // under withActive: stats estimation reads the THREAD's conf (CBO
+  // visitor choice), and admission pricing must not flip ~2× because a
+  // server/pool thread never inherited an active session (r13 review)
   private def sizeOf(df: DataFrame): Long =
-    df.queryExecution.optimizedPlan.stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+    org.apache.spark.sql.GraftBridge.withActive(df.sparkSession) {
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong
+    }
 
   /** BLOCK-MANAGER truth for a persisted frame's bytes — memSize +
     * diskSize of its columnar-buffer RDD, only when EVERY partition is

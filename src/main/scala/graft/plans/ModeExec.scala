@@ -98,20 +98,49 @@ object ModeExec extends PredicateHelper {
     * OWN partition schema (no directory probe, no extra LIST); only
     * single-root relations qualify (the router re-scans by one path).
     * Catalog tables of `dir` are flat by layout, so the two detectors
-    * never overlap. */
-  private def partitionedLeaf(p: LogicalPlan): Option[(String, Seq[String])] =
+    * never overlap.
+    *
+    * Scope is DELIBERATELY any partitioned parquet leaf, not just paths
+    * under `dir`: the feature exists for USER lake tables (r12 verdict:
+    * "a user with a day-partitioned events table and scanMode=hybrid"),
+    * which live wherever the user's data lives, and the reference's
+    * transformer routes every table of the query. The costs this
+    * accepts are bounded: listings are session-cached (one LIST per
+    * table), the touched-value evaluation is one collect over a LOCAL
+    * frame of directory values (no jobs), hot-union width is capped
+    * (`maxHotRegions`), and sharing `dir`'s session cache/heat is the
+    * same one-cache-per-session contract every flat table already has.
+    * A session that wants a leaf left alone unsets `scanMode` for that
+    * query — the same opt-out every routed table has.
+    *
+    * The `InMemoryRelation` arm mirrors [[leafTable]]'s: the
+    * CacheManager substitutes cached columnar relations into plan-equal
+    * scans session-wide, and without the arm a `.cache()` by any actor
+    * would silently drop the partitioned leaf out of the mode
+    * discipline (the flat-table version of this was "measured the hard
+    * way"; r13 review caught the partitioned gap). */
+  private def partitionedLeaf(p: LogicalPlan): Option[(String, Seq[String])] = {
+    def ofRelation(h: HadoopFsRelation): Option[(String, Seq[String])] =
+      if (h.partitionSchema.nonEmpty &&
+          h.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
+          h.location.rootPaths.size == 1)
+        Some((h.location.rootPaths.head.toString,
+          h.partitionSchema.map(_.name).toSeq))
+      else None
     p match {
       case rel: LogicalRelation => rel.relation match {
-        case h: HadoopFsRelation if h.partitionSchema.nonEmpty &&
-            h.fileFormat.isInstanceOf[
-              org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
-            h.location.rootPaths.size == 1 =>
-          Some((h.location.rootPaths.head.toString,
-            h.partitionSchema.map(_.name).toSeq))
+        case h: HadoopFsRelation => ofRelation(h)
         case _ => None
       }
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        imr.cachedPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            ofRelation(f.relation)
+        }.flatten
       case _ => None
     }
+  }
 
   /** Execute one SQL text with every base-table leaf routed under `mode`.
     * Pushdown-route slot leases are appended to `leases`; close them when

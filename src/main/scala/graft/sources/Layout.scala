@@ -214,15 +214,24 @@ object Layout {
     * win because 10 vs 15 one-file reads both run fully parallel under
     * a per-stream throttle (r12 verdict item 6). Used ONLY by the bench
     * block — correctness entries keep the unscaled copy (their oracle
-    * aggregates the original events). Replication is exact (every
-    * source row appears `factor` times), so per-day byte ratios mirror
-    * the unscaled layout. */
+    * aggregates the original events). Replicas are JITTERED per copy
+    * (distinct ids, perturbed value): exact copies RLE/dict-compress to
+    * nearly nothing (measured: ×64 exact replication grew the parquet
+    * bytes only 5×), which would put the block right back in the
+    * overhead-dominated regime the rescale exists to leave. */
   private[graft] def partitionedEventsScaled(s: SparkSession, dir: String,
       factor: Int = 64, filesPerDay: Int = 4): String =
-    Fixtures.cached(s, dir, s"events_by_day_x$factor") { out =>
+    // name carries a CONTENT version suffix ("j" = jittered): the
+    // Fixtures marker check cannot distinguish stale contents from
+    // current, so a definition change must rename (Fixtures scaladoc
+    // rule; r13 review caught the exact-replica variant surviving)
+    Fixtures.cached(s, dir, s"events_by_day_x${factor}j") { out =>
       Tables.events(s, dir)
         .withColumn("day", to_date(col("ts")))
         .withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+        .withColumn("event_id", col("event_id") * factor + col("rep"))
+        .withColumn("user_id", col("user_id") + col("rep") * lit(1000000L))
+        .withColumn("value", col("value") + col("rep") * lit(1e-4))
         .repartition(30 * filesPerDay, col("day"),
           pmod(col("rep"), lit(filesPerDay)))
         .drop("rep")

@@ -69,11 +69,14 @@ object MockObjectFs {
     * the global clock and sleeps until its slot passes, so wall time
     * tracks TOTAL bytes exactly once streams saturate the cap. */
   @volatile var totalBytesPerSec: Long = 0L
-  private val reservedUntil = new AtomicLong(0L)
+  // the reservation clock anchors to nanoTime, whose ORIGIN IS
+  // ARBITRARY (may be negative) — initializing to 0 would anchor the
+  // first reservation at the epoch offset and sleep for it (review)
+  private val reservedUntil = new AtomicLong(System.nanoTime())
 
   def reset(): Unit = {
     bytesRead.set(0); readCalls.set(0); opens.set(0); listCalls.set(0)
-    reservedUntil.set(0L)
+    reservedUntil.set(System.nanoTime())
   }
 
   /** (opens, bytesRead, readCalls, listCalls) since the last reset. */
@@ -91,31 +94,40 @@ object MockObjectFs {
   private[sources] def charge(n: Long): Unit = if (n > 0) {
     bytesRead.addAndGet(n)
     readCalls.incrementAndGet()
+    // BOTH constraints are computed from ONE arrival time and satisfied
+    // by ONE sleep to the LATER deadline — sleeping them in series
+    // would double-charge an unsaturated stream (1/(1/bw + 1/total)
+    // instead of min(bw, total): a single 2 MB/s stream under a 4 MB/s
+    // cap would get 1.33 MB/s — review), skewing exactly the cross-pass
+    // wall comparisons the throttle exists for.
+    val now0 = System.nanoTime()
+    var target = Long.MinValue
     val bw = bytesPerSec
     if (bw > 0) {
       val owed = debtNanos.get + n * 1000000000L / bw
       if (owed >= 1000000L) {
-        val ms = owed / 1000000L
-        Thread.sleep(ms)
-        debtNanos.set(owed - ms * 1000000L)
+        val wholeMs = (owed / 1000000L) * 1000000L
+        debtNanos.set(owed - wholeMs)
+        target = now0 + wholeMs
       } else debtNanos.set(owed)
     }
     val total = totalBytesPerSec
     if (total > 0) {
       // reserve this read's slice of the shared line (CAS append to the
-      // reservation clock), then sleep until the slice has passed; the
-      // per-stream debt above and this cap COMPOSE — effective aggregate
-      // bandwidth is min(streams × per-stream, total)
+      // reservation clock); effective aggregate bandwidth is
+      // min(streams × per-stream, total)
       val durNanos = n * 1000000000L / total
-      val now = System.nanoTime()
       var end = 0L
       var done = false
       while (!done) {
         val cur = reservedUntil.get
-        end = math.max(cur, now) + durNanos
+        end = math.max(cur, now0) + durNanos
         done = reservedUntil.compareAndSet(cur, end)
       }
-      val sleepMs = (end - System.nanoTime()) / 1000000L
+      target = math.max(target, end)
+    }
+    if (target != Long.MinValue) {
+      val sleepMs = (target - System.nanoTime()) / 1000000L
       if (sleepMs > 0) Thread.sleep(sleepMs)
     }
   }

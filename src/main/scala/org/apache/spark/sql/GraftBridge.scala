@@ -27,6 +27,20 @@ object GraftBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Run `f` with `s` ACTIVE on the current thread (restoring the prior
+    * active session after) — `SparkSession.withActive` is
+    * `private[sql]`. Needed because the active session is an
+    * inheritable THREAD-local: a server/pool thread that never
+    * inherited one gets `SQLConf.get` DEFAULTS for driver-side plan
+    * work outside an execution scope — e.g. `plan.stats` silently
+    * switches from the CBO visitor to the size-only visitor, flipping
+    * size estimates ~2× (r13, measured 16000 vs 32000 for one plan).
+    * Executions are safe (Spark brackets them); this brackets the
+    * plan-time stats reads graft's admission and zip-strategy decisions
+    * make directly. */
+  def withActive[T](s: SparkSession)(f: => T): T =
+    s.asInstanceOf[classic.SparkSession].withActive(f)
+
   /** The columnar-buffer RDD id behind a persisted frame, when the
     * CacheManager holds it AND its buffers have materialized — the handle
     * for block-manager-measured segment sizes (`CacheManager` and

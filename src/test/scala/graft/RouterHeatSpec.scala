@@ -191,6 +191,28 @@ class RouterHeatSpec extends SparkSpec {
         java.nio.file.Files.deleteIfExists(out)
         HybridScan.segmentCache(s, sfDir).invalidateAll()
       }
+      // an IDLE session must not launder age: seed from a mid-life
+      // snapshot, measure NOTHING, force-save (the shell-exit path) —
+      // the re-written snapshot must carry the SEED's timestamp, not
+      // now, or daily idle sessions would re-stamp a dead snapshot
+      // fresh forever (r13 review)
+      val midAge = System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+      val midSnap = snapshotAt(midAge)
+      val s2 = spark.newSession()
+      try {
+        s2.conf.set("spark.graft.heatPath", midSnap.toString)
+        HybridScan.sessionRouter(s2, sfDir) // seeds (3d < 7d default)
+        HybridScan.saveHeat(s2, sfDir, force = true)
+        val text = new String(java.nio.file.Files.readAllBytes(midSnap))
+        val stamp = text.linesIterator
+          .find(_.startsWith("written_at_ms=")).get
+          .stripPrefix("written_at_ms=").toLong
+        assert(stamp == midAge,
+          s"an idle round-trip must preserve the seed stamp: $stamp vs $midAge")
+      } finally {
+        java.nio.file.Files.deleteIfExists(midSnap)
+        HybridScan.segmentCache(s2, sfDir).invalidateAll()
+      }
     } finally {
       java.nio.file.Files.deleteIfExists(fresh)
       java.nio.file.Files.deleteIfExists(aged)

@@ -161,4 +161,56 @@ class MockFsSpec extends SparkSpec {
     assert(located.exists(st => st.isDirectory && st.getPath.getName.startsWith("part=")),
       "listLocatedStatus must include subdirectories (file-index contract)")
   }
+
+  test("the aggregate bandwidth cap paces total bytes and composes as min, not in series") {
+    // r13: totalBytesPerSec models the instance-level network bound a
+    // real deployment also has (per-stream × streams composes with it
+    // via min). Two pins: (a) a capped single-stream read is paced at
+    // the cap; (b) per-stream + aggregate must NOT double-charge — a
+    // read under equal per-stream and aggregate rates takes ~bytes/rate,
+    // not ~2× (the serial-sleep composition the r13 review caught).
+    import java.nio.file.Files
+    spark.sparkContext.hadoopConfiguration // self-contained: don't rely
+      .set("fs.mockfs.impl", classOf[MockObjectFs].getName) // on `base`
+    val tmp = Files.createTempDirectory("graft-aggcap")
+    val payload = new Array[Byte](8 << 20) // 8 MB of incompressible noise
+    new java.util.Random(7).nextBytes(payload)
+    val raw = tmp.resolve("blob.bin")
+    Files.write(raw, payload)
+    val p = new org.apache.hadoop.fs.Path(s"mockfs:$raw")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(): Double = {
+      val t0 = System.nanoTime()
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        while (in.read(buf, 0, buf.length) >= 0) ()
+      } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    }
+    try {
+      // (a) aggregate-only: 8 MB at 16 MB/s total → ≥ 0.5 s floor
+      MockObjectFs.reset()
+      MockObjectFs.totalBytesPerSec = 16L << 20
+      val capped = readAll()
+      assert(capped >= 0.45, f"aggregate cap must pace the read: $capped%.3f s")
+      // (b) per-stream 16 MB/s AND aggregate 16 MB/s: one 8 MB stream
+      // is bounded by min(16,16) → ~0.5 s; the serial composition bug
+      // slept both (~1.0 s). The ceiling leaves ~0.35 s of host-noise
+      // budget while still rejecting the serial regime.
+      MockObjectFs.reset()
+      MockObjectFs.bytesPerSec = 16L << 20
+      MockObjectFs.totalBytesPerSec = 16L << 20
+      val composed = readAll()
+      assert(composed >= 0.45,
+        f"composed throttles must still pace the read: $composed%.3f s")
+      assert(composed < 0.88,
+        f"equal per-stream and aggregate rates must compose as min " +
+        f"(~0.5 s), not in series (~1.0 s): $composed%.3f s")
+    } finally {
+      MockObjectFs.bytesPerSec = 0L
+      MockObjectFs.totalBytesPerSec = 0L
+      Files.deleteIfExists(raw); Files.deleteIfExists(tmp)
+    }
+  }
 }

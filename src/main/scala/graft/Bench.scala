@@ -121,6 +121,45 @@ object Bench {
     if (ok.isEmpty) -1.0 else ok.min
   }
 
+  /** ONE throttle bracket for every throttled-store measurement — the
+    * bench blocks (store_modes AND partition_router) and the dev probes
+    * (ProbePartitionBench): reset → per-stream bw
+    * (SPARK_GRAFT_STORE_MBPS, default 2 MB/s) + 5 ms GET + optional
+    * aggregate cap → body → record secs + FS-truth MB → unthrottle. A
+    * hand-kept copy per caller is exactly how two measurements drift
+    * onto different store physics (r12 review merged the two bench
+    * blocks' copies; r13 review moved it here so probes reuse it too). */
+  private[graft] def throttledPass(
+      out: scala.collection.mutable.ArrayBuffer[(String, Double)],
+      family: String, label: String, totalMbps: Long = 0L)(body: => Unit): Unit = {
+    import graft.sources.MockObjectFs
+    MockObjectFs.reset()
+    MockObjectFs.bytesPerSec =
+      sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong << 20
+    MockObjectFs.openLatencyMs = 5
+    // optional AGGREGATE cap (instance-level network bound) — wall
+    // time then tracks TOTAL bytes once streams saturate it; see
+    // MockObjectFs.totalBytesPerSec. 0 = per-stream physics only.
+    MockObjectFs.totalBytesPerSec = totalMbps << 20
+    val t0 = System.nanoTime()
+    try {
+      body
+      out += label -> (System.nanoTime() - t0) / 1e9
+      out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only (an OOM must propagate, not be logged away), and
+      // an explicit -1 marker: a missing key reads as "not run" where
+      // this label RAN and failed (r12 ADVICE)
+      System.err.println(s"[bench] $family $label failed: ${e.getMessage}")
+      out += label -> -1.0
+      out += s"${label}_mb" -> -1.0
+    } finally {
+      MockObjectFs.bytesPerSec = 0L
+      MockObjectFs.openLatencyMs = 0L
+      MockObjectFs.totalBytesPerSec = 0L
+    }
+  }
+
   /** Cumulative stop-the-world GC time of this JVM, milliseconds. */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
@@ -364,41 +403,6 @@ object Bench {
     // same bytes as pushdown on this unclustered data and its local
     // number is already in scan_modes. The queries are JIT-warm from the
     // scan_modes block above.
-    // ONE throttle bracket for every throttled-store measurement block
-    // (store_modes AND partition_router): reset → per-stream bw + 5 ms
-    // GET → body → record secs + FS-truth MB → unthrottle. A hand-kept
-    // copy per block is exactly how two blocks' byte numbers drift
-    // apart under different store physics.
-    def throttledPass(out: scala.collection.mutable.ArrayBuffer[(String, Double)],
-        family: String, label: String, totalMbps: Long = 0L)(body: => Unit): Unit = {
-      import graft.sources.MockObjectFs
-      MockObjectFs.reset()
-      MockObjectFs.bytesPerSec =
-        sys.env.getOrElse("SPARK_GRAFT_STORE_MBPS", "2").toLong << 20
-      MockObjectFs.openLatencyMs = 5
-      // optional AGGREGATE cap (instance-level network bound) — wall
-      // time then tracks TOTAL bytes once streams saturate it; see
-      // MockObjectFs.totalBytesPerSec. 0 = per-stream physics only.
-      MockObjectFs.totalBytesPerSec = totalMbps << 20
-      val t0 = System.nanoTime()
-      try {
-        body
-        out += label -> (System.nanoTime() - t0) / 1e9
-        out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
-      } catch { case scala.util.control.NonFatal(e) =>
-        // NonFatal only (an OOM must propagate, not be logged away), and
-        // an explicit -1 marker: a missing key reads as "not run" where
-        // this label RAN and failed (r12 ADVICE)
-        System.err.println(s"[bench] $family $label failed: ${e.getMessage}")
-        out += label -> -1.0
-        out += s"${label}_mb" -> -1.0
-      } finally {
-        MockObjectFs.bytesPerSec = 0L
-        MockObjectFs.openLatencyMs = 0L
-        MockObjectFs.totalBytesPerSec = 0L
-      }
-    }
-
     val storeModes: Seq[(String, Double)] =
       if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
         import graft.sources.MockObjectFs

@@ -389,7 +389,11 @@ object HybridScan {
               org.slf4j.LoggerFactory.getLogger(getClass)
                 .warn(s"heat snapshot $p is older than ${maxAgeMs} ms: " +
                   "discarding (the router re-measures live)")
-            else { r.seedHeat(text); r.seedStampMs = writtenAt }
+            else {
+              r.seedHeat(text)
+              r.seedStampMs = writtenAt
+              r.seededWithoutStamp = writtenAt.isEmpty
+            }
           } catch { case e: Exception =>
             org.slf4j.LoggerFactory.getLogger(getClass)
               .warn(s"ignoring unreadable heat snapshot $p: ${e.getMessage}")
@@ -437,7 +441,12 @@ object HybridScan {
             // would re-stamp a dead snapshot fresh forever (review)
             val stampMs =
               if (r.heatDirty.get) System.currentTimeMillis()
-              else r.seedStampMs.getOrElse(System.currentTimeMillis())
+              else r.seedStampMs.getOrElse(
+                // clean router: a header-less seed's age is UNKNOWN —
+                // stamp 0 so the age gate discards it next load rather
+                // than laundering it fresh; a never-seeded clean router
+                // (empty history) stamps now, harmlessly
+                if (r.seededWithoutStamp) 0L else System.currentTimeMillis())
             java.nio.file.Files.write(tmp,
               (s"dir=$dir\nwritten_at_ms=$stampMs\n" + r.heatSnapshot)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1567,8 +1576,14 @@ object HybridScan {
       * preserves the seed snapshot's own timestamp instead. */
     private[graft] val heatDirty =
       new java.util.concurrent.atomic.AtomicBoolean(false)
-    /** `written_at_ms` of the snapshot this router seeded from. */
+    /** `written_at_ms` of the snapshot this router seeded from; when the
+      * router seeded from a HEADER-LESS (pre-r13) snapshot this stays
+      * None and [[seededWithoutStamp]] is set — a clean save then stamps
+      * 0 (not now), so the unknown-age history ages out on the next load
+      * instead of being promoted to permanently fresh (r13 review,
+      * second pass). */
     @volatile private[graft] var seedStampMs: Option[Long] = None
+    @volatile private[graft] var seededWithoutStamp: Boolean = false
 
     /** This router's measured history as a line-oriented snapshot —
       * service-time EWMAs, per-table pullup costs, and the hot-admission

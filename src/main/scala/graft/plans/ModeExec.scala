@@ -71,16 +71,42 @@ object ModeExec extends PredicateHelper {
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet"))
       .filter(n => Tables.all.contains(n) && n != "events")
 
+  /** The single BARE FileSourceScanExec inside a cached plan — None when
+    * the cached frame is anything MORE than a (possibly projected)
+    * full-table scan. The IMR leaf arms substitute a fresh routed scan of
+    * the table WITHOUT the cached plan's own computation, which is only
+    * row-identical when that computation is nothing (projection excepted:
+    * the substitution re-selects needed columns by name). A user-cached
+    * FILTERED frame substituted as a bare leaf would silently RETURN THE
+    * FILTERED-OUT ROWS (r13 review, second pass — scan-node
+    * partition/data filters live outside the relation's rootPaths), and
+    * a cached aggregate/join would fail analysis. Such frames are left
+    * unrouted: the IMR serves them as Spark intended, below the mode
+    * discipline. */
+  private def bareCachedScan(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution._
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    val disallowed = plan.exists {
+      case _: FileSourceScanExec | _: ProjectExec | _: ColumnarToRowExec |
+           _: InputAdapter | _: WholeStageCodegenExec => false
+      case _ => true
+    }
+    scans match {
+      case Seq(f) if !disallowed &&
+          f.partitionFilters.isEmpty && f.dataFilters.isEmpty => Some(f)
+      case _ => None
+    }
+  }
+
   private def leafTable(dir: String)(p: LogicalPlan): Option[String] = p match {
     case rel: LogicalRelation => rel.relation match {
       case h: HadoopFsRelation => tableOfPath(dir)(h.location.rootPaths.headOption)
       case _ => None
     }
     case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-      imr.cachedPlan.collectFirst {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.relation.location.rootPaths.headOption
-      }.flatten.flatMap(p => tableOfPath(dir)(Some(p)))
+      bareCachedScan(imr.cachedPlan)
+        .flatMap(f => tableOfPath(dir)(f.relation.location.rootPaths.headOption))
     case _ => None
   }
 
@@ -134,10 +160,10 @@ object ModeExec extends PredicateHelper {
         case _ => None
       }
       case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        imr.cachedPlan.collectFirst {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-            ofRelation(f.relation)
-        }.flatten
+        // bare scans only (see [[bareCachedScan]]): a cached FILTERED
+        // partitioned frame substituted as a leaf would return the
+        // filtered-out rows
+        bareCachedScan(imr.cachedPlan).flatMap(f => ofRelation(f.relation))
       case _ => None
     }
   }

@@ -42,7 +42,16 @@ object PredicateTransfer {
     * semi join probes an already-smaller fact. Stats come from the plan
     * (file sizes, CBO when available) — no data is read at plan time. */
   def reduceAuto(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
-    reduce(fact, dims.sortBy(_._1.queryExecution.optimizedPlan.stats.sizeInBytes))
+    // withActive: `.stats` evaluates lazily on the CALLER's thread (the
+    // optimized plan itself is computed under Spark's own bracket, the
+    // stats visitor choice is not) — a pool thread with no inherited
+    // active session would sort dims by default-conf size estimates
+    // (r13 review; AutoSemiReduction's stats reads need no bracket —
+    // rules run inside executePhase, which Spark wraps itself)
+    reduce(fact, dims.sortBy { case (d, _) =>
+      org.apache.spark.sql.GraftBridge.withActive(d.sparkSession)(
+        d.queryExecution.optimizedPlan.stats.sizeInBytes)
+    })
 
   /** p01 — the q05 star join executed with explicit predicate transfer:
     * the region filter walks region→nation→customer→orders, and lineitem

@@ -8,12 +8,14 @@ import graft.cache.HybridScan.{AdaptiveScanRouter, ModeHybrid, ModePushdownOnly}
 import graft.sources.MockObjectFs
 
 /** Dev probe for the r13 partition_router bench fixture rescale (r12
-  * verdict item 6): drives the exact pass sequence the bench block runs
-  * — hot 5-day cold/admit/warm, then the 15-day wide span hybrid vs
-  * cache-less pushdown — over the ×64 scaled partitioned copy, with the
-  * per-stream throttle AND the aggregate cap, printing secs + MB per
-  * pass so the "byte win shows in wall time" criterion is checkable
-  * without a full bench run. */
+  * verdict item 6): drives the bench block's pass sequence — hot 5-day
+  * cold/admit/warm, then the 15-day wide span hybrid vs cache-less
+  * pushdown — over the scaled partitioned copy, THROUGH THE BENCH'S OWN
+  * throttle bracket ([[graft.Bench.throttledPass]]: per-stream MBPS env,
+  * 5 ms GET, aggregate cap) so the probe can never drift onto different
+  * store physics than the numbers it stands in for (r13 review). Prints
+  * secs + MB per pass so the "byte win shows in wall time" criterion is
+  * checkable without a full bench run. */
 object ProbePartitionBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,37 +30,30 @@ object ProbePartitionBench {
       .map(_.map(x => if (x.isDirectory) du(x) else x.length()).sum)
       .getOrElse(0L)
     val tableBytes = du(new java.io.File(local))
-    println(f"table bytes: ${tableBytes / 1e6}%.1f MB; files: ${
-      new java.io.File(local).listFiles().map(d =>
-        Option(d.listFiles()).map(_.length).getOrElse(0)).sum}")
+    println(f"table bytes: ${tableBytes / 1e6}%.1f MB")
     val mpath = s"mockfs:$local"
+    // same capacity rule and knobs as the bench block
     val cache = new SegmentCache(math.max(1L << 20, tableBytes), MeasuredWLFU)
     val router = new AdaptiveScanRouter(cache, pushdownSlots = 64, hotAdmitAfter = 2)
+    val totalMbps =
+      sys.env.getOrElse("SPARK_GRAFT_STORE_TOTAL_MBPS", "4").toLong
     val cols = Seq("event_type", "value", "day")
     def window(lo: String, hi: String) =
       col("day") >= lit(lo).cast("date") && col("day") <= lit(hi).cast("date")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def pass(label: String, lo: String, hi: String, r: AdaptiveScanRouter,
         mode: HybridScan.ScanMode = ModeHybrid): Unit = {
-      MockObjectFs.reset()
-      MockObjectFs.bytesPerSec = 2L << 20
-      MockObjectFs.openLatencyMs = 5
-      MockObjectFs.totalBytesPerSec =
-        sys.env.getOrElse("SPARK_GRAFT_STORE_TOTAL_MBPS", "4").toLong << 20
-      val t = System.nanoTime()
-      try {
-        val lease = r.scanPartitionedMode(spark, mpath, "events_by_day_bench",
+      graft.Bench.throttledPass(out, "probe-partition", label, totalMbps) {
+        val lease = r.scanPartitionedMode(spark, mpath, "events_by_day",
           cols, window(lo, hi), "day", mode)
         try lease.df.groupBy(col("event_type"))
           .agg(fCount(lit(1)), org.apache.spark.sql.functions.sum(col("value")))
           .write.format("noop").mode("overwrite").save()
         finally lease.close()
-      } finally {
-        MockObjectFs.bytesPerSec = 0L
-        MockObjectFs.openLatencyMs = 0L
-        MockObjectFs.totalBytesPerSec = 0L
       }
-      println(f"$label%-14s ${(System.nanoTime() - t) / 1e9}%7.2f s  ${
-        MockObjectFs.bytesRead.get / 1e6}%8.2f MB  ${MockObjectFs.opens.get}%4d GETs")
+      val secs = out.find(_._1 == label).map(_._2).getOrElse(-1.0)
+      val mb = out.find(_._1 == s"${label}_mb").map(_._2).getOrElse(-1.0)
+      println(f"$label%-14s $secs%7.2f s  $mb%8.2f MB")
     }
     pass("hot_cold", "2024-01-05", "2024-01-09", router)
     pass("hot_admit", "2024-01-05", "2024-01-09", router)

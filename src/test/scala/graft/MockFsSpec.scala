@@ -204,9 +204,15 @@ class MockFsSpec extends SparkSpec {
       val composed = readAll()
       assert(composed >= 0.45,
         f"composed throttles must still pace the read: $composed%.3f s")
-      assert(composed < 0.88,
+      // RATIO against part (a), not an absolute wall ceiling: both reads
+      // pay identical sleep floors plus the same per-sleep scheduler
+      // overshoot (~128 chunked sleeps each), so host noise largely
+      // cancels — the serial-composition regime would still double the
+      // paced part (composed ≈ 2× capped)
+      assert(composed < 1.6 * capped,
         f"equal per-stream and aggregate rates must compose as min " +
-        f"(~0.5 s), not in series (~1.0 s): $composed%.3f s")
+        f"(≈ the aggregate-only time), not in series (≈ 2×): " +
+        f"$composed%.3f s vs capped $capped%.3f s")
     } finally {
       MockObjectFs.bytesPerSec = 0L
       MockObjectFs.totalBytesPerSec = 0L

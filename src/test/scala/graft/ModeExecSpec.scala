@@ -318,6 +318,45 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("a cached FILTERED frame over a partitioned table keeps its filter under conf-mode") {
+    // r13 review (second pass): CacheManager substitutes an
+    // InMemoryRelation into any plan-equal subtree, and the IMR leaf
+    // arms substitute a FRESH routed table scan — row-identical only
+    // for a bare (possibly projected) full-table scan. A user-cached
+    // day-filtered frame mis-detected as a bare leaf would silently
+    // return the filtered-out days. bareCachedScan must leave it alone.
+    val s = spark.newSession()
+    val path = graft.sources.Layout.partitionedEvents(s, sfDir)
+    s.read.parquet(path).createOrReplaceTempView("events_by_day")
+    val sql = "SELECT count(*) AS n FROM events_by_day " +
+      "WHERE day = DATE '2024-01-05'"
+    val want = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    // same text as the query's FROM/WHERE so the filtered subtree is
+    // plan-equal by construction (CacheManager matches canonicalized
+    // analyzed plans)
+    val cached = s.sql(
+      "SELECT * FROM events_by_day WHERE day = DATE '2024-01-05'")
+    cached.cache()
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      // the cached frame must actually be substituted into the query's
+      // plan for the pin to bite — otherwise the test passes vacuously
+      val substituted = Engine.plan(s, sfDir, sql)
+        .queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      assert(substituted,
+        "fixture: the cached filtered frame must substitute into the plan")
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      val got = Engine.executeQuery(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      assert(got == want,
+        s"a cached filtered frame must keep its filter: $got vs $want")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cached.unpersist(blocking = true)
+      cache.invalidateAll()
+    }
+  }
+
   test("shell \\mode and \\routes drive the session knob") {
     val cache = HybridScan.segmentCache(spark, sfDir)
     try {

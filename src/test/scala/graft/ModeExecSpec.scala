@@ -357,6 +357,46 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("a cached BARE partitioned scan still routes per partition (IMR arm)") {
+    // the positive side of bareCachedScan: when some actor persisted a
+    // plain full-table read of the partitioned table, the CacheManager
+    // substitutes the IMR into every plan-equal scan — and the mode
+    // discipline must still see THROUGH it to route per partition
+    // (the flat-table version of this was measured the hard way; the
+    // guard above must not have scoped it away)
+    val s = spark.newSession()
+    val path = graft.sources.Layout.partitionedEvents(s, sfDir)
+    s.read.parquet(path).createOrReplaceTempView("events_by_day")
+    val bare = s.read.parquet(path)
+    bare.cache()
+    val cache = HybridScan.segmentCache(s, sfDir)
+    def sqlOf(d: String) =
+      s"SELECT count(*) AS n FROM events_by_day WHERE day = DATE '$d'"
+    try {
+      // the bare cached frame substitutes into the UNFILTERED leaf under
+      // the query's Filter (the filter stays a separate node above it)
+      val substituted = Engine.plan(s, sfDir, sqlOf("2024-01-07"))
+        .queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      assert(substituted, "fixture: the bare cached frame must substitute")
+      val want = Engine.plan(s, sfDir, sqlOf("2024-01-07"))
+        .collect().map(_.toSeq).toSeq
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        val got = Engine.executeQuery(s, sfDir, sqlOf("2024-01-07"))
+          .collect().map(_.toSeq).toSeq
+        assert(got == want, "routed rows must match the pristine plan")
+      }
+      assert(cache.keys.exists(_.region.nonEmpty),
+        "the IMR-wrapped partitioned leaf must still earn per-day " +
+        s"admission through the conf route: ${cache.keys}")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      bare.unpersist(blocking = true)
+      cache.invalidateAll()
+    }
+  }
+
   test("shell \\mode and \\routes drive the session knob") {
     val cache = HybridScan.segmentCache(spark, sfDir)
     try {

@@ -397,6 +397,36 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("conf-mode routes a MIXED plan: partitioned leaf and catalog leaf together") {
+    // the two detectors coexist in one optimized plan: the partitioned
+    // view's leaf routes per partition (region-keyed segments) while the
+    // catalog table's leaf walks the whole-table admission ladder — and
+    // rows stay identical to the pristine plan at every rung
+    val s = spark.newSession()
+    val path = graft.sources.Layout.partitionedEvents(s, sfDir)
+    s.read.parquet(path).createOrReplaceTempView("events_by_day")
+    val sql =
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM events_by_day e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.day BETWEEN DATE '2024-01-06' AND DATE '2024-01-09'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    val want = rows(Engine.plan(s, sfDir, sql))
+    assert(want.nonEmpty, "fixture: the join must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach(_ => assertRowsEqual(
+        rows(Engine.executeQuery(s, sfDir, sql)), want, "mixed conf-mode"))
+      assert(cache.keys.exists(_.region.nonEmpty),
+        s"the partitioned leaf must admit per-day segments: ${cache.keys}")
+      assert(cache.keys.exists(_.region.isEmpty),
+        s"the catalog leaf must admit a whole-table segment: ${cache.keys}")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
   test("shell \\mode and \\routes drive the session knob") {
     val cache = HybridScan.segmentCache(spark, sfDir)
     try {

@@ -367,6 +367,15 @@ object HybridScan {
             val writtenAt = text.linesIterator
               .find(_.startsWith("written_at_ms="))
               .flatMap(l => l.stripPrefix("written_at_ms=").toLongOption)
+            // header-less (pre-r13) snapshot: the FILE's mtime is the best
+            // available stamp — stamping 0 at the next force-save meant
+            // merely opening and closing a shell once discarded history
+            // that may in fact be fresh (r13 ADVICE: upgrade-path
+            // downgrade). The mtime also feeds the age gate, so an
+            // ancient header-less snapshot still ages out.
+            val effectiveStamp = writtenAt.orElse(
+              try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+              catch { case _: Exception => None })
             // toLongOption + its own warn: a malformed conf value must
             // blame the CONF, not fall into the unreadable-snapshot
             // handler and silently discard a valid snapshot (review)
@@ -379,7 +388,7 @@ object HybridScan {
                       s"='$v' (expected milliseconds); using the default")
                 parsed
               }.getOrElse(7L * 24 * 3600 * 1000)
-            val aged = writtenAt.exists(t =>
+            val aged = effectiveStamp.exists(t =>
               System.currentTimeMillis() - t > maxAgeMs)
             if (snapDir.exists(_ != dir))
               org.slf4j.LoggerFactory.getLogger(getClass)
@@ -391,8 +400,8 @@ object HybridScan {
                   "discarding (the router re-measures live)")
             else {
               r.seedHeat(text)
-              r.seedStampMs = writtenAt
-              r.seededWithoutStamp = writtenAt.isEmpty
+              r.seedStampMs = effectiveStamp
+              r.seededWithoutStamp = effectiveStamp.isEmpty
             }
           } catch { case e: Exception =>
             org.slf4j.LoggerFactory.getLogger(getClass)
@@ -442,10 +451,11 @@ object HybridScan {
             val stampMs =
               if (r.heatDirty.get) System.currentTimeMillis()
               else r.seedStampMs.getOrElse(
-                // clean router: a header-less seed's age is UNKNOWN —
-                // stamp 0 so the age gate discards it next load rather
-                // than laundering it fresh; a never-seeded clean router
-                // (empty history) stamps now, harmlessly
+                // clean router: header-less seeds carry the file's mtime
+                // as seedStampMs (r13 ADVICE), so this arm only fires
+                // when even the mtime read failed — age UNKNOWN, stamp 0
+                // so the gate discards rather than launders; a
+                // never-seeded clean router (empty history) stamps now
                 if (r.seededWithoutStamp) 0L else System.currentTimeMillis())
             java.nio.file.Files.write(tmp,
               (s"dir=$dir\nwritten_at_ms=$stampMs\n" + r.heatSnapshot)
@@ -1576,12 +1586,14 @@ object HybridScan {
       * preserves the seed snapshot's own timestamp instead. */
     private[graft] val heatDirty =
       new java.util.concurrent.atomic.AtomicBoolean(false)
-    /** `written_at_ms` of the snapshot this router seeded from; when the
-      * router seeded from a HEADER-LESS (pre-r13) snapshot this stays
-      * None and [[seededWithoutStamp]] is set — a clean save then stamps
-      * 0 (not now), so the unknown-age history ages out on the next load
-      * instead of being promoted to permanently fresh (r13 review,
-      * second pass). */
+    /** `written_at_ms` of the snapshot this router seeded from. A
+      * HEADER-LESS (pre-r13) snapshot seeds the file's MTIME here (r13
+      * ADVICE: an idle open/close of the shell must not downgrade a
+      * genuinely fresh legacy snapshot to stamp 0); only when even the
+      * mtime read failed does this stay None with
+      * [[seededWithoutStamp]] set — a clean save then stamps 0 (not
+      * now), so the unknown-age history ages out on the next load
+      * instead of being promoted to permanently fresh. */
     @volatile private[graft] var seedStampMs: Option[Long] = None
     @volatile private[graft] var seededWithoutStamp: Boolean = false
 

@@ -87,8 +87,23 @@ object ModeExec extends PredicateHelper {
       : Option[org.apache.spark.sql.execution.FileSourceScanExec] = {
     import org.apache.spark.sql.execution._
     val scans = plan.collect { case f: FileSourceScanExec => f }
+    // a ProjectExec is bare only when it carries plain column references —
+    // a COMPUTED projection whose alias shadows a column name (e.g.
+    // `SELECT -a AS a FROM t`) would pass a node-type-only guard, and the
+    // IMR substitution re-selects BY NAME from a fresh routed scan,
+    // silently returning the raw column for the computed one (r13 ADVICE).
+    // Non-shadowing computed aliases fail analysis instead; both shapes
+    // must leave the IMR unrouted.
     val disallowed = plan.exists {
-      case _: FileSourceScanExec | _: ProjectExec | _: ColumnarToRowExec |
+      case p: ProjectExec => p.projectList.exists {
+        case _: AttributeReference => false
+        // a RENAMING alias over a plain column is just as hazardous when
+        // the new name collides with another column (`SELECT b AS a`):
+        // only the identity rename is provably by-name-stable
+        case a @ Alias(ref: AttributeReference, _) => a.name != ref.name
+        case _ => true
+      }
+      case _: FileSourceScanExec | _: ColumnarToRowExec |
            _: InputAdapter | _: WholeStageCodegenExec => false
       case _ => true
     }

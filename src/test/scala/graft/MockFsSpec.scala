@@ -173,7 +173,11 @@ class MockFsSpec extends SparkSpec {
     spark.sparkContext.hadoopConfiguration // self-contained: don't rely
       .set("fs.mockfs.impl", classOf[MockObjectFs].getName) // on `base`
     val tmp = Files.createTempDirectory("graft-aggcap")
-    val payload = new Array[Byte](8 << 20) // 8 MB of incompressible noise
+    // 16 MB (not 8): at 16 MB/s the sleep floor is ~1 s per read, so the
+    // ~256 per-sleep scheduler overshoots are a small fraction of the
+    // paced time and the ratio assertion below can't flake on a loaded
+    // host (r13 ADVICE)
+    val payload = new Array[Byte](16 << 20)
     new java.util.Random(7).nextBytes(payload)
     val raw = tmp.resolve("blob.bin")
     Files.write(raw, payload)
@@ -189,27 +193,29 @@ class MockFsSpec extends SparkSpec {
       (System.nanoTime() - t0) / 1e9
     }
     try {
-      // (a) aggregate-only: 8 MB at 16 MB/s total → ≥ 0.5 s floor
+      // (a) aggregate-only: 16 MB at 16 MB/s total → ≥ 1 s floor
       MockObjectFs.reset()
       MockObjectFs.totalBytesPerSec = 16L << 20
       val capped = readAll()
-      assert(capped >= 0.45, f"aggregate cap must pace the read: $capped%.3f s")
-      // (b) per-stream 16 MB/s AND aggregate 16 MB/s: one 8 MB stream
-      // is bounded by min(16,16) → ~0.5 s; the serial composition bug
-      // slept both (~1.0 s). The ceiling leaves ~0.35 s of host-noise
-      // budget while still rejecting the serial regime.
+      assert(capped >= 0.9, f"aggregate cap must pace the read: $capped%.3f s")
+      // (b) per-stream 16 MB/s AND aggregate 16 MB/s: one 16 MB stream
+      // is bounded by min(16,16) → ~1 s; the serial composition bug
+      // slept both (~2 s).
       MockObjectFs.reset()
       MockObjectFs.bytesPerSec = 16L << 20
       MockObjectFs.totalBytesPerSec = 16L << 20
       val composed = readAll()
-      assert(composed >= 0.45,
+      assert(composed >= 0.9,
         f"composed throttles must still pace the read: $composed%.3f s")
       // RATIO against part (a), not an absolute wall ceiling: both reads
       // pay identical sleep floors plus the same per-sleep scheduler
-      // overshoot (~128 chunked sleeps each), so host noise largely
+      // overshoot (~256 chunked sleeps each), so host noise largely
       // cancels — the serial-composition regime would still double the
-      // paced part (composed ≈ 2× capped)
-      assert(composed < 1.6 * capped,
+      // paced part (composed ≈ 2× capped). 1.7 sits midway between the
+      // min regime (≈1×) and the serial regime (≈2×) with a full ~0.7 s
+      // of the 1 s floor as noise budget (r13 ADVICE: the old 8 MB /
+      // 1.6× margin could flake under heavy host load).
+      assert(composed < 1.7 * capped,
         f"equal per-stream and aggregate rates must compose as min " +
         f"(≈ the aggregate-only time), not in series (≈ 2×): " +
         f"$composed%.3f s vs capped $capped%.3f s")

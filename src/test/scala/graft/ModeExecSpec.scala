@@ -357,6 +357,44 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("a cached COMPUTED projection shadowing a column name is left unrouted") {
+    // r13 ADVICE (high): a node-type-only bare-scan guard admitted any
+    // ProjectExec — a user-cached `SELECT -value AS value ...` (computed
+    // alias SHADOWING a column name) passed, and the IMR substitution
+    // re-selects columns BY NAME from a fresh routed scan, silently
+    // returning the raw column instead of the computed value. The guard
+    // must require plain (or identity-aliased) column references and
+    // leave every other cached projection to the IMR.
+    val s = spark.newSession()
+    val path = graft.sources.Layout.partitionedEvents(s, sfDir)
+    s.read.parquet(path).createOrReplaceTempView("events_by_day")
+    val inner = "SELECT -value AS value, event_type FROM events_by_day"
+    val sql = s"""SELECT event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+      |FROM ($inner) GROUP BY event_type ORDER BY event_type""".stripMargin
+    val want = rows(Engine.plan(s, sfDir, sql))
+    assert(want.nonEmpty, "fixture: the negated aggregate must select rows")
+    val cached = s.sql(inner)
+    cached.cache()
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      val substituted = Engine.plan(s, sfDir, sql)
+        .queryExecution.optimizedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      assert(substituted,
+        "fixture: the cached computed projection must substitute into the plan")
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      val got = rows(Engine.executeQuery(s, sfDir, sql))
+      assertRowsEqual(got, want,
+        "a cached computed projection must keep its computation " +
+        "(raw column silently substituted for the negated one)")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cached.unpersist(blocking = true)
+      cache.invalidateAll()
+    }
+  }
+
   test("a cached BARE partitioned scan still routes per partition (IMR arm)") {
     // the positive side of bareCachedScan: when some actor persisted a
     // plain full-table read of the partitioned table, the CacheManager

@@ -219,6 +219,64 @@ class RouterHeatSpec extends SparkSpec {
     }
   }
 
+  test("a header-less (pre-r13) snapshot stamps the file's mtime, not 0") {
+    // r13 ADVICE: an idle session seeding from a legacy header-less
+    // snapshot and force-saving at shell exit rewrote written_at_ms=0 —
+    // merely opening and closing the shell once discarded history that
+    // may in fact be fresh. The file's mtime (captured at load) is the
+    // honest fallback: a FRESH legacy snapshot round-trips as fresh; an
+    // ANCIENT one still ages out via the same mtime.
+    val donor = new AdaptiveScanRouter(new SegmentCache(1L << 30, LRU),
+      pushdownSlots = 1, initialPushdownEstNanos = 2e6,
+      initialPullupEstNanos = 3e9)
+    val legacy = java.nio.file.Files.createTempFile("graft-heat-legacy", ".snap")
+    java.nio.file.Files.write(legacy, donor.heatSnapshot.getBytes("UTF-8"))
+    val mtime = java.nio.file.Files.getLastModifiedTime(legacy).toMillis
+    val s = spark.newSession()
+    try {
+      s.conf.set("spark.graft.heatPath", legacy.toString)
+      val r = HybridScan.sessionRouter(s, sfDir)
+      assert(r.estimates == (2e6, 3e9),
+        "a fresh header-less snapshot must still seed")
+      assert(r.seedStampMs.contains(mtime),
+        s"the seed stamp must be the file's mtime: ${r.seedStampMs} vs $mtime")
+      // the idle force-save (shell-exit path) must preserve that stamp
+      HybridScan.saveHeat(s, sfDir, force = true)
+      val text = new String(java.nio.file.Files.readAllBytes(legacy))
+      val stamp = text.linesIterator
+        .find(_.startsWith("written_at_ms=")).get
+        .stripPrefix("written_at_ms=").toLong
+      assert(stamp == mtime,
+        s"an idle round-trip of a legacy snapshot must stamp its mtime, " +
+        s"not 0 and not now: $stamp vs $mtime")
+      // and a RELOAD of the re-written snapshot still seeds (fresh mtime)
+      val s2 = spark.newSession()
+      try {
+        s2.conf.set("spark.graft.heatPath", legacy.toString)
+        assert(HybridScan.sessionRouter(s2, sfDir).estimates == (2e6, 3e9),
+          "the round-tripped legacy snapshot must remain loadable")
+      } finally HybridScan.segmentCache(s2, sfDir).invalidateAll()
+      // an ANCIENT header-less snapshot ages out on its mtime
+      val old = java.nio.file.Files.createTempFile("graft-heat-old", ".snap")
+      java.nio.file.Files.write(old, donor.heatSnapshot.getBytes("UTF-8"))
+      java.nio.file.Files.setLastModifiedTime(old,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+      val s3 = spark.newSession()
+      try {
+        s3.conf.set("spark.graft.heatPath", old.toString)
+        assert(HybridScan.sessionRouter(s3, sfDir).estimates == (0.0, 0.0),
+          "an 8-day-old header-less snapshot must be discarded via mtime")
+      } finally {
+        java.nio.file.Files.deleteIfExists(old)
+        HybridScan.segmentCache(s3, sfDir).invalidateAll()
+      }
+    } finally {
+      java.nio.file.Files.deleteIfExists(legacy)
+      HybridScan.segmentCache(s, sfDir).invalidateAll()
+    }
+  }
+
   test("shell \\heat prints router state and saves the snapshot") {
     val tmp = java.nio.file.Files.createTempFile("graft-heat-shell", ".snap")
     java.nio.file.Files.delete(tmp)

@@ -125,8 +125,10 @@ object ModeExec extends PredicateHelper {
     case _ => None
   }
 
-  /** A hive-PARTITIONED parquet leaf, eligible for per-partition routing
-    * (r13, r12 verdict item 1): (single root path, partition columns).
+  /** A hive-PARTITIONED file-source leaf (parquet, declared-schema CSV,
+    * or JSONL — r14 widened past parquet-only), eligible for
+    * per-partition routing (r13, r12 verdict item 1):
+    * (single root path, partition columns, read spec).
     * The reference wires CACHING vs PUSHDOWN per partition inside its
     * plan transformer for EVERY query
     * (`PrePToS3PTransformer.cpp:197-460`); graft's equivalent transformer
@@ -160,15 +162,37 @@ object ModeExec extends PredicateHelper {
     * would silently drop the partitioned leaf out of the mode
     * discipline (the flat-table version of this was "measured the hard
     * way"; r13 review caught the partitioned gap). */
-  private def partitionedLeaf(p: LogicalPlan): Option[(String, Seq[String])] = {
-    def ofRelation(h: HadoopFsRelation): Option[(String, Seq[String])] =
-      if (h.partitionSchema.nonEmpty &&
-          h.fileFormat.isInstanceOf[
-            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] &&
-          h.location.rootPaths.size == 1)
-        Some((h.location.rootPaths.head.toString,
-          h.partitionSchema.map(_.name).toSeq))
+  private def partitionedLeaf(p: LogicalPlan)
+      : Option[(String, Seq[String], HybridScan.PartitionedRead)] = {
+    def ofRelation(h: HadoopFsRelation)
+        : Option[(String, Seq[String], HybridScan.PartitionedRead)] = {
+      import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+      import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      // parquet re-reads self-describing; declared-schema formats (CSV —
+      // the reference's PRIMARY format — and JSONL) re-read under the
+      // relation's OWN full schema and options, so the routed scan
+      // parses identically to the user's (r13 verdict item 2: a
+      // hive-partitioned CSV lake table silently fell back to
+      // whole-table admission, the exact failure r13 fixed for parquet)
+      val readSpec = h.fileFormat match {
+        case _: ParquetFileFormat => Some(HybridScan.PartitionedRead.Parquet)
+        case _: org.apache.spark.sql.execution.datasources.orc.OrcFileFormat =>
+          // self-describing like parquet: no declared schema needed
+          Some(HybridScan.PartitionedRead("orc", None, h.options))
+        case _: CSVFileFormat => Some(HybridScan.PartitionedRead("csv",
+          Some(org.apache.spark.sql.types.StructType(
+            h.dataSchema ++ h.partitionSchema)), h.options))
+        case _: JsonFileFormat => Some(HybridScan.PartitionedRead("json",
+          Some(org.apache.spark.sql.types.StructType(
+            h.dataSchema ++ h.partitionSchema)), h.options))
+        case _ => None
+      }
+      if (h.partitionSchema.nonEmpty && h.location.rootPaths.size == 1)
+        readSpec.map(rs => (h.location.rootPaths.head.toString,
+          h.partitionSchema.map(_.name).toSeq, rs))
       else None
+    }
     p match {
       case rel: LogicalRelation => rel.relation match {
         case h: HadoopFsRelation => ofRelation(h)
@@ -237,7 +261,8 @@ object ModeExec extends PredicateHelper {
     // cross-serve anyway — region keys embed per-group file fingerprints —
     // but aliased HEAT would bias admissions).
     def substitutePartitioned(rel: LogicalPlan, path: String,
-        partCols: Seq[String], pred: Option[Expression],
+        partCols: Seq[String], readSpec: HybridScan.PartitionedRead,
+        pred: Option[Expression],
         required: AttributeSet): LogicalPlan = {
       val needed0 = rel.output.filter(required.contains)
       val needed = if (needed0.nonEmpty) needed0 else rel.output.take(1)
@@ -249,7 +274,8 @@ object ModeExec extends PredicateHelper {
         .map(b => f"${b & 0xff}%02x").mkString.take(8)
       val segName = s"${new org.apache.hadoop.fs.Path(path).getName}~$digest"
       val lease = router.scanPartitionedMode(s, path, segName,
-        needed.map(_.name), predicate, partCols, mode, leasesSpanExecution)
+        needed.map(_.name), predicate, partCols, mode, leasesSpanExecution,
+        readSpec)
       leases += lease
       val routed = lease.df.queryExecution.analyzed
       Project(needed.zip(routed.output).map { case (orig, fresh) =>
@@ -281,17 +307,17 @@ object ModeExec extends PredicateHelper {
         Filter(cond, substitute(leaf, table,
           routable.reduceOption(And), required ++ cond.references))
       case Filter(cond0, leaf) if partitionedLeaf(leaf).isDefined =>
-        val (path, partCols) = partitionedLeaf(leaf).get
+        val (path, partCols, readSpec) = partitionedLeaf(leaf).get
         val cond = goSubqueries(cond0)
         val routable = splitConjunctivePredicates(cond).filter(e =>
           e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
-        Filter(cond, substitutePartitioned(leaf, path, partCols,
+        Filter(cond, substitutePartitioned(leaf, path, partCols, readSpec,
           routable.reduceOption(And), required ++ cond.references))
       case other => leafTable(dir)(other) match {
         case Some(table) => substitute(other, table, None, required)
         case None => partitionedLeaf(other) match {
-          case Some((path, partCols)) =>
-            substitutePartitioned(other, path, partCols, None, required)
+          case Some((path, partCols, readSpec)) =>
+            substitutePartitioned(other, path, partCols, readSpec, None, required)
           case None => other.mapExpressions(goSubqueries)
             .mapChildren(go(_, required ++ other.references))
         }
@@ -566,12 +592,50 @@ object ModeExec extends PredicateHelper {
       |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-06' AND DATE '2024-01-16'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** dm14 (r14): dm13's deployment path over a hive-partitioned CSV
+    * table — the reference's PRIMARY lake format (r13 verdict item 2:
+    * routing was parquet-only and a partitioned CSV table silently fell
+    * back to whole-table admission). A user view declares the schema
+    * (the reference's CSV tables are declared-schema via its catalogue,
+    * never inference); `spark.graft.scanMode=hybrid` +
+    * [[Engine.executeQuery]] then routes per DAY exactly like the
+    * parquet twin — ModeExecSpec pins per-day residents with zero
+    * whole-table segments and 4-mode row identity over this leaf. The
+    * oracle aggregates the ORIGINAL events table: format, layout, and
+    * routing change bytes, never rows. */
+  private def dm14ConfCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Layout.partitionedEventsCsv(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.sources.Tables.events(s, dir).schema :+
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .createOrReplaceTempView("events_by_day_csv")
+    def sqlOf(hi: String) =
+      s"""SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value,
+         |  count(DISTINCT day) AS n_days
+         |FROM events_by_day_csv
+         |WHERE day BETWEEN DATE '2024-01-06' AND DATE '$hi'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try {
+      (1 to 2).foreach(_ => Engine.executeQuery(s, dir, sqlOf("2024-01-10")))
+      Engine.executeQuery(s, dir, sqlOf("2024-01-16"))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm06_mode_pullup"  -> dm06ModePullup _,
     "dm07_mode_caching" -> dm07ModeCaching _,
     "dm08_mode_hybrid"  -> dm08ModeHybrid _,
     "dm10_conf_mode"    -> dm10ConfMode _,
     "dm13_conf_partitioned" -> dm13ConfPartitioned _,
+    "dm14_conf_csv"     -> dm14ConfCsv _,
   )
 
   /** Oracles are the SAME SSB texts the b-entries hash against — a mode
@@ -584,5 +648,6 @@ object ModeExec extends PredicateHelper {
     "dm08_mode_hybrid"  -> SsbCorpus.sql("1_1"),
     "dm10_conf_mode"    -> SsbCorpus.sql("2_1"),
     "dm13_conf_partitioned" -> dm13Sql,
+    "dm14_conf_csv"     -> dm13Sql,
   )
 }

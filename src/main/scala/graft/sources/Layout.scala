@@ -206,6 +206,21 @@ object Layout {
         .write.mode("overwrite").partitionBy("day").parquet(out)
     }
 
+  /** Day-partitioned CSV twin of [[partitionedEvents]] (r14, r13 verdict
+    * item 2): CSV is the reference's PRIMARY lake format (its S3 Select
+    * scan parses streamed CSV and the default exec.conf corpus is CSV),
+    * so the per-partition router must route a hive-partitioned CSV
+    * table exactly like parquet. Header row written; readers declare
+    * the schema (the reference's CSV tables are declared-schema too —
+    * `fpdb-catalogue` carries the column types, never inference). */
+  private[graft] def partitionedEventsCsv(s: SparkSession, dir: String): String =
+    Fixtures.cached(s, dir, "events_by_day_csv") { out =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").option("header", "true")
+        .partitionBy("day").csv(out)
+    }
+
   /** BENCH-SCALE day-partitioned events copy (r13): the same layout as
     * [[partitionedEvents]] with rows replicated ×`factor` and ~
     * `filesPerDay` files per day directory. Exists because the sf0.1

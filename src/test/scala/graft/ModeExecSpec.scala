@@ -318,6 +318,51 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("conf-mode routes a partitioned CSV leaf per partition (declared schema)") {
+    // r13 verdict item 2, conf-route leg: a user view over a
+    // hive-partitioned CSV table (declared schema — the reference's
+    // catalogue carries column types) reached via SET
+    // spark.graft.scanMode=hybrid + Engine.executeQuery must route per
+    // DAY like the parquet twin, never admit a whole-table segment.
+    val s = spark.newSession()
+    val path = graft.sources.Layout.partitionedEventsCsv(s, sfDir)
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.sources.Tables.events(s, sfDir).schema :+
+        org.apache.spark.sql.types.StructField("day",
+          org.apache.spark.sql.types.DateType))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .createOrReplaceTempView("events_by_day_csv")
+    def sqlOf(hi: String) =
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+         |FROM events_by_day_csv
+         |WHERE day BETWEEN DATE '2024-01-06' AND DATE '$hi'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+    val expect = rows(Engine.plan(s, sfDir, sqlOf("2024-01-10")))
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      for (_ <- 1 to 3)
+        assertRowsEqual(rows(Engine.executeQuery(s, sfDir, sqlOf("2024-01-10"))),
+          expect, "conf-routed per-partition CSV hybrid")
+      val regions = cache.keys.filter(_.region.nonEmpty)
+      assert(regions.nonEmpty,
+        "per-day CSV segments must be resident through the conf route")
+      assert(regions.forall(_.region.startsWith("day=")),
+        s"regions must be day-keyed: ${regions.map(_.region)}")
+      assert(!cache.keys.exists(_.region.isEmpty),
+        s"NO whole-table segment on the partitioned CSV path: ${cache.keys}")
+      // hot+cold span stays row-identical and routes Hybrid
+      val expectWide = rows(Engine.plan(s, sfDir, sqlOf("2024-01-16")))
+      assertRowsEqual(rows(Engine.executeQuery(s, sfDir, sqlOf("2024-01-16"))),
+        expectWide, "hot+cold CSV span through the conf route")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
   test("a cached FILTERED frame over a partitioned table keeps its filter under conf-mode") {
     // r13 review (second pass): CacheManager substitutes an
     // InMemoryRelation into any plan-equal subtree, and the IMR leaf

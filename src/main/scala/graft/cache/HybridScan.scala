@@ -1619,6 +1619,196 @@ object HybridScan {
       new ScanLease(frames.reduce(_ unionByName _), route, release)
     }
 
+    /** Per-SHARD route lattice over a zone-mapped sharded flat table
+      * (r14) — the reference's OTHER partition shape: its catalogue
+      * enumerates a table as numbered shard FILES (`T.csv.0 … T.csv.N`,
+      * `README.md:57-59`) whose Partition metadata carries zone maps
+      * (`fpdb-catalogue/include/fpdb/catalogue/Partition.h:23-41`), and
+      * the third component of its `SegmentKey` is exactly this RANGE —
+      * per-shard caching over a layout with no directory structure at
+      * all. [[scanPartitionedMode]] needs hive directories; this is the
+      * same admission ladder with the zone-map SIDECAR as the partition
+      * authority, composing the two pruning layers the reference
+      * composes (`PartitionPruner.cpp:23-51` prunes partitions by zone
+      * map at plan construction; the cache tier then routes what
+      * survives):
+      *
+      *  - `zonePreds` prune the shard list FIRST — a zone-pruned shard
+      *    is never read, never heated, never admitted;
+      *  - each surviving shard earns heat separately and is admitted as
+      *    its own region-keyed segment (`shard=<file>`, fingerprinted
+      *    by (path, size, mtime) so an in-place rewrite rotates it);
+      *  - the still-cold shards ride ONE multi-path scan (slot-leased
+      *    when the store admits it, pullup otherwise).
+      *
+      * The explicit cold-PATH enumeration is row-safe where the
+      * partitioned path needed a value-space complement: the sidecar IS
+      * the table definition — a file it does not name is not part of
+      * the table — so there is no listing-staleness hole to guard; a
+      * shard the sidecar names that storage has lost fails the read
+      * loudly, exactly like the plain scan would. Every route is
+      * result-identical (zone maps only ever overapproximate; the full
+      * `predicate` runs on both the cache side and the cold side).
+      *
+      * External IN-PLACE rewrites of a shard follow the same REFRESH
+      * contract as the partitioned path (Spark's own catalog-cache
+      * semantics): the writer calls [[HybridScan.invalidateListings]]
+      * (so the fingerprint sees the new size/mtime and re-keys the
+      * segment) AND `spark.catalog.refreshByPath` (so Spark's
+      * file-status cache and the CacheManager do too — a still-persisted
+      * OLD segment is plan-equal to the re-keyed rebuild, and without
+      * the refresh the CacheManager would materialize the rebuild FROM
+      * it; ShardRouterSpec's rewrite test pins both halves). Graft's own
+      * writers do this; a missed refresh costs catalog-grade staleness,
+      * the same as any Spark table. */
+    def scanShardedMode(s: SparkSession, spec: graft.sources.TableSpec,
+        segName: String, shards: Seq[graft.sources.ShardZoneMap],
+        zonePreds: Seq[graft.sources.ZoneMapPruner.RangePred],
+        cols: Seq[String], predicate: Column, mode: ScanMode,
+        leaseSpansExecution: Boolean = true): ScanLease = {
+      import graft.sources.{Catalog, ZoneMapPruner}
+      val need =
+        (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
+      val surviving = ZoneMapPruner.prune(shards, zonePreds).sortBy(_.path)
+      val prunedNote = s"${surviving.size}/${shards.size} shards after zone pruning"
+      def readPaths(paths: Seq[String]) = Catalog.read(s, spec.copy(paths = paths))
+      def emptyScan() = readPaths(spec.paths).limit(0)
+      mode match {
+        case ModePullup =>
+          pullupN.incrementAndGet()
+          logDecision(segName, need, Pullup,
+            s"mode=pullup: $prunedNote, raw shards up, filter compute-side")
+          val src = if (surviving.isEmpty) emptyScan()
+                    else readPaths(surviving.map(_.path))
+          return noopLease(src.select(need.map(col): _*)
+            .filter(predicate).select(cols.map(col): _*), Pullup)
+        case ModePushdownOnly =>
+          val (acquired, suffix) = acquireForced()
+          pushdownN.incrementAndGet()
+          logDecision(segName, need, Pushdown,
+            s"mode=pushdown: $prunedNote" + suffix)
+          val src = if (surviving.isEmpty) emptyScan()
+                    else readPaths(surviving.map(_.path))
+          return new ScanLease(
+            src.filter(predicate).select(cols.map(col): _*),
+            Pushdown, if (acquired) () => slots.release() else () => ())
+        case _ => ()
+      }
+      if (surviving.isEmpty) {
+        pushdownN.incrementAndGet()
+        logDecision(segName, need, Pushdown,
+          "all shards zone-pruned: empty scan")
+        return noopLease(
+          emptyScan().filter(predicate).select(cols.map(col): _*), Pushdown)
+      }
+      // per-shard (size, mtime) fingerprints off ONE listing per parent
+      // directory (session-cached): rewriting a shard in place must
+      // rotate its segment, never serve the old bytes. Keys are
+      // scheme-normalized URI paths — the listing renders qualified
+      // `file:/x` forms while sidecars may carry bare `/x` (first run of
+      // ShardRouterSpec caught the mismatch: every shard degraded to one
+      // constant "unlisted" fingerprint and a rewrite served stale bytes)
+      def pathKey(p: String): String =
+        new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val parents = surviving.map(z =>
+        new org.apache.hadoop.fs.Path(z.path).getParent.toString).distinct
+      val fileInfo: Map[String, (Long, Long)] = parents.flatMap(p =>
+        listPathSession(s, p).files.map(f => pathKey(f._1) -> ((f._2, f._3))))
+        .toMap
+      val needSorted = need.sorted
+      val hotNames = scala.collection.mutable.Buffer.empty[String]
+      val hotFrames = scala.collection.mutable.Buffer.empty[DataFrame]
+      val releases = scala.collection.mutable.Buffer.empty[() => Unit]
+      val coldPaths = scala.collection.mutable.Buffer.empty[String]
+      surviving.foreach { z =>
+        val name = new org.apache.hadoop.fs.Path(z.path).getName
+        val region = s"shard=$name"
+        val fpOpt = fileInfo.get(pathKey(z.path))
+          .map { case (len, mt) => s"$len:$mt" }
+        // a shard the parent listing does not show cannot be
+        // rewrite-fingerprinted — it must never become resident (a
+        // stale segment would be undetectable); it rides the cold scan,
+        // which fails as loudly as a plain read if the file is gone
+        if (fpOpt.isEmpty) { coldPaths += z.path }
+        else {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${pathKey(z.path)}|${fpOpt.get}".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(8)
+        val keyTable = s"$segName@$digest"
+        val heat = countAccess("shard", segName, needSorted :+ region)
+        val hotCapped = hotNames.size >= maxHotRegions
+        val resident = if (hotCapped) None else
+          cache.keys.find(k => k.table == keyTable &&
+            k.region == region && need.forall(k.columns.contains))
+        def buildShard(cs: Seq[String]) =
+          readPaths(Seq(z.path)).select(cs.map(col): _*)
+        def serveHot(seg: DataFrame): Unit = {
+          hotNames += name; hotFrames += seg
+        }
+        def admitShard(): Unit = {
+          val k = SegmentKey(keyTable, needSorted, region)
+          val seg = cache.get(k)(buildShard(needSorted))
+          if (cache.keys.contains(k)) serveHot(seg)
+          else {
+            resetAccess("shard", segName, needSorted :+ region)
+            val relOpt = if (leaseSpansExecution) cache.leaseRefused(seg) else None
+            relOpt match {
+              case Some(rel) => serveHot(seg); releases += rel
+              case None =>
+                if (!leaseSpansExecution) cache.leaseRefused(seg).foreach(_.apply())
+                if (mode == ModeCachingOnly) serveHot(seg)
+                else coldPaths += z.path
+            }
+          }
+        }
+        resident match {
+          case Some(k) => serveHot(cache.get(k)(buildShard(k.columns)))
+          case None =>
+            if (hotCapped) coldPaths += z.path
+            else if (mode == ModeCachingOnly ||
+                (hotAdmitAfter > 0 && heat >= hotAdmitAfter)) admitShard()
+            else coldPaths += z.path
+        }
+        }
+      }
+      val frames = scala.collection.mutable.Buffer.empty[DataFrame]
+      hotFrames.foreach(seg =>
+        frames += seg.filter(predicate).select(cols.map(col): _*))
+      var release: () => Unit = () => releases.foreach(_.apply())
+      val acquired = coldPaths.nonEmpty && mode != ModeCachingOnly &&
+        slots.tryAcquire()
+      val coldRoute: Option[Route] =
+        if (coldPaths.nonEmpty) Some(if (acquired) Pushdown else Pullup) else None
+      if (coldPaths.nonEmpty) {
+        frames +=
+          (if (acquired) readPaths(coldPaths.toSeq)
+            .filter(predicate).select(cols.map(col): _*)
+          else readPaths(coldPaths.toSeq).select(need.map(col): _*)
+            .filter(predicate).select(cols.map(col): _*))
+      }
+      if (acquired) {
+        val r0 = release; release = () => { r0(); slots.release() }
+      }
+      val route = (hotNames.nonEmpty, coldRoute) match {
+        case (true, Some(_))  => Hybrid
+        case (true, None)     => CacheOnly
+        case (false, Some(r)) => r
+        case (false, None)    => Pushdown // touched all refused plan-only
+      }
+      route match {
+        case Hybrid    => hybridN.incrementAndGet()
+        case CacheOnly => cacheOnlyN.incrementAndGet()
+        case Pushdown  => pushdownN.incrementAndGet()
+        case Pullup    => pullupN.incrementAndGet()
+      }
+      logDecision(segName, need, route,
+        s"per-shard: $prunedNote; cache=[${hotNames.mkString(",")}] " +
+        s"storage=[${coldPaths.map(p =>
+          new org.apache.hadoop.fs.Path(p).getName).mkString(",")}]" +
+        coldRoute.fold("")(r => s" (cold side ${r.toString.toLowerCase})"))
+      new ScanLease(frames.reduce(_ unionByName _), route, release)
+    }
+
     // ---- the reference's actual admission estimate
     // (`AdaptPushdownManager::receiveOne`): a saturated store does not
     // mean an unconditional fallback — it queues the request when the

@@ -29,8 +29,16 @@ import graft.sources.Tables
 object PredicateTransfer {
 
   /** Reduce `fact` by semi-joining each (dim, joinCond), in order.
-    * Callers pass dims smallest-first (the reference's
-    * SmallToLargePredTransOrder); [[reduceAuto]] orders them from stats. */
+    *
+    * The ORDER is the caller's — this is the reference's BFS/Yannakakis
+    * discipline, which applies transfers in join-graph traversal order
+    * without sorting by size (`BFSPredTransOrder.cpp:134-160`; the
+    * reference selects between the two orders with a build flag,
+    * `fpdb-plan/include/fpdb/plan/Globals.h:19`). [[reduceAuto]] is the
+    * other order: dims smallest-first from plan stats
+    * (`SmallToLargePredTransOrder.cpp:12-31`). Both produce identical
+    * rows (semi joins commute as filters); they differ only in how fast
+    * the fact shrinks along the chain. */
   def reduce(fact: DataFrame, dims: Seq[(DataFrame, Column)]): DataFrame =
     dims.foldLeft(fact) { case (f, (dim, cond)) => f.join(dim, cond, "left_semi") }
 

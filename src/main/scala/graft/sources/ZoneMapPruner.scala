@@ -145,11 +145,49 @@ object ZoneMapPruner {
       |FROM orders WHERE o_orderkey <= 1000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** z06 (r14) — zone-map pruning COMPOSED with the per-shard cache
+    * router: the reference's `SegmentKey` third component is the RANGE
+    * (`fpdb-cache/include/fpdb/cache/SegmentKey.h`), i.e. per-shard
+    * caching over a flat sharded layout, and its PartitionPruner drops
+    * zone-pruned partitions before the cache tier ever sees them
+    * (`PartitionPruner.cpp:23-51`). Two heating passes over the low-key
+    * window walk the per-SHARD admission ladder (plan-time leases, the
+    * dm13 discipline); the reported query spans a wider key range, so
+    * hot shards serve cache-side while cold ones ride one multi-path
+    * scan. Shared session cache may be warm or cold on any driver call;
+    * rows are route-independent (the entry contract). Oracle = the same
+    * predicate over the parquet original. */
+  private def z06ShardedRoute(s: SparkSession, dir: String): DataFrame = {
+    import graft.cache.HybridScan
+    val (spec, zones) = shardedOrders(s, dir)
+    val r = new HybridScan.AdaptiveScanRouter(
+      HybridScan.segmentCache(s, dir), pushdownSlots = 8)
+    val cols = Seq("o_orderstatus", "o_totalprice")
+    def lease(hi: Long) = r.scanShardedMode(s, spec, "orders_sharded", zones,
+      Seq(Le("o_orderkey", hi.toDouble)), cols,
+      col("o_orderkey") <= hi, HybridScan.ModeHybrid,
+      leaseSpansExecution = false)
+    (1 to 2).foreach(_ => lease(1000L).close())
+    val l = lease(3000L)
+    l.close() // plan-time lease; the driver executes the lazy frame later
+    l.df.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Tables.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val z06Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey <= 3000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zonemap_prune" -> z01ZoneMapPrune _,
+    "z06_sharded_route" -> z06ShardedRoute _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "z01_zonemap_prune" -> z01Sql,
+    "z06_sharded_route" -> z06Sql,
   )
 }

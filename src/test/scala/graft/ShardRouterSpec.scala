@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cache.{HybridScan, LRU, SegmentCache}
+import graft.cache.HybridScan.{AdaptiveScanRouter, CacheOnly, Hybrid,
+  ModeCachingOnly, ModeHybrid, ModePullup, ModePushdownOnly, Pushdown}
+import graft.sources.ZoneMapPruner
+import graft.sources.ZoneMapPruner.Le
+
+/** Per-SHARD routing over a zone-mapped sharded flat table (r14) — the
+  * reference's `SegmentKey` RANGE component
+  * (`fpdb-cache/include/fpdb/cache/SegmentKey.h`): per-shard caching over
+  * the numbered-shard-file layout its catalogue enumerates
+  * (`T.csv.0 … T.csv.N`), with the zone-map sidecar pruning shards BEFORE
+  * the cache tier sees them (`PartitionPruner.cpp:23-51`). */
+class ShardRouterSpec extends SparkSpec {
+
+  private lazy val fixture = ZoneMapPruner.shardedOrders(spark, sfDir)
+  private val cols = Seq("o_orderstatus", "o_totalprice")
+
+  private def via(router: AdaptiveScanRouter, hi: Long,
+      mode: HybridScan.ScanMode = ModeHybrid) = {
+    val (spec, zones) = fixture
+    val lease = router.scanShardedMode(spark, spec, "orders_sharded", zones,
+      Seq(Le("o_orderkey", hi.toDouble)), cols, col("o_orderkey") <= hi, mode)
+    try (lease.route, lease.df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double").as("total"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq)
+    finally lease.close()
+  }
+
+  private def oracle(hi: Long) =
+    graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") <= hi)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(25,6)"))
+        .cast("double").as("total"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+
+  test("all four modes are row-identical on the sharded path") {
+    val want = oracle(2000L)
+    assert(want.nonEmpty, "fixture must select rows")
+    Seq(ModePullup, ModePushdownOnly, ModeCachingOnly, ModeHybrid).foreach {
+      mode =>
+        val cache = new SegmentCache(1L << 30, LRU)
+        val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+          hotAdmitAfter = 2)
+        val (_, got) = via(router, 2000L, mode)
+        assert(got == want, s"mode $mode must be result-identical")
+        cache.invalidateAll()
+    }
+  }
+
+  test("hot shards admit as shard-keyed segments; wider spans route Hybrid") {
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 2)
+    val want = oracle(1000L)
+    // heat the low-key window: per-shard admission on the second access,
+    // resident serve from the third
+    (1 to 3).foreach { _ => assert(via(router, 1000L)._2 == want) }
+    val regions = cache.keys.filter(_.region.nonEmpty).map(_.region)
+    assert(regions.nonEmpty && regions.forall(_.startsWith("shard=")),
+      s"expected shard-keyed segments, got ${cache.keys}")
+    assert(!cache.keys.exists(_.region.isEmpty),
+      "no whole-table segment may exist on the sharded path")
+    val (route3, _) = via(router, 1000L)
+    assert(route3 == CacheOnly,
+      s"an all-hot window must serve cache-side, got $route3")
+    // a wider key range: the hot shards serve cache-side, the newly
+    // touched shards ride the cold multi-path scan — ONE Hybrid lease
+    val wantWide = oracle(3000L)
+    val (routeWide, gotWide) = via(router, 3000L)
+    assert(gotWide == wantWide, "hybrid union must equal the plain scan")
+    assert(routeWide == Hybrid, s"hot+cold span must route Hybrid: $routeWide")
+    val d = router.decisions.last
+    assert(d._4.contains("per-shard") && d._4.contains("cache=[") &&
+      d._4.contains("storage=["), d._4)
+    cache.invalidateAll()
+  }
+
+  test("zone-pruned shards are never read, heated, or admitted") {
+    val (_, zones) = fixture
+    assert(zones.size == 8, s"fixture is 8 range shards: ${zones.size}")
+    val surviving = ZoneMapPruner.prune(zones, Seq(Le("o_orderkey", 1000.0)))
+    assert(surviving.size < zones.size,
+      "fixture: the key predicate must zone-prune some shards")
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 2)
+    (1 to 3).foreach { _ => via(router, 1000L) }
+    // only surviving shards can have become resident
+    val residentShards = cache.keys.map(_.region).toSet
+    val survivingNames = surviving.map(z =>
+      "shard=" + new org.apache.hadoop.fs.Path(z.path).getName).toSet
+    assert(residentShards.subsetOf(survivingNames),
+      s"a zone-pruned shard must never admit: $residentShards vs $survivingNames")
+    assert(residentShards.size <= surviving.size)
+    assert(router.decisions.last._4.contains("after zone pruning"),
+      router.decisions.last._4)
+    cache.invalidateAll()
+  }
+
+  test("rewriting a shard in place rotates its segment (fingerprint includes size/mtime)") {
+    // build a tiny 2-shard CSV fixture of our own so the rewrite cannot
+    // disturb the shared shardedOrders fixture
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-shard-rot")
+    val s0 = root.resolve("t.csv.0"); val s1 = root.resolve("t.csv.1")
+    Files.write(s0, "1|10.0\n2|20.0\n".getBytes("UTF-8"))
+    Files.write(s1, "5|50.0\n6|60.0\n".getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val spec = graft.sources.TableSpec("t_sharded", "csv",
+      Seq(s0.toString, s1.toString), Some(schema), "|")
+    val zones = Seq(
+      graft.sources.ShardZoneMap(s0.toString, Map("k" -> ((1.0, 2.0)))),
+      graft.sources.ShardZoneMap(s1.toString, Map("k" -> ((5.0, 6.0)))))
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 1) // admit on first touch: the rotation is the point
+    def sumV(): Double = {
+      val lease = router.scanShardedMode(spark, spec, "t_sharded", zones,
+        Seq(Le("k", 10.0)), Seq("k", "v"), lit(true), ModeCachingOnly)
+      try lease.df.agg(sum("v")).collect()(0).getDouble(0)
+      finally lease.close()
+    }
+    try {
+      assert(sumV() == 140.0)
+      assert(cache.keys.count(_.region.nonEmpty) == 2, s"${cache.keys}")
+      // rewrite shard 0 in place with different bytes (and ensure the
+      // mtime moves even on coarse-grained filesystems)
+      Files.write(s0, "1|11.0\n2|20.0\n3|30.0\n".getBytes("UTF-8"))
+      Files.setLastModifiedTime(s0,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() + 5000))
+      // an external rewrite needs BOTH refreshes — graft's listing cache
+      // (the fingerprint source) and Spark's own (REFRESH TABLE
+      // semantics: the file-status cache AND the CacheManager, whose
+      // plan-equality substitution would otherwise serve the still-
+      // persisted OLD segment into the re-keyed rebuild — observed on
+      // this test's first run: the rotation re-keyed correctly but the
+      // fresh build materialized from the stale plan-equal IMR)
+      HybridScan.invalidateListings(root.toString)
+      spark.catalog.refreshByPath(root.toString)
+      val got = sumV()
+      assert(got == 171.0,
+        s"a rewritten shard must rotate its segment, not serve stale bytes: $got")
+    } finally {
+      cache.invalidateAll()
+      Files.deleteIfExists(s0); Files.deleteIfExists(s1)
+      Files.deleteIfExists(root)
+    }
+  }
+}

@@ -363,6 +363,67 @@ class ModeExecSpec extends SparkSpec {
     }
   }
 
+  test("conf-mode routes partitioned JSONL and ORC leaves per partition too") {
+    // the other two partitionedLeaf format arms (r14): JSONL re-reads
+    // under the relation's declared schema like CSV; ORC self-describes
+    // like parquet. Same contract as the CSV pin: rows identical to the
+    // pristine plan, per-day segments, never a whole-table one.
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-fmt-leaves")
+    try {
+      Seq("json", "orc").foreach { fmt =>
+        val s = spark.newSession()
+        val out = root.resolve(fmt).toString
+        graft.sources.Tables.events(s, sfDir)
+          .withColumn("day", org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("ts")))
+          .select("event_type", "value", "day", "ts")
+          .write.partitionBy("day").format(fmt).save(out)
+        val view = s"events_by_day_$fmt"
+        val reader =
+          if (fmt == "orc") s.read.format(fmt)
+          else s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("ts",
+              org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("day",
+              org.apache.spark.sql.types.DateType)))).format(fmt)
+        reader.load(out).createOrReplaceTempView(view)
+        val sql =
+          s"""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+             |FROM $view
+             |WHERE day BETWEEN DATE '2024-01-06' AND DATE '2024-01-09'
+             |GROUP BY event_type ORDER BY event_type""".stripMargin
+        val expect = rows(Engine.plan(s, sfDir, sql))
+        assert(expect.nonEmpty, s"fixture must select rows ($fmt)")
+        val cache = HybridScan.segmentCache(s, sfDir)
+        try {
+          s.conf.set("spark.graft.scanMode", "hybrid")
+          for (_ <- 1 to 3)
+            assertRowsEqual(rows(Engine.executeQuery(s, sfDir, sql)),
+              expect, s"conf-routed per-partition $fmt hybrid")
+          val regions = cache.keys.filter(_.region.nonEmpty)
+          assert(regions.nonEmpty && regions.forall(_.region.startsWith("day=")),
+            s"$fmt: per-day segments expected, got ${cache.keys}")
+          assert(!cache.keys.exists(_.region.isEmpty),
+            s"$fmt: no whole-table segment on the partitioned path")
+        } finally {
+          try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+          cache.invalidateAll()
+        }
+      }
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("a cached FILTERED frame over a partitioned table keeps its filter under conf-mode") {
     // r13 review (second pass): CacheManager substitutes an
     // InMemoryRelation into any plan-equal subtree, and the IMR leaf

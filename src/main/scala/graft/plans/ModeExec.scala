@@ -5,7 +5,8 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference,
-  AttributeSet, Expression, PlanExpression, PredicateHelper}
+  AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+  LessThanOrEqual, Literal, PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -207,6 +208,96 @@ object ModeExec extends PredicateHelper {
     }
   }
 
+  /** A zone-mapped SHARDED flat CSV leaf (r14): a single-root,
+    * unpartitioned CSV relation whose directory carries graft's
+    * persisted zone-map sidecar ([[graft.sources.ZoneMapPruner
+    * .SidecarName]] — the reference's `zoneMap.json`, which its
+    * catalogue keeps next to the data, `Partition.h:23-41`). Detection
+    * makes [[AdaptiveScanRouter.scanShardedMode]] DEPLOYMENT-reachable:
+    * `SET spark.graft.scanMode` + a plain view over the directory
+    * routes per shard with zone pruning composed in, no library call.
+    *
+    * Eligibility is conservative — the substitution re-reads through
+    * [[graft.sources.Catalog.read]], so the relation must be a shape
+    * that read reproduces EXACTLY: no partition columns, only
+    * delimiter/header options (header must be false, read's fixed
+    * choice), no timestamp columns (read pins a timestampFormat), and
+    * the sidecar's file-name set must EQUAL the relation's input files
+    * — a sidecar that has drifted from the directory (new shard landed,
+    * sidecar not rebuilt) leaves the leaf unrouted rather than dropping
+    * the unlisted shard's rows. Anything else: plain Catalyst plan. */
+  private def shardedLeaf(s: SparkSession)(p: LogicalPlan): Option[
+      (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap])] = {
+    def ofRelation(h: HadoopFsRelation): Option[
+        (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap])] = {
+      import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
+      if (!h.fileFormat.isInstanceOf[CSVFileFormat] ||
+          h.partitionSchema.nonEmpty || h.location.rootPaths.size != 1)
+        return None
+      val opts = h.options.map { case (k, v) => k.toLowerCase -> v }
+      if (!opts.keySet.subsetOf(Set("path", "paths", "sep", "delimiter", "header")))
+        return None
+      if (opts.get("header").exists(_.trim.equalsIgnoreCase("true")))
+        return None
+      if (h.dataSchema.exists(_.dataType ==
+          org.apache.spark.sql.types.TimestampType))
+        return None
+      val root = h.location.rootPaths.head
+      graft.sources.ZoneMapPruner.readSidecar(s, root.toString).flatMap { zones =>
+        val relFiles = h.location.inputFiles
+          .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+        val zoneNames = zones
+          .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
+        if (relFiles == zoneNames && zones.nonEmpty) {
+          val delim = opts.get("sep").orElse(opts.get("delimiter")).getOrElse(",")
+          Some((root.toString,
+            graft.sources.TableSpec(root.getName, "csv",
+              zones.map(_.path).sorted, Some(h.dataSchema), delim),
+            zones))
+        } else None
+      }
+    }
+    p match {
+      case rel: LogicalRelation => rel.relation match {
+        case h: HadoopFsRelation => ofRelation(h)
+        case _ => None
+      }
+      case imr: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        bareCachedScan(imr.cachedPlan).flatMap(f => ofRelation(f.relation))
+      case _ => None
+    }
+  }
+
+  /** The zone-prunable subset of a conjunction — plain
+    * attribute-vs-numeric-literal comparisons, both orientations (the
+    * reference's pruner walks the same and/compare/literal shapes,
+    * `PartitionPruner.cpp:23-51`). Everything else stays residual:
+    * pruning with FEWER predicates is always sound (zone maps only
+    * overapproximate). */
+  private def rangePreds(conjuncts: Seq[Expression])
+      : Seq[graft.sources.ZoneMapPruner.RangePred] = {
+    import graft.sources.ZoneMapPruner._
+    def num(v: Any): Option[Double] = v match {
+      case null => None
+      case n: Number => Some(n.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case _ => None
+    }
+    conjuncts.flatMap {
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => num(v).map(Gt(a.name, _))
+      case GreaterThan(Literal(v, _), a: AttributeReference) => num(v).map(Lt(a.name, _))
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => num(v).map(Ge(a.name, _))
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => num(v).map(Le(a.name, _))
+      case LessThan(a: AttributeReference, Literal(v, _)) => num(v).map(Lt(a.name, _))
+      case LessThan(Literal(v, _), a: AttributeReference) => num(v).map(Gt(a.name, _))
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => num(v).map(Le(a.name, _))
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) => num(v).map(Ge(a.name, _))
+      case EqualTo(a: AttributeReference, Literal(v, _)) => num(v).map(EqTo(a.name, _))
+      case EqualTo(Literal(v, _), a: AttributeReference) => num(v).map(EqTo(a.name, _))
+      case _ => None
+    }
+  }
+
   /** Execute one SQL text with every base-table leaf routed under `mode`.
     * Pushdown-route slot leases are appended to `leases`; close them when
     * the query's execution is done ([[runQueryMode]] does). */
@@ -283,6 +374,35 @@ object ModeExec extends PredicateHelper {
       }, routed)
     }
 
+    // the per-shard substitution (r14) — same re-aliasing contract,
+    // routed through [[AdaptiveScanRouter.scanShardedMode]] with the
+    // zone-prunable conjuncts extracted from the SAME predicate the
+    // router also applies in full (residual discipline: fewer zone
+    // preds is always sound)
+    def substituteSharded(rel: LogicalPlan, root: String,
+        spec: graft.sources.TableSpec,
+        zones: Seq[graft.sources.ShardZoneMap],
+        pred: Option[Expression], required: AttributeSet): LogicalPlan = {
+      val needed0 = rel.output.filter(required.contains)
+      val needed = if (needed0.nonEmpty) needed0 else rel.output.take(1)
+      val predicate: Column = pred.map(e => GraftBridge.column(e.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })).getOrElse(lit(true))
+      val zonePreds = pred.map(e =>
+        rangePreds(splitConjunctivePredicates(e))).getOrElse(Nil)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(root.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(8)
+      val segName = s"${new org.apache.hadoop.fs.Path(root).getName}~$digest"
+      val lease = router.scanShardedMode(s, spec, segName, zones, zonePreds,
+        needed.map(_.name), predicate, mode, leasesSpanExecution)
+      leases += lease
+      val routed = lease.df.queryExecution.analyzed
+      Project(needed.zip(routed.output).map { case (orig, fresh) =>
+        Alias(fresh, orig.name)(exprId = orig.exprId)
+      }, routed)
+    }
+
     // subquery plans route too: surviving SubqueryExpressions in the
     // optimized plan (uncorrelated scalar subqueries, mostly — Catalyst
     // decorrelates EXISTS/IN and correlated scalars into joins before we
@@ -313,13 +433,24 @@ object ModeExec extends PredicateHelper {
           e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
         Filter(cond, substitutePartitioned(leaf, path, partCols, readSpec,
           routable.reduceOption(And), required ++ cond.references))
+      case Filter(cond0, leaf) if shardedLeaf(s)(leaf).isDefined =>
+        val (root, spec, zones) = shardedLeaf(s)(leaf).get
+        val cond = goSubqueries(cond0)
+        val routable = splitConjunctivePredicates(cond).filter(e =>
+          e.deterministic && e.find(_.isInstanceOf[PlanExpression[_]]).isEmpty)
+        Filter(cond, substituteSharded(leaf, root, spec, zones,
+          routable.reduceOption(And), required ++ cond.references))
       case other => leafTable(dir)(other) match {
         case Some(table) => substitute(other, table, None, required)
         case None => partitionedLeaf(other) match {
           case Some((path, partCols, readSpec)) =>
             substitutePartitioned(other, path, partCols, readSpec, None, required)
-          case None => other.mapExpressions(goSubqueries)
-            .mapChildren(go(_, required ++ other.references))
+          case None => shardedLeaf(s)(other) match {
+            case Some((root, spec, zones)) =>
+              substituteSharded(other, root, spec, zones, None, required)
+            case None => other.mapExpressions(goSubqueries)
+              .mapChildren(go(_, required ++ other.references))
+          }
         }
       }
     }
@@ -629,6 +760,42 @@ object ModeExec extends PredicateHelper {
     }
   }
 
+  /** dm15 (r14): the per-SHARD router reached purely through the
+    * deployment path — a plain user view over the zone-mapped sharded
+    * CSV directory (no partition dirs, no library call) +
+    * `SET spark.graft.scanMode=hybrid`. [[shardedLeaf]] detects the
+    * persisted sidecar, zone-prunes, and routes per shard file: two
+    * heating queries over the low-key window walk the per-shard
+    * admission ladder; the reported query spans a wider key range, hot
+    * shards cache-side, cold shards one multi-path scan. The oracle
+    * runs the same predicate over the parquet ORIGINAL (format, layout,
+    * and routing change bytes, never rows). */
+  private def dm15ConfSharded(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = graft.sources.ZoneMapPruner.shardedOrders(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_sharded_csv")
+    def sqlOf(hi: Int) =
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+         |FROM orders_sharded_csv WHERE o_orderkey <= $hi
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try {
+      (1 to 2).foreach(_ => Engine.executeQuery(s, dir, sqlOf(1000)))
+      Engine.executeQuery(s, dir, sqlOf(3000))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
+  private val dm15Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey <= 3000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dm06_mode_pullup"  -> dm06ModePullup _,
     "dm07_mode_caching" -> dm07ModeCaching _,
@@ -636,6 +803,7 @@ object ModeExec extends PredicateHelper {
     "dm10_conf_mode"    -> dm10ConfMode _,
     "dm13_conf_partitioned" -> dm13ConfPartitioned _,
     "dm14_conf_csv"     -> dm14ConfCsv _,
+    "dm15_conf_sharded" -> dm15ConfSharded _,
   )
 
   /** Oracles are the SAME SSB texts the b-entries hash against — a mode
@@ -649,5 +817,6 @@ object ModeExec extends PredicateHelper {
     "dm10_conf_mode"    -> SsbCorpus.sql("2_1"),
     "dm13_conf_partitioned" -> dm13Sql,
     "dm14_conf_csv"     -> dm13Sql,
+    "dm15_conf_sharded" -> dm15Sql,
   )
 }

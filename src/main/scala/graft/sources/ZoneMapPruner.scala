@@ -69,6 +69,77 @@ object ZoneMapPruner {
       }.toSeq
   }
 
+  // ---- persisted sidecar -------------------------------------------------
+
+  /** The sidecar file name, underscore-prefixed so Spark's file index
+    * (and graft's own listings) skip it as a data file — the reference
+    * keeps exactly this artifact next to its data (`zoneMap.json`
+    * referenced from the catalogue's Partition metadata,
+    * `Partition.h:23-41`). Line format, one shard per line after a
+    * version header: `fileName<TAB>col=min,max<TAB>col=min,max…` —
+    * file NAMES are relative so the table directory can move. */
+  val SidecarName = "_graft_zonemap"
+
+  /** Persist `zones` as `dir/_graft_zonemap` (tmp + rename — a reader
+    * never sees a torn file). Paths in `zones` may be absolute; only
+    * their file names are stored. */
+  def writeSidecar(s: SparkSession, dir: String,
+      zones: Seq[ShardZoneMap]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".${SidecarName}.tmp.${System.nanoTime}")
+    val target = new org.apache.hadoop.fs.Path(root, SidecarName)
+    val text = new StringBuilder("v=1\n")
+    zones.sortBy(_.path).foreach { z =>
+      val name = new org.apache.hadoop.fs.Path(z.path).getName
+      val cols = z.ranges.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }
+      text.append((name +: cols).mkString("\t")).append('\n')
+    }
+    val out = fs.create(tmp, true)
+    try out.write(text.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      sys.error(s"could not publish zone-map sidecar $target")
+  }
+
+  /** Load `dir/_graft_zonemap` if present, file names resolved back to
+    * absolute paths under `dir`. A malformed sidecar returns None (the
+    * caller falls back to an unrouted/unpruned read — pruning is an
+    * optimization, never a correctness input). */
+  def readSidecar(s: SparkSession, dir: String): Option[Seq[ShardZoneMap]] =
+    try {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(root, SidecarName)
+      if (!fs.exists(target)) return None
+      val in = fs.open(target)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = text.linesIterator.toSeq
+      if (!lines.headOption.contains("v=1")) return None
+      Some(lines.drop(1).filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        val ranges = parts.tail.map { kv =>
+          val i = kv.indexOf('=')
+          val Array(lo, hi) = kv.substring(i + 1).split(',')
+          kv.substring(0, i) -> ((lo.toDouble, hi.toDouble))
+        }.toMap
+        ShardZoneMap(new org.apache.hadoop.fs.Path(root, parts.head).toString,
+          ranges)
+      })
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ignoring unreadable zone-map sidecar under $dir: ${e.getMessage}")
+      None
+    }
+
   /** Read only the shards surviving pruning, then apply the full filter
     * (zone maps overapproximate; the residual predicate still runs). */
   def readPruned(
@@ -120,6 +191,12 @@ object ZoneMapPruner {
         org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
       val spec = TableSpec("orders_csv", "csv", files, Some(schema), "|")
       val zones = build(Catalog.read(s, spec), Seq("o_orderkey"))
+      // publish the sidecar next to the data (write-once like the files
+      // themselves): the conf-mode rewriter detects it and routes the
+      // DIRECTORY per shard (r14) — the reference's zoneMap.json lives
+      // exactly there, referenced from the catalogue
+      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
+      if (!fs.exists(sidecar)) writeSidecar(s, out.toString, zones)
       (spec, zones)
     }
 

@@ -103,6 +103,112 @@ class ShardRouterSpec extends SparkSpec {
     cache.invalidateAll()
   }
 
+  test("conf-mode routes a zone-mapped sharded CSV directory per shard") {
+    // r14: scanShardedMode is DEPLOYMENT-reachable — a plain view over
+    // the sharded directory (the persisted _graft_zonemap sidecar is
+    // the detector's authority, like the reference's zoneMap.json in
+    // its catalogue) + SET spark.graft.scanMode=hybrid routes per
+    // shard with zone pruning composed in, no library call anywhere.
+    val s = spark.newSession()
+    val (spec, zones) = ZoneMapPruner.shardedOrders(s, sfDir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_sharded_csv")
+    def sqlOf(hi: Int) =
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+         |FROM orders_sharded_csv WHERE o_orderkey <= $hi
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val expect = rows(Engine.plan(s, sfDir, sqlOf(1000)))
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      for (_ <- 1 to 3)
+        assert(rows(Engine.executeQuery(s, sfDir, sqlOf(1000))) == expect,
+          "conf-routed per-shard hybrid must match the pristine plan")
+      val regions = cache.keys.filter(_.region.nonEmpty)
+      assert(regions.nonEmpty && regions.forall(_.region.startsWith("shard=")),
+        s"shard-keyed residents expected through the conf route: ${cache.keys}")
+      assert(!cache.keys.exists(_.region.isEmpty),
+        "no whole-table segment on the sharded path")
+      // only zone-surviving shards may be resident
+      val surviving = ZoneMapPruner.prune(zones,
+        Seq(Le("o_orderkey", 1000.0)))
+      assert(surviving.size < zones.size, "fixture: pruning must bite")
+      val names = surviving.map(z =>
+        "shard=" + new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(regions.map(_.region).toSet.subsetOf(names),
+        s"zone-pruned shards must never admit via the conf route")
+      // wider span stays row-identical (hot + cold in one plan)
+      val expectWide = rows(Engine.plan(s, sfDir, sqlOf(3000)))
+      assert(rows(Engine.executeQuery(s, sfDir, sqlOf(3000))) == expectWide,
+        "hot+cold shard span through the conf route")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
+  test("a sidecar that drifted from the directory leaves the leaf UNROUTED") {
+    // row-safety guard: a new shard landing without a sidecar rebuild
+    // must not lose rows to sidecar-enumerated routing — the detector
+    // requires name-set equality and falls back to the plain plan.
+    import java.nio.file.{Files, Paths}
+    val s = spark.newSession()
+    val (spec, zones) = ZoneMapPruner.shardedOrders(s, sfDir)
+    val srcRoot = new org.apache.hadoop.fs.Path(spec.paths.head).getParent
+    val root = Files.createTempDirectory("graft-shard-drift")
+    try {
+      // copy the fixture dir (files + sidecar), then add one shard the
+      // sidecar does not know
+      val fs = srcRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(srcRoot).foreach { st =>
+        if (st.isFile) {
+          val in = fs.open(st.getPath)
+          val bytes = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8192)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            buf.toByteArray
+          } finally in.close()
+          Files.write(root.resolve(st.getPath.getName), bytes)
+        }
+      }
+      // the drifting shard: one extra row with a huge key
+      Files.write(root.resolve("part-extra.csv"),
+        "999999|1|123.45|X\n".getBytes("UTF-8"))
+      s.read.schema(spec.schema.get).option("delimiter", "|")
+        .csv(root.toString).createOrReplaceTempView("orders_drifted")
+      val sql =
+        """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+          |FROM orders_drifted WHERE o_orderkey <= 1000000""".stripMargin
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      val cache = HybridScan.segmentCache(s, sfDir)
+      try {
+        s.conf.set("spark.graft.scanMode", "hybrid")
+        (1 to 3).foreach { _ =>
+          val got = Engine.executeQuery(s, sfDir, sql).collect().map(_.toSeq).toSeq
+          assert(got == expect,
+            "a drifted sidecar must not lose the unlisted shard's rows")
+        }
+        assert(!cache.keys.exists(_.region.startsWith("shard=")),
+          s"a drifted-sidecar leaf must be left unrouted: ${cache.keys}")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+        cache.invalidateAll()
+      }
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("rewriting a shard in place rotates its segment (fingerprint includes size/mtime)") {
     // build a tiny 2-shard CSV fixture of our own so the rewrite cannot
     // disturb the shared shardedOrders fixture

@@ -231,17 +231,26 @@ object ModeExec extends PredicateHelper {
     def ofRelation(h: HadoopFsRelation): Option[
         (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap])] = {
       import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
-      if (!h.fileFormat.isInstanceOf[CSVFileFormat] ||
-          h.partitionSchema.nonEmpty || h.location.rootPaths.size != 1)
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      if (h.partitionSchema.nonEmpty || h.location.rootPaths.size != 1)
         return None
       val opts = h.options.map { case (k, v) => k.toLowerCase -> v }
-      if (!opts.keySet.subsetOf(Set("path", "paths", "sep", "delimiter", "header")))
-        return None
-      if (opts.get("header").exists(_.trim.equalsIgnoreCase("true")))
-        return None
-      if (h.dataSchema.exists(_.dataType ==
-          org.apache.spark.sql.types.TimestampType))
-        return None
+      // format gate: only shapes Catalog.read reproduces exactly.
+      // Parquet self-describes (schema/timestamps are the file's own;
+      // only path options allowed); CSV must match read's fixed choices
+      // (header=false, pinned timestampFormat → no timestamp columns)
+      val format = h.fileFormat match {
+        case _: ParquetFileFormat
+            if opts.keySet.subsetOf(Set("path", "paths")) => Some("parquet")
+        case _: CSVFileFormat
+            if opts.keySet.subsetOf(
+                 Set("path", "paths", "sep", "delimiter", "header")) &&
+               !opts.get("header").exists(_.trim.equalsIgnoreCase("true")) &&
+               !h.dataSchema.exists(_.dataType ==
+                 org.apache.spark.sql.types.TimestampType) => Some("csv")
+        case _ => None
+      }
+      if (format.isEmpty) return None
       val root = h.location.rootPaths.head
       graft.sources.ZoneMapPruner.readSidecar(s, root.toString).flatMap { zones =>
         val relFiles = h.location.inputFiles
@@ -251,7 +260,7 @@ object ModeExec extends PredicateHelper {
         if (relFiles == zoneNames && zones.nonEmpty) {
           val delim = opts.get("sep").orElse(opts.get("delimiter")).getOrElse(",")
           Some((root.toString,
-            graft.sources.TableSpec(root.getName, "csv",
+            graft.sources.TableSpec(root.getName, format.get,
               zones.map(_.path).sorted, Some(h.dataSchema), delim),
             zones))
         } else None

@@ -95,7 +95,16 @@ object PredicateTransfer {
     * Returns the reduced dims in input order. Callers compose chains the
     * way [[reduce]] composes the forward sweep: reduce the fact forward
     * first, then pass the SAME fact frame here (reverse topological
-    * order = deepest dims reduced from the most-reduced fact). */
+    * order = deepest dims reduced from the most-reduced fact).
+    *
+    * Cost shape at scale: each backward semi re-evaluates the fact
+    * subtree pruned to THAT edge's key column — a narrow columnar scan
+    * per dim (column pruning pushes through semi joins), not a
+    * full-width re-read. That is the scale-safe default at 100 TB,
+    * where persisting the reduced fact is infeasible; the reference
+    * avoids the re-read only because its actor pipeline holds the
+    * reduced intermediates in memory — callers whose reduced fact DOES
+    * fit can `.persist()` it before calling for the same effect. */
   def reduceBackward(fact: DataFrame,
       dims: Seq[(DataFrame, Column)]): Seq[DataFrame] =
     dims.map { case (dim, cond) => dim.join(fact, cond, "left_semi") }

@@ -152,6 +152,59 @@ class ShardRouterSpec extends SparkSpec {
     }
   }
 
+  test("a flat PARQUET shard directory with a sidecar routes per shard via conf too") {
+    // the parquet arm of shardedLeaf (r14): parquet self-describes, so a
+    // user-published sidecar over a flat parquet dir routes with no
+    // option/timestamp gates — zone pruning + per-shard caching on top
+    // of parquet's own row-group stats
+    import org.apache.spark.sql.functions.{col => c}
+    val s = spark.newSession()
+    val root = java.nio.file.Files.createTempDirectory("graft-shard-pq")
+    try {
+      val table = root.resolve("t").toString
+      graft.sources.Tables.orders(s, sfDir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(4, c("o_orderkey"))
+        .write.parquet(table)
+      val zones = ZoneMapPruner.build(s.read.parquet(table), Seq("o_orderkey"))
+      ZoneMapPruner.writeSidecar(s, table, zones)
+      s.read.parquet(table).createOrReplaceTempView("orders_pq_sharded")
+      val sql =
+        """SELECT count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+          |FROM orders_pq_sharded WHERE o_orderkey <= 600""".stripMargin
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      val cache = HybridScan.segmentCache(s, sfDir)
+      try {
+        s.conf.set("spark.graft.scanMode", "hybrid")
+        (1 to 3).foreach { _ =>
+          val got = Engine.executeQuery(s, sfDir, sql).collect().map(_.toSeq).toSeq
+          assert(got == expect, "conf-routed parquet shards must match")
+        }
+        val regions = cache.keys.filter(_.region.nonEmpty)
+        assert(regions.nonEmpty && regions.forall(_.region.startsWith("shard=")),
+          s"parquet shard residents expected: ${cache.keys}")
+        assert(!cache.keys.exists(_.region.isEmpty),
+          "no whole-table segment on the parquet sharded path")
+        // pruning bites: only the low-key shards can be resident
+        val surviving = ZoneMapPruner.prune(zones, Seq(Le("o_orderkey", 600.0)))
+        assert(surviving.size < zones.size, "fixture: pruning must bite")
+        val names = surviving.map(z =>
+          "shard=" + new org.apache.hadoop.fs.Path(z.path).getName).toSet
+        assert(regions.map(_.region).toSet.subsetOf(names),
+          "zone-pruned parquet shards must never admit")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+        cache.invalidateAll()
+      }
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("a sidecar that drifted from the directory leaves the leaf UNROUTED") {
     // row-safety guard: a new shard landing without a sidecar rebuild
     // must not lose rows to sidecar-enumerated routing — the detector

@@ -283,13 +283,29 @@ object ModeExec extends PredicateHelper {
     * `PartitionPruner.cpp:23-51`). Everything else stays residual:
     * pruning with FEWER predicates is always sound (zone maps only
     * overapproximate). */
-  private def rangePreds(conjuncts: Seq[Expression])
+  private[graft] def rangePreds(conjuncts: Seq[Expression])
       : Seq[graft.sources.ZoneMapPruner.RangePred] = {
     import graft.sources.ZoneMapPruner._
+    // only literals whose DOUBLE rendering is exact: zone bounds are
+    // doubles, and rounding is monotone — which makes Le/Ge/EqTo safe
+    // under rounding, but a STRICT compare against a rounded literal
+    // can wrongly prune (v = 2^53+1 rounds to 2^53; a shard whose min
+    // is exactly 2^53 fails `lo < v_rounded` yet contains 2^53 < v —
+    // row loss). Skipping the inexact literal keeps pruning sound:
+    // fewer predicates only under-prune (r14 second review pass).
     def num(v: Any): Option[Double] = v match {
       case null => None
-      case n: Number => Some(n.doubleValue)
-      case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+      case n: java.lang.Long =>
+        val d = n.longValue.toDouble
+        if (d.toLong == n.longValue) Some(d) else None
+      case n: java.lang.Integer => Some(n.doubleValue)
+      case n: java.lang.Short => Some(n.doubleValue)
+      case n: java.lang.Byte => Some(n.doubleValue)
+      case n: java.lang.Double => Some(n.doubleValue)
+      case n: java.lang.Float => Some(n.doubleValue)
+      case d: org.apache.spark.sql.types.Decimal =>
+        val dd = d.toDouble
+        if (scala.math.BigDecimal(dd) == d.toBigDecimal) Some(dd) else None
       case _ => None
     }
     conjuncts.flatMap {

@@ -262,6 +262,33 @@ class ShardRouterSpec extends SparkSpec {
     }
   }
 
+  test("zone-pred extraction skips literals whose double rendering is inexact") {
+    // r14 second review pass: zone bounds are doubles and rounding is
+    // monotone — Le/Ge/EqTo stay safe under rounding, but a STRICT
+    // compare against a rounded literal can wrongly prune (v = 2^53+1
+    // rounds to 2^53; a shard whose min is exactly 2^53 fails
+    // `lo < v_rounded` yet contains 2^53 < v — row loss). The extractor
+    // must emit the exact literals and SKIP the inexact ones.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.ZoneMapPruner.{Lt => ZLt, Le => ZLe}
+    val a = AttributeReference("k", LongType)()
+    val exact = (1L << 53)       // representable
+    val inexact = (1L << 53) + 1 // rounds to 2^53
+    val preds = graft.plans.ModeExec.rangePreds(Seq(
+      LessThan(a, Literal(exact, LongType)),
+      LessThan(a, Literal(inexact, LongType)),
+      LessThanOrEqual(a, Literal(7L, LongType))))
+    assert(preds.contains(ZLt("k", exact.toDouble)),
+      s"exact literals must extract: $preds")
+    assert(preds.contains(ZLe("k", 7.0)))
+    assert(!preds.exists {
+      case ZLt("k", v) => v != exact.toDouble
+      case _ => false
+    }, s"the inexact 2^53+1 literal must be SKIPPED, not rounded: $preds")
+    assert(preds.size == 2, s"exactly the two sound predicates: $preds")
+  }
+
   test("rewriting a shard in place rotates its segment (fingerprint includes size/mtime)") {
     // build a tiny 2-shard CSV fixture of our own so the rewrite cannot
     // disturb the shared shardedOrders fixture

@@ -570,6 +570,71 @@ object Bench {
         out.toSeq
       }
 
+    // ---- per-SHARD router economics on the throttled store (r14): the
+    // reference's SegmentKey RANGE leg. A 16-shard range-sharded CSV
+    // orders copy (zone-map sidecar built at write) on the instrumented
+    // scheme, same per-stream + aggregate physics as the other blocks:
+    //  - noprune vs prune (pushdown-only, same query): the BYTES the
+    //    zone sidecar alone removes — this is z01's claim with wall time
+    //    and FS-truth bytes attached at bench scale;
+    //  - the per-shard hot ladder (cold → admit → warm): warm serves the
+    //    pruned window from shard-keyed residents, ~zero store bytes;
+    //  - wide_hybrid vs wide_pushdown: a wider key span over the warm
+    //    cache vs the same span cache-less — hot shards serve cache-side
+    //    while the cold shards ride one multi-path scan.
+    val shardModes: Seq[(String, Double)] =
+      if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
+        import graft.sources.{MockObjectFs, ZoneMapPruner}
+        import org.apache.spark.sql.functions.{col, lit, count => fCount, sum => fSum}
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
+        val (localSpec, localZones) =
+          ZoneMapPruner.shardedOrdersN(spark, sfDir, 16, "orders_zonemap_csv_x16")
+        def m(p: String) =
+          "mockfs:" + new org.apache.hadoop.fs.Path(p).toUri.getPath
+        val spec = localSpec.copy(paths = localSpec.paths.map(m))
+        val zones = localZones.map(z => z.copy(path = m(z.path)))
+          .sortBy(_.ranges("o_orderkey")._1)
+        // thresholds derived from the zones themselves (scale-free):
+        // narrow keeps ~2/16 shards, wide ~5/16
+        val narrowK = zones(1).ranges("o_orderkey")._2.toLong
+        val wideK = zones(4).ranges("o_orderkey")._2.toLong
+        val totalMbps =
+          sys.env.getOrElse("SPARK_GRAFT_STORE_TOTAL_MBPS", "4").toLong
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val cache = new SegmentCache(1L << 30, LRU)
+        val router = new AdaptiveScanRouter(cache, pushdownSlots = 64,
+          hotAdmitAfter = 2)
+        def pass(label: String, k: Long, r: AdaptiveScanRouter,
+            mode: HybridScan.ScanMode,
+            zonePreds: Seq[ZoneMapPruner.RangePred]): Unit =
+          throttledPass(out, "shard-router", label, totalMbps) {
+            val lease = r.scanShardedMode(spark, spec,
+              "orders_sharded_bench", zones, zonePreds,
+              Seq("o_orderstatus", "o_totalprice"),
+              col("o_orderkey") <= lit(k), mode)
+            try lease.df.groupBy(col("o_orderstatus"))
+              .agg(fCount(lit(1)), fSum(col("o_totalprice")))
+              .write.format("noop").mode("overwrite").save()
+            finally lease.close()
+          }
+        def freshRouter() = new AdaptiveScanRouter(
+          new SegmentCache(1L << 30, LRU), pushdownSlots = 64)
+        val leN = Seq(ZoneMapPruner.Le("o_orderkey", narrowK.toDouble))
+        val leW = Seq(ZoneMapPruner.Le("o_orderkey", wideK.toDouble))
+        pass("noprune_pushdown", narrowK, freshRouter(), ModePushdownOnly, Nil)
+        pass("prune_pushdown", narrowK, freshRouter(), ModePushdownOnly, leN)
+        pass("hot_cold", narrowK, router, ModeHybrid, leN)
+        pass("hot_admit", narrowK, router, ModeHybrid, leN)
+        pass("hot_warm", narrowK, router, ModeHybrid, leN)
+        out += "shards_resident" -> cache.keys.count(_.region.nonEmpty).toDouble
+        out += "table_segments" -> cache.keys.count(_.region.isEmpty).toDouble
+        pass("wide_hybrid", wideK, router, ModeHybrid, leW)
+        pass("wide_pushdown", wideK, freshRouter(), ModePushdownOnly, leW)
+        cache.invalidateAll()
+        out.toSeq
+      }
+
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-run suite totals — the round-over-round variance record
     val runTotals = (0 until benchRuns).map { i =>
@@ -596,6 +661,7 @@ object Bench {
          |"scan_modes":${scanModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"store_modes":${storeModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"partition_router":${partitionModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"shard_router":${shardModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"modes":{"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warm.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_load":${loads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
@@ -622,7 +688,10 @@ object Bench {
       val pr = if (partitionModes.isEmpty) "" else
         s""","partition_router":${
           jmap(partitionModes.filterNot(_._1.endsWith("_mb")), dp)}"""
-      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
+      val shr = if (shardModes.isEmpty) "" else
+        s""","shard_router":${
+          jmap(shardModes.filterNot(_._1.endsWith("_mb")), dp)}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))
     // stop Spark BEFORE printing: the driver keeps the tail of the output

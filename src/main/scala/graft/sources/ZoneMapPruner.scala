@@ -172,14 +172,22 @@ object ZoneMapPruner {
     new graft.util.SessionCache[(TableSpec, Seq[ShardZoneMap])]()
 
   private[graft] def shardedOrders(s: SparkSession, dir: String): (TableSpec, Seq[ShardZoneMap]) =
-    shardCache.getOrBuild(s, s"$dir#zonemap") {
-      val out = Fixtures.ensure(s, Fixtures.path(dir, "orders_zonemap_csv")) {
+    shardedOrdersN(s, dir, 8, "orders_zonemap_csv")
+
+  /** [[shardedOrders]] at a caller-chosen shard count — the bench's
+    * shard-router block uses 16 shards so zone pruning has a realistic
+    * keep-ratio to demonstrate (2/16 ≈ the date-partitioned-logs
+    * shape). Fixture name carries the count (write-once discipline). */
+  private[graft] def shardedOrdersN(s: SparkSession, dir: String,
+      nShards: Int, fixtureName: String): (TableSpec, Seq[ShardZoneMap]) =
+    shardCache.getOrBuild(s, s"$dir#zonemap-$fixtureName") {
+      val out = Fixtures.ensure(s, Fixtures.path(dir, fixtureName)) {
         Tables.orders(s, dir)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
-          .repartitionByRange(8, col("o_orderkey"))
+          .repartitionByRange(nShards, col("o_orderkey"))
           .write.mode("overwrite")
           .option("delimiter", "|").option("header", "false")
-          .csv(Fixtures.path(dir, "orders_zonemap_csv"))
+          .csv(Fixtures.path(dir, fixtureName))
       }
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))

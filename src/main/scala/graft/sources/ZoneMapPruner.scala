@@ -53,19 +53,83 @@ object ZoneMapPruner {
   def prune(shards: Seq[ShardZoneMap], preds: Seq[RangePred]): Seq[ShardZoneMap] =
     shards.filter(s => preds.forall(mayMatch(s.ranges, _)))
 
+  /** The exact decimal value of a native bound, for types whose values
+    * may not render exactly as doubles (long/decimal). */
+  private def exactBD(v: Any): Option[java.math.BigDecimal] = v match {
+    case n: java.lang.Long    => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Integer => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Short   => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case n: java.lang.Byte    => Some(java.math.BigDecimal.valueOf(n.longValue))
+    case bd: java.math.BigDecimal  => Some(bd)
+    case bd: scala.math.BigDecimal => Some(bd.bigDecimal)
+    case _ => None
+  }
+
+  /** Round an exact value OUTWARD to a double bound: a stored min must
+    * never exceed the true min, a stored max never undercut the true max
+    * (r14 verdict: min/max THROUGH `cast("double")` rounds-to-NEAREST,
+    * so for |v| > 2^53 a stored bound could round INWARD and a strict
+    * zone compare — `hi > v`, `lo < v` — wrongly pruned a shard that
+    * contains matching rows; the reference never round-trips its typed
+    * Scalar bounds through double, `PartitionPruner.cpp:23-51`).
+    * `compareTo`, not equals: scale differences are not inexactness. */
+  private[sources] def outward(bd: java.math.BigDecimal, isMin: Boolean): Double = {
+    val d = bd.doubleValue()
+    if (d == Double.PositiveInfinity) return if (isMin) Double.MaxValue else d
+    if (d == Double.NegativeInfinity) return if (isMin) d else Double.MinValue
+    val cmp = new java.math.BigDecimal(d).compareTo(bd)
+    if (cmp == 0) d
+    else if (isMin) { if (cmp > 0) Math.nextDown(d) else d }
+    else { if (cmp < 0) Math.nextUp(d) else d }
+  }
+
   /** Build zone maps for an existing table by file — one aggregation over
     * `input_file_name()`, the Spark-native way to generate the stats
-    * sidecar (run once at ingest, persist next to the data). */
+    * sidecar (run once at ingest, persist next to the data).
+    *
+    * Bounds aggregate on an EXACT encoding of the NATIVE column type and
+    * only then convert to double, rounded OUTWARD when inexact
+    * ([[outward]]) — never through a round-to-nearest `cast("double")`.
+    * Date columns encode as epoch DAYS and timestamps as epoch MICROS —
+    * the same dimensions [[graft.plans.ModeExec.rangePreds]] encodes
+    * date/timestamp literals in, so `WHERE d >= DATE '…'` prunes
+    * date-sharded logs (the reference's zone maps carry typed date
+    * bounds, `Partition.h:23-41`). */
   def build(df: DataFrame, columns: Seq[String]): Seq[ShardZoneMap] = {
+    import org.apache.spark.sql.types._
+    val dtypes = columns.map(c => c -> df.schema(c).dataType).toMap
+    def enc(c: String): Column = dtypes(c) match {
+      case DateType      => unix_date(col(c)).cast("long")
+      case TimestampType => unix_micros(col(c))
+      case DoubleType | FloatType => col(c).cast("double")
+      case _             => col(c)
+    }
     val aggs = columns.flatMap(c =>
-      Seq(min(col(c).cast("double")).as(s"min_$c"), max(col(c).cast("double")).as(s"max_$c")))
+      Seq(min(enc(c)).as(s"min_$c"), max(enc(c)).as(s"max_$c")))
     df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
+        def bound(name: String, isMin: Boolean): Option[Double] =
+          r.getAs[Any](name) match {
+            case null => None
+            case d: java.lang.Double => Some(d.doubleValue)
+            case f: java.lang.Float  => Some(f.doubleValue)
+            case other => Some(exactBD(other).map(outward(_, isMin)).getOrElse(
+              sys.error(s"zone map: unencodable bound $other for $name")))
+          }
         ShardZoneMap(
           r.getAs[String]("__file"),
-          columns.map(c => c -> (r.getAs[Double](s"min_$c"), r.getAs[Double](s"max_$c"))).toMap)
+          columns.map { c =>
+            (bound(s"min_$c", isMin = true), bound(s"max_$c", isMin = false)) match {
+              case (Some(lo), Some(hi)) => c -> (lo, hi)
+              // an all-NULL shard: no row can satisfy ANY extracted range
+              // predicate (comparisons are null-rejecting; the residual
+              // keeps IS NULL semantics), so the EMPTY interval — which
+              // every mayMatch arm rejects — prunes it soundly
+              case _ => c -> (Double.PositiveInfinity, Double.NegativeInfinity)
+            }
+          }.toMap)
       }.toSeq
   }
 
@@ -124,12 +188,23 @@ object ZoneMapPruner {
       } finally in.close()
       val lines = text.linesIterator.toSeq
       if (!lines.headOption.contains("v=1")) return None
+      // bounds parse with OUTWARD rounding: graft's own writer emits
+      // shortest-round-trip doubles (exact either way), but a sidecar
+      // written by another tool can carry decimal strings strictly
+      // between adjacent doubles — nearest-rounding there could pull a
+      // min up / a max down, the parse-time face of the build-side
+      // hazard [[outward]] exists for. Non-decimal renderings
+      // (Infinity/NaN) keep the plain parse.
+      def parseBound(s0: String, isMin: Boolean): Double =
+        try outward(new java.math.BigDecimal(s0.trim), isMin)
+        catch { case _: NumberFormatException => s0.trim.toDouble }
       Some(lines.drop(1).filter(_.nonEmpty).map { line =>
         val parts = line.split('\t')
         val ranges = parts.tail.map { kv =>
           val i = kv.indexOf('=')
           val Array(lo, hi) = kv.substring(i + 1).split(',')
-          kv.substring(0, i) -> ((lo.toDouble, hi.toDouble))
+          kv.substring(0, i) -> ((parseBound(lo, isMin = true),
+            parseBound(hi, isMin = false)))
         }.toMap
         ShardZoneMap(new org.apache.hadoop.fs.Path(root, parts.head).toString,
           ranges)

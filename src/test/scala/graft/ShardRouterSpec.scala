@@ -343,4 +343,173 @@ class ShardRouterSpec extends SparkSpec {
       Files.deleteIfExists(root)
     }
   }
+
+  test("the shard routing decision stays bounded at 5000 shards; the caps bind") {
+    // r14 verdict item 7: the RANGE leg's 5k-partition discipline — the
+    // per-shard decision is O(#shards) off ONE parent listing, with the
+    // resident lookup a keyed map (not a scan of cache.keys per shard),
+    // the hot-union width capped by maxHotRegions, and the heat-counter
+    // cap quarter-evicting. 5000 one-row CSV shards written directly
+    // (no Spark job), sidecar zones authored in-memory.
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-shard5k")
+    val N = 5000
+    (0 until N).foreach { i =>
+      Files.write(root.resolve(f"part-$i%05d.csv"),
+        s"$i|${i.toLong * 2}\n".getBytes("UTF-8"))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val files = (0 until N).map(i => root.resolve(f"part-$i%05d.csv").toString)
+    val spec = graft.sources.TableSpec("ids5k", "csv", files, Some(schema), "|")
+    val zones = files.zipWithIndex.map { case (p, i) =>
+      graft.sources.ShardZoneMap(p, Map("id" -> (i.toDouble, i.toDouble)))
+    }
+    val cache = new SegmentCache(1L << 30, LRU)
+    val router = new AdaptiveScanRouter(cache, pushdownSlots = 8,
+      hotAdmitAfter = 2, maxHotRegions = 2)
+    // stuff the heat map past its 65536 cap: the next access must
+    // quarter-evict survivors, never clear the map
+    router.seedHeat((0 until 66000).map(i => s"seen.x|t$i|c=1").mkString("\n"))
+    assert(router.heatKeyCount >= 66000, "fixture: heat map must be over cap")
+    try {
+      val t0 = System.nanoTime()
+      val lease = router.scanShardedMode(spark, spec, "probe5kshard", zones,
+        Seq(ZoneMapPruner.Le("id", 2499.0)), Seq("v"),
+        col("id") <= 2499L, ModeCachingOnly)
+      val decisionSecs = (System.nanoTime() - t0) / 1e9
+      try {
+        // margin discipline: measured ~2.3 s isolated on this host (the
+        // cold-side DataFrame construction's parallel file listing is
+        // the fixed cost); ~10× margin against full-suite JVM load
+        assert(decisionSecs < 25.0,
+          f"5k-shard routing decision took $decisionSecs%.1f s")
+        assert(lease.df.count() == 2500L,
+          "zone pruning must keep exactly the matching half")
+      } finally lease.close()
+      assert(cache.keys.count(_.region.nonEmpty) <= 2,
+        s"maxHotRegions=2 must bind at 5000 shards: ${cache.keys.size}")
+      assert(!cache.keys.exists(_.region.isEmpty),
+        "no whole-table segment on the sharded path")
+      val heatAfter = router.heatKeyCount
+      assert(heatAfter < 66000 && heatAfter > 30000,
+        s"the heat cap must QUARTER-evict (not clear, not grow): $heatAfter")
+    } finally {
+      cache.invalidateAll()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("zone bounds past 2^53 round OUTWARD: strict Gt/Lt lose no rows") {
+    // r14 verdict "what's wrong" 1: min/max through cast("double")
+    // rounded-to-NEAREST, so a long bound past 2^53 could round INWARD
+    // and a strict compare against an exact literal wrongly pruned the
+    // shard (silent row loss for snowflake-style 64-bit ids). Fixture:
+    //  - shard A holds id 2^53+1 (rounds DOWN to 2^53: the Gt hazard —
+    //    `id > 2^53` must keep it);
+    //  - shard B holds id 2^53+3 (rounds UP to 2^53+4: the Lt hazard —
+    //    `id < 2^53+4` must keep it);
+    //  - shard C holds low keys, proving pruning still bites.
+    // Both predicates' literals ARE double-exact, so they pass the
+    // rangePreds gate and reach mayMatch's strict arms.
+    import java.nio.file.Files
+    val P53 = 9007199254740992L // 2^53
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-shard-2p53")
+    try {
+      Files.write(root.resolve("part-a.csv"), s"${P53 + 1}|7\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-b.csv"), s"${P53 + 3}|11\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-c.csv"), "1|13\n2|17\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      def readDir = s.read.schema(schema).option("delimiter", "|")
+        .csv(root.toString)
+      val zones = ZoneMapPruner.build(readDir, Seq("id"))
+      // build-level pin: every stored bound brackets the true value
+      zones.foreach { z =>
+        val (lo, hi) = z.ranges("id")
+        val name = new org.apache.hadoop.fs.Path(z.path).getName
+        val trueVals = name match {
+          case "part-a.csv" => Seq(P53 + 1)
+          case "part-b.csv" => Seq(P53 + 3)
+          case _            => Seq(1L, 2L)
+        }
+        assert(new java.math.BigDecimal(lo)
+          .compareTo(java.math.BigDecimal.valueOf(trueVals.min)) <= 0,
+          s"$name: stored lo $lo must not exceed true min ${trueVals.min}")
+        assert(new java.math.BigDecimal(hi)
+          .compareTo(java.math.BigDecimal.valueOf(trueVals.max)) >= 0,
+          s"$name: stored hi $hi must not undercut true max ${trueVals.max}")
+      }
+      // prune-level pin: the strict predicates keep their shards, and
+      // pruning still bites on the disjoint low shard
+      import graft.sources.ZoneMapPruner.{Gt, Lt}
+      val gtKept = ZoneMapPruner.prune(zones, Seq(Gt("id", P53.toDouble)))
+        .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(gtKept.contains("part-a.csv"),
+        s"id > 2^53 must keep the shard holding 2^53+1: $gtKept")
+      assert(!gtKept.contains("part-c.csv"), "pruning must still bite")
+      val ltKept = ZoneMapPruner.prune(zones,
+        Seq(Lt("id", (P53 + 4).toDouble)))
+        .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(ltKept.contains("part-b.csv"),
+        s"id < 2^53+4 must keep the shard holding 2^53+3: $ltKept")
+      // end-to-end through the conf route (persisted sidecar + SET
+      // scanMode): strict-compare SQL loses no rows vs the pristine plan
+      ZoneMapPruner.writeSidecar(s, root.toString, zones)
+      readDir.createOrReplaceTempView("ids_2p53")
+      def sumOf(sql: String): Seq[Seq[Any]] =
+        Engine.executeQuery(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      val gtSql = s"SELECT count(*) AS n, sum(v) AS sv FROM ids_2p53 WHERE id > $P53"
+      val ltSql = s"SELECT count(*) AS n, sum(v) AS sv FROM ids_2p53 WHERE id < ${P53 + 4}"
+      val gtWant = Engine.plan(s, sfDir, gtSql).collect().map(_.toSeq).toSeq
+      val ltWant = Engine.plan(s, sfDir, ltSql).collect().map(_.toSeq).toSeq
+      assert(gtWant == Seq(Seq(2L, 18L)), s"fixture: $gtWant") // a + b rows
+      val cache = HybridScan.segmentCache(s, sfDir)
+      try {
+        s.conf.set("spark.graft.scanMode", "hybrid")
+        assert(sumOf(gtSql) == gtWant,
+          "strict Gt past 2^53 must lose no rows through the conf route")
+        assert(sumOf(ltSql) == ltWant,
+          "strict Lt past 2^53 must lose no rows through the conf route")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+        cache.invalidateAll()
+      }
+      // parse-side pin: a sidecar from ANOTHER tool carrying an exact
+      // DECIMAL bound between adjacent doubles must round outward too
+      // (fresh dir: overwriting writeSidecar's file raw would trip the
+      // local filesystem's checksum sidecar)
+      val foreign = Files.createTempDirectory("graft-shard-foreign")
+      Files.write(foreign.resolve(ZoneMapPruner.SidecarName),
+        s"v=1\npart-a.csv\tid=${P53 + 1},${P53 + 1}\n".getBytes("UTF-8"))
+      val reread =
+        try ZoneMapPruner.readSidecar(s, foreign.toString).get.head
+        finally {
+          Files.deleteIfExists(foreign.resolve(ZoneMapPruner.SidecarName))
+          Files.deleteIfExists(foreign): Unit
+        }
+      val (plo, phi) = reread.ranges("id")
+      assert(new java.math.BigDecimal(plo)
+        .compareTo(java.math.BigDecimal.valueOf(P53 + 1)) <= 0,
+        s"parsed lo $plo must round down")
+      assert(new java.math.BigDecimal(phi)
+        .compareTo(java.math.BigDecimal.valueOf(P53 + 1)) >= 0,
+        s"parsed hi $phi must round up")
+    } finally {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
 }

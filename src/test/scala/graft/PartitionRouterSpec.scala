@@ -208,15 +208,36 @@ class PartitionRouterSpec extends SparkSpec {
         Seq("v"), col("k") < 2500, Seq("k"), ModeCachingOnly,
         leaseSpansExecution = true, readSpec = readSpec)
       val decisionSecs = (System.nanoTime() - t0) / 1e9
+      info(f"5k-partition decision (cold): $decisionSecs%.2f s")
       try {
-        // generous CI bound — locally this is a few seconds; what it
-        // guards is accidental O(n^2) (or per-partition jobs) sneaking
-        // into the decision
-        assert(decisionSecs < 60.0,
+        // margin discipline (r13 ADVICE 3, applied here per the r14
+        // verdict): measured 13.1 s isolated on this host, almost all
+        // of it Spark's OWN first-touch partition discovery (a parallel
+        // listing job), paid ONCE per (session, path) via the router's
+        // base-relation cache — graft's decision work is the remainder:
+        // the directory-value evaluation folds driver-locally via
+        // ConvertToLocalRelation (no job, r15) and the table listing
+        // walks nio (no per-entry `ls -ld` process spawns, r15).
+        // Bound = ~3x the measured cold decision.
+        assert(decisionSecs < 45.0,
           f"5k-partition routing decision took $decisionSecs%.1f s")
         assert(lease.df.count() == 2500L,
           "the partition-only predicate must keep exactly the matching half")
       } finally lease.close()
+      // the WARM decision — what every later query on the session pays —
+      // must be free of the discovery cost entirely: measured 0.15 s
+      // isolated (base relation + listing + driver-local evaluation all
+      // session-cached), bounded at ~50x — the real O(n^2)/per-
+      // partition-job guard
+      val t1 = System.nanoTime()
+      val lease2 = router.scanPartitionedMode(spark, root.toString, "probe5k",
+        Seq("v"), col("k") < 2500, Seq("k"), ModeCachingOnly,
+        leaseSpansExecution = true, readSpec = readSpec)
+      val decision2Secs = (System.nanoTime() - t1) / 1e9
+      info(f"5k-partition decision (warm): $decision2Secs%.2f s")
+      try assert(decision2Secs < 8.0,
+        f"warm 5k-partition routing decision took $decision2Secs%.1f s")
+      finally lease2.close()
       assert(cache.keys.count(_.region.nonEmpty) <= 2,
         s"maxHotRegions=2 must bind at 5000 partitions: ${cache.keys.size}")
       assert(!cache.keys.exists(_.region.isEmpty),

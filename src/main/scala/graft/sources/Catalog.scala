@@ -11,10 +11,16 @@ import org.json4s.jackson.JsonMethods
   * declared schema, and the file shards making up the table. */
 case class TableSpec(
     name: String,
-    format: String,               // "parquet" | "csv" | "csv.gz"
+    format: String,               // "parquet" | "csv" | "csv.gz" | "json" | "orc"
     paths: Seq[String],
     schema: Option[StructType],   // None => infer from footer (parquet)
-    delimiter: String = "|")
+    delimiter: String = "|",
+    // Some(opts): this spec re-reads a USER relation (a routed leaf) —
+    // the relation's own reader options, carried VERBATIM, are the parse
+    // authority and none of the catalog's pinned defaults apply, so
+    // header'd CSV, custom timestamp formats, JSONL and ORC parse
+    // exactly as the user's relation does (r14 verdict item 4)
+    relationOptions: Option[Map[String, String]] = None)
 
 /** Catalog layer: declared-schema tables over parquet or (gzipped) CSV
   * shards — the reference's two storage formats
@@ -70,23 +76,48 @@ object Catalog {
     case other => sys.error(s"unsupported catalog type: $other")
   }
 
+  /** `csv.gz`/`jsonl` are catalog aliases; the Spark source name differs. */
+  private def sourceFormat(f: String): String = f match {
+    case "csv.gz" => "csv"
+    case "jsonl"  => "json"
+    case other    => other
+  }
+
   /** Read one table per its spec. Multi-shard tables (`T.parquet.0 …`,
     * `README.md:57-59`) pass all shard paths — Spark parallelizes per file
     * split natively; `.gz` CSV decompresses transparently per file. */
-  def read(spark: SparkSession, spec: TableSpec): DataFrame = spec.format match {
-    case "parquet" =>
-      val r = spark.read
-      spec.schema.map(r.schema).getOrElse(r).parquet(spec.paths: _*)
-    case "csv" | "csv.gz" =>
-      val schema = spec.schema.getOrElse(
-        sys.error(s"CSV table ${spec.name} requires a declared schema"))
-      spark.read
-        .schema(schema)
-        .option("delimiter", spec.delimiter)
-        .option("header", "false")
-        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
-        .csv(spec.paths: _*)
-    case other => sys.error(s"unsupported format: $other")
+  def read(spark: SparkSession, spec: TableSpec): DataFrame = spec.relationOptions match {
+    case Some(opts) =>
+      // routed-leaf re-read: the original relation's options verbatim
+      // (path options stripped — the spec's explicit paths rule), no
+      // pinned defaults, so the parse is identical to the user's by
+      // construction
+      val r0 = spark.read.format(sourceFormat(spec.format))
+        .options(opts.filterNot { case (k, _) =>
+          val lk = k.toLowerCase; lk == "path" || lk == "paths" })
+      spec.schema.fold(r0)(r0.schema).load(spec.paths: _*)
+    case None => spec.format match {
+      case "parquet" =>
+        val r = spark.read
+        spec.schema.map(r.schema).getOrElse(r).parquet(spec.paths: _*)
+      case "orc" =>
+        val r = spark.read
+        spec.schema.map(r.schema).getOrElse(r).orc(spec.paths: _*)
+      case "csv" | "csv.gz" =>
+        val schema = spec.schema.getOrElse(
+          sys.error(s"CSV table ${spec.name} requires a declared schema"))
+        spark.read
+          .schema(schema)
+          .option("delimiter", spec.delimiter)
+          .option("header", "false")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(spec.paths: _*)
+      case "json" | "jsonl" =>
+        val schema = spec.schema.getOrElse(
+          sys.error(s"JSONL table ${spec.name} requires a declared schema"))
+        spark.read.schema(schema).json(spec.paths: _*)
+      case other => sys.error(s"unsupported format: $other")
+    }
   }
 
   /** Register a set of specs as temp views (SQL catalog). */

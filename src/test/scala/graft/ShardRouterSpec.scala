@@ -289,6 +289,185 @@ class ShardRouterSpec extends SparkSpec {
     assert(preds.size == 2, s"exactly the two sound predicates: $preds")
   }
 
+  test("date literals extract as epoch days and prune date-sharded shards via conf") {
+    // r14 verdict "what's missing" 1: date ranges are THE canonical
+    // log-pruning predicate. Extraction pin first (epoch days/micros are
+    // the dimensions build() encodes date/timestamp columns in), then
+    // the z07 shape end-to-end with the shard count pinned.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    import graft.sources.ZoneMapPruner.{Ge => ZGe, Lt => ZLt}
+    val d = AttributeReference("d", DateType)()
+    val ts = AttributeReference("t", TimestampType)()
+    val days = java.time.LocalDate.of(1998, 1, 1).toEpochDay
+    val micros = 1234567890123456L // double-exact (< 2^53)
+    val preds = graft.plans.ModeExec.rangePreds(Seq(
+      GreaterThanOrEqual(d, Literal(days.toInt, DateType)),
+      LessThan(ts, Literal(micros, TimestampType))))
+    assert(preds == Seq(ZGe("d", days.toDouble), ZLt("t", micros.toDouble)),
+      s"date→days / timestamp→micros extraction: $preds")
+    // the fixture's epoch-day zone bounds prune the 1998 window
+    val s = spark.newSession()
+    val (spec, zones) = ZoneMapPruner.dateShardedOrders(s, sfDir)
+    val lo = java.time.LocalDate.of(1998, 1, 1).toEpochDay.toDouble
+    val hi = java.time.LocalDate.of(1999, 1, 1).toEpochDay.toDouble
+    val kept = ZoneMapPruner.prune(zones,
+      Seq(ZGe("o_orderdate", lo), ZLt("o_orderdate", hi)))
+    assert(kept.nonEmpty && kept.size <= zones.size / 2,
+      s"a one-year window over 8 date-range shards must prune measurably: " +
+      s"${kept.size}/${zones.size}")
+    // conf route: rows identical to the pristine plan, residents only
+    // from surviving shards
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_datezone_csv")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_datezone_csv
+        |WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "date-pruned conf route must match the pristine plan")
+      }
+      val regions = cache.keys.filter(_.region.nonEmpty)
+      assert(regions.nonEmpty && regions.forall(_.region.startsWith("shard=")),
+        s"shard residents expected through the date conf route: ${cache.keys}")
+      val names = kept.map(z =>
+        "shard=" + new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(regions.map(_.region).toSet.subsetOf(names),
+        "only date-surviving shards may admit")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
+  test("widened sharded-leaf formats route via conf: JSONL, ORC, header'd+timestamp CSV") {
+    // r14 verdict item 4: the sharded path was parquet + bare CSV only.
+    // relationOptions carries the user relation's reader options
+    // verbatim, so header=true CSV with a timestamp column, JSONL, and
+    // ORC all route — each pinned here conf-route row-identical with
+    // shard-keyed residents.
+    import java.nio.file.Files
+    val s = spark.newSession()
+    val cache = HybridScan.segmentCache(s, sfDir)
+    def pinRoutes(view: String, df: org.apache.spark.sql.DataFrame,
+        dir: String, keyCol: String): Unit = {
+      val zones = ZoneMapPruner.build(df, Seq(keyCol))
+      ZoneMapPruner.writeSidecar(s, dir, zones)
+      df.createOrReplaceTempView(view)
+      val sql = s"SELECT count(*) AS n, sum($keyCol) AS sk FROM $view " +
+        s"WHERE $keyCol <= 600"
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      val before = cache.keys.count(_.region.startsWith("shard="))
+      try {
+        s.conf.set("spark.graft.scanMode", "hybrid")
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, s"$view conf route must match")
+        }
+        assert(cache.keys.count(_.region.startsWith("shard=")) > before,
+          s"$view must produce shard-keyed residents: ${cache.keys}")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      }
+    }
+    val root = Files.createTempDirectory("graft-shard-fmt")
+    try {
+      val base = graft.sources.Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate")) // timestamp column rides along
+        .repartitionByRange(4, col("o_orderkey"))
+      val jsonDir = root.resolve("j").toString
+      base.write.json(jsonDir)
+      pinRoutes("fmt_jsonl", s.read
+        .schema(base.schema).json(jsonDir), jsonDir, "o_orderkey")
+      val orcDir = root.resolve("o").toString
+      base.write.orc(orcDir)
+      pinRoutes("fmt_orc", s.read.orc(orcDir), orcDir, "o_orderkey")
+      val csvDir = root.resolve("c").toString
+      base.write.option("header", "true").option("delimiter", "|").csv(csvDir)
+      pinRoutes("fmt_csv_hdr", s.read.schema(base.schema)
+        .option("header", "true").option("delimiter", "|").csv(csvDir),
+        csvDir, "o_orderkey")
+    } finally {
+      cache.invalidateAll()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("drift is counted and rebuildSidecar restores per-shard routing") {
+    // r14 verdict item 5: drift silently unrouted. Now it logs + counts,
+    // and the rebuild helper (one distributed pass, tmp+rename, writer
+    // invalidation hooks) brings the leaf back.
+    import java.nio.file.Files
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-shard-rebuild")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      Files.write(root.resolve("part-0.csv"), "1|10\n2|20\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-1.csv"), "5|50\n6|60\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val template = graft.sources.TableSpec("t_rebuild", "csv", Nil,
+        Some(schema), "|")
+      def readDir = s.read.schema(schema).option("delimiter", "|")
+        .csv(root.toString)
+      ZoneMapPruner.rebuildSidecar(s, root.toString, template, Seq("k"))
+      // a new shard lands without a rebuild: drift counted, unrouted
+      Files.write(root.resolve("part-2.csv"), "9|90\n".getBytes("UTF-8"))
+      HybridScan.invalidateListings(root.toString)
+      s.catalog.refreshByPath(root.toString)
+      readDir.createOrReplaceTempView("t_rebuild")
+      val sql = "SELECT count(*) AS n, sum(v) AS sv FROM t_rebuild WHERE k <= 100"
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      assert(expect == Seq(Seq(5L, 230L)), s"fixture: $expect")
+      val drift0 = ZoneMapPruner.driftCount
+      try {
+        s.conf.set("spark.graft.scanMode", "hybrid")
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "a drifted leaf must stay row-identical (unrouted)")
+        assert(ZoneMapPruner.driftCount > drift0,
+          "drift must be observable, not silent")
+        assert(!cache.keys.exists(_.region.startsWith("shard=")),
+          s"drifted leaf must be unrouted: ${cache.keys}")
+        // rebuild: one pass over the CURRENT directory → routed again
+        val zones = ZoneMapPruner.rebuildSidecar(s, root.toString,
+          template, Seq("k"))
+        assert(zones.size == 3, s"rebuild must cover all shards: $zones")
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, "rebuilt leaf must match")
+        }
+        assert(cache.keys.exists(_.region.startsWith("shard=")),
+          s"rebuilt sidecar must restore per-shard routing: ${cache.keys}")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      }
+    } finally {
+      cache.invalidateAll()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("rewriting a shard in place rotates its segment (fingerprint includes size/mtime)") {
     // build a tiny 2-shard CSV fixture of our own so the rewrite cannot
     // disturb the shared shardedOrders fixture
@@ -381,11 +560,15 @@ class ShardRouterSpec extends SparkSpec {
         Seq(ZoneMapPruner.Le("id", 2499.0)), Seq("v"),
         col("id") <= 2499L, ModeCachingOnly)
       val decisionSecs = (System.nanoTime() - t0) / 1e9
+      info(f"5k-shard decision: $decisionSecs%.2f s")
       try {
-        // margin discipline: measured ~2.3 s isolated on this host (the
-        // cold-side DataFrame construction's parallel file listing is
-        // the fixed cost); ~10× margin against full-suite JVM load
-        assert(decisionSecs < 25.0,
+        // margin discipline: measured 9.3 s isolated on this host —
+        // almost all of it Spark's per-path existence checks while
+        // constructing the 2498-path cold-side reader, an O(#shards)
+        // per-decision cost by design (the probe guards against n^2 and
+        // per-shard jobs, not against Spark's path resolution). Bound =
+        // ~3x measured.
+        assert(decisionSecs < 30.0,
           f"5k-shard routing decision took $decisionSecs%.1f s")
         assert(lease.df.count() == 2500L,
           "zone pruning must keep exactly the matching half")

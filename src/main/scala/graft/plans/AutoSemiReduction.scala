@@ -65,6 +65,11 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.autoSemiReduction", "true").toBoolean
 
+  /** The BACKWARD leg's own sub-switch, under the main kill switch —
+    * `spark.graft.autoSemiReduction.backward` (r15, r14 verdict item 6). */
+  private def backwardEnabled: Boolean =
+    SQLConf.get.getConfString("spark.graft.autoSemiReduction.backward", "true").toBoolean
+
   private def maxSelectivity: Double =
     SQLConf.get.getConfString("spark.graft.semiReduction.maxSelectivity", "0.5").toDouble
 
@@ -241,16 +246,71 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
       measuredSelectivity(dim) <= maxSelectivity   // rows are actually removed (probe last: costliest)
   }
 
+  /** BACKWARD eligibility (r15, r14 verdict item 6): inject
+    * `dim ⟕ₛ Project(keys, fact')` — the filtered FACT's surviving keys
+    * prune a LARGE, unbroadcastable, otherwise-untouchable dim BEFORE
+    * the main join shuffles it. The auto twin of
+    * [[PredicateTransfer.reduceBackward]]: the reference builds a
+    * backward bloom for every eligible edge and connects it after the
+    * forward ones (`SmallToLargePredTransOrder.cpp:106-131`,
+    * `connectBwBloomFilterOps`). Single-hop by constraint: the COPIED
+    * side (the fact) must be a join-free, safely-copyable
+    * filter/project chain — exactly the shapes [[measuredSelectivity]]
+    * can probe — so the injected semi's build side is the fact's key
+    * projection DISCOUNTED by the measured selectivity, and the gate
+    * admits only when that discounted size still broadcasts:
+    *
+    *  1. the dim is over the broadcast threshold (the main join will
+    *     shuffle it — dim rows removed early are shuffle bytes saved;
+    *     a broadcastable dim already joins map-side);
+    *  2. the fact carries a measured-selective filter (≤ maxSelectivity
+    *     — an unfiltered fact's keys prune nothing);
+    *  3. `keysProjSize × selectivity ≤ threshold` — the semi broadcasts,
+    *     filtering the dim map-side before its exchange (Spark's own
+    *     runtime bloom filters cover the shuffle-semi variant; auto-
+    *     injecting a SHUFFLED semi would add an exchange, the r2
+    *     regression class).
+    *
+    * Semantics-preserving exactly like the forward leg: a semi by the
+    * join's own keys removes only dim rows the inner join would drop,
+    * never duplicates. */
+  private def eligibleBackward(fact: LogicalPlan, dim: LogicalPlan,
+      cond: Expression): Boolean = {
+    val threshold = SQLConf.get.autoBroadcastJoinThreshold
+    val keys = equiKeys(fact, dim, cond)
+    def keysProjSize = Project(keys.map(_._1), fact).stats.sizeInBytes
+    keys.nonEmpty &&
+      threshold > 0 &&
+      selectivelyFiltered(fact) &&
+      dim.stats.sizeInBytes > threshold &&   // main join shuffles the dim
+      !fact.exists(_.isInstanceOf[Join]) &&  // join-free fact: probe-able
+      safeToCopy(fact) &&
+      !alreadyReduced(dim, fact) && {
+        val sel = measuredSelectivity(fact)
+        sel <= maxSelectivity &&
+          BigDecimal(keysProjSize) * BigDecimal(sel) <= BigDecimal(threshold)
+      }
+  }
+
   private def reduce(fact: LogicalPlan, dim: LogicalPlan,
-      cond: Expression): LogicalPlan = {
+      cond: Expression, hint: JoinHint = JoinHint.NONE): LogicalPlan = {
     val keys = equiKeys(fact, dim, cond)
     val (copy, mapping) = freshCopy(dim)
     val semiCond = keys.map { case (f, d) =>
       EqualTo(f, mapping.getOrElse(d, d)).asInstanceOf[Expression]
     }.reduce(And)
     val semiRight = Project(keys.map { case (_, d) => mapping.getOrElse(d, d) }, copy)
-    Join(fact, semiRight, LeftSemi, Some(semiCond), JoinHint.NONE)
+    Join(fact, semiRight, LeftSemi, Some(semiCond), hint)
   }
+
+  /** The backward semi's build side must BROADCAST: the gate admits on
+    * the selectivity-DISCOUNTED key-projection size, which Catalyst's
+    * size-only stats cannot see (Filter passes its child's size
+    * through), so an unhinted planner would fall back to a shuffled
+    * semi — adding the exchange this leg exists to avoid (the r2
+    * regression class). The hint carries the measurement's verdict. */
+  private val BroadcastRight =
+    JoinHint(None, Some(HintInfo(strategy = Some(BROADCAST))))
 
   /** Attribute-fresh copy of `dim` plus old→new output mapping. */
   private def freshCopy(dim: LogicalPlan): (LogicalPlan, AttributeMap[Attribute]) = {
@@ -280,6 +340,16 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
           j.copy(left = reduce(left, right, cond))
         else if (eligible(right, left, cond))
           j.copy(right = reduce(right, left, cond))
+        // backward (r15): the filtered fact's keys reduce the large dim
+        // on the OTHER side — reduce() with the roles swapped ("reduce
+        // the dim by the fact's keys"); idempotent under the fixed point
+        // because the injected semi makes the reduced side contain a
+        // Join (blocking the forward dim gate) and alreadyReduced
+        // (blocking this one)
+        else if (backwardEnabled && eligibleBackward(left, right, cond))
+          j.copy(right = reduce(right, left, cond, BroadcastRight))
+        else if (backwardEnabled && eligibleBackward(right, left, cond))
+          j.copy(left = reduce(left, right, cond, BroadcastRight))
         else j
     }
   }

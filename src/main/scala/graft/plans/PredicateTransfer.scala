@@ -248,15 +248,64 @@ object PredicateTransfer {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** p04 (r15) — the AUTO backward leg through plain SQL text
+    * (r14 verdict item 6): no library call anywhere; the
+    * [[AutoSemiReduction]] rule injects `orders ⟕ₛ σ(lineitem).keys`
+    * (broadcast-hinted on the measured selectivity) when the broadcast
+    * threshold sits below the dim. The threshold is bracketed to HALF
+    * the dim's own size estimate — scale-free, so the demonstration
+    * exhibits the 100 TB shape (dim unbroadcastable, filtered-fact keys
+    * broadcastable) at every SF. Plan shape is pinned in
+    * AutoSemiReductionSpec; rows must hash-match the same SQL with the
+    * rule off — which is exactly the oracle text. */
+  private def p04AutoBackward(s: SparkSession, dir: String): DataFrame = {
+    // bracket the threshold just under the PRUNED dim side of the
+    // rule-off plan — not the table estimate: column pruning shrinks
+    // the join's orders input far below the table size, so a
+    // table-level bracket leaves every join broadcast and the rule
+    // (correctly) never fires (measured via the r15 bench block's
+    // first cut). Scale-free: the pruned side is probed from the plan
+    // at whatever SF the driver runs.
+    val prevRule = s.conf.getOption("spark.graft.autoSemiReduction")
+    val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.graft.autoSemiReduction", "false")
+    val dimSize =
+      try graft.Engine.plan(s, dir, p04Sql).queryExecution.optimizedPlan
+        .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        .flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
+        .min
+      finally prevRule match {
+        case Some(v) => s.conf.set("spark.graft.autoSemiReduction", v)
+        case None    => s.conf.unset("spark.graft.autoSemiReduction")
+      }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (dimSize - 1).max(1).toString)
+    try {
+      val df = graft.Engine.plan(s, dir, p04Sql)
+      df.queryExecution.executedPlan // force planning inside the bracket
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
+
+  private val p04Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity < 10
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pred_trans_star" -> p01PredTransStar _,
     "p02_pred_trans_backward" -> p02PredTransBackward _,
     "p03_pred_trans_both" -> p03PredTransBoth _,
+    "p04_auto_backward" -> p04AutoBackward _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "p01_pred_trans_star" -> p01Sql,
     "p02_pred_trans_backward" -> p02Sql,
     "p03_pred_trans_both" -> p03Sql,
+    "p04_auto_backward" -> p04Sql,
   )
 }

@@ -55,6 +55,70 @@ class AutoSemiReductionSpec extends SparkSpec {
     }
   }
 
+  test("backward leg: a filtered fact's keys auto-reduce the large dim, hinted broadcast") {
+    // r15 (r14 verdict item 6): the SQL-text twin of
+    // PredicateTransfer.reduceBackward — dim over the threshold,
+    // fact join-free with a measured-selective filter, so the rule
+    // injects dim ⟕ₛ Project(factKeys) with a BROADCAST hint carrying
+    // the selectivity-discounted size the planner's stats cannot see.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    def build(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir).filter($"l_quantity" < 10)
+      val ord = Tables.orders(spark, sfDir)
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    }
+    withShuffledDim(build) {
+      val df = build()
+      val semis = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType == LeftSemi => j
+      }
+      assert(semis.size == 1,
+        s"expected ONE backward semi:\n${df.queryExecution.optimizedPlan}")
+      assert(semis.head.right.output.map(_.name) == Seq("l_orderkey"),
+        "the semi's build side is the FACT's key projection")
+      assert(semis.head.hint.rightHint.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST)),
+        s"the backward semi must carry the broadcast hint: ${semis.head.hint}")
+      val off = withRule(on = false)(build().collect().toSeq)
+      assert(df.collect().toSeq == off,
+        "the backward rewrite must not change results")
+    }
+    // the leg's own sub-switch, under the main kill switch
+    withShuffledDim(build) {
+      spark.conf.set("spark.graft.autoSemiReduction.backward", "false")
+      try assert(semiJoins(build()) == 0,
+        "backward sub-switch must disable the leg")
+      finally spark.conf.unset("spark.graft.autoSemiReduction.backward")
+    }
+  }
+
+  test("backward leg stays out when the fact filter is weak or the fact joins") {
+    import spark.implicits._
+    // weak filter: l_quantity < 49 keeps ~96% — measured, the gate refuses
+    def weak(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir).filter($"l_quantity" < 49)
+      li.join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    }
+    withShuffledDim(weak) {
+      assert(semiJoins(weak()) == 0,
+        s"a ~96%-selectivity fact must not inject:\n${weak().queryExecution.optimizedPlan}")
+    }
+    // join-bearing fact: single-hop constraint — no subtree copy
+    def joined(): DataFrame = {
+      val li = Tables.lineitem(spark, sfDir).filter($"l_quantity" < 10)
+        .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      li.join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+    }
+    withShuffledDim(joined) {
+      assert(semiJoins(joined()) == 0,
+        "a join-bearing fact subtree must never be copied for the backward leg")
+    }
+  }
+
   test("a row-selecting dim (LIMIT) is never copied for a semi pass") {
     import spark.implicits._
     // an unordered LIMIT's row selection is only stable PER EXECUTION:

@@ -596,9 +596,17 @@ object Bench {
         val zones = localZones.map(z => z.copy(path = m(z.path)))
           .sortBy(_.ranges("o_orderkey")._1)
         // thresholds derived from the zones themselves (scale-free):
-        // narrow keeps ~2/16 shards, wide ~5/16
-        val narrowK = zones(1).ranges("o_orderkey")._2.toLong
-        val wideK = zones(4).ranges("o_orderkey")._2.toLong
+        // narrow keeps ~2/16 shards, wide ~5/16. Indices CLAMPED: a
+        // small/skewed fixture can emit fewer than 5 non-empty part
+        // files and a raw zones(4) would die IndexOutOfBounds (r14
+        // ADVICE) — the block still runs, just with less headroom
+        if (zones.size < 5)
+          System.err.println(s"[bench] shard-router fixture has only " +
+            s"${zones.size} shards; narrow/wide thresholds clamped")
+        val narrowK =
+          zones(math.min(1, zones.size - 1)).ranges("o_orderkey")._2.toLong
+        val wideK =
+          zones(math.min(4, zones.size - 1)).ranges("o_orderkey")._2.toLong
         val totalMbps =
           sys.env.getOrElse("SPARK_GRAFT_STORE_TOTAL_MBPS", "4").toLong
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -635,6 +643,66 @@ object Bench {
         out.toSeq
       }
 
+    // ---- predicate-transfer economics on the throttled store (r15,
+    // r14 verdict item 8): the p04 backward-leg shape measured with
+    // FS-truth store bytes AND shuffle bytes, auto rule OFF vs ON.
+    // A semi join prunes ROWS downstream of the scan, so the store-byte
+    // legs are expected ~equal — transfer's measurable win here is
+    // SHUFFLE-side: the hinted broadcast semi prunes the dim's rows
+    // MAP-side, before its exchange — which is why each pass records
+    // its shuffle delta (`*_shuffle_mb`). The broadcast threshold is
+    // bracketed just under the PRUNED dim side of the rule-off plan
+    // (the AutoSemiReductionSpec discipline — column pruning shrinks
+    // the join's dim input far below the table estimate, so a
+    // table-level bracket would leave everything broadcast and nothing
+    // to measure, as the first cut of this block did).
+    val predTransModes: Seq[(String, Double)] =
+      if (args.nonEmpty || !sfDir.startsWith("/")) Nil else {
+        import graft.sources.MockObjectFs
+        import org.apache.spark.sql.functions.{col, lit, count => fCount, sum => fSum}
+        spark.sparkContext.hadoopConfiguration
+          .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
+        def shape(): DataFrame = {
+          val li = spark.read.parquet(s"mockfs:$sfDir/lineitem.parquet")
+            .filter(col("l_quantity") < 10)
+          li.join(spark.read.parquet(s"mockfs:$sfDir/orders.parquet"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(fCount(lit(1)), fSum(col("l_extendedprice")))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevRule = spark.conf.getOption("spark.graft.autoSemiReduction")
+        spark.conf.set("spark.graft.autoSemiReduction", "false")
+        val dimSize =
+          shape().queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
+            .min
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (dimSize - 1).max(1).toString)
+        try {
+          def run(label: String, ruleOn: Boolean): Unit = {
+            spark.conf.set("spark.graft.autoSemiReduction", ruleOn.toString)
+            throttledPass(out, "pred-trans", label) {
+              val sh0 = ioTap.shuffleBytes()
+              shape().write.format("noop").mode("overwrite").save()
+              out += s"${label}_shuffle_mb" ->
+                (ioTap.shuffleBytes() - sh0) / 1e6
+            }
+          }
+          run("notrans", ruleOn = false)
+          run("trans", ruleOn = true)
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+          prevRule match {
+            case Some(v) => spark.conf.set("spark.graft.autoSemiReduction", v)
+            case None    => spark.conf.unset("spark.graft.autoSemiReduction")
+          }
+        }
+        out.toSeq
+      }
+
     val total = results.map(_._2).filter(_ >= 0).sum
     // per-run suite totals — the round-over-round variance record
     val runTotals = (0 until benchRuns).map { i =>
@@ -662,6 +730,7 @@ object Bench {
          |"store_modes":${storeModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"partition_router":${partitionModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"shard_router":${shardModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"pred_transfer":${predTransModes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"modes":{"cold":${cold.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm":${warm.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"warm_load":${loads.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
@@ -691,7 +760,10 @@ object Bench {
       val shr = if (shardModes.isEmpty) "" else
         s""","shard_router":${
           jmap(shardModes.filterNot(_._1.endsWith("_mb")), dp)}"""
-      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
+      val pt = if (predTransModes.isEmpty) "" else
+        s""","pred_transfer":${
+          jmap(predTransModes.filterNot(_._1.endsWith("_mb")), dp)}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr$pt,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))
     // stop Spark BEFORE printing: the driver keeps the tail of the output

@@ -674,14 +674,18 @@ object Bench {
         val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         val prevRule = spark.conf.getOption("spark.graft.autoSemiReduction")
         spark.conf.set("spark.graft.autoSemiReduction", "false")
-        val dimSize =
-          shape().queryExecution.optimizedPlan.collect {
+        // guarded min: an optimizer that collapsed the join (it should
+        // not) must skip the block, not kill the whole bench record
+        val dimSides =
+          try shape().queryExecution.optimizedPlan.collect {
             case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
           }.flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
-            .min
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] pred-trans probe failed: $e"); Nil }
+        val dimSize = if (dimSides.isEmpty) BigInt(0) else dimSides.min
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
           (dimSize - 1).max(1).toString)
-        try {
+        try if (dimSides.nonEmpty) {
           def run(label: String, ruleOn: Boolean): Unit = {
             spark.conf.set("spark.graft.autoSemiReduction", ruleOn.toString)
             throttledPass(out, "pred-trans", label) {

@@ -161,24 +161,41 @@ object HybridScan {
   // (session, path, read spec), dropped by the same writer hooks that
   // drop listings — staleness is the documented catalog-cache contract,
   // and the value-space complement keeps unseen-value rows safe.
-  private val sessionBaseFrames = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]])
+  //
+  // Retention is a BOUNDED access-order LRU, deliberately NOT weak
+  // session keys: the cached DataFrame strongly references its
+  // SparkSession, which would re-reach a weak key through the value and
+  // pin the entry forever (the WeakHashMap value→key pitfall,
+  // [[graft.util.SessionCache]]'s documented rationale). Worst case is
+  // `BaseFrameCap` retained plans — an eviction drops a never-executed
+  // plan, nothing to unpersist.
+  private val BaseFrameCap = 64
+  private val baseFrames =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+        16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > BaseFrameCap
+    }
 
   private[graft] def baseFrameSession(s: SparkSession, path: String,
       readSpec: PartitionedRead): DataFrame = {
-    val m = sessionBaseFrames.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame])
-    val k = s"${listingKey(path)}#$readSpec"
-    val cached = m.get(k)
-    if (cached != null) cached
-    else {
-      val epoch0 = listingEpoch.get
-      val df = readSpec.read(s, path) // real discovery, outside map locks
+    val k = (s, s"${listingKey(path)}#$readSpec")
+    baseFrames.synchronized {
+      val cached = baseFrames.get(k)
+      if (cached != null) return cached
+    }
+    val epoch0 = listingEpoch.get
+    val df = readSpec.read(s, path) // real discovery, outside the monitor
+    baseFrames.synchronized {
+      // cache only if NO invalidation landed while we resolved (the
+      // listing cache's fence discipline): the invalidator removes
+      // AFTER bumping the epoch, and this insert re-checks the epoch
+      // inside the same monitor the removal uses, so a stale resolve
+      // can be served once but never cached past an invalidation
       if (listingEpoch.get == epoch0) {
-        val prior = m.putIfAbsent(k, df)
-        if (listingEpoch.get != epoch0) { m.remove(k, df); df }
-        else if (prior != null) prior else df
+        val prior = baseFrames.get(k)
+        if (prior != null) prior else { baseFrames.put(k, df); df }
       } else df
     }
   }
@@ -264,10 +281,8 @@ object HybridScan {
     }
     // cached base relations over the path go with the listings (their
     // embedded file index is the same metadata)
-    sessionBaseFrames.synchronized {
-      sessionBaseFrames.values.forEach { m =>
-        m.keySet.removeIf(e0 => related(e0.takeWhile(_ != '#')))
-      }
+    baseFrames.synchronized {
+      baseFrames.keySet.removeIf(k => related(k._2.takeWhile(_ != '#')))
     }
   }
 
@@ -276,8 +291,9 @@ object HybridScan {
     listingEpoch.incrementAndGet() // fence in-flight listings here too
     val m = sessionListings.get(s)
     if (m != null) m.clear()
-    val b = sessionBaseFrames.get(s)
-    if (b != null) b.clear()
+    baseFrames.synchronized {
+      baseFrames.keySet.removeIf(_._1 eq s)
+    }
   }
 
   /** [[listTable]] for an arbitrary table root path — the entry point a

@@ -704,6 +704,51 @@ object Bench {
             case None    => spark.conf.unset("spark.graft.autoSemiReduction")
           }
         }
+        // the PAY-shape pair: the FILTERED side is the SMALL table
+        // (orders, one priority class ≈ 20% measured) and the reduced
+        // dim is the 4x-bigger, wide LINEITEM — the key-scan cost is a
+        // quarter-table key column while the shuffle saved is ~80% of
+        // the fact table's payload width. The first pair's li-as-fact
+        // shape is the leg's break-even by construction (key scan
+        // rivals the dim shuffle); this is the shape the gate exists to
+        // admit. Same probe-and-bracket discipline.
+        def shapeSel(): DataFrame = {
+          val ord = spark.read.parquet(s"mockfs:$sfDir/orders.parquet")
+            .filter(col("o_orderpriority") === "1-URGENT")
+          ord.join(spark.read.parquet(s"mockfs:$sfDir/lineitem.parquet"),
+              col("o_orderkey") === col("l_orderkey"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(fCount(lit(1)), fSum(col("l_extendedprice")),
+              fSum(col("l_quantity")))
+        }
+        spark.conf.set("spark.graft.autoSemiReduction", "false")
+        val selSides =
+          try shapeSel().queryExecution.optimizedPlan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }.flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] pred-trans sel probe failed: $e"); Nil }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          ((if (selSides.isEmpty) BigInt(0) else selSides.min) - 1).max(1).toString)
+        try if (selSides.nonEmpty) {
+          def runSel(label: String, ruleOn: Boolean): Unit = {
+            spark.conf.set("spark.graft.autoSemiReduction", ruleOn.toString)
+            throttledPass(out, "pred-trans", label) {
+              val sh0 = ioTap.shuffleBytes()
+              shapeSel().write.format("noop").mode("overwrite").save()
+              out += s"${label}_shuffle_mb" ->
+                (ioTap.shuffleBytes() - sh0) / 1e6
+            }
+          }
+          runSel("sel_notrans", ruleOn = false)
+          runSel("sel_trans", ruleOn = true)
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+          prevRule match {
+            case Some(v) => spark.conf.set("spark.graft.autoSemiReduction", v)
+            case None    => spark.conf.unset("spark.graft.autoSemiReduction")
+          }
+        }
         out.toSeq
       }
 

@@ -178,27 +178,34 @@ object HybridScan {
         size() > BaseFrameCap
     }
 
-  private[graft] def baseFrameSession(s: SparkSession, path: String,
-      readSpec: PartitionedRead): DataFrame = {
-    val k = (s, s"${listingKey(path)}#$readSpec")
+  /** [[baseFrames]]-backed memo for any resolved frame. The key's
+    * pre-'#' component must be the [[listingKey]] of the frame's
+    * table/parent directory — it is what [[invalidateListings]] prefix-
+    * matches. Epoch-fenced like the listing cache: the invalidator
+    * removes AFTER bumping the epoch, and the insert re-checks the
+    * epoch inside the same monitor the removal uses, so a stale
+    * resolve can be served once but never cached past an
+    * invalidation. */
+  private[graft] def cachedFrame(s: SparkSession, key: String)(
+      build: => DataFrame): DataFrame = {
+    val k = (s, key)
     baseFrames.synchronized {
       val cached = baseFrames.get(k)
       if (cached != null) return cached
     }
     val epoch0 = listingEpoch.get
-    val df = readSpec.read(s, path) // real discovery, outside the monitor
+    val df = build // real discovery, outside the monitor
     baseFrames.synchronized {
-      // cache only if NO invalidation landed while we resolved (the
-      // listing cache's fence discipline): the invalidator removes
-      // AFTER bumping the epoch, and this insert re-checks the epoch
-      // inside the same monitor the removal uses, so a stale resolve
-      // can be served once but never cached past an invalidation
       if (listingEpoch.get == epoch0) {
         val prior = baseFrames.get(k)
         if (prior != null) prior else { baseFrames.put(k, df); df }
       } else df
     }
   }
+
+  private[graft] def baseFrameSession(s: SparkSession, path: String,
+      readSpec: PartitionedRead): DataFrame =
+    cachedFrame(s, s"${listingKey(path)}#$readSpec")(readSpec.read(s, path))
 
   /** Monotonic invalidation epoch: a listing STARTED before an
     * invalidation must not be cached AFTER it (a slow object-store LIST
@@ -1790,8 +1797,26 @@ object HybridScan {
         (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
       val surviving = ZoneMapPruner.prune(shards, zonePreds).sortBy(_.path)
       val prunedNote = s"${surviving.size}/${shards.size} shards after zone pruning"
-      def readPaths(paths: Seq[String]) = Catalog.read(s, spec.copy(paths = paths))
-      def emptyScan() = readPaths(spec.paths).limit(0)
+      // multi-path reads are session-cached per (parent dir, spec,
+      // path set): DataFrameReader existence-checks every explicit path
+      // at construction — O(#shards) store RPCs per decision, measured
+      // 9.3 s of the 5k-shard probe — and the hot/cold window sets
+      // repeat across a session's queries (the heat pattern that makes
+      // caching exist at all). Keys embed the parent dir, so the same
+      // writer-invalidation hooks drop them ([[invalidateListings]]).
+      def readPaths(paths: Seq[String]) = {
+        val parent = new org.apache.hadoop.fs.Path(paths.head).getParent.toString
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest((spec.copy(paths = Nil).toString + paths.mkString(" "))
+            .getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString.take(16)
+        cachedFrame(s, s"${listingKey(parent)}#shards:$digest")(
+          Catalog.read(s, spec.copy(paths = paths)))
+      }
+      // the all-pruned scan needs only the SCHEMA: one shard suffices —
+      // a reader over every path would pay the full O(#shards) path
+      // checks for zero rows
+      def emptyScan() = readPaths(spec.paths.take(1)).limit(0)
       mode match {
         case ModePullup =>
           pullupN.incrementAndGet()

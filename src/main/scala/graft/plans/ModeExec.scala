@@ -5,8 +5,9 @@ import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference,
-  AttributeSet, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan,
-  LessThanOrEqual, Literal, PlanExpression, PredicateHelper}
+  AttributeSet, EqualNullSafe, EqualTo, Expression, GreaterThan,
+  GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal,
+  PlanExpression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -16,7 +17,7 @@ import graft.cache.{HybridScan, LRU, SegmentCache}
 import graft.cache.HybridScan.{AdaptiveScanRouter, ModeCachingOnly, ModeHybrid,
   ModePullup, ModePushdownOnly, ScanLease, ScanMode}
 import graft.operators.SsbCorpus
-import graft.sources.Tables
+import graft.sources.{Tables, ZoneMapPruner}
 
 /** Whole-suite execution modes — the reference's evaluation discipline.
   *
@@ -343,6 +344,42 @@ object ModeExec extends PredicateHelper {
           Some(dd) else None
       case _ => None
     }
+    // a member's OUTWARD double bracket, for IN envelopes: an exact
+    // member contributes (d, d); a long/decimal with no exact double
+    // rendering widens its end outward instead of vetoing the list
+    // (shrinking the envelope would be the same inward-rounding row
+    // loss §22.1 closed); anything else — strings, NaN — vetoes,
+    // because DROPPING a member narrows the envelope unsoundly.
+    def memberBracket(l: Literal): Option[(Double, Double)] =
+      num(l).map(d => (d, d)).orElse((l.value, l.dataType) match {
+        case (n: java.lang.Long, _) =>
+          val bd = java.math.BigDecimal.valueOf(n.longValue)
+          Some((ZoneMapPruner.outward(bd, isMin = true),
+            ZoneMapPruner.outward(bd, isMin = false)))
+        case (d: org.apache.spark.sql.types.Decimal, _) =>
+          val bd = d.toJavaBigDecimal
+          Some((ZoneMapPruner.outward(bd, isMin = true),
+            ZoneMapPruner.outward(bd, isMin = false)))
+        case _ => None
+      })
+    // `x IN (v1…vn)`: a shard may match iff some member lands in its
+    // zone — the sound single-range envelope is Between(min vi, max vi)
+    // (the reference's pruner evaluates the whole predicate tree over
+    // min/max scalars, `PartitionPruner.cpp:23-51`; gaps between
+    // members stay unpruned here and ride the residual filter). NULL
+    // members match no row and drop out; an all-null/empty list
+    // extracts nothing (fewer predicates only under-prune).
+    def inEnvelope(a: AttributeReference, members: Seq[Literal])
+        : Option[graft.sources.ZoneMapPruner.RangePred] = {
+      val nonNull = members.filter(_.value != null)
+      if (nonNull.isEmpty) return None
+      val brackets = nonNull.map(memberBracket)
+      if (brackets.exists(_.isEmpty)) None
+      else {
+        val bs = brackets.flatten
+        Some(Between(a.name, bs.map(_._1).min, bs.map(_._2).max))
+      }
+    }
     conjuncts.flatMap {
       case GreaterThan(a: AttributeReference, l: Literal) => num(l).map(Gt(a.name, _))
       case GreaterThan(l: Literal, a: AttributeReference) => num(l).map(Lt(a.name, _))
@@ -354,6 +391,19 @@ object ModeExec extends PredicateHelper {
       case LessThanOrEqual(l: Literal, a: AttributeReference) => num(l).map(Ge(a.name, _))
       case EqualTo(a: AttributeReference, l: Literal) => num(l).map(EqTo(a.name, _))
       case EqualTo(l: Literal, a: AttributeReference) => num(l).map(EqTo(a.name, _))
+      // null-safe equality with a NON-null literal is plain equality
+      // for pruning (null rows never equal a non-null literal); with a
+      // null literal it selects exactly the null rows — no range
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+          if l.value != null => num(l).map(EqTo(a.name, _))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+          if l.value != null => num(l).map(EqTo(a.name, _))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        inEnvelope(a, vs.map(_.asInstanceOf[Literal]))
+      // OptimizeIn rewrites long lists to InSet over INTERNAL values —
+      // re-wrap with the attribute's type so the same gates apply
+      case InSet(a: AttributeReference, hset) =>
+        inEnvelope(a, hset.toSeq.map(v => Literal(v, a.dataType)))
       case _ => None
     }
   }

@@ -73,7 +73,7 @@ object ZoneMapPruner {
     * contains matching rows; the reference never round-trips its typed
     * Scalar bounds through double, `PartitionPruner.cpp:23-51`).
     * `compareTo`, not equals: scale differences are not inexactness. */
-  private[sources] def outward(bd: java.math.BigDecimal, isMin: Boolean): Double = {
+  private[graft] def outward(bd: java.math.BigDecimal, isMin: Boolean): Double = {
     val d = bd.doubleValue()
     if (d == Double.PositiveInfinity) return if (isMin) Double.MaxValue else d
     if (d == Double.NegativeInfinity) return if (isMin) d else Double.MinValue
@@ -493,15 +493,49 @@ object ZoneMapPruner {
       |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** z08 (r15) — IN-list zone pruning through the conf route: the
+    * extractor folds `o_orderkey IN (…)` into its sound Between
+    * envelope ([[graft.plans.ModeExec.rangePreds]]), so a point-lookup
+    * list over the range-sharded table reads only the shards the
+    * envelope spans (gaps ride the residual filter — pruning only ever
+    * overapproximates). Oracle = the same IN over the parquet
+    * original. */
+  private def z08InZonemap(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = shardedOrders(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_sharded_csv_in")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        |FROM orders_sharded_csv_in
+        |WHERE o_orderkey IN (5, 12, 700, 850)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try graft.Engine.executeQuery(s, dir, sql)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
+  private val z08Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey IN (5, 12, 700, 850)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zonemap_prune" -> z01ZoneMapPrune _,
     "z06_sharded_route" -> z06ShardedRoute _,
     "z07_date_zonemap"  -> z07DateZonePrune _,
+    "z08_in_zonemap"    -> z08InZonemap _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "z01_zonemap_prune" -> z01Sql,
     "z06_sharded_route" -> z06Sql,
     "z07_date_zonemap"  -> z07Sql,
+    "z08_in_zonemap"    -> z08Sql,
   )
 }

@@ -289,6 +289,52 @@ class ShardRouterSpec extends SparkSpec {
     assert(preds.size == 2, s"exactly the two sound predicates: $preds")
   }
 
+  test("IN-lists extract as a Between envelope; null members drop; inexact members widen outward") {
+    // x IN (v1..vn) admits a shard iff some vi lands inside its zone;
+    // the sound SINGLE-range envelope is Between(min vi, max vi) — an
+    // overapproximation (gaps between members stay unpruned; the
+    // residual filter handles them). NULL members match no row, so they
+    // drop from the envelope; a member with no exact double rendering
+    // widens its end OUTWARD (nextDown/nextUp) instead of vetoing the
+    // whole envelope. Both In and its OptimizeIn form InSet extract.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.ZoneMapPruner.{Between => ZBetween}
+    val a = AttributeReference("k", LongType)()
+    val preds = graft.plans.ModeExec.rangePreds(Seq(
+      In(a, Seq(Literal(7L, LongType), Literal(3L, LongType),
+        Literal(null, LongType), Literal(11L, LongType)))))
+    assert(preds == Seq(ZBetween("k", 3.0, 11.0)),
+      s"IN envelope over non-null members: $preds")
+    val inset = graft.plans.ModeExec.rangePreds(Seq(
+      InSet(a, Set[Any](5L, 2L, 9L))))
+    assert(inset == Seq(ZBetween("k", 2.0, 9.0)),
+      s"InSet (OptimizeIn's form) must extract too: $inset")
+    // inexact member (2^53+1): its end widens outward, never inward
+    val big = (1L << 53) + 1
+    val wide = graft.plans.ModeExec.rangePreds(Seq(
+      In(a, Seq(Literal(1L, LongType), Literal(big, LongType)))))
+    wide match {
+      case Seq(ZBetween("k", lo, hi)) =>
+        assert(lo == 1.0 && new java.math.BigDecimal(hi)
+          .compareTo(java.math.BigDecimal.valueOf(big)) >= 0,
+          s"the inexact upper member must widen OUTWARD: $wide")
+      case other => fail(s"expected one Between envelope: $other")
+    }
+    // an all-NULL list matches nothing: no predicate extracted (sound —
+    // fewer predicates only under-prune); the shard-level zero-row
+    // result rides the residual filter
+    assert(graft.plans.ModeExec.rangePreds(Seq(
+      In(a, Seq(Literal(null, LongType))))).isEmpty)
+    // end-to-end: an IN over two low shards prunes the rest
+    val (_, zones) = fixture
+    val kept = ZoneMapPruner.prune(zones, graft.plans.ModeExec.rangePreds(Seq(
+      In(AttributeReference("o_orderkey", LongType)(),
+        Seq(Literal(10L, LongType), Literal(900L, LongType))))))
+    assert(kept.nonEmpty && kept.size < zones.size,
+      s"the IN envelope must prune high shards: ${kept.size}/${zones.size}")
+  }
+
   test("date literals extract as epoch days and prune date-sharded shards via conf") {
     // r14 verdict "what's missing" 1: date ranges are THE canonical
     // log-pruning predicate. Extraction pin first (epoch days/micros are
@@ -573,6 +619,19 @@ class ShardRouterSpec extends SparkSpec {
         assert(lease.df.count() == 2500L,
           "zone pruning must keep exactly the matching half")
       } finally lease.close()
+      // the WARM decision: the repeated window hits the session-cached
+      // multi-path relation (r15 — DataFrameReader existence-checks
+      // every explicit path, O(#shards) store RPCs per decision
+      // otherwise). Measured ~0.1 s isolated; bounded generously.
+      val t1 = System.nanoTime()
+      val lease2 = router.scanShardedMode(spark, spec, "probe5kshard", zones,
+        Seq(ZoneMapPruner.Le("id", 2499.0)), Seq("v"),
+        col("id") <= 2499L, ModeCachingOnly)
+      val decision2Secs = (System.nanoTime() - t1) / 1e9
+      info(f"5k-shard decision (warm): $decision2Secs%.2f s")
+      try assert(decision2Secs < 8.0,
+        f"warm 5k-shard routing decision took $decision2Secs%.1f s")
+      finally lease2.close()
       assert(cache.keys.count(_.region.nonEmpty) <= 2,
         s"maxHotRegions=2 must bind at 5000 shards: ${cache.keys.size}")
       assert(!cache.keys.exists(_.region.isEmpty),

@@ -285,7 +285,16 @@ object AutoSemiReduction extends Rule[LogicalPlan] with PredicateHelper {
       dim.stats.sizeInBytes > threshold &&   // main join shuffles the dim
       !fact.exists(_.isInstanceOf[Join]) &&  // join-free fact: probe-able
       safeToCopy(fact) &&
-      !alreadyReduced(dim, fact) && {
+      !alreadyReduced(dim, fact) &&
+      // hard cap on what the HINT can commit the driver to: the
+      // discounted admission below trusts a sampled ratio, and a stale
+      // or order-biased sample could otherwise hint a broadcast of an
+      // UNDISCOUNTED key projection of any size (the forward leg never
+      // has this exposure — its broadcast is stats-bounded ≤ threshold
+      // with no discount). 16x bounds the worst mis-measurement at a
+      // survivable multiple while keeping the 0.5-selectivity gate's
+      // full useful range (1/0.0625) admissible.
+      keysProjSize <= BigInt(threshold) * 16 && {
         val sel = measuredSelectivity(fact)
         sel <= maxSelectivity &&
           BigDecimal(keysProjSize) * BigDecimal(sel) <= BigDecimal(threshold)

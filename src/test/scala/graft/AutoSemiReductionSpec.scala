@@ -94,6 +94,18 @@ class AutoSemiReductionSpec extends SparkSpec {
     }
   }
 
+  test("the p04 entry's scale-free bracket makes the backward leg fire") {
+    // the oracle entry's own demonstration contract: its rule-off probe
+    // brackets the threshold under the PRUNED dim side, so the plan the
+    // driver verifies and benches really carries the injected semi at
+    // whatever SF it runs (rows stay oracle-identical either way)
+    val df = graft.plans.PredicateTransfer
+      .queries("p04_auto_backward")(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.toString.contains("Join LeftSemi"),
+      s"p04 must demonstrate the backward semi at this SF:\n$plan")
+  }
+
   test("backward leg stays out when the fact filter is weak or the fact joins") {
     import spark.implicits._
     // weak filter: l_quantity < 49 keeps ~96% — measured, the gate refuses

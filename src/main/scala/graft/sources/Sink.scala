@@ -81,6 +81,7 @@ object Sink {
     // + two-rename swap (and its crash window) it would otherwise pay —
     // streaming restarts routinely deliver zero-row micro-batches
     if (batchEmpty) return
+    val zoneCols = zoneColsOf(spark, path) // before the swap loses the sidecar
     val merged =
       if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
       else latest
@@ -99,6 +100,7 @@ object Sink {
     // graft's own writers invalidate (external writers call
     // HybridScan.invalidateListings themselves, the REFRESH TABLE analog)
     graft.cache.HybridScan.invalidateListings(path)
+    rezone(spark, path, zoneCols)
   }
 
   /** Restore a table whose last mergeInto/compact died between its two
@@ -151,6 +153,7 @@ object Sink {
     if (before.isEmpty) sys.error(
       s"compact: no top-level .parquet files in $path — " +
         "partitioned or empty table? compact() operates on flat directories")
+    val zoneCols = zoneColsOf(spark, path) // before the swap loses the sidecar
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
@@ -167,6 +170,30 @@ object Sink {
     }
     fs.delete(bak, true)
     graft.cache.HybridScan.invalidateListings(path) // writer invalidation (r12)
+    rezone(spark, path, zoneCols)
     (before.length, afterCount)
   }
+
+  /** Columns of `path`'s zone-map sidecar, empty when none — read BEFORE
+    * a whole-directory swap, which moves the sidecar out with the old
+    * directory and deletes it with the `.bak` snapshot (the table would
+    * otherwise silently stop routing per shard after every maintenance
+    * op, with nothing even to count as drift). */
+  private def zoneColsOf(spark: SparkSession, path: String): Seq[String] =
+    ZoneMapPruner.readSidecar(spark, path)
+      .map(_.flatMap(_.ranges.keys).distinct.sorted).getOrElse(Nil)
+
+  /** Regenerate the zone-map sidecar a swap destroyed — one distributed
+    * pass over the NEW file set ([[ZoneMapPruner.rebuildSidecar]], which
+    * also re-fires the writer-invalidation hooks). The maintenance ops
+    * here rewrite flat parquet directories, so the rebuild template is
+    * the parquet read. */
+  private def rezone(spark: SparkSession, path: String,
+      zoneCols: Seq[String]): Unit =
+    if (zoneCols.nonEmpty) {
+      ZoneMapPruner.rebuildSidecar(spark, path,
+        TableSpec(new org.apache.hadoop.fs.Path(path).getName, "parquet",
+          Nil, None), zoneCols)
+      ()
+    }
 }

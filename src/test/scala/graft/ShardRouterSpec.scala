@@ -453,6 +453,73 @@ class ShardRouterSpec extends SparkSpec {
     }
   }
 
+  test("Sink.compact regenerates the zone sidecar its swap destroys") {
+    // compact/mergeInto swap the WHOLE directory: the sidecar moves out
+    // with the old dir and is deleted with the .bak snapshot — without
+    // the rezone hook a zone-mapped table silently stops routing per
+    // shard after every maintenance op (nothing even counts as drift,
+    // the sidecar is simply gone).
+    import java.nio.file.Files
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-compact-zone")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      val table = root.resolve("t").toString
+      graft.sources.Tables.orders(s, sfDir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.parquet(table)
+      val zones = ZoneMapPruner.build(s.read.parquet(table), Seq("o_orderkey"))
+      ZoneMapPruner.writeSidecar(s, table, zones)
+      def view(): Unit = s.read.parquet(table)
+        .createOrReplaceTempView("orders_compact_zone")
+      view()
+      val sql =
+        """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+          |FROM orders_compact_zone WHERE o_orderkey <= 600""".stripMargin
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      try {
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, "pre-compact conf route")
+        }
+        assert(cache.keys.exists(_.region.startsWith("shard=")),
+          "fixture: pre-compact route must produce shard residents")
+        cache.invalidateAll()
+        val (nBefore, nAfter) = graft.sources.Sink.compact(s, table)
+        assert(nBefore == 4 && nAfter >= 1, s"compact: $nBefore -> $nAfter")
+        // the sidecar must exist again and NAME the new file set
+        val rezoned = ZoneMapPruner.readSidecar(s, table)
+        assert(rezoned.isDefined, "compact must regenerate the sidecar")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          s.sparkContext.hadoopConfiguration)
+        val nowFiles = fs.globStatus(
+          new org.apache.hadoop.fs.Path(table, "part-*"))
+          .map(_.getPath.getName).toSet
+        assert(rezoned.get.map(z => new org.apache.hadoop.fs.Path(z.path)
+          .getName).toSet == nowFiles,
+          "the regenerated sidecar must match the compacted file set")
+        // and the conf route still works over the compacted table
+        view()
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, "post-compact conf route")
+        }
+        assert(cache.keys.exists(_.region.startsWith("shard=")),
+          s"post-compact route must still produce shard residents: ${cache.keys}")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      }
+    } finally {
+      cache.invalidateAll()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("drift is counted and rebuildSidecar restores per-shard routing") {
     // r14 verdict item 5: drift silently unrouted. Now it logs + counts,
     // and the rebuild helper (one distributed pass, tmp+rename, writer

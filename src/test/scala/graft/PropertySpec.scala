@@ -215,6 +215,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: string zone pruning is sound under UTF-8 ordering (incl. multi-byte)") {
+    import ZoneMapPruner._
+    // strings crossing the UTF-16-vs-UTF-8 ordering divergence on
+    // purpose: supplementary plane (surrogate pairs) vs [U+E000, U+FFFF]
+    // BMP chars — Java compareTo orders these OPPOSITE to Spark's
+    // UTF8String byte order, exactly where a wrong comparator prunes a
+    // shard whose rows match
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString),
+      Gen.const("\uffff"), Gen.const("\ue000"),
+      Gen.const(new String(Character.toChars(0x10348))), // supplementary
+      Gen.const(""), Gen.const("é"), Gen.const("中"))
+    val strGen = Gen.chooseNum(0, 4).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    val valuesGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, strGen))
+    val predGen: Gen[RangePred] = for {
+      v <- strGen; h <- strGen
+      p <- Gen.oneOf[RangePred](SGt("x", v), SGe("x", v), SLt("x", v),
+        SLe("x", v), SEq("x", v),
+        if (utf8Cmp(v, h) <= 0) SBetween("x", v, h) else SBetween("x", h, v))
+    } yield p
+    def sat(p: RangePred, x: String): Boolean = p match {
+      case SGt(_, v) => utf8Cmp(x, v) > 0;  case SGe(_, v) => utf8Cmp(x, v) >= 0
+      case SLt(_, v) => utf8Cmp(x, v) < 0;  case SLe(_, v) => utf8Cmp(x, v) <= 0
+      case SEq(_, v) => utf8Cmp(x, v) == 0
+      case SBetween(_, lo, hi) => utf8Cmp(x, lo) >= 0 && utf8Cmp(x, hi) <= 0
+      case _ => fail(s"unexpected pred $p")
+    }
+    val cases = samples(Gen.zip(valuesGen, Gen.listOfN(3, predGen)), 300, seed = 41L)
+    cases.foreach { case (values, preds) =>
+      val lo = values.reduce((a, b) => if (utf8Cmp(a, b) <= 0) a else b)
+      val hi = values.reduce((a, b) => if (utf8Cmp(a, b) >= 0) a else b)
+      val shard = graft.sources.ShardZoneMap("s", Map.empty,
+        Map("x" -> (lo, hi)))
+      val hasMatch = values.exists(x => preds.forall(sat(_, x)))
+      val kept = prune(Seq(shard), preds).nonEmpty
+      assert(!hasMatch || kept,
+        s"pruned a shard containing a match: values=$values preds=$preds")
+    }
+    // the divergence itself, pinned: UTF-8 byte order puts the
+    // supplementary char ABOVE U+E000 (Java compareTo disagrees)
+    val supp = new String(Character.toChars(0x10348))
+    assert(utf8Cmp(supp, "\ue000") > 0 && supp.compareTo("\ue000") < 0,
+      "fixture must cover the UTF-16/UTF-8 ordering divergence")
+  }
+
+  test("property: OR-tree pruning is sound over random interval shards") {
+    import ZoneMapPruner._
+    val valuesGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+    val leafGen: Gen[RangePred] = for {
+      v <- Gen.chooseNum(-110.0, 110.0)
+      p <- Gen.oneOf[RangePred](Gt("x", v), Ge("x", v), Lt("x", v),
+        Le("x", v), EqTo("x", v))
+    } yield p
+    // OrPred over 2-3 branches, each branch 1-2 conjuncts
+    val branchGen = Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n, leafGen))
+    val orGen: Gen[RangePred] =
+      Gen.chooseNum(2, 3).flatMap(n => Gen.listOfN(n, branchGen)).map(OrPred(_))
+    def satLeaf(p: RangePred, x: Double): Boolean = p match {
+      case Gt(_, v) => x > v;  case Ge(_, v) => x >= v
+      case Lt(_, v) => x < v;  case Le(_, v) => x <= v
+      case EqTo(_, v) => x == v
+      case Between(_, lo, hi) => x >= lo && x <= hi
+      case OrPred(bs) => bs.exists(_.forall(satLeaf(_, x)))
+      case _ => fail(s"unexpected pred $p")
+    }
+    val cases = samples(Gen.zip(valuesGen,
+      Gen.listOfN(2, Gen.oneOf(leafGen, orGen))), 300, seed = 43L)
+    cases.foreach { case (values, preds) =>
+      val shard = graft.sources.ShardZoneMap("s",
+        Map("x" -> (values.min, values.max)))
+      val hasMatch = values.exists(x => preds.forall(satLeaf(_, x)))
+      val kept = prune(Seq(shard), preds).nonEmpty
+      assert(!hasMatch || kept,
+        s"pruned a shard containing a match: values=$values preds=$preds")
+    }
+  }
+
   test("property: CMS estimate never underestimates; verified candidates = exact heavies") {
     import spark.implicits._
     // skewed keys: key k appears ~k times (triangular), so thresholds

@@ -555,8 +555,10 @@ class ShardRouterSpec extends SparkSpec {
         assert(Engine.executeQuery(s, sfDir, sql).collect()
           .map(_.toSeq).toSeq == expect,
           "a drifted leaf must stay row-identical (unrouted)")
-        assert(ZoneMapPruner.driftCount > drift0,
-          "drift must be observable, not silent")
+        assert(ZoneMapPruner.driftCount == drift0 + 1,
+          "drift must be observable, and counted EXACTLY once per query " +
+          "per drifted leaf (r15 ADVICE: the Filter arm re-classified an " +
+          s"unroutable leaf, inflating driftCount 2x): ${ZoneMapPruner.driftCount - drift0}")
         assert(!cache.keys.exists(_.region.startsWith("shard=")),
           s"drifted leaf must be unrouted: ${cache.keys}")
         // rebuild: one pass over the CURRENT directory → routed again
@@ -821,4 +823,241 @@ class ShardRouterSpec extends SparkSpec {
       rm(root.toFile)
     }
   }
+  test("string-typed zone bounds prune a status-sharded layout via conf (v=2 sidecar)") {
+    // r15 verdict "what's missing" 1: the zone model was doubles-only, so
+    // `WHERE status = 'F'` pruned nothing on a string-sharded layout. The
+    // reference prunes on TYPED Scalars including strings (litToScalar on
+    // StringLiteral, fpdb-executor/src/physical/prune/PartitionPruner
+    // .cpp:100-104). Extraction pin, prune pin, sidecar v=2 round-trip,
+    // then the z09 shape end-to-end.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      EqualTo, Literal => CLit}
+    import org.apache.spark.sql.types.StringType
+    import graft.sources.ZoneMapPruner.{SEq, SGe}
+    val a = AttributeReference("st", StringType)()
+    val preds = graft.plans.ModeExec.rangePreds(Seq(
+      EqualTo(a, CLit.create("F", StringType))))
+    assert(preds == Seq(SEq("st", "F")), s"string equality extracts: $preds")
+    val ge = graft.plans.ModeExec.rangePreds(Seq(
+      org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+        a, CLit.create("M", StringType))))
+    assert(ge == Seq(SGe("st", "M")), s"string range extracts: $ge")
+
+    val s = spark.newSession()
+    val (spec, zones) = ZoneMapPruner.statusShardedOrders(s, sfDir)
+    assert(zones.forall(_.strRanges.contains("o_orderstatus")),
+      s"string bounds must be in the zone map: $zones")
+    assert(zones.forall(_.ranges.contains("o_orderkey")),
+      "numeric tiebreaker bounds ride the same sidecar")
+    val kept = ZoneMapPruner.prune(zones, Seq(SEq("o_orderstatus", "F")))
+    assert(kept.nonEmpty && kept.size < zones.size,
+      s"status equality must prune shards: ${kept.size}/${zones.size}")
+    // soundness cross-check against the actual shard contents
+    val withF = zones.filter { z =>
+      val (lo, hi) = z.strRanges("o_orderstatus")
+      ZoneMapPruner.utf8Cmp(lo, "F") <= 0 && ZoneMapPruner.utf8Cmp("F", hi) <= 0
+    }
+    assert(kept.map(_.path).toSet == withF.map(_.path).toSet)
+
+    // sidecar round-trip: version v=2, string bounds intact
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    val sidecarText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new org.apache.hadoop.fs.Path(root,
+        ZoneMapPruner.SidecarName).toUri.getPath)), "UTF-8")
+    assert(sidecarText.startsWith("v=2\n"),
+      s"a string-bearing sidecar must version v=2: ${sidecarText.take(20)}")
+    val reread = ZoneMapPruner.readSidecar(s, root).get
+    def byName(zs: Seq[graft.sources.ShardZoneMap]) =
+      zs.map(z => new org.apache.hadoop.fs.Path(z.path).getName ->
+        (z.ranges, z.strRanges)).toMap
+    assert(byName(reread) == byName(zones),
+      "sidecar round-trip must preserve both bound kinds")
+
+    // end-to-end through the conf route: rows identical, residents only
+    // from status-surviving shards
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_statuszone_csv")
+    val sql =
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_statuszone_csv WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "string-pruned conf route must match the pristine plan")
+      }
+      val regions = cache.keys.filter(_.region.startsWith("shard="))
+      assert(regions.nonEmpty,
+        s"shard residents expected through the string conf route: ${cache.keys}")
+      val names = kept.map(z =>
+        "shard=" + new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(regions.map(_.region).toSet.subsetOf(names),
+        "only status-surviving shards may admit")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
+  test("OR-trees prune: a shard survives iff SOME branch's envelope admits it") {
+    // r15 verdict "what's missing" 2: rangePreds took top-level conjuncts
+    // only, so `k < 10 OR k > 5000` pruned nothing. The reference's
+    // pruner recurses through OR and invalidates a partition only when
+    // EVERY branch is invalid (PartitionPruner.cpp:70-88).
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference,
+      GreaterThan, LessThan, Literal => CLit, Or}
+    import org.apache.spark.sql.types.LongType
+    import graft.sources.ZoneMapPruner.{Ge => ZGe, Gt => ZGt, Lt => ZLt,
+      OrPred}
+    val k = AttributeReference("k", LongType)()
+    val k2 = AttributeReference("k2", LongType)()
+    val or = Or(LessThan(k, CLit(10L)), GreaterThan(k, CLit(750L)))
+    val preds = graft.plans.ModeExec.rangePreds(Seq(or))
+    assert(preds == Seq(OrPred(Seq(Seq(ZLt("k", 10.0)), Seq(ZGt("k", 750.0))))),
+      s"OR extraction: $preds")
+    // a branch with nothing prunable poisons the whole disjunction
+    // (it may match anything) — sound refusal, not a partial envelope
+    assert(graft.plans.ModeExec.rangePreds(Seq(
+      Or(LessThan(k, CLit(10L)), GreaterThan(k, k2)))).isEmpty,
+      "an unprunable branch must refuse the whole OR")
+    // conjunctions INSIDE branches extract per branch
+    val nested = graft.plans.ModeExec.rangePreds(Seq(Or(
+      And(GreaterThan(k, CLit(5L)), LessThan(k, CLit(10L))),
+      GreaterThan(k, CLit(750L)))))
+    assert(nested == Seq(OrPred(Seq(Seq(ZGt("k", 5.0), ZLt("k", 10.0)),
+      Seq(ZGt("k", 750.0))))), s"nested AND-in-OR: $nested")
+
+    // prune pin on synthetic contiguous shards: only the edges survive
+    val zones8 = (0 until 8).map(i => graft.sources.ShardZoneMap(
+      s"part-$i", Map("k" -> (i * 100.0, i * 100.0 + 99.0))))
+    val keptNames = ZoneMapPruner.prune(zones8, preds).map(_.path)
+    assert(keptNames == Seq("part-0", "part-7"),
+      s"k < 10 OR k > 750 must keep exactly the edge shards: $keptNames")
+
+    // end-to-end through the conf route on a real sharded dir
+    import java.nio.file.Files
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-shard-or")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      Files.write(root.resolve("part-0.csv"), "1|10\n5|50\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-1.csv"), "100|7\n200|9\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-2.csv"), "800|3\n900|4\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      def readDir = s.read.schema(schema).option("delimiter", "|")
+        .csv(root.toString)
+      val zones = ZoneMapPruner.build(readDir, Seq("k"))
+      ZoneMapPruner.writeSidecar(s, root.toString, zones)
+      readDir.createOrReplaceTempView("t_or")
+      val sql = "SELECT count(*) AS n, sum(v) AS sv FROM t_or WHERE k < 10 OR k > 750"
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      assert(expect == Seq(Seq(4L, 67L)), s"fixture: $expect")
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "OR-pruned conf route must match the pristine plan")
+      }
+      // the middle shard must never have admitted
+      val resident = cache.keys.map(_.region).filter(_.startsWith("shard="))
+      assert(!resident.contains("shard=part-1.csv"),
+        s"the OR-pruned middle shard must never admit: $resident")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+      def rm(pf: java.io.File): Unit = {
+        Option(pf.listFiles()).foreach(_.foreach(rm)); pf.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("NaN double bounds widen to infinities: NaN-bearing shards are never pruned") {
+    // r15 ADVICE (medium): Spark orders NaN ABOVE all values, so max()
+    // of a NaN-bearing double column is NaN — and every strict zone
+    // compare against a NaN bound is false, pruning a shard whose
+    // non-NaN rows match (row loss). NaN bounds widen to the matching
+    // infinity at build AND at sidecar parse.
+    import java.nio.file.Files
+    import graft.sources.ZoneMapPruner.{Gt => ZGt, Lt => ZLt}
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-shard-nan")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      Files.write(root.resolve("part-a.csv"), "1|NaN\n2|5.0\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-b.csv"), "10|1.0\n11|1.5\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-c.csv"), "20|NaN\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.DoubleType)))
+      def readDir = s.read.schema(schema).option("delimiter", "|")
+        .csv(root.toString)
+      val zones = ZoneMapPruner.build(readDir, Seq("x"))
+      val byName = zones.map(z =>
+        new org.apache.hadoop.fs.Path(z.path).getName -> z.ranges("x")).toMap
+      assert(byName("part-a.csv")._1 == 5.0 &&
+        byName("part-a.csv")._2.isPosInfinity,
+        s"NaN max must widen to +Inf: ${byName("part-a.csv")}")
+      assert(byName("part-c.csv") ==
+        (Double.NegativeInfinity, Double.PositiveInfinity),
+        s"all-NaN shard widens both ways: ${byName("part-c.csv")}")
+      assert(byName("part-b.csv") == (1.0, 1.5), "NaN-free bounds stay tight")
+      // `x > 2`: NaN rows MATCH under Spark's ordering (NaN is largest),
+      // so both NaN-bearing shards must survive; the low shard prunes
+      val kept = ZoneMapPruner.prune(zones, Seq(ZGt("x", 2.0)))
+        .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(kept == Set("part-a.csv", "part-c.csv"), s"kept: $kept")
+      // parse-side: a foreign sidecar carrying literal NaN widens too
+      val foreign = Files.createTempDirectory("graft-shard-nan-foreign")
+      Files.write(foreign.resolve(ZoneMapPruner.SidecarName),
+        "v=1\npart-a.csv\tx=5.0,NaN\npart-c.csv\tx=NaN,NaN\n".getBytes("UTF-8"))
+      val reread = try ZoneMapPruner.readSidecar(s, foreign.toString).get
+        finally {
+          Files.deleteIfExists(foreign.resolve(ZoneMapPruner.SidecarName))
+          Files.deleteIfExists(foreign): Unit
+        }
+      val rByName = reread.map(z =>
+        new org.apache.hadoop.fs.Path(z.path).getName -> z.ranges("x")).toMap
+      assert(rByName("part-a.csv") == (5.0, Double.PositiveInfinity) &&
+        rByName("part-c.csv") ==
+          (Double.NegativeInfinity, Double.PositiveInfinity),
+        s"parsed NaN bounds must widen: $rByName")
+      // end-to-end: the conf route returns the NaN rows a pruned plan
+      // would have lost (Spark: NaN > 2.0 is TRUE)
+      ZoneMapPruner.writeSidecar(s, root.toString, zones)
+      readDir.createOrReplaceTempView("t_nan")
+      val sql = "SELECT count(*) AS n, sum(k) AS sk FROM t_nan WHERE x > 2.0"
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      assert(expect == Seq(Seq(3L, 23L)), s"fixture (NaN matches Gt): $expect")
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      assert(Engine.executeQuery(s, sfDir, sql).collect()
+        .map(_.toSeq).toSeq == expect,
+        "NaN-bearing shards must not be pruned through the conf route")
+      // and the LOW shard still prunes: Lt keeps only part-b
+      val keptLt = ZoneMapPruner.prune(zones, Seq(ZLt("x", 2.0)))
+        .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
+      assert(keptLt == Set("part-b.csv", "part-c.csv"),
+        s"Lt keeps the low shard and the conservatively-widened all-NaN: $keptLt")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+      def rm(pf: java.io.File): Unit = {
+        Option(pf.listFiles()).foreach(_.foreach(rm)); pf.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
 }

@@ -17,22 +17,40 @@ import graft.sources.Tables
   *  - results sink to the `noop` datasource: every output column is fully
   *    materialized (a bare `count()` would let Catalyst prune the very
   *    work being measured) without collect() driver pressure;
-  *  - one untimed warmup query first, so JVM/codegen/scan initialization
-  *    isn't billed to whichever query happens to run first;
-  *  - each entry runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
+  *  - a RECORDED WARM-UP PASS over the whole suite first (r15 verdict
+  *    items 1 and 6), excluded from every statistic: it absorbs JVM/
+  *    codegen first-compiles, fixture first-touch, page-cache warming,
+  *    AND every shared family-artifact build (dup groups, IVF/PQ
+  *    indexes), so the counted passes all run steady-state. Its
+  *    per-entry times are in BENCH_DETAIL.json (`runs_warmup`) — the
+  *    cold/build costs stay visible in the record, they just stop
+  *    polluting the statistics. Rationale: r15's official record showed
+  *    d10 medians 0.40→2.81 s with run values [3.23, 0.38, 2.81] — run 1
+  *    paying first-touch and run 3 hit by a region-local host stall —
+  *    while d08's pass-3 value (0.29 s) proved the artifact was RESIDENT;
+  *    under the old "release during pass 1" protocol the first counted
+  *    pass structurally mixed cold and warm states, so round-over-round
+  *    median diffs compared different states. With the warm-up pass,
+  *    artifacts build exactly once — at their family's first warm-up
+  *    entry, so the build cost is in runs_warmup — and stay resident for
+  *    all counted passes: per-run values are unimodal by construction
+  *    and run_totals spread measures host noise, not protocol state.
+  *    Skipped in the targeted dev loop (explicit query args) or with
+  *    SPARK_GRAFT_WARMUP=0;
+  *  - each entry then runs SPARK_GRAFT_BENCH_RUNS times (default 3) and
   *    reports the per-entry MINIMUM. The statistic is deliberate
   *    (round-6 verdict item 2): the graded quantity is the PLAN's cost,
   *    and the dominant run-to-run noise on this host is additive,
   *    heavy-right-tailed environment — a multi-second stop-the-world GC
   *    epoch landing inside a 0.3 s entry (r06: t01 runs [2.8, 2.9, 1.4]
-  *    with an unchanged plan), JIT/codegen first-compiles on run 1,
-  *    fixture first-touch. Under that model the median is polluted
+  *    with an unchanged plan). Under that model the median is polluted
   *    whenever ≥2 of 3 runs are hit (exactly the r06 t01/h12 record) while
   *    the min estimates the noise-free cost and still moves on any real
   *    plan regression. Per-run times AND per-run GC-time deltas are all
   *    in BENCH_DETAIL.json (`runs`, `gc_ms`) so tail behavior stays
   *    visible, and the median is recorded alongside (`queries_median`)
-  *    for continuity with rounds ≤6;
+  *    for continuity with rounds ≤6 — with the warm-up pass the median
+  *    and min should now agree to noise;
   *  - the N runs are INTERLEAVED PASSES over the whole sorted suite
   *    (pass = outer loop), not back-to-back per entry (round-8 verdict
   *    item 2): back-to-back runs share one ~3×-entry time window, so a
@@ -41,16 +59,10 @@ import graft.sources.Tables
   *    and ~zero GC, exactly that signature. Under passes, the same
   *    entry's runs are separated by a full suite traversal (~2 min), so
   *    a stall must persist across the entire bench to corrupt a min.
-  *    Same total work. Family artifacts are released at family
-  *    boundaries during pass 1 ONLY (pass 1 thereby reproduces the old
-  *    protocol's cold-per-family measurement exactly); later passes
-  *    reuse resident artifacts, keeping artifact-entry minima at their
-  *    steady-state (artifacts-resident) cost — the r8 semantics, where
-  *    e.g. d08's build showed in run 1 [4.05, 0.08, 0.07] and the min
-  *    priced the plan, not the shared build. At sf0.1 the full artifact
-  *    set is far below the storage fraction, so cross-family residency
-  *    in passes 2+ cannot re-create the r6 q03 eviction incident — and
-  *    pass 1's released-state times bound the damage if it ever did;
+  *    At sf0.1 the full artifact set is far below the storage fraction,
+  *    so cross-family residency cannot re-create the r6 q03 eviction
+  *    incident — and the warm-up pass's released-state times bound the
+  *    damage if it ever did;
   *  - per-entry scan IO is recorded from each entry's FINAL run into the
   *    detail `io` block ([[graft.util.ScanStats]]): files listed +
   *    listing bytes (what partition/shard pruning saved), rows decoded
@@ -60,13 +72,22 @@ import graft.sources.Tables
   *    100 TB bytes-scanned is the cost model, and a pruning regression
   *    must show up as a number, not as noise-sized seconds;
   *  - session artifacts (dup groups, IVF/PQ indexes, semantic-dup sets)
-  *    are RELEASED at every family boundary (d* → ev* → h* …, and before
-  *    the mode pass) via [[graft.util.SessionCache.releaseAll]]:
-  *    artifacts pinned for the whole suite were measured evicting
-  *    working memory out from under unrelated late-suite entries
-  *    (q03 0.34→1.7 s round-over-round with an identical plan). On a
-  *    cluster the same release keeps finished pipelines from squatting
-  *    on executor storage;
+  *    build once during the warm-up pass and are RELEASED once, after
+  *    the counted passes and before the mode blocks, via
+  *    [[graft.util.SessionCache.releaseAll]] — at sf0.1 the whole
+  *    artifact set sits far below the storage fraction (the r6 q03
+  *    eviction incident needed suite-long pinning at a smaller budget),
+  *    and on a cluster the end-of-suite release keeps finished pipelines
+  *    from squatting on executor storage;
+  *  - every THROTTLED STORE pass records host-noise covariates next to
+  *    its wall seconds (r15 verdict item 2: a single-pass 145 s wall
+  *    against byte-identical legs was unexplainable from the record):
+  *    `_gc_ms` (stop-the-world GC inside the pass), `_load` (system
+  *    load average at pass end), `_cpu_s` (this JVM's process-CPU
+  *    inside the pass). The BYTE legs stay the claim-bearers; the
+  *    covariates let a reader attribute any wall outlier — wall far
+  *    above the throttle floor with low own-CPU and high load is host
+  *    contention, not a plan regression;
   *  - a mode-comparison pass (the reference benches PULLUP vs
   *    CACHING_ONLY, `fpdb-plan/include/fpdb/plan/Mode.h:13-18`; promised
   *    in BASELINE.md): scan-heavy base tables are warmed through
@@ -141,11 +162,24 @@ object Bench {
     // time then tracks TOTAL bytes once streams saturate it; see
     // MockObjectFs.totalBytesPerSec. 0 = per-stream physics only.
     MockObjectFs.totalBytesPerSec = totalMbps << 20
+    val g0 = gcMillis()
+    val c0 = processCpuNanos()
     val t0 = System.nanoTime()
+    // host-noise covariates per pass (r15 verdict item 2): recorded on
+    // success AND failure — an attributable record either way
+    def covariates(): Unit = {
+      out += s"${label}_gc_ms" -> (gcMillis() - g0).toDouble
+      val c1 = processCpuNanos()
+      out += s"${label}_cpu_s" ->
+        (if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9)
+      out += s"${label}_load" -> java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
     try {
       body
       out += label -> (System.nanoTime() - t0) / 1e9
       out += s"${label}_mb" -> MockObjectFs.bytesRead.get / 1e6
+      covariates()
     } catch { case scala.util.control.NonFatal(e) =>
       // NonFatal only (an OOM must propagate, not be logged away), and
       // an explicit -1 marker: a missing key reads as "not run" where
@@ -153,6 +187,7 @@ object Bench {
       System.err.println(s"[bench] $family $label failed: ${e.getMessage}")
       out += label -> -1.0
       out += s"${label}_mb" -> -1.0
+      covariates()
     } finally {
       MockObjectFs.bytesPerSec = 0L
       MockObjectFs.openLatencyMs = 0L
@@ -166,6 +201,14 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
   }
+
+  /** Cumulative CPU time this JVM has consumed, nanoseconds; -1 when the
+    * platform bean doesn't expose it. */
+  private def processCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -189,18 +232,36 @@ object Bench {
     def runToNoop(name: String): Double =
       timeNoop(SparkEntry.queries(name)(spark, sfDir), name)
 
-    // untimed warmup: small scan + join + agg touches codegen, parquet
-    // reader, shuffle, and broadcast machinery once
-    try SparkEntry.queries("q05_star_join")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-
     // optional args: run only the named queries (dev loop for targeted
     // timings; skips the mode-comparison pass)
     // distinct: a duplicated arg would share one run buffer under the
     // pass-outer loop and silently report a min over the merged runs
     val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
                  else args.toSeq.distinct.filter(SparkEntry.queries.contains)
+
+    // the recorded warm-up pass (see the scaladoc): cold-per-family via
+    // family-boundary releases, times kept in the detail record only
+    val warmupEnabled =
+      args.isEmpty && !sys.env.get("SPARK_GRAFT_WARMUP").contains("0")
+    val warmupTimes =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (warmupEnabled) {
+      // NO family-boundary releases here: each shared artifact builds
+      // exactly once (at its family's first warm-up entry, so its build
+      // cost is still in runs_warmup) and stays resident through every
+      // counted pass — releasing at boundaries left the last-released
+      // families cold entering pass 1 (measured: d08 [2.36, 0.09] with
+      // releases, unimodal without). Cross-family residency is the same
+      // state counted passes always ran in; the end-of-passes releaseAll
+      // below still frees everything before the mode blocks.
+      wanted.foreach { n => warmupTimes(n) = runToNoop(n) }
+    } else {
+      // dev loop: one untimed warmup query still touches codegen,
+      // parquet reader, shuffle, and broadcast machinery once
+      try SparkEntry.queries("q05_star_join")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
 
     // IO + GC instrumentation: taps bracket each entry's FINAL run (the
     // steady-state one — artifacts resident, codegen compiled), entirely
@@ -214,12 +275,7 @@ object Bench {
     val ioByEntry = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long, Long, Long)]
     for (pass <- 1 to benchRuns) {
       val finalPass = pass == benchRuns
-      var lastFamily = ""
       wanted.foreach { n =>
-        if (pass == 1 && family(n) != lastFamily) {
-          graft.util.SessionCache.releaseAll(spark)
-          lastFamily = family(n)
-        }
         if (finalPass) { ioTap.reset(); planTap.reset() }
         val g0 = gcMillis()
         val t = runToNoop(n)
@@ -769,6 +825,7 @@ object Bench {
          |"run_totals":[${runTotals.mkString(",")}],
          |"queries":${results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"queries_median":${medians.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
+         |"runs_warmup":${warmupTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},
          |"runs":${allRuns.map { case (k, rs) => "\"" + k + "\":[" + rs.mkString(",") + "]" }.mkString("{", ",", "}")},
          |"gc_ms":${gcByEntry.map { case (k, gs) => "\"" + k + "\":[" + gs.mkString(",") + "]" }.mkString("{", ",", "}")},
          |"io":${ioByEntry.map { case (k, (f, fb, sr, b, sh)) =>
@@ -794,25 +851,31 @@ object Bench {
     val famTotals = results.groupBy { case (n, _) => family(n) }.toSeq
       .map { case (f, es) => f -> es.map(_._2).filter(_ >= 0).sum }
       .sortBy(_._1)
+    // seconds + route counts only in the compact line (length budget);
+    // the per-pass "_mb" store-byte record and the "_gc_ms"/"_cpu_s"/
+    // "_load" host covariates live in BENCH_DETAIL.json
+    def secsOnly(kvs: Seq[(String, Double)]): Seq[(String, Double)] =
+      kvs.filterNot { case (k, _) =>
+        k.endsWith("_mb") || k.endsWith("_gc_ms") ||
+          k.endsWith("_cpu_s") || k.endsWith("_load")
+      }
+    val warmupTotal = warmupTimes.values.filter(_ >= 0).sum
     def line(dp: Int): String = {
       val fams = jmap(famTotals, dp)
       val modes = if (warm.isEmpty) "" else
         s""","modes":{"cold":${fmt(dp, cold.map(_._2).filter(_ >= 0).sum)},"warm":${fmt(dp, warm.map(_._2).filter(_ >= 0).sum)},"n":${warm.size}},"cache":${jmap(counters, dp)}"""
       val sm = if (scanModes.isEmpty) "" else s""","scan_modes":${jmap(scanModes, dp)}"""
-      // seconds + route count only in the compact line (length budget);
-      // the per-pass "_mb" store-byte record lives in BENCH_DETAIL.json
       val st = if (storeModes.isEmpty) "" else
-        s""","store_modes":${jmap(storeModes.filterNot(_._1.endsWith("_mb")), dp)}"""
+        s""","store_modes":${jmap(secsOnly(storeModes), dp)}"""
       val pr = if (partitionModes.isEmpty) "" else
-        s""","partition_router":${
-          jmap(partitionModes.filterNot(_._1.endsWith("_mb")), dp)}"""
+        s""","partition_router":${jmap(secsOnly(partitionModes), dp)}"""
       val shr = if (shardModes.isEmpty) "" else
-        s""","shard_router":${
-          jmap(shardModes.filterNot(_._1.endsWith("_mb")), dp)}"""
+        s""","shard_router":${jmap(secsOnly(shardModes), dp)}"""
       val pt = if (predTransModes.isEmpty) "" else
-        s""","pred_transfer":${
-          jmap(predTransModes.filterNot(_._1.endsWith("_mb")), dp)}"""
-      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min","run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr$pt,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
+        s""","pred_transfer":${jmap(secsOnly(predTransModes), dp)}"""
+      val wu = if (warmupTimes.isEmpty) "" else
+        s""","warmup_total":${fmt(dp, warmupTotal)}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min"$wu,"run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr$pt,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
     val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))
     // stop Spark BEFORE printing: the driver keeps the tail of the output

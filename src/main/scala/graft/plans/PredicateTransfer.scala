@@ -295,11 +295,57 @@ object PredicateTransfer {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** p05 (r16) — the MULTI-HOP auto backward pass through plain SQL
+    * (r15 verdict "what's missing" 3): a star whose selectively-filtered
+    * fact (orders, ~1/43 of rows) joins TWO over-threshold dims
+    * (lineitem and customer). The reference connects a backward bloom
+    * per eligible edge (`SmallToLargePredTransOrder.cpp:106-131`); the
+    * r15 auto rule's whole-side probe constraint admitted only the
+    * innermost edge, so the second dim shuffled unreduced. With the
+    * key-owning-subtree walk each edge builds its own hinted semi from
+    * the fact's filtered chain — TWO backward legs, pinned in
+    * AutoSemiReductionSpec. Same scale-free threshold bracket as p04
+    * (just under the SMALLEST pruned join side, so both dims are
+    * unbroadcastable at every SF); oracle = the same SQL, which the
+    * driver runs rule-free in DuckDB. */
+  private def p05AutoBackwardStar(s: SparkSession, dir: String): DataFrame = {
+    val prevRule = s.conf.getOption("spark.graft.autoSemiReduction")
+    val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.graft.autoSemiReduction", "false")
+    val dimSize =
+      try graft.Engine.plan(s, dir, p05Sql).queryExecution.optimizedPlan
+        .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        .flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
+        .min
+      finally prevRule match {
+        case Some(v) => s.conf.set("spark.graft.autoSemiReduction", v)
+        case None    => s.conf.unset("spark.graft.autoSemiReduction")
+      }
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (dimSize - 1).max(1).toString)
+    try {
+      val df = graft.Engine.plan(s, dir, p05Sql)
+      df.queryExecution.executedPlan // force planning inside the bracket
+      df
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+  }
+
+  private val p05Sql =
+    """SELECT c_mktsegment, l_returnflag, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey % 43 = 0
+      |GROUP BY c_mktsegment, l_returnflag
+      |ORDER BY c_mktsegment, l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_pred_trans_star" -> p01PredTransStar _,
     "p02_pred_trans_backward" -> p02PredTransBackward _,
     "p03_pred_trans_both" -> p03PredTransBoth _,
     "p04_auto_backward" -> p04AutoBackward _,
+    "p05_auto_backward_star" -> p05AutoBackwardStar _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -307,5 +353,6 @@ object PredicateTransfer {
     "p02_pred_trans_backward" -> p02Sql,
     "p03_pred_trans_both" -> p03Sql,
     "p04_auto_backward" -> p04Sql,
+    "p05_auto_backward_star" -> p05Sql,
   )
 }

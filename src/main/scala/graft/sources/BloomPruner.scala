@@ -21,7 +21,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * ~100 KB at 1% fpp for 100k keys) and pruning happens before the file
   * list reaches `spark.read` — skipped shards never become input splits,
   * the same contract as the reference's plan-construction-time pruner
-  * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`).
+  * (`fpdb-executor/src/physical/prune/PartitionPruner.cpp:23-51`).
   */
 object BloomPruner {
 

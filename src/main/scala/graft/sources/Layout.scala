@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Write-time data clustering — the layout lever the read-side pruners
   * (parquet row-group stats, [[ZoneMapPruner]], [[BloomPruner]]) all feed
   * on. The reference prunes against whatever layout its data arrives in
-  * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp` consumes
+  * (`fpdb-executor/src/physical/prune/PartitionPruner.cpp` consumes
   * zoneMap.json as a given); an engine that also WRITES can make the
   * stats selective: range-repartition on the hot predicate column, sort
   * within partitions, and every output file covers a narrow key slice —

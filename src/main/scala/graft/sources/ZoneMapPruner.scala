@@ -24,7 +24,7 @@ case class ShardZoneMap(path: String,
   * native (assert via `PushedFilters` in `.explain`). For CSV shards the
   * reference keeps an external `zoneMap.json` and drops partitions whose
   * predicate simplifies to false *during plan construction*
-  * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`); this is
+  * (`fpdb-executor/src/physical/prune/PartitionPruner.cpp:23-51`); this is
   * the same: prune the file list before `spark.read` ever sees it, so the
   * skipped shards never become input splits. On a 100 TB table with
   * range-correlated shards (date-partitioned logs), this is the difference
@@ -556,7 +556,7 @@ object ZoneMapPruner {
     }
 
   /** z01 — the reference's CSV partition-pruning story end-to-end
-    * (`fpdb-plan/src/prephysical/prune/PartitionPruner.cpp:23-51`): a
+    * (`fpdb-executor/src/physical/prune/PartitionPruner.cpp:23-51`): a
     * key-range predicate against the sharded CSV table drops shards at
     * plan time via their zone maps (7 of 8 at sf0.01 — `SourcesSpec`
     * asserts the scanned-file count), the residual filter handles the

@@ -118,17 +118,80 @@ class AutoSemiReductionSpec extends SparkSpec {
       assert(semiJoins(weak()) == 0,
         s"a ~96%-selectivity fact must not inject:\n${weak().queryExecution.optimizedPlan}")
     }
-    // join-bearing fact: single-hop constraint — no subtree copy
+    // join-bearing fact, UNFILTERED key-owning subtree: the multi-hop
+    // walk (r16) reaches lineitem's chain through the sibling join, but
+    // the selectivity gate measures THAT subtree — the filter sits on
+    // the broadcast sibling (part), so lineitem's keys prune nothing
+    // and the leg must stay out
     def joined(): DataFrame = {
-      val li = Tables.lineitem(spark, sfDir).filter($"l_quantity" < 10)
-        .join(broadcast(Tables.part(spark, sfDir)), $"l_partkey" === $"p_partkey")
+      val li = Tables.lineitem(spark, sfDir)
+        .join(broadcast(Tables.part(spark, sfDir)
+          .filter($"p_type" === "PROMO")), $"l_partkey" === $"p_partkey")
       li.join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
     }
     withShuffledDim(joined) {
-      assert(semiJoins(joined()) == 0,
-        "a join-bearing fact subtree must never be copied for the backward leg")
+      // the part edge may legitimately get a FORWARD semi (part is
+      // filtered and the bracket puts it over the threshold); the pin
+      // here is that the ORDERS edge gets no backward leg — its
+      // key-owning subtree (lineitem) is unfiltered, and a backward
+      // semi there would carry build side [l_orderkey]
+      val semis = joined().queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType ==
+          org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(!semis.exists(_.right.output.map(_.name) == Seq("l_orderkey")),
+        "an unfiltered key-owning subtree must not inject (the discount " +
+        s"is measured on the subtree, never on a sibling's filter): $semis")
     }
+  }
+
+  test("multi-hop backward: every dim edge of a star gets its own hinted semi") {
+    // r16 (r15 verdict "what's missing" 3): the reference connects a
+    // backward bloom PER eligible edge (SmallToLargePredTransOrder
+    // .cpp:106-131); the r15 whole-side probe constraint admitted only
+    // the innermost edge. The key-owning-subtree walk reaches the fact's
+    // filtered chain through sibling joins, so BOTH over-threshold dims
+    // are reduced — each semi built from the fact's keys, each hinted
+    // broadcast.
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    def build(): DataFrame = {
+      val ord = Tables.orders(spark, sfDir).filter($"o_orderkey" % 43 === 0)
+      ord.join(Tables.lineitem(spark, sfDir), $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"c_mktsegment", $"l_returnflag")
+    }
+    withShuffledDim(build) {
+      val df = build()
+      val semis = df.queryExecution.optimizedPlan.collect {
+        case j: LJoin if j.joinType == LeftSemi => j
+      }
+      assert(semis.size == 2,
+        s"expected one backward semi PER dim edge:\n${df.queryExecution.optimizedPlan}")
+      val buildSides = semis.map(_.right.output.map(_.name)).toSet
+      assert(buildSides == Set(Seq("o_orderkey"), Seq("o_custkey")),
+        s"each semi builds from the fact's key for ITS edge: $buildSides")
+      assert(semis.forall(_.hint.rightHint.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST))),
+        "both semis must carry the broadcast hint")
+      val off = withRule(on = false)(build().collect().toSeq)
+      assert(df.collect().toSeq == off,
+        "the multi-hop rewrite must not change results")
+    }
+  }
+
+  test("the p05 entry demonstrates two backward legs at this SF") {
+    val df = graft.plans.PredicateTransfer
+      .queries("p05_auto_backward_star")(spark, sfDir)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.joinType ==
+        org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.size == 2,
+      s"p05 must carry a semi per dim edge:\n${df.queryExecution.optimizedPlan}")
   }
 
   test("a row-selecting dim (LIMIT) is never copied for a semi pass") {

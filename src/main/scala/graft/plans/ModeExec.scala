@@ -426,6 +426,12 @@ object ModeExec extends PredicateHelper {
           if l.value != null => cmp(a, l, EqTo.apply, SEq.apply)
       case EqualNullSafe(l: Literal, a: AttributeReference)
           if l.value != null => cmp(a, l, EqTo.apply, SEq.apply)
+      // `col LIKE 'p%'`: LikeSimplification rewrites the pattern to
+      // StartsWith before the rewriter sees it; the prefix prunes
+      // against string bounds by byte-range intersection ([[SPrefix]])
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(
+          a: AttributeReference, l: Literal) =>
+        strv(l).map(SPrefix(a.name, _))
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         inEnvelope(a, vs.map(_.asInstanceOf[Literal]))
       // OptimizeIn rewrites long lists to InSet over INTERNAL values —

@@ -54,6 +54,8 @@ object ZoneMapPruner {
   case class SLe(col: String, v: String) extends RangePred
   case class SEq(col: String, v: String) extends RangePred
   case class SBetween(col: String, lo: String, hi: String) extends RangePred
+  /** `col LIKE 'v%'` (Catalyst `StartsWith` after LikeSimplification). */
+  case class SPrefix(col: String, v: String) extends RangePred
   case class OrPred(branches: Seq[Seq[RangePred]]) extends RangePred {
     def col: String = branches.flatten.map(_.col).distinct.mkString("|")
   }
@@ -98,7 +100,8 @@ object ZoneMapPruner {
   /** Can any row of shard `z` satisfy `p`, across all predicate kinds. */
   def mayMatch(z: ShardZoneMap, p: RangePred): Boolean = p match {
     case OrPred(branches) => branches.exists(_.forall(mayMatch(z, _)))
-    case sp @ (_: SGt | _: SGe | _: SLt | _: SLe | _: SEq | _: SBetween) =>
+    case sp @ (_: SGt | _: SGe | _: SLt | _: SLe | _: SEq | _: SBetween |
+               _: SPrefix) =>
       z.strRanges.get(sp.col).forall { case (lo, hi) =>
         sp match {
           case SGt(_, v)         => utf8Cmp(hi, v) > 0
@@ -107,10 +110,35 @@ object ZoneMapPruner {
           case SLe(_, v)         => utf8Cmp(lo, v) <= 0
           case SEq(_, v)         => utf8Cmp(lo, v) <= 0 && utf8Cmp(v, hi) <= 0
           case SBetween(_, l, h) => utf8Cmp(hi, l) >= 0 && utf8Cmp(lo, h) <= 0
+          // prefix range [p, nextPrefix(p)) WITHOUT constructing
+          // nextPrefix — incrementing the last byte of a UTF-8 prefix
+          // can produce an invalid sequence that cannot round-trip
+          // through String. Byte-level intersection instead:
+          //  - a string starting with p is >= p, so hi < p => none;
+          //  - s >= lo implies s's first |p| bytes >= lo's first |p|
+          //    bytes (unsigned lexicographic), so if lo's truncation
+          //    already exceeds p, no s >= lo can start with p.
+          case SPrefix(_, v) =>
+            val pb = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val lob = lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .take(pb.length)
+            utf8Cmp(hi, v) >= 0 && bytesCmp(lob, pb) <= 0
           case _                 => true
         }
       }
     case numeric => mayMatch(z.ranges, numeric)
+  }
+
+  /** Unsigned lexicographic compare of raw byte arrays. */
+  private def bytesCmp(x: Array[Byte], y: Array[Byte]): Int = {
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Shards that could contain rows matching ALL predicates. */
@@ -526,6 +554,37 @@ object ZoneMapPruner {
       (spec, zones)
     }
 
+  /** PRIORITY-sharded orders (r16): the [[statusShardedOrders]] shape
+    * keyed by the MULTI-character string column, for prefix-predicate
+    * pruning (`LIKE '1-%'` — the category-prefix scan shape). */
+  private[graft] def priorityShardedOrders(s: SparkSession, dir: String)
+      : (TableSpec, Seq[ShardZoneMap]) =
+    shardCache.getOrBuild(s, s"$dir#zonemap-orders-priorityzone") {
+      val name = "orders_priorityzone_csv"
+      val out = Fixtures.ensure(s, Fixtures.path(dir, name)) {
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderstatus"),
+            col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(6, col("o_orderpriority"), col("o_orderkey"))
+          .write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false")
+          .csv(Fixtures.path(dir, name))
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.toString).sorted.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      val spec = TableSpec("orders_priorityzone", "csv", files, Some(schema), "|")
+      val zones = build(Catalog.read(s, spec), Seq("o_orderpriority", "o_orderkey"))
+      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
+      if (!fs.exists(sidecar)) writeSidecar(s, out, zones)
+      (spec, zones)
+    }
+
   /** JSONL-sharded orders (r15): same shape as [[shardedOrders]] in the
     * line-JSON format, for the widened sharded-leaf conf route. */
   private[graft] def shardedOrdersJsonl(s: SparkSession, dir: String)
@@ -747,6 +806,37 @@ object ZoneMapPruner {
       |FROM orders WHERE o_orderkey < 700 OR o_orderkey > 13000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** z11 (r16) — PREFIX pruning through the conf route: `LIKE '1-%'`
+    * simplifies to StartsWith, extracts as [[SPrefix]], and prunes the
+    * priority-sharded layout to the shards whose string interval
+    * intersects the prefix range (byte-level test — see the mayMatch
+    * arm). The category-prefix scan shape over a string shard key.
+    * Oracle = the same LIKE over the parquet original. */
+  private def z11PrefixZonemap(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = priorityShardedOrders(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_priorityzone_csv")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        |FROM orders_priorityzone_csv
+        |WHERE o_orderpriority LIKE '1-%'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try graft.Engine.executeQuery(s, dir, sql)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
+  private val z11Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderpriority LIKE '1-%'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zonemap_prune" -> z01ZoneMapPrune _,
     "z06_sharded_route" -> z06ShardedRoute _,
@@ -754,6 +844,7 @@ object ZoneMapPruner {
     "z08_in_zonemap"    -> z08InZonemap _,
     "z09_string_zonemap" -> z09StringZonemap _,
     "z10_or_zonemap"    -> z10OrZonemap _,
+    "z11_prefix_zonemap" -> z11PrefixZonemap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -763,5 +854,6 @@ object ZoneMapPruner {
     "z08_in_zonemap"    -> z08Sql,
     "z09_string_zonemap" -> z09Sql,
     "z10_or_zonemap"    -> z10Sql,
+    "z11_prefix_zonemap" -> z11Sql,
   )
 }

@@ -233,13 +233,14 @@ class PropertySpec extends SparkSpec {
     val predGen: Gen[RangePred] = for {
       v <- strGen; h <- strGen
       p <- Gen.oneOf[RangePred](SGt("x", v), SGe("x", v), SLt("x", v),
-        SLe("x", v), SEq("x", v),
+        SLe("x", v), SEq("x", v), SPrefix("x", v),
         if (utf8Cmp(v, h) <= 0) SBetween("x", v, h) else SBetween("x", h, v))
     } yield p
     def sat(p: RangePred, x: String): Boolean = p match {
       case SGt(_, v) => utf8Cmp(x, v) > 0;  case SGe(_, v) => utf8Cmp(x, v) >= 0
       case SLt(_, v) => utf8Cmp(x, v) < 0;  case SLe(_, v) => utf8Cmp(x, v) <= 0
       case SEq(_, v) => utf8Cmp(x, v) == 0
+      case SPrefix(_, v) => x.startsWith(v)
       case SBetween(_, lo, hi) => utf8Cmp(x, lo) >= 0 && utf8Cmp(x, hi) <= 0
       case _ => fail(s"unexpected pred $p")
     }

@@ -1060,4 +1060,64 @@ class ShardRouterSpec extends SparkSpec {
     }
   }
 
+  test("prefix predicates (LIKE 'p%') extract and prune string-sharded layouts") {
+    // r16: LIKE 'p%' simplifies to StartsWith; SPrefix prunes by BYTE
+    // intersection with the zone's string interval (no nextPrefix
+    // construction - incrementing a UTF-8 prefix's last byte can make
+    // an invalid sequence that cannot round-trip through String).
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      Literal => CLit, StartsWith}
+    import org.apache.spark.sql.types.StringType
+    import graft.sources.ZoneMapPruner.SPrefix
+    val a = AttributeReference("pr", StringType)()
+    val preds = graft.plans.ModeExec.rangePreds(Seq(
+      StartsWith(a, CLit.create("1-", StringType))))
+    assert(preds == Seq(SPrefix("pr", "1-")), s"prefix extraction: $preds")
+    // interval intersection pins: [lo,hi] vs prefix range
+    def z(lo: String, hi: String) = graft.sources.ShardZoneMap("s",
+      Map.empty, Map("pr" -> (lo, hi)))
+    assert(!ZoneMapPruner.mayMatch(z("2-HIGH", "5-LOW"), SPrefix("pr", "1-")),
+      "a shard entirely above the prefix range must prune")
+    assert(!ZoneMapPruner.mayMatch(z("0-A", "0-Z"), SPrefix("pr", "1-")),
+      "a shard entirely below the prefix must prune (hi < prefix)")
+    assert(ZoneMapPruner.mayMatch(z("0-A", "2-Z"), SPrefix("pr", "1-")),
+      "a shard spanning the prefix range must survive")
+    assert(ZoneMapPruner.mayMatch(z("1-URGENT", "1-URGENT"), SPrefix("pr", "1-")),
+      "a shard of exactly-prefixed values must survive")
+
+    // end-to-end: the priority-sharded fixture through the conf route
+    val s = spark.newSession()
+    val (spec, zones) = ZoneMapPruner.priorityShardedOrders(s, sfDir)
+    val kept = ZoneMapPruner.prune(zones, Seq(SPrefix("o_orderpriority", "1-")))
+    assert(kept.nonEmpty && kept.size < zones.size,
+      s"the prefix must prune shards: ${kept.size}/${zones.size}")
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_priorityzone_csv")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_priorityzone_csv WHERE o_orderpriority LIKE '1-%'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "prefix-pruned conf route must match the pristine plan")
+      }
+      val regions = cache.keys.filter(_.region.startsWith("shard="))
+      val names = kept.map(zz =>
+        "shard=" + new org.apache.hadoop.fs.Path(zz.path).getName).toSet
+      assert(regions.map(_.region).toSet.subsetOf(names),
+        "only prefix-surviving shards may admit")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
 }

@@ -696,6 +696,28 @@ object Bench {
         pass("wide_hybrid", wideK, router, ModeHybrid, leW)
         pass("wide_pushdown", wideK, freshRouter(), ModePushdownOnly, leW)
         cache.invalidateAll()
+        // STRING-typed zone pruning at bench scale (r16 §23.1): the
+        // status-sharded layout under `o_orderstatus = 'F'`, byte legs
+        // with and without the string zone predicate — z09's claim with
+        // FS-truth bytes attached (the numeric twin is noprune/prune
+        // above). Fresh routers: both passes must pay storage.
+        val (sSpecL, sZonesL) = ZoneMapPruner.statusShardedOrders(spark, sfDir)
+        val sSpec = sSpecL.copy(paths = sSpecL.paths.map(m))
+        val sZones = sZonesL.map(z => z.copy(path = m(z.path)))
+        def sPass(label: String,
+            zonePreds: Seq[ZoneMapPruner.RangePred]): Unit =
+          throttledPass(out, "shard-router", label, totalMbps) {
+            val lease = freshRouter().scanShardedMode(spark, sSpec,
+              "orders_statuszone_bench", sZones, zonePreds,
+              Seq("o_orderpriority", "o_totalprice"),
+              col("o_orderstatus") === "F", ModePushdownOnly)
+            try lease.df.groupBy(col("o_orderpriority"))
+              .agg(fCount(lit(1)), fSum(col("o_totalprice")))
+              .write.format("noop").mode("overwrite").save()
+            finally lease.close()
+          }
+        sPass("str_noprune", Nil)
+        sPass("str_prune", Seq(ZoneMapPruner.SEq("o_orderstatus", "F")))
         out.toSeq
       }
 

@@ -239,8 +239,8 @@ object Bench {
     val wanted = if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
                  else args.toSeq.distinct.filter(SparkEntry.queries.contains)
 
-    // the recorded warm-up pass (see the scaladoc): cold-per-family via
-    // family-boundary releases, times kept in the detail record only
+    // the recorded warm-up pass (see the scaladoc): absorbs first-touch
+    // and artifact builds; times kept in the detail record only
     val warmupEnabled =
       args.isEmpty && !sys.env.get("SPARK_GRAFT_WARMUP").contains("0")
     val warmupTimes =

@@ -398,6 +398,13 @@ object HybridScan {
         override def visitFileFailed(f: java.nio.file.Path,
             e: java.io.IOException): FileVisitResult = e match {
           case _: FileSystemLoopException => FileVisitResult.CONTINUE
+          // a DANGLING symlink (target deleted) fails attribute reads
+          // under FOLLOW_LINKS; the NOFOLLOW walk this replaced skipped
+          // it silently (isRegularFile=false), so tolerate it the same
+          // way rather than aborting the whole table's listing (r16
+          // review)
+          case _: java.nio.file.NoSuchFileException |
+               _: java.io.FileNotFoundException => FileVisitResult.CONTINUE
           case _ => throw e
         }
       })

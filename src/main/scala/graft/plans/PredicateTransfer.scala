@@ -258,19 +258,34 @@ object PredicateTransfer {
     * broadcastable) at every SF. Plan shape is pinned in
     * AutoSemiReductionSpec; rows must hash-match the same SQL with the
     * rule off — which is exactly the oracle text. */
-  private def p04AutoBackward(s: SparkSession, dir: String): DataFrame = {
-    // bracket the threshold just under the PRUNED dim side of the
-    // rule-off plan — not the table estimate: column pruning shrinks
-    // the join's orders input far below the table size, so a
-    // table-level bracket leaves every join broadcast and the rule
-    // (correctly) never fires (measured via the r15 bench block's
-    // first cut). Scale-free: the pruned side is probed from the plan
-    // at whatever SF the driver runs.
+  private def p04AutoBackward(s: SparkSession, dir: String): DataFrame =
+    bracketedAutoBackward(s, dir, p04Sql)
+
+  /** Shared probe-and-bracket body for the auto-backward entries
+    * (p04/p05): plan rule-OFF, bracket the broadcast threshold just
+    * under the smallest PRUNED join side (not the table estimate:
+    * column pruning shrinks the join inputs far below table size, and
+    * a table-level bracket leaves every join broadcast so the rule
+    * correctly never fires — measured via the r15 bench block's first
+    * cut; scale-free, so the demonstration exhibits the 100 TB shape
+    * at whatever SF the driver runs), then plan rule-ON inside the
+    * bracket and return a frame built FROM THE OPTIMIZED PLAN. The
+    * last step matters (r16 review): a later `df.write` builds a fresh
+    * QueryExecution over the ANALYZED plan, re-optimizing under the
+    * restored default threshold — the timed/executed plan then lost
+    * the very semis the entry demonstrates. Returning the optimized
+    * plan bakes the injected semis in as plan nodes: re-optimization
+    * leaves them (idempotence — `alreadyReduced` + the semi-marked
+    * sides block re-entry), rows are identical by the rule's
+    * semantics-preservation, and the driver executes what the spec
+    * pins. */
+  private def bracketedAutoBackward(s: SparkSession, dir: String,
+      sql: String): DataFrame = {
     val prevRule = s.conf.getOption("spark.graft.autoSemiReduction")
     val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     s.conf.set("spark.graft.autoSemiReduction", "false")
     val dimSize =
-      try graft.Engine.plan(s, dir, p04Sql).queryExecution.optimizedPlan
+      try graft.Engine.plan(s, dir, sql).queryExecution.optimizedPlan
         .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
         .flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
         .min
@@ -281,9 +296,9 @@ object PredicateTransfer {
     s.conf.set("spark.sql.autoBroadcastJoinThreshold",
       (dimSize - 1).max(1).toString)
     try {
-      val df = graft.Engine.plan(s, dir, p04Sql)
-      df.queryExecution.executedPlan // force planning inside the bracket
-      df
+      val df = graft.Engine.plan(s, dir, sql)
+      org.apache.spark.sql.GraftBridge.ofRows(s,
+        df.queryExecution.optimizedPlan)
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
   }
 
@@ -308,27 +323,8 @@ object PredicateTransfer {
     * (just under the SMALLEST pruned join side, so both dims are
     * unbroadcastable at every SF); oracle = the same SQL, which the
     * driver runs rule-free in DuckDB. */
-  private def p05AutoBackwardStar(s: SparkSession, dir: String): DataFrame = {
-    val prevRule = s.conf.getOption("spark.graft.autoSemiReduction")
-    val prevT = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    s.conf.set("spark.graft.autoSemiReduction", "false")
-    val dimSize =
-      try graft.Engine.plan(s, dir, p05Sql).queryExecution.optimizedPlan
-        .collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
-        .flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
-        .min
-      finally prevRule match {
-        case Some(v) => s.conf.set("spark.graft.autoSemiReduction", v)
-        case None    => s.conf.unset("spark.graft.autoSemiReduction")
-      }
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      (dimSize - 1).max(1).toString)
-    try {
-      val df = graft.Engine.plan(s, dir, p05Sql)
-      df.queryExecution.executedPlan // force planning inside the bracket
-      df
-    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
-  }
+  private def p05AutoBackwardStar(s: SparkSession, dir: String): DataFrame =
+    bracketedAutoBackward(s, dir, p05Sql)
 
   private val p05Sql =
     """SELECT c_mktsegment, l_returnflag, count(*) AS n_lines,

@@ -66,18 +66,9 @@ object ZoneMapPruner {
     * characters meet [U+E000, U+FFFF] — zone decisions must use the
     * engine's ordering or a shard could be pruned that the residual
     * filter would have kept rows from. */
-  private[graft] def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private[graft] def utf8Cmp(a: String, b: String): Int =
+    bytesCmp(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   /** Can any row of a shard with `ranges` satisfy a NUMERIC `p`?
     * (Unknown column → conservatively true, like the reference's
@@ -517,6 +508,52 @@ object ZoneMapPruner {
       (spec, zones)
     }
 
+  /** Run `body` with `spark.graft.scanMode` set (restored after) — the
+    * conf-route bracket every z-entry repeats (r16 review: 5 hand-rolled
+    * copies in this file drifted one fix away from divergence). */
+  private def withScanMode[A](s: SparkSession, mode: String)(body: => A): A = {
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", mode)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
+  /** Shared builder for STRING-keyed range-sharded orders fixtures: 6
+    * CSV shards on (keyCol, o_orderkey), zone sidecar carrying BOTH
+    * bound kinds (string bounds for the shard key, numeric for the
+    * tiebreaker - one v=2 sidecar). */
+  private def stringShardedOrders(s: SparkSession, dir: String,
+      fixtureName: String, keyCol: String, otherStr: String)
+      : (TableSpec, Seq[ShardZoneMap]) =
+    shardCache.getOrBuild(s, s"$dir#zonemap-$fixtureName") {
+      val out = Fixtures.ensure(s, Fixtures.path(dir, fixtureName)) {
+        Tables.orders(s, dir)
+          .select(col(keyCol), col(otherStr),
+            col("o_orderkey"), col("o_totalprice"))
+          .repartitionByRange(6, col(keyCol), col("o_orderkey"))
+          .write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false")
+          .csv(Fixtures.path(dir, fixtureName))
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.toString).sorted.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(keyCol, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(otherStr, org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
+      val spec = TableSpec(fixtureName.stripSuffix("_csv"), "csv", files,
+        Some(schema), "|")
+      val zones = build(Catalog.read(s, spec), Seq(keyCol, "o_orderkey"))
+      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
+      if (!fs.exists(sidecar)) writeSidecar(s, out, zones)
+      (spec, zones)
+    }
+
   /** STATUS-sharded orders (r16): range shards by the STRING key
     * (o_orderstatus, tie-broken by o_orderkey) with string-typed zone
     * bounds in the sidecar — the reference prunes on typed Scalars
@@ -526,64 +563,16 @@ object ZoneMapPruner {
     * this shape stands in for. */
   private[graft] def statusShardedOrders(s: SparkSession, dir: String)
       : (TableSpec, Seq[ShardZoneMap]) =
-    shardCache.getOrBuild(s, s"$dir#zonemap-orders-statuszone") {
-      val name = "orders_statuszone_csv"
-      val out = Fixtures.ensure(s, Fixtures.path(dir, name)) {
-        Tables.orders(s, dir)
-          .select(col("o_orderstatus"), col("o_orderpriority"),
-            col("o_orderkey"), col("o_totalprice"))
-          .repartitionByRange(6, col("o_orderstatus"), col("o_orderkey"))
-          .write.mode("overwrite")
-          .option("delimiter", "|").option("header", "false")
-          .csv(Fixtures.path(dir, name))
-      }
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
-        .map(_.getPath.toString).sorted.toSeq
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
-      val spec = TableSpec("orders_statuszone", "csv", files, Some(schema), "|")
-      // one build pass carries BOTH bound kinds: string bounds for the
-      // shard key, numeric for the tiebreaker — one sidecar (v=2)
-      val zones = build(Catalog.read(s, spec), Seq("o_orderstatus", "o_orderkey"))
-      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
-      if (!fs.exists(sidecar)) writeSidecar(s, out, zones)
-      (spec, zones)
-    }
+    stringShardedOrders(s, dir, "orders_statuszone_csv",
+      keyCol = "o_orderstatus", otherStr = "o_orderpriority")
 
   /** PRIORITY-sharded orders (r16): the [[statusShardedOrders]] shape
     * keyed by the MULTI-character string column, for prefix-predicate
     * pruning (`LIKE '1-%'` — the category-prefix scan shape). */
   private[graft] def priorityShardedOrders(s: SparkSession, dir: String)
       : (TableSpec, Seq[ShardZoneMap]) =
-    shardCache.getOrBuild(s, s"$dir#zonemap-orders-priorityzone") {
-      val name = "orders_priorityzone_csv"
-      val out = Fixtures.ensure(s, Fixtures.path(dir, name)) {
-        Tables.orders(s, dir)
-          .select(col("o_orderpriority"), col("o_orderstatus"),
-            col("o_orderkey"), col("o_totalprice"))
-          .repartitionByRange(6, col("o_orderpriority"), col("o_orderkey"))
-          .write.mode("overwrite")
-          .option("delimiter", "|").option("header", "false")
-          .csv(Fixtures.path(dir, name))
-      }
-      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
-        .map(_.getPath.toString).sorted.toSeq
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("o_orderkey", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType)))
-      val spec = TableSpec("orders_priorityzone", "csv", files, Some(schema), "|")
-      val zones = build(Catalog.read(s, spec), Seq("o_orderpriority", "o_orderkey"))
-      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
-      if (!fs.exists(sidecar)) writeSidecar(s, out, zones)
-      (spec, zones)
-    }
+    stringShardedOrders(s, dir, "orders_priorityzone_csv",
+      keyCol = "o_orderpriority", otherStr = "o_orderstatus")
 
   /** JSONL-sharded orders (r15): same shape as [[shardedOrders]] in the
     * line-JSON format, for the widened sharded-leaf conf route. */
@@ -692,14 +681,9 @@ object ZoneMapPruner {
         |FROM orders_datezone_csv
         |WHERE o_orderdate >= DATE '1998-01-01' AND o_orderdate < DATE '1999-01-01'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-    val prev = s.conf.getOption("spark.graft.scanMode")
-    s.conf.set("spark.graft.scanMode", "hybrid")
-    try {
+    withScanMode(s, "hybrid") {
       (1 to 2).foreach(_ => graft.Engine.executeQuery(s, dir, sql))
       graft.Engine.executeQuery(s, dir, sql)
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.graft.scanMode", v)
-      case None    => s.conf.unset("spark.graft.scanMode")
     }
   }
 
@@ -727,13 +711,7 @@ object ZoneMapPruner {
         |FROM orders_sharded_csv_in
         |WHERE o_orderkey IN (5, 12, 700, 850)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-    val prev = s.conf.getOption("spark.graft.scanMode")
-    s.conf.set("spark.graft.scanMode", "hybrid")
-    try graft.Engine.executeQuery(s, dir, sql)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.graft.scanMode", v)
-      case None    => s.conf.unset("spark.graft.scanMode")
-    }
+    withScanMode(s, "hybrid")(graft.Engine.executeQuery(s, dir, sql))
   }
 
   private val z08Sql =
@@ -759,13 +737,7 @@ object ZoneMapPruner {
         |FROM orders_statuszone_csv
         |WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-    val prev = s.conf.getOption("spark.graft.scanMode")
-    s.conf.set("spark.graft.scanMode", "hybrid")
-    try graft.Engine.executeQuery(s, dir, sql)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.graft.scanMode", v)
-      case None    => s.conf.unset("spark.graft.scanMode")
-    }
+    withScanMode(s, "hybrid")(graft.Engine.executeQuery(s, dir, sql))
   }
 
   private val z09Sql =
@@ -792,13 +764,7 @@ object ZoneMapPruner {
         |FROM orders_sharded_csv_or
         |WHERE o_orderkey < 700 OR o_orderkey > 13000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-    val prev = s.conf.getOption("spark.graft.scanMode")
-    s.conf.set("spark.graft.scanMode", "hybrid")
-    try graft.Engine.executeQuery(s, dir, sql)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.graft.scanMode", v)
-      case None    => s.conf.unset("spark.graft.scanMode")
-    }
+    withScanMode(s, "hybrid")(graft.Engine.executeQuery(s, dir, sql))
   }
 
   private val z10Sql =
@@ -823,13 +789,7 @@ object ZoneMapPruner {
         |FROM orders_priorityzone_csv
         |WHERE o_orderpriority LIKE '1-%'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
-    val prev = s.conf.getOption("spark.graft.scanMode")
-    s.conf.set("spark.graft.scanMode", "hybrid")
-    try graft.Engine.executeQuery(s, dir, sql)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.graft.scanMode", v)
-      case None    => s.conf.unset("spark.graft.scanMode")
-    }
+    withScanMode(s, "hybrid")(graft.Engine.executeQuery(s, dir, sql))
   }
 
   private val z11Sql =

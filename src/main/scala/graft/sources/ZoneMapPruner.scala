@@ -13,7 +13,13 @@ import org.apache.spark.sql.functions._
   * UTF8String comparisons use, so a zone decision can never disagree with
   * the residual filter. An all-NULL string shard is simply omitted from
   * `strRanges` (kept conservatively; the numeric side keeps its
-  * empty-interval encoding). */
+  * empty-interval encoding). Contract note: bounds round-trip through
+  * java.lang.String, which is lossless exactly when the data is valid
+  * UTF-8 — true by construction for CSV/JSON (their readers decode with
+  * replacement BEFORE the filter sees values, so bounds and filter agree
+  * even on malformed input) and required by the format spec for parquet
+  * string columns (out-of-spec binary-as-UTF8 data is outside this
+  * sidecar's contract). */
 case class ShardZoneMap(path: String,
     ranges: Map[String, (Double, Double)],
     strRanges: Map[String, (String, String)] = Map.empty)

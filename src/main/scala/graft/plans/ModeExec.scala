@@ -426,6 +426,20 @@ object ModeExec extends PredicateHelper {
           if l.value != null => cmp(a, l, EqTo.apply, SEq.apply)
       case EqualNullSafe(l: Literal, a: AttributeReference)
           if l.value != null => cmp(a, l, EqTo.apply, SEq.apply)
+      // `col <> v` (r16): prunes single-value shards — the shape a
+      // status/category-sharded layout produces (null literal extracts
+      // nothing: `<> NULL` matches no row, and fewer preds only
+      // under-prune)
+      case org.apache.spark.sql.catalyst.expressions.Not(
+          EqualTo(a: AttributeReference, l: Literal)) =>
+        cmp(a, l, Neq.apply, SNeq.apply)
+      case org.apache.spark.sql.catalyst.expressions.Not(
+          EqualTo(l: Literal, a: AttributeReference)) =>
+        cmp(a, l, Neq.apply, SNeq.apply)
+      // IS NOT NULL (r16): inferred onto every join key and filter
+      // column, prunes all-NULL shards via the numeric empty interval
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) => Some(NotNull(a.name))
       // `col LIKE 'p%'`: LikeSimplification rewrites the pattern to
       // StartsWith before the rewriter sees it; the prefix prunes
       // against string bounds by byte-range intersection ([[SPrefix]])

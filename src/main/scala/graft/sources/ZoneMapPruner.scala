@@ -53,13 +53,23 @@ object ZoneMapPruner {
   case class Lt(col: String, v: Double) extends RangePred
   case class Le(col: String, v: Double) extends RangePred
   case class EqTo(col: String, v: Double) extends RangePred
+  /** `col <> v`: prunes only a shard whose interval is EXACTLY the
+    * single value v (common under status/category sharding, where a
+    * shard holds one key value). */
+  case class Neq(col: String, v: Double) extends RangePred
   case class Between(col: String, lo: Double, hi: Double) extends RangePred
+  /** `col IS NOT NULL`: prunes all-NULL shards — the numeric side
+    * stores those as the empty interval (lo > hi); string zones omit
+    * the column (conservatively kept). */
+  case class NotNull(col: String) extends RangePred
   case class SGt(col: String, v: String) extends RangePred
   case class SGe(col: String, v: String) extends RangePred
   case class SLt(col: String, v: String) extends RangePred
   case class SLe(col: String, v: String) extends RangePred
   case class SEq(col: String, v: String) extends RangePred
   case class SBetween(col: String, lo: String, hi: String) extends RangePred
+  /** String twin of [[Neq]]. */
+  case class SNeq(col: String, v: String) extends RangePred
   /** `col LIKE 'v%'` (Catalyst `StartsWith` after LikeSimplification). */
   case class SPrefix(col: String, v: String) extends RangePred
   case class OrPred(branches: Seq[Seq[RangePred]]) extends RangePred {
@@ -89,7 +99,11 @@ object ZoneMapPruner {
         case Lt(_, v)          => lo < v
         case Le(_, v)          => lo <= v
         case EqTo(_, v)        => lo <= v && v <= hi
+        // single-value shard at exactly v -> no row differs; the empty
+        // all-NULL interval (lo > hi) prunes too (<> is null-rejecting)
+        case Neq(_, v)         => lo <= hi && !(lo == v && hi == v)
         case Between(_, l, h)  => hi >= l && lo <= h
+        case NotNull(_)        => lo <= hi // empty interval = all NULL
         case _                 => true
       }
     }
@@ -98,7 +112,7 @@ object ZoneMapPruner {
   def mayMatch(z: ShardZoneMap, p: RangePred): Boolean = p match {
     case OrPred(branches) => branches.exists(_.forall(mayMatch(z, _)))
     case sp @ (_: SGt | _: SGe | _: SLt | _: SLe | _: SEq | _: SBetween |
-               _: SPrefix) =>
+               _: SNeq | _: SPrefix) =>
       z.strRanges.get(sp.col).forall { case (lo, hi) =>
         sp match {
           case SGt(_, v)         => utf8Cmp(hi, v) > 0
@@ -107,6 +121,8 @@ object ZoneMapPruner {
           case SLe(_, v)         => utf8Cmp(lo, v) <= 0
           case SEq(_, v)         => utf8Cmp(lo, v) <= 0 && utf8Cmp(v, hi) <= 0
           case SBetween(_, l, h) => utf8Cmp(hi, l) >= 0 && utf8Cmp(lo, h) <= 0
+          case SNeq(_, v) =>
+            !(utf8Cmp(lo, v) == 0 && utf8Cmp(hi, v) == 0)
           // prefix range [p, nextPrefix(p)) WITHOUT constructing
           // nextPrefix — incrementing the last byte of a UTF-8 prefix
           // can produce an invalid sequence that cannot round-trip
@@ -803,6 +819,31 @@ object ZoneMapPruner {
       |FROM orders WHERE o_orderpriority LIKE '1-%'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** z12 (r16) — NOT-EQUAL pruning through the conf route: on a
+    * status-sharded layout most shards hold a SINGLE key value, so
+    * `o_orderstatus <> 'F'` drops the F-only shards via [[SNeq]] (a
+    * shard whose string interval is exactly the excluded value can
+    * contain no matching row). Oracle = the same predicate over the
+    * parquet original. */
+  private def z12NeqZonemap(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = statusShardedOrders(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_statuszone_csv_neq")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        |FROM orders_statuszone_csv_neq
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    withScanMode(s, "hybrid")(graft.Engine.executeQuery(s, dir, sql))
+  }
+
+  private val z12Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderstatus <> 'F'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z01_zonemap_prune" -> z01ZoneMapPrune _,
     "z06_sharded_route" -> z06ShardedRoute _,
@@ -811,6 +852,7 @@ object ZoneMapPruner {
     "z09_string_zonemap" -> z09StringZonemap _,
     "z10_or_zonemap"    -> z10OrZonemap _,
     "z11_prefix_zonemap" -> z11PrefixZonemap _,
+    "z12_neq_zonemap"   -> z12NeqZonemap _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -821,5 +863,6 @@ object ZoneMapPruner {
     "z09_string_zonemap" -> z09Sql,
     "z10_or_zonemap"    -> z10Sql,
     "z11_prefix_zonemap" -> z11Sql,
+    "z12_neq_zonemap"   -> z12Sql,
   )
 }

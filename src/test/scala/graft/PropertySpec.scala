@@ -146,13 +146,17 @@ class PropertySpec extends SparkSpec {
     val predGen: Gen[RangePred] = for {
       v <- Gen.chooseNum(-110.0, 110.0); hi <- Gen.chooseNum(-110.0, 110.0)
       p <- Gen.oneOf[RangePred](Gt("x", v), Ge("x", v), Lt("x", v), Le("x", v),
-        EqTo("x", v), Between("x", math.min(v, hi), math.max(v, hi)))
+        EqTo("x", v), Neq("x", v), NotNull("x"),
+        Between("x", math.min(v, hi), math.max(v, hi)))
     } yield p
     def sat(p: RangePred, x: Double): Boolean = p match {
       case Gt(_, v) => x > v;  case Ge(_, v) => x >= v
       case Lt(_, v) => x < v;  case Le(_, v) => x <= v
       case EqTo(_, v) => x == v
+      case Neq(_, v) => x != v
+      case NotNull(_) => true // generated values are never null
       case Between(_, lo, hi) => x >= lo && x <= hi
+      case other => fail(s"unexpected pred $other")
     }
     val cases = samples(Gen.zip(valuesGen, Gen.listOfN(3, predGen)), 300, seed = 23L)
     cases.foreach { case (values, preds) =>
@@ -233,13 +237,14 @@ class PropertySpec extends SparkSpec {
     val predGen: Gen[RangePred] = for {
       v <- strGen; h <- strGen
       p <- Gen.oneOf[RangePred](SGt("x", v), SGe("x", v), SLt("x", v),
-        SLe("x", v), SEq("x", v), SPrefix("x", v),
+        SLe("x", v), SEq("x", v), SNeq("x", v), SPrefix("x", v),
         if (utf8Cmp(v, h) <= 0) SBetween("x", v, h) else SBetween("x", h, v))
     } yield p
     def sat(p: RangePred, x: String): Boolean = p match {
       case SGt(_, v) => utf8Cmp(x, v) > 0;  case SGe(_, v) => utf8Cmp(x, v) >= 0
       case SLt(_, v) => utf8Cmp(x, v) < 0;  case SLe(_, v) => utf8Cmp(x, v) <= 0
       case SEq(_, v) => utf8Cmp(x, v) == 0
+      case SNeq(_, v) => utf8Cmp(x, v) != 0
       case SPrefix(_, v) => x.startsWith(v)
       case SBetween(_, lo, hi) => utf8Cmp(x, lo) >= 0 && utf8Cmp(x, hi) <= 0
       case _ => fail(s"unexpected pred $p")

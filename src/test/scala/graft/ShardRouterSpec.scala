@@ -1120,4 +1120,73 @@ class ShardRouterSpec extends SparkSpec {
     }
   }
 
+  test("<> prunes single-value shards and IS NOT NULL prunes all-NULL shards") {
+    // r16: Not(EqualTo) extracts as Neq/SNeq (a shard whose interval is
+    // exactly the excluded value has no matching row - the
+    // status/category-sharded shape); IsNotNull extracts as NotNull and
+    // rejects the numeric all-NULL empty interval.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      EqualTo, IsNotNull, Literal => CLit, Not}
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.sources.ZoneMapPruner.{Neq => ZNeq, NotNull => ZNotNull,
+      SNeq => ZSNeq}
+    val a = AttributeReference("st", StringType)()
+    val k = AttributeReference("k", LongType)()
+    assert(graft.plans.ModeExec.rangePreds(Seq(
+      Not(EqualTo(a, CLit.create("F", StringType))))) == Seq(ZSNeq("st", "F")))
+    assert(graft.plans.ModeExec.rangePreds(Seq(
+      Not(EqualTo(CLit(7L), k)))) == Seq(ZNeq("k", 7.0)))
+    assert(graft.plans.ModeExec.rangePreds(Seq(IsNotNull(k))) ==
+      Seq(ZNotNull("k")))
+    // prune pins
+    def zs(lo: String, hi: String) = graft.sources.ShardZoneMap("s",
+      Map.empty, Map("st" -> (lo, hi)))
+    assert(!ZoneMapPruner.mayMatch(zs("F", "F"), ZSNeq("st", "F")),
+      "a single-value shard at the excluded value must prune")
+    assert(ZoneMapPruner.mayMatch(zs("F", "O"), ZSNeq("st", "F")),
+      "a multi-value shard must survive <>")
+    val allNull = graft.sources.ShardZoneMap("n",
+      Map("k" -> (Double.PositiveInfinity, Double.NegativeInfinity)))
+    assert(!ZoneMapPruner.mayMatch(allNull, ZNotNull("k")),
+      "IS NOT NULL must prune the all-NULL empty interval")
+    assert(!ZoneMapPruner.mayMatch(allNull, ZNeq("k", 5.0)),
+      "<> is null-rejecting: the all-NULL shard prunes")
+    assert(ZoneMapPruner.mayMatch(graft.sources.ShardZoneMap("m",
+      Map("k" -> (1.0, 9.0))), ZNotNull("k")))
+
+    // end-to-end: the status-sharded fixture, F-shards never admitted
+    val s = spark.newSession()
+    val (spec, zones) = ZoneMapPruner.statusShardedOrders(s, sfDir)
+    val kept = ZoneMapPruner.prune(zones, Seq(ZSNeq("o_orderstatus", "F")))
+    assert(kept.size < zones.size,
+      s"<> must prune the single-status shards: ${kept.size}/${zones.size}")
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_statuszone_csv_neq")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_statuszone_csv_neq WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "<>-pruned conf route must match the pristine plan")
+      }
+      val names = kept.map(zz =>
+        "shard=" + new org.apache.hadoop.fs.Path(zz.path).getName).toSet
+      assert(cache.keys.filter(_.region.startsWith("shard="))
+        .map(_.region).toSet.subsetOf(names),
+        "only <>-surviving shards may admit")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
 }

@@ -21,22 +21,29 @@ object ProbePredTrans {
         .agg(fCount(lit(1)), fSum(col("l_extendedprice")),
           fSum(col("l_quantity")))
     }
-    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // one-shot CLI: the session is created and stopped here, so no conf
+    // restore is needed — but guard the empty-join case (a future
+    // optimizer change collapsing the join must print a diagnostic, not
+    // die on empty.min)
     spark.conf.set("spark.graft.autoSemiReduction", "false")
     val sides = shapeSel().queryExecution.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
     }.flatMap(j => Seq(j.left.stats.sizeInBytes, j.right.stats.sizeInBytes))
     println(s"join sides (rule off): ${sides.sorted.mkString(", ")}")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-      (sides.min - 1).max(1).toString)
-    println(s"threshold: ${sides.min - 1}")
+    if (sides.isEmpty) {
+      println("no Join in the optimized plan — nothing to bracket")
+      spark.stop()
+      return
+    }
+    val threshold = (sides.min - 1).max(1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    println(s"threshold: $threshold")
     spark.conf.set("spark.graft.autoSemiReduction", "true")
     val on = shapeSel()
     println("---- optimized (rule on) ----")
     println(on.queryExecution.optimizedPlan.treeString.take(4000))
     println("---- physical ----")
     println(on.queryExecution.executedPlan.treeString.take(4000))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
     spark.stop()
   }
 }

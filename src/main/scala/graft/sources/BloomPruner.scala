@@ -44,10 +44,47 @@ object BloomPruner {
       .toSeq
   }
 
+  /** [[build]] for a STRING key column (r16): entity-id strings (UUIDs,
+    * "cust-42"-style composite ids) are THE common hash-bucketed lake
+    * key, and the long-only builder left them unprunable. Spark's
+    * `BloomFilterAggregate` takes a LONG child, so the string hashes
+    * through the engine's own `xxhash64` — the SAME expression the
+    * lookup side evaluates driver-side ([[xx64]]), so a key present in
+    * the data can never miss its shard's bloom (hash collisions only
+    * ever ADD false positives; the residual equality is mandatory
+    * anyway). */
+  def buildString(df: DataFrame, keyCol: String,
+      expectedItems: Long = 100000L): Seq[ShardBloom] = {
+    val agg = GraftBridge.column(
+      new BloomFilterAggregate(GraftBridge.expression(xxhash64(col(keyCol))),
+        expectedItems).toAggregateExpression())
+    df.groupBy(input_file_name().as("__file")).agg(agg.as("__bloom"))
+      .collect()
+      .map(r => ShardBloom(r.getAs[String]("__file"), keyCol,
+        BloomFilter.readFrom(r.getAs[Array[Byte]]("__bloom"))))
+      .toSeq
+  }
+
+  /** The engine's own 64-bit hash of a string, evaluated driver-side —
+    * MUST be the exact `xxhash64` the build pass used, or a present key
+    * could miss its bloom (a false NEGATIVE — row loss). */
+  private[graft] def xx64(key: String): Long =
+    // the auxiliary constructor carries the SQL function's default seed
+    // (42), the same seed `xxhash64(col)` compiles to on the build side
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Long]
+
   /** Shards that may contain `key` (false positives possible, never false
     * negatives — pruning is always sound). */
   def prune(shards: Seq[ShardBloom], key: Long): Seq[ShardBloom] =
     shards.filter(_.bloom.mightContainLong(key))
+
+  /** [[prune]] for a string key against a [[buildString]] sidecar. */
+  def pruneString(shards: Seq[ShardBloom], key: String): Seq[ShardBloom] =
+    prune(shards, xx64(key))
 
   /** Read only the shards whose bloom admits `key`, then re-apply the
     * exact equality (false positives make the residual mandatory). An
@@ -57,6 +94,17 @@ object BloomPruner {
       shards: Seq[ShardBloom], key: Long): DataFrame = {
     if (shards.isEmpty) return Catalog.read(spark, spec).limit(0)
     val keep = prune(shards, key).map(_.path)
+    val df =
+      if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent
+      else Catalog.read(spark, spec.copy(paths = keep))
+    df.filter(col(shards.head.keyCol) === key)
+  }
+
+  /** [[readPruned]] for a string key against a [[buildString]] sidecar. */
+  def readPrunedString(spark: SparkSession, spec: TableSpec,
+      shards: Seq[ShardBloom], key: String): DataFrame = {
+    if (shards.isEmpty) return Catalog.read(spark, spec).limit(0)
+    val keep = pruneString(shards, key).map(_.path)
     val df =
       if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent
       else Catalog.read(spark, spec.copy(paths = keep))
@@ -114,11 +162,60 @@ object BloomPruner {
       |FROM orders WHERE o_custkey = 42
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** STRING-keyed twin of [[shardedByCustkey]]: orders hash-bucketed 8
+    * ways by the synthesized entity id `cust_id = 'cust-' || o_custkey`
+    * — the UUID/composite-id lake shape where the key is a string and
+    * zone maps prune nothing (every shard's string interval spans the
+    * domain). */
+  private[graft] def shardedByCustId(s: SparkSession, dir: String)
+      : (TableSpec, Seq[ShardBloom]) =
+    artifact.getOrBuild(s, s"$dir#custid") {
+      val out = Fixtures.ensure(s, Fixtures.path(dir, "orders_bloomstr_csv")) {
+        Tables.orders(s, dir)
+          .select(concat(lit("cust-"), col("o_custkey")).as("cust_id"),
+            col("o_totalprice"), col("o_orderstatus"))
+          .repartition(8, col("cust_id"))
+          .write.mode("overwrite")
+          .option("delimiter", "|").option("header", "false")
+          .csv(Fixtures.path(dir, "orders_bloomstr_csv"))
+      }
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(out, "part-*"))
+        .map(_.getPath.toString).sorted.toSeq
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cust_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
+      val spec = TableSpec("orders_bloomstr_csv", "csv", files, Some(schema), "|")
+      (spec, buildString(Catalog.read(s, spec), "cust_id"))
+    }
+
+  /** z13 (r16) — STRING-key bloom point lookup end-to-end:
+    * `cust_id = 'cust-42'` against the string-hash-bucketed CSV table
+    * reads only the shards whose bloom admits xxhash64('cust-42')
+    * (expectedly 1 of 8 ± false positives — spec-pinned); the oracle is
+    * the equivalent numeric predicate over the parquet original
+    * ('cust-' || o_custkey = 'cust-42'  ⇔  o_custkey = 42). */
+  private def z13BloomStringPrune(s: SparkSession, dir: String): DataFrame = {
+    val (spec, blooms) = shardedByCustId(s, dir)
+    readPrunedString(s, spec, blooms, "cust-42")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), Tables.exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val z13Sql =
+    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_custkey = 42
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z02_bloom_prune" -> z02BloomPrune _,
+    "z13_bloom_string" -> z13BloomStringPrune _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "z02_bloom_prune" -> z02Sql,
+    "z13_bloom_string" -> z13Sql,
   )
 }

@@ -133,6 +133,47 @@ class SourcesSpec extends SparkSpec {
     assert(absent.count() == 0L)
   }
 
+  test("string-keyed blooms prune via the engine's own xxhash64 (no false negatives)") {
+    // r16: entity-id STRINGS (UUIDs, composite ids) are the common
+    // hash-bucketed lake key; the long-only builder left them
+    // unprunable. The lookup side hashes driver-side with the SAME
+    // xxhash64 (seed 42) the build pass compiled to - a mismatch would
+    // be a false NEGATIVE, i.e. row loss, so the agreement is pinned
+    // against the distributed expression first.
+    import org.apache.spark.sql.functions._
+    val hashed = spark.range(1, 50)
+      .select(concat(lit("cust-"), col("id")).as("k"))
+      .select(col("k"), xxhash64(col("k")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    hashed.foreach { case (k, h) =>
+      assert(BloomPruner.xx64(k) == h,
+        s"driver-side xx64('$k') must equal the engine's xxhash64")
+    }
+    val (spec, blooms) = BloomPruner.shardedByCustId(spark, sfDir)
+    assert(spec.paths.size == 8, s"expected 8 CSV shards: ${spec.paths.size}")
+    val kept = BloomPruner.pruneString(blooms, "cust-42")
+    assert(kept.size >= 1 && kept.size <= 2,
+      s"bloom should keep ~1 of 8 shards, kept ${kept.size}")
+    val pruned = BloomPruner.readPrunedString(spark, spec, blooms, "cust-42")
+    assert(pruned.inputFiles.length == kept.size)
+    val expected = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === 42L).count()
+    assert(pruned.count() == expected)
+    // every present key must hit its shard (false negatives forbidden):
+    // sample 20 keys and check the shard holding the key survives
+    val present = graft.sources.Catalog.read(spark, spec)
+      .select(col("cust_id"), input_file_name().as("f"))
+      .limit(2000).collect().map(r => r.getString(0) -> r.getString(1))
+      .distinct.take(20)
+    present.foreach { case (k, f) =>
+      val keptPaths = BloomPruner.pruneString(blooms, k).map(_.path).toSet
+      assert(keptPaths.contains(f),
+        s"present key $k must keep its shard $f")
+    }
+    val absent = BloomPruner.readPrunedString(spark, spec, blooms, "cust-nope")
+    assert(absent.count() == 0L)
+  }
+
   test("partitioned parquet sink prunes directories on read-back") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft-sink-test/events_by_type"

@@ -231,10 +231,21 @@ object ModeExec extends PredicateHelper {
     * leaf unrouted (logged + counted, rebuild via
     * [[graft.sources.ZoneMapPruner.rebuildSidecar]]) rather than
     * dropping the unlisted shard's rows. Anything else: plain plan. */
+  /** Per-leaf bloom attachment: (keyCol, kind, shard blooms) when the
+    * directory carries a [[graft.sources.BloomPruner.SidecarName]]
+    * sidecar whose shard names EQUAL the relation's files (a drifted
+    * bloom is ignored — pruning is optional, the zone/name gate is what
+    * decides routing). */
+  private type LeafBlooms =
+    (String, graft.sources.BloomPruner.KeyKind,
+      Seq[graft.sources.BloomPruner.ShardBloom])
+
   private def shardedLeaf(s: SparkSession)(p: LogicalPlan): Option[
-      (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap])] = {
+      (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap],
+        Option[LeafBlooms])] = {
     def ofRelation(h: HadoopFsRelation): Option[
-        (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap])] = {
+        (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap],
+          Option[LeafBlooms])] = {
       import org.apache.spark.sql.execution.datasources.csv.CSVFileFormat
       import org.apache.spark.sql.execution.datasources.json.JsonFileFormat
       import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
@@ -260,27 +271,55 @@ object ModeExec extends PredicateHelper {
       }
       if (format.isEmpty) return None
       val root = h.location.rootPaths.head
-      graft.sources.ZoneMapPruner.readSidecar(s, root.toString).flatMap { zones =>
-        val relFiles = h.location.inputFiles
-          .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-        val zoneNames = zones
-          .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
-        if (relFiles == zoneNames && zones.nonEmpty) {
-          val opts = h.options.map { case (k, v) => k.toLowerCase -> v }
-          val delim = opts.get("sep").orElse(opts.get("delimiter")).getOrElse(",")
-          Some((root.toString,
-            graft.sources.TableSpec(root.getName, format.get,
-              zones.map(_.path).sorted, Some(h.dataSchema), delim,
-              relationOptions = Some(h.options.toMap)),
-            zones))
-        } else {
-          // correct but previously invisible (r14 verdict item 5): the
-          // sidecar has drifted from the directory — count and log it so
-          // an operator learns the table needs a sidecar rebuild instead
-          // of silently losing per-shard routing
-          graft.sources.ZoneMapPruner.noteDrift(root.toString,
-            relFiles, zoneNames)
-          None
+      val relFiles = h.location.inputFiles
+        .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+      // bloom sidecar (r16): attached when its shard names equal the
+      // relation's files; a drifted bloom is dropped from PRUNING (the
+      // routing decision below is the zone/name gate's) but counted and
+      // logged like a drifted zone sidecar — silent capability loss was
+      // exactly the r14 lesson
+      val blooms: Option[LeafBlooms] =
+        graft.sources.BloomPruner.readSidecar(s, root.toString).flatMap {
+          case b @ (_, _, bs) =>
+            val names = bs.map(x =>
+              new org.apache.hadoop.fs.Path(x.path).getName).toSet
+            if (bs.nonEmpty && names == relFiles) Some(b)
+            else {
+              graft.sources.ZoneMapPruner.noteDrift(root.toString,
+                relFiles, names)
+              None
+            }
+        }
+      def specOf(paths: Seq[String]): graft.sources.TableSpec = {
+        val opts = h.options.map { case (k, v) => k.toLowerCase -> v }
+        val delim = opts.get("sep").orElse(opts.get("delimiter")).getOrElse(",")
+        graft.sources.TableSpec(root.getName, format.get, paths.sorted,
+          Some(h.dataSchema), delim, relationOptions = Some(h.options.toMap))
+      }
+      graft.sources.ZoneMapPruner.readSidecar(s, root.toString) match {
+        case Some(zones) =>
+          val zoneNames = zones
+            .map(z => new org.apache.hadoop.fs.Path(z.path).getName).toSet
+          if (relFiles == zoneNames && zones.nonEmpty)
+            Some((root.toString, specOf(zones.map(_.path)), zones, blooms))
+          else {
+            // correct but previously invisible (r14 verdict item 5): the
+            // sidecar has drifted from the directory — count and log it so
+            // an operator learns the table needs a sidecar rebuild instead
+            // of silently losing per-shard routing
+            graft.sources.ZoneMapPruner.noteDrift(root.toString,
+              relFiles, zoneNames)
+            None
+          }
+        case None => blooms.map { case b @ (_, _, bs) =>
+          // BLOOM-ONLY directory (r16): the name gate already held (the
+          // filter above), so the leaf routes per shard with membership
+          // pruning; zones are synthesized bound-free (no range pruning,
+          // every other part of the per-shard machinery — fingerprints,
+          // region keys, admission — works unchanged)
+          val zones = bs.map(x =>
+            graft.sources.ShardZoneMap(x.path, Map.empty))
+          (root.toString, specOf(zones.map(_.path)), zones, Some(b))
         }
       }
     }
@@ -553,6 +592,7 @@ object ModeExec extends PredicateHelper {
     def substituteSharded(rel: LogicalPlan, root: String,
         spec: graft.sources.TableSpec,
         zones: Seq[graft.sources.ShardZoneMap],
+        blooms: Option[LeafBlooms],
         pred: Option[Expression], required: AttributeSet): LogicalPlan = {
       val needed0 = rel.output.filter(required.contains)
       val needed = if (needed0.nonEmpty) needed0 else rel.output.take(1)
@@ -561,11 +601,43 @@ object ModeExec extends PredicateHelper {
       })).getOrElse(lit(true))
       val zonePreds = pred.map(e =>
         rangePreds(splitConjunctivePredicates(e))).getOrElse(Nil)
+      // BLOOM membership pruning (r16): equality conjuncts on the bloom
+      // key drop the shards whose sketch rejects the value — the
+      // hash-bucketed complement of zone pruning, through the same conf
+      // route. Sound: blooms have no false negatives (build and lookup
+      // hash identically — spec-pinned), the kind gate keeps long
+      // lookups integral (a fractional literal skips the bloom rather
+      // than truncate-mismatch), and the full predicate still runs as
+      // the residual. Intersection across several eq conjuncts is the
+      // conjunction's semantics; the surviving zones feed the ordinary
+      // per-shard fingerprint/admission machinery unchanged.
+      def uriPath(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val zonesB = blooms match {
+        case Some((keyCol, kind, bs)) =>
+          val keeps = zonePreds.flatMap {
+            case graft.sources.ZoneMapPruner.EqTo(c, v)
+                if c == keyCol && kind == graft.sources.BloomPruner.LongKey &&
+                  !v.isInfinite && v == math.floor(v) =>
+              Some(graft.sources.BloomPruner.prune(bs, v.toLong)
+                .map(b => uriPath(b.path)).toSet)
+            case graft.sources.ZoneMapPruner.SEq(c, v)
+                if c == keyCol && kind == graft.sources.BloomPruner.StringKey =>
+              Some(graft.sources.BloomPruner.pruneString(bs, v)
+                .map(b => uriPath(b.path)).toSet)
+            case _ => None
+          }
+          if (keeps.isEmpty) zones
+          else {
+            val keep = keeps.reduce(_ intersect _)
+            zones.filter(z => keep.contains(uriPath(z.path)))
+          }
+        case None => zones
+      }
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(root.getBytes("UTF-8"))
         .map(b => f"${b & 0xff}%02x").mkString.take(8)
       val segName = s"${new org.apache.hadoop.fs.Path(root).getName}~$digest"
-      val lease = router.scanShardedMode(s, spec, segName, zones, zonePreds,
+      val lease = router.scanShardedMode(s, spec, segName, zonesB, zonePreds,
         needed.map(_.name), predicate, mode, leasesSpanExecution)
       leases += lease
       val routed = lease.df.queryExecution.analyzed
@@ -613,9 +685,9 @@ object ModeExec extends PredicateHelper {
         .orElse(partitionedLeaf(p).map { case (path, partCols, readSpec) =>
           (pred: Option[Expression], req: AttributeSet) =>
             substitutePartitioned(p, path, partCols, readSpec, pred, req) })
-        .orElse(shardedLeaf(s)(p).map { case (root, spec, zones) =>
+        .orElse(shardedLeaf(s)(p).map { case (root, spec, zones, blooms) =>
           (pred: Option[Expression], req: AttributeSet) =>
-            substituteSharded(p, root, spec, zones, pred, req) })
+            substituteSharded(p, root, spec, zones, blooms, pred, req) })
 
     // `required` accumulates every attribute an ancestor references, so a
     // leaf substitutes a scan of exactly the columns the query touches

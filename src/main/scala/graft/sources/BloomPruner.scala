@@ -111,6 +111,88 @@ object BloomPruner {
     df.filter(col(shards.head.keyCol) === key)
   }
 
+  // ---- persisted sidecar (r16): the deployment-reachable form ----------
+
+  /** The bloom sidecar's file name — underscore-prefixed like the zone
+    * sidecar so file indexes skip it as data; same catalogue-sidecar
+    * slot as the reference's partition metadata (`Partition.h:23-41`).
+    * Format: header `v=1<TAB>keyCol=<col><TAB>kind=<long|string>`, then
+    * one `fileName<TAB>base64(bloom bytes)` line per shard (file NAMES
+    * relative so the directory can move). */
+  val SidecarName = "_graft_bloom"
+
+  /** Key kind the sidecar was built over: `long` blooms insert the
+    * column cast to long; `string` blooms insert xxhash64 of the string
+    * — the lookup side must hash the same way, so the kind is part of
+    * the persisted contract. */
+  sealed abstract class KeyKind(val name: String)
+  case object LongKey extends KeyKind("long")
+  case object StringKey extends KeyKind("string")
+
+  /** Persist `blooms` as `dir/_graft_bloom` (tmp + rename — readers
+    * never see a torn file). */
+  def writeSidecar(s: SparkSession, dir: String, keyCol: String,
+      kind: KeyKind, blooms: Seq[ShardBloom]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".${SidecarName}.tmp.${System.nanoTime}")
+    val target = new org.apache.hadoop.fs.Path(root, SidecarName)
+    val text = new StringBuilder(s"v=1\tkeyCol=$keyCol\tkind=${kind.name}\n")
+    blooms.sortBy(_.path).foreach { b =>
+      val name = new org.apache.hadoop.fs.Path(b.path).getName
+      val buf = new java.io.ByteArrayOutputStream()
+      b.bloom.writeTo(buf)
+      text.append(name).append('\t')
+        .append(java.util.Base64.getEncoder.encodeToString(buf.toByteArray))
+        .append('\n')
+    }
+    val out = fs.create(tmp, true)
+    try out.write(text.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      sys.error(s"could not publish bloom sidecar $target")
+  }
+
+  /** Load `dir/_graft_bloom` if present: (keyCol, kind, shard blooms
+    * with absolute paths). Malformed → None (pruning is an
+    * optimization, never a correctness input). */
+  def readSidecar(s: SparkSession, dir: String)
+      : Option[(String, KeyKind, Seq[ShardBloom])] =
+    try {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(root, SidecarName)
+      if (!fs.exists(target)) return None
+      val in = fs.open(target)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      val lines = text.linesIterator.toSeq
+      val header = lines.headOption.getOrElse(return None).split('\t')
+      if (!header.headOption.contains("v=1") || header.length < 3) return None
+      val keyCol = header(1).stripPrefix("keyCol=")
+      val kind = header(2).stripPrefix("kind=") match {
+        case "long"   => LongKey
+        case "string" => StringKey
+        case _        => return None
+      }
+      Some((keyCol, kind, lines.drop(1).filter(_.nonEmpty).map { line =>
+        val Array(name, b64) = line.split('\t')
+        ShardBloom(new org.apache.hadoop.fs.Path(root, name).toString, keyCol,
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64))))
+      }))
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ignoring unreadable bloom sidecar under $dir: ${e.getMessage}")
+      None
+    }
+
   // ---- end-to-end demonstration entry ------------------------------------
 
   /** Ingest-once artifact: `orders` hash-sharded 8 ways by o_custkey into
@@ -141,7 +223,14 @@ object BloomPruner {
         org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
       val spec = TableSpec("orders_bloom_csv", "csv", files, Some(schema), "|")
-      (spec, build(Catalog.read(s, spec), "o_custkey"))
+      val blooms = build(Catalog.read(s, spec), "o_custkey")
+      // publish the sidecar next to the data (write-once like the
+      // files): the conf-mode rewriter detects it and prunes point
+      // lookups with no library call (r16)
+      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
+      if (!fs.exists(sidecar))
+        writeSidecar(s, out.toString, "o_custkey", LongKey, blooms)
+      (spec, blooms)
     }
 
   /** z02 — bloom-sidecar point lookup end-to-end: `o_custkey = 42`
@@ -187,7 +276,11 @@ object BloomPruner {
         org.apache.spark.sql.types.StructField("o_totalprice", org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.StructField("o_orderstatus", org.apache.spark.sql.types.StringType)))
       val spec = TableSpec("orders_bloomstr_csv", "csv", files, Some(schema), "|")
-      (spec, buildString(Catalog.read(s, spec), "cust_id"))
+      val blooms = buildString(Catalog.read(s, spec), "cust_id")
+      val sidecar = new org.apache.hadoop.fs.Path(out, SidecarName)
+      if (!fs.exists(sidecar))
+        writeSidecar(s, out.toString, "cust_id", StringKey, blooms)
+      (spec, blooms)
     }
 
   /** z13 (r16) — STRING-key bloom point lookup end-to-end:
@@ -209,13 +302,43 @@ object BloomPruner {
       |FROM orders WHERE o_custkey = 42
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** z14 (r16) — the bloom sidecar through the DEPLOYMENT path: a plain
+    * view over the string-hash-bucketed directory + `SET
+    * spark.graft.scanMode=hybrid`, no library call anywhere. The
+    * conf-mode rewriter detects `_graft_bloom`, routes the leaf per
+    * shard (zones synthesized bound-free — a hash layout has no ranges
+    * to prune), and the `cust_id = 'cust-42'` equality drops every
+    * shard whose sketch rejects xxhash64('cust-42'). Oracle = the
+    * equivalent numeric predicate over the parquet original. */
+  private def z14ConfBloom(s: SparkSession, dir: String): DataFrame = {
+    val (spec, _) = shardedByCustId(s, dir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_bloomstr_csv")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
+        |FROM orders_bloomstr_csv
+        |WHERE cust_id = 'cust-42'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val prev = s.conf.getOption("spark.graft.scanMode")
+    s.conf.set("spark.graft.scanMode", "hybrid")
+    try graft.Engine.executeQuery(s, dir, sql)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.graft.scanMode", v)
+      case None    => s.conf.unset("spark.graft.scanMode")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "z02_bloom_prune" -> z02BloomPrune _,
     "z13_bloom_string" -> z13BloomStringPrune _,
+    "z14_conf_bloom"  -> z14ConfBloom _,
   )
 
   val oracleSql: Map[String, String] = Map(
     "z02_bloom_prune" -> z02Sql,
     "z13_bloom_string" -> z13Sql,
+    "z14_conf_bloom"  -> z13Sql,
   )
 }

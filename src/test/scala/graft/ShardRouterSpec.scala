@@ -1189,4 +1189,67 @@ class ShardRouterSpec extends SparkSpec {
     }
   }
 
+  test("a bloom-only directory routes via conf; point lookups prune by membership") {
+    // r16: the _graft_bloom sidecar makes hash-bucketed point-lookup
+    // pruning deployment-reachable - a plain view + SET scanMode, no
+    // library call. Zones synthesize bound-free (a hash layout has no
+    // ranges); the equality conjunct prunes by sketch membership.
+    import graft.sources.BloomPruner
+    val s = spark.newSession()
+    val (spec, blooms) = BloomPruner.shardedByCustId(s, sfDir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    // the persisted sidecar round-trips (kind + key + per-shard sketches)
+    val (keyCol, kind, reread) = BloomPruner.readSidecar(s, root).get
+    assert(keyCol == "cust_id" && kind == BloomPruner.StringKey)
+    assert(reread.map(b => new org.apache.hadoop.fs.Path(b.path).getName).sorted ==
+      blooms.map(b => new org.apache.hadoop.fs.Path(b.path).getName).sorted)
+    val sampleKeys = Seq("cust-1", "cust-42", "cust-7")
+    // compare by URI path: the fixture renders `file:/x`, the sidecar
+    // reader's Path(root, name) renders `file:///x` — same file (the
+    // production keep-set comparison normalizes the same way)
+    def up(p0: String) = new org.apache.hadoop.fs.Path(p0).toUri.getPath
+    sampleKeys.foreach { k =>
+      assert(BloomPruner.pruneString(reread, k).map(b => up(b.path)).toSet ==
+        BloomPruner.pruneString(blooms, k).map(b => up(b.path)).toSet,
+        s"round-tripped sketches must prune identically for $k")
+    }
+    val kept = BloomPruner.pruneString(blooms, "cust-42")
+    assert(kept.size < spec.paths.size, "the lookup must prune shards")
+
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_bloomstr_csv")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_bloomstr_csv WHERE cust_id = 'cust-42'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "bloom-pruned conf route must match the pristine plan")
+      }
+      val names = kept.map(b =>
+        "shard=" + new org.apache.hadoop.fs.Path(b.path).getName).toSet
+      val regions = cache.keys.filter(_.region.startsWith("shard="))
+      assert(regions.nonEmpty,
+        s"shard residents expected through the bloom conf route: ${cache.keys}")
+      assert(regions.map(_.region).toSet.subsetOf(names),
+        "only bloom-surviving shards may admit")
+      // a definitely-absent key reads ZERO rows through the route
+      val absentSql =
+        """SELECT count(*) AS n FROM orders_bloomstr_csv
+          |WHERE cust_id = 'cust-nope'""".stripMargin
+      assert(Engine.executeQuery(s, sfDir, absentSql).collect()
+        .head.getLong(0) == 0L)
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
 }

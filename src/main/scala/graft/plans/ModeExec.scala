@@ -285,8 +285,13 @@ object ModeExec extends PredicateHelper {
               new org.apache.hadoop.fs.Path(x.path).getName).toSet
             if (bs.nonEmpty && names == relFiles) Some(b)
             else {
+              // the operator must learn WHICH sidecar drifted and the
+              // RIGHT repair (r16 review: the zone-worded message sent
+              // them to rebuild the wrong artifact)
               graft.sources.ZoneMapPruner.noteDrift(root.toString,
-                relFiles, names)
+                relFiles, names, kind = "bloom",
+                repair = "BloomPruner.build/buildString + writeSidecar",
+                consequence = "point-lookup pruning lost")
               None
             }
         }
@@ -295,6 +300,19 @@ object ModeExec extends PredicateHelper {
         val delim = opts.get("sep").orElse(opts.get("delimiter")).getOrElse(",")
         graft.sources.TableSpec(root.getName, format.get, paths.sorted,
           Some(h.dataSchema), delim, relationOptions = Some(h.options.toMap))
+      }
+      def bloomOnly: Option[
+          (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap],
+            Option[LeafBlooms])] = blooms.map { case b @ (_, _, bs) =>
+          // BLOOM-ONLY routing (r16): the bloom name gate already held
+          // (the filter above), so the leaf routes per shard with
+          // membership pruning; zones are synthesized bound-free (no
+          // range pruning, every other part of the per-shard
+          // machinery — fingerprints, region keys, admission — works
+          // unchanged)
+          val zones = bs.map(x =>
+            graft.sources.ShardZoneMap(x.path, Map.empty))
+          (root.toString, specOf(zones.map(_.path)), zones, Some(b))
       }
       graft.sources.ZoneMapPruner.readSidecar(s, root.toString) match {
         case Some(zones) =>
@@ -306,21 +324,15 @@ object ModeExec extends PredicateHelper {
             // correct but previously invisible (r14 verdict item 5): the
             // sidecar has drifted from the directory — count and log it so
             // an operator learns the table needs a sidecar rebuild instead
-            // of silently losing per-shard routing
+            // of silently losing per-shard routing. A VALID bloom sidecar
+            // on the same directory still routes bloom-only (r16 review:
+            // a drifted zone file must not cost MORE capability than
+            // deleting it would)
             graft.sources.ZoneMapPruner.noteDrift(root.toString,
               relFiles, zoneNames)
-            None
+            bloomOnly
           }
-        case None => blooms.map { case b @ (_, _, bs) =>
-          // BLOOM-ONLY directory (r16): the name gate already held (the
-          // filter above), so the leaf routes per shard with membership
-          // pruning; zones are synthesized bound-free (no range pruning,
-          // every other part of the per-shard machinery — fingerprints,
-          // region keys, admission — works unchanged)
-          val zones = bs.map(x =>
-            graft.sources.ShardZoneMap(x.path, Map.empty))
-          (root.toString, specOf(zones.map(_.path)), zones, Some(b))
-        }
+        case None => bloomOnly
       }
     }
     p match {

@@ -32,10 +32,25 @@ object BloomPruner {
   /** Build the sidecar in ONE distributed pass: Spark's own
     * `BloomFilterAggregate` (the expression behind runtime join filters)
     * grouped by `input_file_name()` — no per-file driver loop, so ingest
-    * cost is a single scan however many shards exist. */
+    * cost is a single scan however many shards exist.
+    *
+    * Key encoding follows the zone-map discipline (r16 review): DATE
+    * keys insert as epoch DAYS and TIMESTAMP keys as epoch MICROS — the
+    * SAME dimensions [[graft.plans.ModeExec.rangePreds]] encodes those
+    * literals in. A bare `cast("long")` on a timestamp yields epoch
+    * SECONDS, so a micros-valued lookup would miss every shard's
+    * bloom — a false NEGATIVE, i.e. row loss behind a "sound" sketch.
+    * Integral keys cast as before (identity). String keys must use
+    * [[buildString]]. */
   def build(df: DataFrame, keyCol: String, expectedItems: Long = 100000L): Seq[ShardBloom] = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val enc = df.schema(keyCol).dataType match {
+      case DateType      => unix_date(col(keyCol)).cast("long")
+      case TimestampType => unix_micros(col(keyCol))
+      case _             => col(keyCol).cast("long")
+    }
     val agg = GraftBridge.column(
-      new BloomFilterAggregate(GraftBridge.expression(col(keyCol).cast("long")), expectedItems)
+      new BloomFilterAggregate(GraftBridge.expression(enc), expectedItems)
         .toAggregateExpression())
     df.groupBy(input_file_name().as("__file")).agg(agg.as("__bloom"))
       .collect() // one row per shard — sidecar construction, not a data path
@@ -91,20 +106,19 @@ object BloomPruner {
     * empty sidecar (a table with no shards at build time) reads
     * nothing — no key column to consult. */
   def readPruned(spark: SparkSession, spec: TableSpec,
-      shards: Seq[ShardBloom], key: Long): DataFrame = {
-    if (shards.isEmpty) return Catalog.read(spark, spec).limit(0)
-    val keep = prune(shards, key).map(_.path)
-    val df =
-      if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent
-      else Catalog.read(spark, spec.copy(paths = keep))
-    df.filter(col(shards.head.keyCol) === key)
-  }
+      shards: Seq[ShardBloom], key: Long): DataFrame =
+    readKept(spark, spec, shards, prune(shards, key), lit(key))
 
   /** [[readPruned]] for a string key against a [[buildString]] sidecar. */
   def readPrunedString(spark: SparkSession, spec: TableSpec,
-      shards: Seq[ShardBloom], key: String): DataFrame = {
+      shards: Seq[ShardBloom], key: String): DataFrame =
+    readKept(spark, spec, shards, pruneString(shards, key), lit(key))
+
+  private def readKept(spark: SparkSession, spec: TableSpec,
+      shards: Seq[ShardBloom], kept: Seq[ShardBloom],
+      key: Column): DataFrame = {
     if (shards.isEmpty) return Catalog.read(spark, spec).limit(0)
-    val keep = pruneString(shards, key).map(_.path)
+    val keep = kept.map(_.path)
     val df =
       if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent
       else Catalog.read(spark, spec.copy(paths = keep))
@@ -154,10 +168,51 @@ object BloomPruner {
       sys.error(s"could not publish bloom sidecar $target")
   }
 
+  // Parsed-sidecar memo keyed by (uri path, sidecar len, sidecar
+  // mtime) — SELF-invalidating: any rewrite changes (len, mtime) and
+  // misses, so no writer hook is needed (r16 review: the conf route
+  // classifies per query per leaf, and re-decoding base64 sketches of
+  // 5k shards per query is exactly the per-decision cost the r15
+  // driver-cheap work removed; one stat per query replaces the full
+  // decode). Bounded LRU; values are immutable parses, nothing to
+  // release on eviction.
+  private val SidecarCacheMax = 64
+  private val sidecarCache = new java.util.LinkedHashMap[
+      (String, Long, Long), Option[(String, KeyKind, Seq[ShardBloom])]](
+      16, 0.75f, /*accessOrder=*/ true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[
+        (String, Long, Long),
+        Option[(String, KeyKind, Seq[ShardBloom])]]): Boolean =
+      size() > SidecarCacheMax
+  }
+
   /** Load `dir/_graft_bloom` if present: (keyCol, kind, shard blooms
     * with absolute paths). Malformed → None (pruning is an
-    * optimization, never a correctness input). */
+    * optimization, never a correctness input). Parses are memoized on
+    * the sidecar file's (length, mtime) — see [[sidecarCache]]. */
   def readSidecar(s: SparkSession, dir: String)
+      : Option[(String, KeyKind, Seq[ShardBloom])] =
+    try {
+      val root0 = new org.apache.hadoop.fs.Path(dir)
+      val fs0 = root0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val target0 = new org.apache.hadoop.fs.Path(root0, SidecarName)
+      if (!fs0.exists(target0)) return None
+      val st = fs0.getFileStatus(target0)
+      val ck = (target0.toUri.getPath, st.getLen, st.getModificationTime)
+      sidecarCache.synchronized {
+        val hit = sidecarCache.get(ck)
+        if (hit != null) return hit
+      }
+      val parsed = parseSidecar(s, dir)
+      sidecarCache.synchronized { sidecarCache.put(ck, parsed) }
+      parsed
+    } catch { case e: Exception =>
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ignoring unreadable bloom sidecar under $dir: ${e.getMessage}")
+      None
+    }
+
+  private def parseSidecar(s: SparkSession, dir: String)
       : Option[(String, KeyKind, Seq[ShardBloom])] =
     try {
       val root = new org.apache.hadoop.fs.Path(dir)
@@ -297,10 +352,9 @@ object BloomPruner {
       .orderBy(col("o_orderstatus"))
   }
 
-  private val z13Sql =
-    """SELECT o_orderstatus, count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total_price
-      |FROM orders WHERE o_custkey = 42
-      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  // same oracle shape as z02 by construction ('cust-' || o_custkey =
+  // 'cust-42' iff o_custkey = 42): one definition, three consumers
+  private def z13Sql = z02Sql
 
   /** z14 (r16) — the bloom sidecar through the DEPLOYMENT path: a plain
     * view over the string-hash-bucketed directory + `SET

@@ -389,15 +389,16 @@ object ZoneMapPruner {
     * detector). Deliberately loud: drift is an operational condition an
     * operator fixes with [[rebuildSidecar]], not a steady state. */
   private[graft] def noteDrift(dir: String, relFiles: Set[String],
-      zoneNames: Set[String]): Unit = {
+      zoneNames: Set[String], kind: String = "zone-map",
+      repair: String = "ZoneMapPruner.rebuildSidecar",
+      consequence: String = "leaf left unrouted"): Unit = {
     driftN.incrementAndGet()
     val missing = (zoneNames -- relFiles).take(3)
     val extra = (relFiles -- zoneNames).take(3)
     org.slf4j.LoggerFactory.getLogger(getClass).warn(
-      s"zone-map sidecar under $dir has DRIFTED from the directory " +
+      s"$kind sidecar under $dir has DRIFTED from the directory " +
       s"(sidecar-only: ${missing.mkString(",")}; dir-only: " +
-      s"${extra.mkString(",")}): leaf left unrouted — rebuild with " +
-      "ZoneMapPruner.rebuildSidecar")
+      s"${extra.mkString(",")}): $consequence — rebuild with " + repair)
   }
 
   /** Rebuild `dir`'s sidecar from the data files currently on disk —

@@ -174,6 +174,53 @@ class SourcesSpec extends SparkSpec {
     assert(absent.count() == 0L)
   }
 
+  test("temporal bloom keys encode like zone maps: micros/days, never cast-seconds") {
+    // r16 review: cast("long") on a timestamp yields epoch SECONDS
+    // while the extractor's equality literals carry epoch MICROS - a
+    // dimension mismatch makes every present key miss its shard's
+    // bloom (false negative = row loss). build() now encodes
+    // timestamps as unix_micros and dates as unix_date, the zone-map
+    // dimensions.
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-bloom-ts")
+    try {
+      val s = spark
+      val df = s.range(0, 40)
+        .select(col("id"),
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,id)").as("ts"),
+          expr("date'2024-03-01' + CAST(id AS INT)").as("d"))
+      df.repartition(4, col("id")).write.mode("overwrite").parquet(root.toString)
+      val back = s.read.parquet(root.toString)
+      val tsBlooms = BloomPruner.build(back, "ts")
+      val dBlooms = BloomPruner.build(back, "d")
+      // the present key's shard must survive a lookup in the
+      // extractor's dimension (micros / days)
+      val probe = back.filter(col("id") === 7L)
+        .select(unix_micros(col("ts")), unix_date(col("d")).cast("long"),
+          input_file_name()).head()
+      val (micros, days, file) = (probe.getLong(0), probe.getLong(1), probe.getString(2))
+      def up(p0: String) = new org.apache.hadoop.fs.Path(p0).toUri.getPath
+      assert(BloomPruner.prune(tsBlooms, micros).map(b => up(b.path))
+        .contains(up(file)),
+        "a micros-valued lookup must keep the shard holding the timestamp")
+      assert(BloomPruner.prune(dBlooms, days).map(b => up(b.path))
+        .contains(up(file)),
+        "a days-valued lookup must keep the shard holding the date")
+      // and the SECONDS dimension (the old cast) must NOT be how the
+      // sketch answers - seconds of a distinct hour-grid timestamp
+      // would collide with nothing present in micros space
+      val absent = BloomPruner.prune(tsBlooms, micros / 1000000L)
+      assert(absent.size < tsBlooms.size || tsBlooms.size == 1,
+        "sanity: the sketches discriminate between dimensions")
+    } finally {
+      def rm(pf: java.io.File): Unit = {
+        Option(pf.listFiles()).foreach(_.foreach(rm)); pf.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
   test("partitioned parquet sink prunes directories on read-back") {
     import org.apache.spark.sql.functions._
     val out = "/tmp/graft-sink-test/events_by_type"

@@ -231,14 +231,12 @@ object ModeExec extends PredicateHelper {
     * leaf unrouted (logged + counted, rebuild via
     * [[graft.sources.ZoneMapPruner.rebuildSidecar]]) rather than
     * dropping the unlisted shard's rows. Anything else: plain plan. */
-  /** Per-leaf bloom attachment: (keyCol, kind, shard blooms) when the
-    * directory carries a [[graft.sources.BloomPruner.SidecarName]]
-    * sidecar whose shard names EQUAL the relation's files (a drifted
-    * bloom is ignored — pruning is optional, the zone/name gate is what
-    * decides routing). */
-  private type LeafBlooms =
-    (String, graft.sources.BloomPruner.KeyKind,
-      Seq[graft.sources.BloomPruner.ShardBloom])
+  /** Per-leaf bloom attachment: one [[graft.sources.BloomPruner
+    * .ColumnBlooms]] per declared key column, when the directory carries
+    * a [[graft.sources.BloomPruner.SidecarName]] sidecar whose shard
+    * paths EQUAL the relation's files (a drifted bloom is ignored —
+    * pruning is optional, the zone/name gate is what decides routing). */
+  private type LeafBlooms = Seq[graft.sources.BloomPruner.ColumnBlooms]
 
   private def shardedLeaf(s: SparkSession)(p: LogicalPlan): Option[
       (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap],
@@ -273,24 +271,32 @@ object ModeExec extends PredicateHelper {
       val root = h.location.rootPaths.head
       val relFiles = h.location.inputFiles
         .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
-      // bloom sidecar (r16): attached when its shard names equal the
-      // relation's files; a drifted bloom is dropped from PRUNING (the
-      // routing decision below is the zone/name gate's) but counted and
-      // logged like a drifted zone sidecar — silent capability loss was
-      // exactly the r14 lesson
+      // bloom sidecar (r16; multi-key + relative-path gate r17):
+      // attached when its shard ROOT-RELATIVE paths equal the
+      // relation's files (relative, not basenames — nested layouts
+      // repeat part-file basenames and a name-set gate collapses them);
+      // a drifted bloom is dropped from PRUNING (the routing decision
+      // below is the zone/name gate's) but counted and logged like a
+      // drifted zone sidecar — silent capability loss was exactly the
+      // r14 lesson
+      val relUriFiles = h.location.inputFiles
+        .flatMap(f => graft.sources.BloomPruner.relPath(root, f)).toSet
       val blooms: Option[LeafBlooms] =
         graft.sources.BloomPruner.readSidecar(s, root.toString).flatMap {
-          case b @ (_, _, bs) =>
-            val names = bs.map(x =>
-              new org.apache.hadoop.fs.Path(x.path).getName).toSet
-            if (bs.nonEmpty && names == relFiles) Some(b)
+          cols =>
+            val rels = cols.headOption.map(_.shards.flatMap(x =>
+              graft.sources.BloomPruner.relPath(root, x.path)).toSet)
+              .getOrElse(Set.empty)
+            if (cols.nonEmpty && rels.nonEmpty && rels == relUriFiles &&
+                relUriFiles.size == h.location.inputFiles.length) Some(cols)
             else {
               // the operator must learn WHICH sidecar drifted and the
               // RIGHT repair (r16 review: the zone-worded message sent
-              // them to rebuild the wrong artifact)
+              // them to rebuild the wrong artifact; r17: the repair is
+              // now one call)
               graft.sources.ZoneMapPruner.noteDrift(root.toString,
-                relFiles, names, kind = "bloom",
-                repair = "BloomPruner.build/buildString + writeSidecar",
+                relUriFiles, rels, kind = "bloom",
+                repair = "BloomPruner.rebuildSidecar",
                 consequence = "point-lookup pruning lost")
               None
             }
@@ -303,16 +309,16 @@ object ModeExec extends PredicateHelper {
       }
       def bloomOnly: Option[
           (String, graft.sources.TableSpec, Seq[graft.sources.ShardZoneMap],
-            Option[LeafBlooms])] = blooms.map { case b @ (_, _, bs) =>
-          // BLOOM-ONLY routing (r16): the bloom name gate already held
+            Option[LeafBlooms])] = blooms.map { cols =>
+          // BLOOM-ONLY routing (r16): the bloom path gate already held
           // (the filter above), so the leaf routes per shard with
           // membership pruning; zones are synthesized bound-free (no
           // range pruning, every other part of the per-shard
           // machinery — fingerprints, region keys, admission — works
           // unchanged)
-          val zones = bs.map(x =>
+          val zones = cols.head.shards.map(x =>
             graft.sources.ShardZoneMap(x.path, Map.empty))
-          (root.toString, specOf(zones.map(_.path)), zones, Some(b))
+          (root.toString, specOf(zones.map(_.path)), zones, Some(cols))
       }
       graft.sources.ZoneMapPruner.readSidecar(s, root.toString) match {
         case Some(zones) =>
@@ -424,30 +430,36 @@ object ModeExec extends PredicateHelper {
             ZoneMapPruner.outward(bd, isMin = false)))
         case _ => None
       })
-    // `x IN (v1…vn)`: a shard may match iff some member lands in its
-    // zone — the sound single-range envelope is Between(min vi, max vi)
-    // (the reference's pruner evaluates the whole predicate tree over
-    // min/max scalars, `PartitionPruner.cpp:23-51`; gaps between
-    // members stay unpruned here and ride the residual filter). NULL
-    // members match no row and drop out; an all-null/empty list
-    // extracts nothing (fewer predicates only under-prune).
+    // `x IN (v1…vn)`: a shard may match iff SOME member lands in its
+    // zone. When every member extracts EXACTLY, that is an OrPred of
+    // point equalities (r17, r16 verdict item 2) — zone-side it prunes
+    // the gaps BETWEEN members a single envelope keeps, and bloom-side
+    // it is the per-member membership union [[bloomKeeps]] consumes
+    // (the reference expands IN through its pruner's OR recursion,
+    // `CalcitePlanJsonDeserializer.cpp:239-267` +
+    // `PartitionPruner.cpp:70-88`). A numeric list with any INEXACT
+    // member falls back to the outward-rounded single-range envelope
+    // Between(min vi, max vi) — an EqTo against a rounded literal could
+    // wrongly prune, and dropping the member would narrow the envelope
+    // unsoundly. NULL members match no row and drop out; an
+    // all-null/empty list extracts nothing (fewer predicates only
+    // under-prune).
     def inEnvelope(a: AttributeReference, members: Seq[Literal])
         : Option[graft.sources.ZoneMapPruner.RangePred] = {
       val nonNull = members.filter(_.value != null)
       if (nonNull.isEmpty) return None
+      val exact = nonNull.map(num)
+      if (exact.forall(_.isDefined))
+        return Some(OrPred(exact.flatten.map(v => Seq(EqTo(a.name, v)))))
       val brackets = nonNull.map(memberBracket)
       if (brackets.exists(_.isEmpty)) {
-        // not a numeric list — a STRING list gets the same sound
-        // envelope under UTF-8 ordering (every member must extract:
-        // dropping one would narrow the envelope unsoundly)
+        // not a numeric list — a STRING list's members always extract
+        // exactly, so the disjunction-of-equalities applies (UTF-8
+        // ordering zone-side, xxhash64 membership bloom-side); every
+        // member must extract or the whole list is unprunable
         val svs = nonNull.map(strv)
         if (svs.exists(_.isEmpty)) None
-        else {
-          val ss = svs.flatten
-          Some(SBetween(a.name,
-            ss.reduce((x, y) => if (ZoneMapPruner.utf8Cmp(x, y) <= 0) x else y),
-            ss.reduce((x, y) => if (ZoneMapPruner.utf8Cmp(x, y) >= 0) x else y)))
-        }
+        else Some(OrPred(svs.flatten.map(v => Seq(SEq(a.name, v)))))
       } else {
         val bs = brackets.flatten
         Some(Between(a.name, bs.map(_._1).min, bs.map(_._2).max))
@@ -518,6 +530,62 @@ object ModeExec extends PredicateHelper {
         else None
       case _ => None
     }
+  }
+
+  /** Shard keep-set from bloom membership over the extracted predicates
+    * (r17, r16 verdict items 2 and 4): `Some(keep)` = only shards whose
+    * URI path is in `keep` can hold matching rows; `None` = the blooms
+    * give no constraint. Soundness invariants:
+    *
+    *  - an EQUALITY on a bloom key keeps the shards whose sketch admits
+    *    the value (no false negatives — build and lookup hash
+    *    identically, spec-pinned); the kind gate keeps long lookups
+    *    integral (a fractional literal skips the bloom rather than
+    *    truncate-mismatch);
+    *  - an [[graft.sources.ZoneMapPruner.OrPred]] (the shape IN-lists
+    *    and `k='a' OR k='b'` extract to) keeps a shard iff SOME branch
+    *    admits it — a per-member membership UNION, the reference's IN
+    *    and OR arms composed (`fpdb-calcite/src/.../
+    *    CalcitePlanJsonDeserializer.cpp:239-267` expands IN into the
+    *    pruner's OR recursion, `fpdb-executor/src/physical/prune/
+    *    PartitionPruner.cpp:70-88`). Within one branch, several
+    *    checkable conjuncts INTERSECT; a branch with NO checkable
+    *    conjunct on this column vetoes the whole disjunction for it
+    *    (that branch could match anywhere — union with "all" is "all");
+    *  - several constrained conjuncts/columns INTERSECT (conjunction
+    *    semantics — the multi-key sidecar prunes on each key it
+    *    carries);
+    *  - anything non-extractable contributes nothing: fewer constraints
+    *    only under-prune, and the full predicate still runs as the
+    *    residual. */
+  private[graft] def bloomKeeps(
+      cols: Seq[graft.sources.BloomPruner.ColumnBlooms],
+      preds: Seq[graft.sources.ZoneMapPruner.RangePred]): Option[Set[String]] = {
+    import graft.sources.{BloomPruner, ZoneMapPruner}
+    def uriPath(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    def keepOf(cb: BloomPruner.ColumnBlooms,
+        p: ZoneMapPruner.RangePred): Option[Set[String]] = p match {
+      case ZoneMapPruner.EqTo(c, v)
+          if c == cb.keyCol && cb.kind == BloomPruner.LongKey &&
+            !v.isInfinite && v == math.floor(v) =>
+        Some(BloomPruner.prune(cb.shards, v.toLong)
+          .map(b => uriPath(b.path)).toSet)
+      case ZoneMapPruner.SEq(c, v)
+          if c == cb.keyCol && cb.kind == BloomPruner.StringKey =>
+        Some(BloomPruner.pruneString(cb.shards, v)
+          .map(b => uriPath(b.path)).toSet)
+      case ZoneMapPruner.OrPred(branches) =>
+        val perBranch = branches.map { br =>
+          val ks = br.flatMap(keepOf(cb, _))
+          if (ks.isEmpty) None else Some(ks.reduce(_ intersect _))
+        }
+        if (perBranch.nonEmpty && perBranch.forall(_.isDefined))
+          Some(perBranch.flatten.reduce(_ union _))
+        else None
+      case _ => None
+    }
+    val keeps = for (p <- preds; cb <- cols; k <- keepOf(cb, p)) yield k
+    if (keeps.isEmpty) None else Some(keeps.reduce(_ intersect _))
   }
 
   /** Execute one SQL text with every base-table leaf routed under `mode`.
@@ -613,37 +681,16 @@ object ModeExec extends PredicateHelper {
       })).getOrElse(lit(true))
       val zonePreds = pred.map(e =>
         rangePreds(splitConjunctivePredicates(e))).getOrElse(Nil)
-      // BLOOM membership pruning (r16): equality conjuncts on the bloom
-      // key drop the shards whose sketch rejects the value — the
-      // hash-bucketed complement of zone pruning, through the same conf
-      // route. Sound: blooms have no false negatives (build and lookup
-      // hash identically — spec-pinned), the kind gate keeps long
-      // lookups integral (a fractional literal skips the bloom rather
-      // than truncate-mismatch), and the full predicate still runs as
-      // the residual. Intersection across several eq conjuncts is the
-      // conjunction's semantics; the surviving zones feed the ordinary
-      // per-shard fingerprint/admission machinery unchanged.
+      // BLOOM membership pruning (r16; IN/OR + multi-key r17): equality
+      // conjuncts on any bloom key drop the shards whose sketch rejects
+      // the value — the hash-bucketed complement of zone pruning,
+      // through the same conf route ([[bloomKeeps]]). The surviving
+      // zones feed the ordinary per-shard fingerprint/admission
+      // machinery unchanged.
       def uriPath(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
-      val zonesB = blooms match {
-        case Some((keyCol, kind, bs)) =>
-          val keeps = zonePreds.flatMap {
-            case graft.sources.ZoneMapPruner.EqTo(c, v)
-                if c == keyCol && kind == graft.sources.BloomPruner.LongKey &&
-                  !v.isInfinite && v == math.floor(v) =>
-              Some(graft.sources.BloomPruner.prune(bs, v.toLong)
-                .map(b => uriPath(b.path)).toSet)
-            case graft.sources.ZoneMapPruner.SEq(c, v)
-                if c == keyCol && kind == graft.sources.BloomPruner.StringKey =>
-              Some(graft.sources.BloomPruner.pruneString(bs, v)
-                .map(b => uriPath(b.path)).toSet)
-            case _ => None
-          }
-          if (keeps.isEmpty) zones
-          else {
-            val keep = keeps.reduce(_ intersect _)
-            zones.filter(z => keep.contains(uriPath(z.path)))
-          }
-        case None => zones
+      val zonesB = blooms.flatMap(cols => bloomKeeps(cols, zonePreds)) match {
+        case Some(keep) => zones.filter(z => keep.contains(uriPath(z.path)))
+        case None       => zones
       }
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(root.getBytes("UTF-8"))

@@ -81,7 +81,11 @@ object Sink {
     // + two-rename swap (and its crash window) it would otherwise pay —
     // streaming restarts routinely deliver zero-row micro-batches
     if (batchEmpty) return
-    val zoneCols = zoneColsOf(spark, path) // before the swap loses the sidecar
+    // before the swap loses the sidecars (both kinds — r16 verdict: the
+    // zone sidecar was captured here but a bloom sidecar was silently
+    // destroyed by the directory swap)
+    val zoneCols = zoneColsOf(spark, path)
+    val bloomKeys = bloomKeysOf(spark, path)
     val merged =
       if (fs.exists(p)) graft.operators.Relational.upsert(spark.read.parquet(path), latest, key)
       else latest
@@ -101,6 +105,7 @@ object Sink {
     // HybridScan.invalidateListings themselves, the REFRESH TABLE analog)
     graft.cache.HybridScan.invalidateListings(path)
     rezone(spark, path, zoneCols)
+    rebloom(spark, path, bloomKeys)
   }
 
   /** Restore a table whose last mergeInto/compact died between its two
@@ -153,7 +158,9 @@ object Sink {
     if (before.isEmpty) sys.error(
       s"compact: no top-level .parquet files in $path — " +
         "partitioned or empty table? compact() operates on flat directories")
-    val zoneCols = zoneColsOf(spark, path) // before the swap loses the sidecar
+    // before the swap loses the sidecars (both kinds — see mergeInto)
+    val zoneCols = zoneColsOf(spark, path)
+    val bloomKeys = bloomKeysOf(spark, path)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new Path(p.getParent, s".${p.getName}.compact.tmp")
@@ -171,6 +178,7 @@ object Sink {
     fs.delete(bak, true)
     graft.cache.HybridScan.invalidateListings(path) // writer invalidation (r12)
     rezone(spark, path, zoneCols)
+    rebloom(spark, path, bloomKeys)
     (before.length, afterCount)
   }
 
@@ -194,6 +202,30 @@ object Sink {
       ZoneMapPruner.rebuildSidecar(spark, path,
         TableSpec(new org.apache.hadoop.fs.Path(path).getName, "parquet",
           Nil, None), zoneCols)
+      ()
+    }
+
+  /** Key columns (and kinds) of `path`'s bloom sidecar, empty when
+    * none — the bloom twin of [[zoneColsOf]], read BEFORE a
+    * whole-directory swap (r16 verdict item 1: compact over a
+    * bloom-bucketed table silently DESTROYED `_graft_bloom` — the exact
+    * hazard class §22.5 closed for zones; the reference regenerates
+    * partition metadata with the data, `fpdb-catalogue/include/fpdb/
+    * catalogue/Partition.h:23-41`). */
+  private def bloomKeysOf(spark: SparkSession, path: String)
+      : Seq[(String, BloomPruner.KeyKind)] =
+    BloomPruner.readSidecar(spark, path)
+      .map(_.map(cb => cb.keyCol -> cb.kind)).getOrElse(Nil)
+
+  /** Regenerate the bloom sidecar a swap destroyed — one distributed
+    * pass over the NEW file set ([[BloomPruner.rebuildSidecar]], which
+    * also re-fires the writer-invalidation hooks). */
+  private def rebloom(spark: SparkSession, path: String,
+      bloomKeys: Seq[(String, BloomPruner.KeyKind)]): Unit =
+    if (bloomKeys.nonEmpty) {
+      BloomPruner.rebuildSidecar(spark, path,
+        TableSpec(new org.apache.hadoop.fs.Path(path).getName, "parquet",
+          Nil, None), bloomKeys)
       ()
     }
 }

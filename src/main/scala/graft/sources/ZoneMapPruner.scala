@@ -292,6 +292,17 @@ object ZoneMapPruner {
   def writeSidecar(s: SparkSession, dir: String,
       zones: Seq[ShardZoneMap]): Unit = {
     val root = new org.apache.hadoop.fs.Path(dir)
+    // the format stores file NAMES: refuse a file that is not a DIRECT
+    // child of the table root (r17, the bloom sidecar's r16 ADVICE
+    // applied here too) — on a nested layout with repeated part-file
+    // basenames the name-set gate collapses duplicates and
+    // `Path(root, name)` resolves to the wrong (or no) file
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    zones.foreach { z =>
+      val parent = new org.apache.hadoop.fs.Path(z.path).getParent
+      require(parent != null && parent.toUri.getPath == rootUri,
+        s"writeSidecar: ${z.path} is not a direct child of $dir")
+    }
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".${SidecarName}.tmp.${System.nanoTime}")

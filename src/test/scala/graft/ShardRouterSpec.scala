@@ -289,27 +289,36 @@ class ShardRouterSpec extends SparkSpec {
     assert(preds.size == 2, s"exactly the two sound predicates: $preds")
   }
 
-  test("IN-lists extract as a Between envelope; null members drop; inexact members widen outward") {
-    // x IN (v1..vn) admits a shard iff some vi lands inside its zone;
-    // the sound SINGLE-range envelope is Between(min vi, max vi) — an
-    // overapproximation (gaps between members stay unpruned; the
-    // residual filter handles them). NULL members match no row, so they
-    // drop from the envelope; a member with no exact double rendering
-    // widens its end OUTWARD (nextDown/nextUp) instead of vetoing the
-    // whole envelope. Both In and its OptimizeIn form InSet extract.
+  test("IN-lists extract as a disjunction of equalities; null members drop; inexact members widen outward") {
+    // x IN (v1..vn) admits a shard iff some vi lands inside its zone.
+    // r17 (r16 verdict item 2): an all-exact list extracts as
+    // OrPred(EqTo vi) — zone-side it prunes the gaps BETWEEN members a
+    // single envelope keeps, and bloom-side it is the per-member
+    // membership union. NULL members match no row, so they drop; a
+    // member with no exact double rendering degrades the WHOLE list to
+    // the outward-widened Between envelope (an EqTo against a rounded
+    // literal could wrongly prune). Both In and its OptimizeIn form
+    // InSet extract.
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.types.LongType
-    import graft.sources.ZoneMapPruner.{Between => ZBetween}
+    import graft.sources.ZoneMapPruner.{Between => ZBetween, EqTo => ZEqTo,
+      OrPred => ZOrPred}
     val a = AttributeReference("k", LongType)()
     val preds = graft.plans.ModeExec.rangePreds(Seq(
       In(a, Seq(Literal(7L, LongType), Literal(3L, LongType),
         Literal(null, LongType), Literal(11L, LongType)))))
-    assert(preds == Seq(ZBetween("k", 3.0, 11.0)),
-      s"IN envelope over non-null members: $preds")
+    assert(preds == Seq(ZOrPred(Seq(Seq(ZEqTo("k", 7.0)),
+      Seq(ZEqTo("k", 3.0)), Seq(ZEqTo("k", 11.0))))),
+      s"IN over non-null exact members is a disjunction of equalities: $preds")
     val inset = graft.plans.ModeExec.rangePreds(Seq(
       InSet(a, Set[Any](5L, 2L, 9L))))
-    assert(inset == Seq(ZBetween("k", 2.0, 9.0)),
-      s"InSet (OptimizeIn's form) must extract too: $inset")
+    inset match {
+      case Seq(ZOrPred(branches)) =>
+        assert(branches.flatten.toSet ==
+          Set(ZEqTo("k", 5.0), ZEqTo("k", 2.0), ZEqTo("k", 9.0)),
+          s"InSet (OptimizeIn's form) must extract the same members: $inset")
+      case other => fail(s"expected a disjunction of equalities: $other")
+    }
     // inexact member (2^53+1): its end widens outward, never inward
     val big = (1L << 53) + 1
     val wide = graft.plans.ModeExec.rangePreds(Seq(
@@ -1199,8 +1208,9 @@ class ShardRouterSpec extends SparkSpec {
     val (spec, blooms) = BloomPruner.shardedByCustId(s, sfDir)
     val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
     // the persisted sidecar round-trips (kind + key + per-shard sketches)
-    val (keyCol, kind, reread) = BloomPruner.readSidecar(s, root).get
-    assert(keyCol == "cust_id" && kind == BloomPruner.StringKey)
+    val Seq(cb) = BloomPruner.readSidecar(s, root).get
+    assert(cb.keyCol == "cust_id" && cb.kind == BloomPruner.StringKey)
+    val reread = cb.shards
     assert(reread.map(b => new org.apache.hadoop.fs.Path(b.path).getName).sorted ==
       blooms.map(b => new org.apache.hadoop.fs.Path(b.path).getName).sorted)
     val sampleKeys = Seq("cust-1", "cust-42", "cust-7")
@@ -1249,6 +1259,357 @@ class ShardRouterSpec extends SparkSpec {
     } finally {
       try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
       cache.invalidateAll()
+    }
+  }
+
+  test("bloomKeeps: member union for IN/OR, branch veto, cross-key intersection") {
+    // r17 (r16 verdict items 2+4) unit pins for the conf route's bloom
+    // arm: an OrPred (the shape IN-lists and OR-of-equality extract to)
+    // keeps a shard iff SOME member's sketch admits it; a branch with no
+    // checkable equality on the column vetoes the whole disjunction for
+    // it (that branch could match anywhere); several constrained
+    // conjuncts/columns INTERSECT; fractional literals skip the long
+    // bloom rather than truncate-mismatch.
+    import graft.sources.BloomPruner
+    import graft.sources.BloomPruner.{ColumnBlooms, ShardBloom}
+    import graft.sources.ZoneMapPruner.{EqTo => ZEq, SEq => ZSEq, Gt => ZGt,
+      OrPred => ZOr}
+    import org.apache.spark.util.sketch.BloomFilter
+    def bfL(keys: Long*): BloomFilter = {
+      val b = BloomFilter.create(100); keys.foreach(b.putLong); b
+    }
+    def bfS(keys: String*): BloomFilter = {
+      val b = BloomFilter.create(100)
+      keys.foreach(k => b.putLong(BloomPruner.xx64(k))); b
+    }
+    // 3 shards; long key `ok`: {1,2} | {3,4} | {5,6}; string key `cid`:
+    // {a,b} | {c} | {d}
+    val paths = Seq("/t/p0", "/t/p1", "/t/p2")
+    val okCol = ColumnBlooms("ok", BloomPruner.LongKey, Seq(
+      ShardBloom(paths(0), "ok", bfL(1, 2)),
+      ShardBloom(paths(1), "ok", bfL(3, 4)),
+      ShardBloom(paths(2), "ok", bfL(5, 6))))
+    val cidCol = ColumnBlooms("cid", BloomPruner.StringKey, Seq(
+      ShardBloom(paths(0), "cid", bfS("a", "b")),
+      ShardBloom(paths(1), "cid", bfS("c")),
+      ShardBloom(paths(2), "cid", bfS("d"))))
+    val cols = Seq(okCol, cidCol)
+    import graft.plans.ModeExec.bloomKeeps
+    // point equality: one shard
+    assert(bloomKeeps(cols, Seq(ZEq("ok", 3.0))) == Some(Set(paths(1))))
+    // IN / OR member UNION: ok IN (1, 5) keeps p0 ∪ p2
+    assert(bloomKeeps(cols, Seq(ZOr(Seq(Seq(ZEq("ok", 1.0)),
+      Seq(ZEq("ok", 5.0)))))) == Some(Set(paths(0), paths(2))))
+    // string member union: cid IN ('a','d') keeps p0 ∪ p2
+    assert(bloomKeeps(cols, Seq(ZOr(Seq(Seq(ZSEq("cid", "a")),
+      Seq(ZSEq("cid", "d")))))) == Some(Set(paths(0), paths(2))))
+    // VETO: one branch constrains a column with no bloom — the whole
+    // disjunction gives no constraint (it could match anywhere)
+    assert(bloomKeeps(cols, Seq(ZOr(Seq(Seq(ZSEq("cid", "a")),
+      Seq(ZSEq("other", "x")))))) == None)
+    // VETO: a branch whose only conjunct is a non-equality
+    assert(bloomKeeps(cols, Seq(ZOr(Seq(Seq(ZEq("ok", 1.0)),
+      Seq(ZGt("ok", 4.0)))))) == None)
+    // a branch with an extra non-checkable conjunct still constrains
+    // via its equality (superset of the branch's true matches — sound)
+    assert(bloomKeeps(cols, Seq(ZOr(Seq(Seq(ZEq("ok", 1.0), ZGt("x", 0.0)),
+      Seq(ZEq("ok", 5.0)))))) == Some(Set(paths(0), paths(2))))
+    // cross-key INTERSECTION: ok=3 ∧ cid='c' → p1; ok=3 ∧ cid='d' → ∅
+    assert(bloomKeeps(cols, Seq(ZEq("ok", 3.0), ZSEq("cid", "c")))
+      == Some(Set(paths(1))))
+    assert(bloomKeeps(cols, Seq(ZEq("ok", 3.0), ZSEq("cid", "d")))
+      == Some(Set.empty[String]))
+    // fractional literal on a long bloom: skipped (no constraint)
+    assert(bloomKeeps(cols, Seq(ZEq("ok", 3.5))) == None)
+    // kind mismatch never consults the wrong sketch: a numeric equality
+    // on the STRING column's name gives no constraint
+    assert(bloomKeeps(cols, Seq(ZEq("cid", 3.0))) == None)
+  }
+
+  test("IN-list bloom pruning through the conf route reads only member shards (z15)") {
+    // r16 verdict item 2 end-to-end: `cust_id IN ('cust-42','cust-900')`
+    // over the hash-bucketed directory keeps a shard iff SOME member's
+    // sketch admits it — ≤ 2 of 8 shards — where the zone envelope alone
+    // is useless (every shard spans the domain).
+    import graft.sources.BloomPruner
+    val s = spark.newSession()
+    val (spec, blooms) = BloomPruner.shardedByCustId(s, sfDir)
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    val members = Seq("cust-42", "cust-900")
+    val union = members.flatMap(k =>
+      BloomPruner.pruneString(blooms, k).map(b =>
+        new org.apache.hadoop.fs.Path(b.path).getName)).toSet
+    assert(union.size <= 2 && union.nonEmpty,
+      s"two members live in at most two of 8 shards: $union")
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_bloomstr_csv")
+    val sql =
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |FROM orders_bloomstr_csv WHERE cust_id IN ('cust-42', 'cust-900')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.nonEmpty, "fixture must select rows")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "IN-pruned conf route must match the pristine plan")
+      }
+      val regions = cache.keys.filter(_.region.startsWith("shard="))
+      assert(regions.nonEmpty, s"shard residents expected: ${cache.keys}")
+      assert(regions.map(_.region).toSet.subsetOf(
+        union.map("shard=" + _)),
+        s"only member-union shards may admit: ${regions.map(_.region)} vs $union")
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
+  test("one two-key sidecar prunes on both keys; a conjunction intersects (z16/z17)") {
+    // r16 verdict item 4: the v=2 sidecar carries a sketch set PER
+    // COLUMN; the same directory prunes an o_orderkey lookup AND a
+    // cust_id lookup, and a two-key conjunction keeps only the
+    // intersection.
+    import graft.sources.BloomPruner
+    val s = spark.newSession()
+    val (spec, cols) = BloomPruner.shardedTwoKey(s, sfDir)
+    assert(cols.map(c => (c.keyCol, c.kind)) ==
+      Seq(("o_orderkey", BloomPruner.LongKey),
+        ("cust_id", BloomPruner.StringKey)))
+    val root = new org.apache.hadoop.fs.Path(spec.paths.head).getParent.toString
+    // the persisted v=2 sidecar round-trips both columns
+    val reread = BloomPruner.readSidecar(s, root).get
+    assert(reread.map(c => (c.keyCol, c.kind)) ==
+      cols.map(c => (c.keyCol, c.kind)))
+    def up(p0: String) = new org.apache.hadoop.fs.Path(p0).toUri.getPath
+    // a REAL row's (orderkey, cust) pair: both keys' keeps share its shard
+    val row = graft.sources.Catalog.read(s, spec)
+      .filter(col("o_orderkey") === 1000L)
+      .select(col("cust_id"),
+        org.apache.spark.sql.functions.input_file_name()).head()
+    val (cust, file) = (row.getString(0), up(row.getString(1)))
+    val okKeep = BloomPruner.prune(
+      reread.find(_.keyCol == "o_orderkey").get.shards, 1000L)
+      .map(b => up(b.path)).toSet
+    val cidKeep = BloomPruner.pruneString(
+      reread.find(_.keyCol == "cust_id").get.shards, cust)
+      .map(b => up(b.path)).toSet
+    assert(okKeep.contains(file) && cidKeep.contains(file),
+      "both keys' sketches must admit the row's own shard")
+    assert(okKeep.size <= 2 && cidKeep.size <= 2,
+      s"point lookups keep ~1 of 8 shards: ok=$okKeep cid=$cidKeep")
+    // the conjunction intersects (ModeExec.bloomKeeps over the parsed cols)
+    import graft.sources.ZoneMapPruner.{EqTo => ZEq, SEq => ZSEq}
+    val both = graft.plans.ModeExec.bloomKeeps(reread,
+      Seq(ZEq("o_orderkey", 1000.0), ZSEq("cust_id", cust)))
+    assert(both == Some(okKeep intersect cidKeep) && both.get.contains(file))
+    // end-to-end: the conjunction through the conf route is
+    // row-identical and admits only intersection shards
+    s.read.schema(spec.schema.get).option("delimiter", "|").csv(root)
+      .createOrReplaceTempView("orders_bloom2_csv")
+    val sql =
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+         |FROM orders_bloom2_csv
+         |WHERE o_orderkey = 1000 AND cust_id = '$cust'""".stripMargin
+    val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+    assert(expect.head.head == 1L, s"the pair selects its one row: $expect")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      (1 to 3).foreach { _ =>
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "two-key conjunction conf route must match the pristine plan")
+      }
+      val names = both.get.map(p =>
+        "shard=" + new org.apache.hadoop.fs.Path(p).getName)
+      val regions = cache.keys.filter(_.region.startsWith("shard="))
+      assert(regions.nonEmpty, s"shard residents expected: ${cache.keys}")
+      assert(regions.map(_.region).toSet.subsetOf(names),
+        s"only intersection shards may admit: ${regions.map(_.region)}")
+      // a cross pair that no single shard satisfies both sketches of
+      // still returns the right answer (0 rows) — soundness under
+      // intersection is the residual's job, pruning only narrows files
+      val crossSql =
+        """SELECT count(*) AS n FROM orders_bloom2_csv
+          |WHERE o_orderkey = 1000 AND cust_id = 'cust-nope'""".stripMargin
+      assert(Engine.executeQuery(s, sfDir, crossSql).collect()
+        .head.getLong(0) == 0L)
+    } finally {
+      try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      cache.invalidateAll()
+    }
+  }
+
+  test("Sink.compact and mergeInto regenerate the bloom sidecar their swap destroys") {
+    // r16 verdict item 1: compact/mergeInto swap the WHOLE directory —
+    // without the rebloom hook a bloom-bucketed table silently loses
+    // `_graft_bloom` (not even drift: just gone) after every maintenance
+    // op, verbatim the §22.5 zone hazard. The reference regenerates
+    // partition metadata with the data (`Partition.h:23-41`).
+    import java.nio.file.Files
+    import graft.sources.BloomPruner
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-compact-bloom")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      val table = root.resolve("t").toString
+      graft.sources.Tables.orders(s, sfDir)
+        .select(col("o_orderkey"),
+          concat(lit("cust-"), col("o_custkey")).as("cust_id"),
+          col("o_totalprice"))
+        .repartition(4, col("cust_id"))
+        .write.parquet(table)
+      val cols = BloomPruner.buildMulti(s.read.parquet(table),
+        Seq("o_orderkey" -> BloomPruner.LongKey,
+          "cust_id" -> BloomPruner.StringKey))
+      BloomPruner.writeSidecar(s, table, cols)
+      def view(): Unit = s.read.parquet(table)
+        .createOrReplaceTempView("orders_compact_bloom")
+      view()
+      val sql =
+        """SELECT count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+          |FROM orders_compact_bloom WHERE cust_id = 'cust-7'""".stripMargin
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      assert(expect.head.head.asInstanceOf[Long] > 0L, s"fixture: $expect")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      def partNames() = fs.globStatus(
+        new org.apache.hadoop.fs.Path(table, "part-*"))
+        .map(_.getPath.getName).toSet
+      def sidecarNamesAndKeys() = {
+        val re = BloomPruner.readSidecar(s, table)
+        assert(re.isDefined, "bloom sidecar must exist")
+        (re.get.head.shards.map(b => new org.apache.hadoop.fs.Path(b.path)
+          .getName).toSet, re.get.map(c => (c.keyCol, c.kind)))
+      }
+      s.conf.set("spark.graft.scanMode", "hybrid")
+      try {
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, "pre-compact conf route")
+        }
+        assert(cache.keys.exists(_.region.startsWith("shard=")),
+          "fixture: pre-compact route must produce shard residents")
+        cache.invalidateAll()
+        val (nBefore, nAfter) = graft.sources.Sink.compact(s, table)
+        assert(nBefore == 4 && nAfter >= 1, s"compact: $nBefore -> $nAfter")
+        // the sidecar must exist again, NAME the new file set, and keep
+        // BOTH key columns with their kinds
+        val (names1, keys1) = sidecarNamesAndKeys()
+        assert(names1 == partNames(),
+          "the regenerated bloom sidecar must match the compacted file set")
+        assert(keys1 == Seq(("o_orderkey", BloomPruner.LongKey),
+          ("cust_id", BloomPruner.StringKey)),
+          s"both keys must survive the compact: $keys1")
+        view()
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, "post-compact conf route")
+        }
+        assert(cache.keys.exists(_.region.startsWith("shard=")),
+          s"post-compact route must still produce shard residents: ${cache.keys}")
+        cache.invalidateAll()
+        // mergeInto: same discipline through the OTHER maintenance swap
+        val one = s.read.parquet(table).filter(col("cust_id") === "cust-7")
+          .limit(1).collect().head
+        val updates = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            one.getAs[Long]("o_orderkey"), "cust-7",
+            one.getAs[Double]("o_totalprice") + 1.0)),
+          s.read.parquet(table).schema)
+        graft.sources.Sink.mergeInto(s, table, updates,
+          key = "o_orderkey", orderCol = "o_totalprice")
+        val (names2, keys2) = sidecarNamesAndKeys()
+        assert(names2 == partNames() && keys2 == keys1,
+          "mergeInto must regenerate the bloom sidecar over its new files")
+        view()
+        val after = Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq
+        assert(after.head.head == expect.head.head &&
+          after.head(1).asInstanceOf[Double] >
+            expect.head(1).asInstanceOf[Double],
+          s"post-merge route must see the update: $after vs $expect")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      }
+    } finally {
+      cache.invalidateAll()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("bloom drift is counted and BloomPruner.rebuildSidecar restores membership pruning") {
+    // the bloom twin of the zone drift/rebuild contract: a new shard
+    // lands without a rebuild → the leaf is unrouted (correct, counted,
+    // warned with the RIGHT repair name); one rebuildSidecar call (one
+    // distributed pass, tmp+rename, writer-invalidation hooks) brings
+    // membership pruning back.
+    import java.nio.file.Files
+    import graft.sources.BloomPruner
+    val s = spark.newSession()
+    val root = Files.createTempDirectory("graft-bloom-rebuild")
+    val cache = HybridScan.segmentCache(s, sfDir)
+    try {
+      Files.write(root.resolve("part-0.csv"), "1|10\n2|20\n".getBytes("UTF-8"))
+      Files.write(root.resolve("part-1.csv"), "5|50\n6|60\n".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      val template = graft.sources.TableSpec("t_bloomrebuild", "csv", Nil,
+        Some(schema), "|")
+      def readDir = s.read.schema(schema).option("delimiter", "|")
+        .csv(root.toString)
+      BloomPruner.rebuildSidecar(s, root.toString, template,
+        Seq("k" -> BloomPruner.LongKey))
+      Files.write(root.resolve("part-2.csv"), "9|90\n".getBytes("UTF-8"))
+      HybridScan.invalidateListings(root.toString)
+      s.catalog.refreshByPath(root.toString)
+      readDir.createOrReplaceTempView("t_bloomrebuild")
+      val sql = "SELECT sum(v) AS sv FROM t_bloomrebuild WHERE k = 9"
+      val expect = Engine.plan(s, sfDir, sql).collect().map(_.toSeq).toSeq
+      assert(expect == Seq(Seq(90L)), s"fixture: $expect")
+      val drift0 = ZoneMapPruner.driftCount
+      try {
+        s.conf.set("spark.graft.scanMode", "hybrid")
+        assert(Engine.executeQuery(s, sfDir, sql).collect()
+          .map(_.toSeq).toSeq == expect,
+          "a drifted bloom leaf must stay row-identical (unrouted) — " +
+          "NOT lose the unlisted shard's rows")
+        assert(ZoneMapPruner.driftCount == drift0 + 1,
+          s"bloom drift must count once: ${ZoneMapPruner.driftCount - drift0}")
+        assert(!cache.keys.exists(_.region.startsWith("shard=")),
+          s"drifted bloom leaf must be unrouted: ${cache.keys}")
+        val cols = BloomPruner.rebuildSidecar(s, root.toString, template,
+          Seq("k" -> BloomPruner.LongKey))
+        assert(cols.head.shards.size == 3, s"rebuild must cover all shards")
+        (1 to 3).foreach { _ =>
+          assert(Engine.executeQuery(s, sfDir, sql).collect()
+            .map(_.toSeq).toSeq == expect, "rebuilt bloom leaf must match")
+        }
+        val regions = cache.keys.filter(_.region.startsWith("shard="))
+        assert(regions.nonEmpty && regions.map(_.region).toSet
+          .subsetOf(Set("shard=part-2.csv")),
+          s"rebuilt sidecar must restore membership pruning: ${cache.keys}")
+      } finally {
+        try s.conf.unset("spark.graft.scanMode") catch { case _: Throwable => () }
+      }
+    } finally {
+      cache.invalidateAll()
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(): Unit
+      }
+      rm(root.toFile)
     }
   }
 

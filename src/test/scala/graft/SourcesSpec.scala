@@ -213,6 +213,82 @@ class SourcesSpec extends SparkSpec {
       val absent = BloomPruner.prune(tsBlooms, micros / 1000000L)
       assert(absent.size < tsBlooms.size || tsBlooms.size == 1,
         "sanity: the sketches discriminate between dimensions")
+      // library-route LOOKUP on a temporal key (r16 ADVICE): readPruned's
+      // residual must compare in the key's encoded dimension — a bare
+      // `col === lit(micros)` on a TimestampType column has no coercion
+      // and failed analysis; now the residual encodes like the build
+      val spec = graft.sources.TableSpec("bloom_ts", "parquet",
+        tsBlooms.map(_.path), None)
+      val hit = BloomPruner.readPruned(spark, spec, tsBlooms, micros)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(hit == Seq(7L),
+        s"temporal point lookup through the library route: $hit")
+      val dHit = BloomPruner.readPruned(spark, spec, dBlooms, days)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+      assert(dHit == Seq(7L), s"date point lookup: $dHit")
+      assert(BloomPruner.readPruned(spark, spec, tsBlooms, micros + 1L)
+        .count() == 0L, "an absent micros key selects nothing")
+    } finally {
+      def rm(pf: java.io.File): Unit = {
+        Option(pf.listFiles()).foreach(_.foreach(rm)); pf.delete(): Unit
+      }
+      rm(root.toFile)
+    }
+  }
+
+  test("bloom sidecar v=2: relative paths, outside-root refusal, v=1 back-compat") {
+    // r16 ADVICE: basenames collapse on nested layouts (repeated
+    // part-file names) — v=2 stores ROOT-RELATIVE paths and the writer
+    // refuses files that do not live under the sidecar's directory.
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-bloom-v2")
+    try {
+      val dir = root.resolve("t").toString
+      spark.range(0, 20).select(col("id"), (col("id") % 4).as("g"))
+        .repartition(2, col("g")).write.parquet(dir)
+      val cols = BloomPruner.buildMulti(spark.read.parquet(dir),
+        Seq("id" -> BloomPruner.LongKey))
+      BloomPruner.writeSidecar(spark, dir, cols)
+      // round-trip: same shard keep-sets
+      val re = BloomPruner.readSidecar(spark, dir).get
+      def up(p0: String) = new org.apache.hadoop.fs.Path(p0).toUri.getPath
+      (0L to 19L).foreach { k =>
+        assert(BloomPruner.prune(re.head.shards, k).map(b => up(b.path)).toSet ==
+          BloomPruner.prune(cols.head.shards, k).map(b => up(b.path)).toSet,
+          s"v=2 round-trip must prune identically for $k")
+      }
+      // a bloom whose file lives OUTSIDE the directory is refused
+      val foreign = cols.head.copy(shards = cols.head.shards.map(b =>
+        b.copy(path = "/somewhere/else/" +
+          new org.apache.hadoop.fs.Path(b.path).getName)))
+      intercept[RuntimeException] {
+        BloomPruner.writeSidecar(spark, dir, Seq(foreign))
+      }
+      // v=1 single-key files (older writers) still parse: hand-write one
+      val shards = cols.head.shards
+      val v1 = new StringBuilder("v=1\tkeyCol=id\tkind=long\n")
+      shards.foreach { b =>
+        val buf = new java.io.ByteArrayOutputStream()
+        b.bloom.writeTo(buf)
+        v1.append(new org.apache.hadoop.fs.Path(b.path).getName).append('\t')
+          .append(java.util.Base64.getEncoder.encodeToString(buf.toByteArray))
+          .append('\n')
+      }
+      // write through the Hadoop fs (like any external tool would) — a
+      // raw java.nio overwrite leaves the local ChecksumFileSystem's
+      // stale .crc behind and the read fails on checksum, not format
+      val hfs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sidecarPath = new org.apache.hadoop.fs.Path(dir,
+        BloomPruner.SidecarName)
+      val out = hfs.create(sidecarPath, true)
+      try out.write(v1.toString.getBytes("UTF-8")) finally out.close()
+      val legacy = BloomPruner.readSidecar(spark, dir).get
+      assert(legacy.map(c => (c.keyCol, c.kind)) ==
+        Seq(("id", BloomPruner.LongKey)))
+      assert(legacy.head.shards.map(b => up(b.path)).sorted ==
+        shards.map(b => up(b.path)).sorted)
     } finally {
       def rm(pf: java.io.File): Unit = {
         Option(pf.listFiles()).foreach(_.foreach(rm)); pf.delete(): Unit

@@ -92,7 +92,7 @@ object ScanStats {
     * [[org.apache.spark.sql.execution.CommandResultExec]] — both are
     * LEAVES that hide the subtree that did the work (a write action's
     * whole query runs under the command node) — and inside subqueries. */
-  private def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+  private[graft] def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = {
     val here = p.collectWithSubqueries {
       case s: FileSourceScanExec => Seq(s)
       case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)

@@ -911,10 +911,18 @@ object Bench {
       }
 
     // ---- star-shape transfer economics (r17, r16 verdict item 7): the
-    // p05 two-dim star — a selectively-filtered fact (orders, 1/43 of
-    // rows) joining TWO over-threshold dims — measured rule-off vs
-    // rule-on with PER-DIM shuffle legs, so the multi-hop backward
-    // claim carries FS-truth numbers like the single-edge block above.
+    // p05 two-dim star — a selectively-filtered fact joining TWO
+    // over-threshold dims — measured rule-off vs rule-on with PER-DIM
+    // shuffle legs, so the multi-hop backward claim carries FS-truth
+    // numbers like the single-edge block above. One deliberate delta
+    // from p05's literal SQL: its `o_orderkey % 43 = 0` filter is ON
+    // the lineitem join key, so Catalyst's constraint propagation
+    // pushes it onto lineitem directly and the backward semi has
+    // nothing left to cut on that edge (measured: identical li legs
+    // rule-off/on; the probe plan shows the propagated Filter on the
+    // scan). The block filters on o_orderpriority instead — a fact
+    // predicate NO dim key can express, the shape where backward
+    // transfer is the ONLY mechanism that reduces either dim.
     // Per-dim attribution reads each ShuffleExchange's own
     // `shuffleBytesWritten` metric off the executed plan and assigns it
     // by the exchange's hash-partitioning key: `l_orderkey` = the
@@ -930,7 +938,7 @@ object Bench {
           .set("fs.mockfs.impl", classOf[MockObjectFs].getName)
         def shapeStar(): DataFrame = {
           val ord = spark.read.parquet(s"mockfs:$sfDir/orders.parquet")
-            .filter(col("o_orderkey") % 43 === 0)
+            .filter(col("o_orderdate") >= "2001-06-01")
           ord.join(spark.read.parquet(s"mockfs:$sfDir/lineitem.parquet"),
               col("o_orderkey") === col("l_orderkey"))
             .join(spark.read.parquet(s"mockfs:$sfDir/customer.parquet"),
@@ -978,6 +986,18 @@ object Bench {
           // the same 10%-margin bracket as the pair blocks (item 8)
           ((if (starSides.isEmpty) BigInt(0) else starSides.min) * 9 / 10)
             .max(1).toString)
+        // AQE OFF for this block only (the pair blocks above keep it):
+        // under store latency AQE's stage-completion ORDER decides which
+        // exchanges still exist when re-optimization runs — measured
+        // same-HEAD runs had the li leg at 0 (exchange eliminated),
+        // 0.23 MB (created before the fact stats landed), and 1.9 MB
+        // (created before the semi's stats landed). With the static
+        // plan both dim exchanges always exist and the legs measure
+        // exactly one thing: the rows the hinted backward semis removed
+        // before each dim's shuffle (the hints are planner hints —
+        // honored without AQE).
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         try if (starSides.nonEmpty) {
           def runStar(label: String, ruleOn: Boolean): Unit = {
             spark.conf.set("spark.graft.autoSemiReduction", ruleOn.toString)
@@ -993,6 +1013,13 @@ object Bench {
               out += s"${label}_shuffle_mb" ->
                 (ioTap.shuffleBytes() - sh0) / 1e6
               val legs = exchangeLegs(df.queryExecution.executedPlan)
+              if (sys.env.get("SPARK_GRAFT_STAR_DEBUG").contains("1")) {
+                System.err.println(s"[star-debug] $label exchanges: " +
+                  legs.map { case (k, b) => s"[${k.mkString(",")}]=$b" }
+                    .mkString(" "))
+                System.err.println(s"[star-debug] plan: " + df.queryExecution
+                  .executedPlan.toString.take(3000))
+              }
               def leg(key: String): Double =
                 legs.filter(_._1 == Seq(key)).map(_._2).sum / 1e6
               out += s"${label}_li_shuffle_mb" -> leg("l_orderkey")
@@ -1002,6 +1029,7 @@ object Bench {
           runStar("star_notrans", ruleOn = false)
           runStar("star_trans", ruleOn = true)
         } finally {
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
           spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
           prevRule match {
             case Some(v) => spark.conf.set("spark.graft.autoSemiReduction", v)

@@ -157,6 +157,35 @@ object BloomPruner {
       shards: Seq[ShardBloom], key: String): DataFrame =
     readKept(spark, spec, shards, pruneString(shards, key), StringKey, lit(key))
 
+  /** IN-list lookup through the library route (r17): read the shards
+    * whose bloom admits SOME member — the per-member membership UNION
+    * the conf route's [[graft.plans.ModeExec.bloomKeeps]] computes for
+    * `IN` — then re-apply the exact membership as the residual. An
+    * empty key list selects nothing. */
+  def readPrunedIn(spark: SparkSession, spec: TableSpec,
+      shards: Seq[ShardBloom], keys: Seq[Long]): DataFrame = {
+    val kept = keys.flatMap(k => prune(shards, k)).distinct
+    readKeptIn(spark, spec, shards, kept, LongKey, keys)
+  }
+
+  /** [[readPrunedIn]] for string keys against a [[buildString]] sidecar. */
+  def readPrunedStringIn(spark: SparkSession, spec: TableSpec,
+      shards: Seq[ShardBloom], keys: Seq[String]): DataFrame = {
+    val kept = keys.flatMap(k => pruneString(shards, k)).distinct
+    readKeptIn(spark, spec, shards, kept, StringKey, keys)
+  }
+
+  private def readKeptIn(spark: SparkSession, spec: TableSpec,
+      shards: Seq[ShardBloom], kept: Seq[ShardBloom], kind: KeyKind,
+      keys: Seq[Any]): DataFrame = {
+    if (shards.isEmpty || keys.isEmpty)
+      return Catalog.read(spark, spec).limit(0)
+    val df =
+      if (kept.isEmpty) Catalog.read(spark, spec).limit(0)
+      else Catalog.read(spark, spec.copy(paths = kept.map(_.path)))
+    df.filter(encodedKeyCol(df, shards.head.keyCol, kind).isin(keys: _*))
+  }
+
   private def readKept(spark: SparkSession, spec: TableSpec,
       shards: Seq[ShardBloom], kept: Seq[ShardBloom], kind: KeyKind,
       key: Column): DataFrame = {
@@ -165,24 +194,25 @@ object BloomPruner {
     val df =
       if (keep.isEmpty) Catalog.read(spark, spec).limit(0) // definitely absent
       else Catalog.read(spark, spec.copy(paths = keep))
-    // the residual must compare in the KEY's dimension (r16 ADVICE): a
-    // long key against a DATE/TIMESTAMP column carries epoch days/micros
-    // (the [[encFor]] contract), and Spark has no date-vs-long coercion —
-    // a bare `col === key` would fail analysis. Encode the column the
-    // same way the build pass did; for plain columns this is the
-    // identity comparison as before.
-    val keyCol = shards.head.keyCol
-    val residual = kind match {
-      case StringKey => col(keyCol) === key
-      case LongKey => df.schema(keyCol).dataType match {
-        case org.apache.spark.sql.types.DateType =>
-          unix_date(col(keyCol)).cast("long") === key
-        case org.apache.spark.sql.types.TimestampType =>
-          unix_micros(col(keyCol)) === key
-        case _ => col(keyCol) === key
-      }
+    df.filter(encodedKeyCol(df, shards.head.keyCol, kind) === key)
+  }
+
+  /** The key column rendered in the KEY's dimension for the residual
+    * comparison (r16 ADVICE): a long key against a DATE/TIMESTAMP
+    * column carries epoch days/micros (the [[encFor]] contract), and
+    * Spark has no date-vs-long coercion — a bare `col === key` would
+    * fail analysis. Encoded the same way the build pass did; for plain
+    * columns this is the identity. */
+  private def encodedKeyCol(df: DataFrame, keyCol: String,
+      kind: KeyKind): Column = kind match {
+    case StringKey => col(keyCol)
+    case LongKey => df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.DateType =>
+        unix_date(col(keyCol)).cast("long")
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(keyCol))
+      case _ => col(keyCol)
     }
-    df.filter(residual)
   }
 
   // ---- persisted sidecar (r16; multi-key v=2 in r17) ----------------------

@@ -174,6 +174,35 @@ class SourcesSpec extends SparkSpec {
     assert(absent.count() == 0L)
   }
 
+  test("IN-list lookups through the library route read only member-union shards") {
+    // r17: the library twin of the conf route's per-member membership
+    // union (z15) — read the shards SOME member's sketch admits, then
+    // re-apply the exact membership as the residual.
+    import org.apache.spark.sql.functions._
+    val (spec, blooms) = BloomPruner.shardedByCustkey(spark, sfDir)
+    val keys = Seq(42L, 900L)
+    val union = keys.flatMap(k => BloomPruner.prune(blooms, k)).distinct
+    assert(union.size >= 1 && union.size <= 3,
+      s"two members live in ~2 of 8 shards (± false positives): ${union.size}")
+    val df = BloomPruner.readPrunedIn(spark, spec, blooms, keys)
+    assert(df.inputFiles.length == union.size,
+      "only member-union shards may be read")
+    val expect = graft.sources.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey").isin(keys: _*)).count()
+    assert(expect > 0 && df.count() == expect,
+      s"union + residual must select exactly the members' rows")
+    // string twin over the string-bucketed fixture
+    val (sSpec, sBlooms) = BloomPruner.shardedByCustId(spark, sfDir)
+    val sdf = BloomPruner.readPrunedStringIn(spark, sSpec, sBlooms,
+      Seq("cust-42", "cust-900"))
+    assert(sdf.count() == expect)
+    // degenerate arms: empty list selects nothing; all-absent members
+    // read nothing (every sketch rejects them)
+    assert(BloomPruner.readPrunedIn(spark, spec, blooms, Nil).count() == 0L)
+    assert(BloomPruner.readPrunedStringIn(spark, sSpec, sBlooms,
+      Seq("cust-nope", "cust-never")).count() == 0L)
+  }
+
   test("temporal bloom keys encode like zone maps: micros/days, never cast-seconds") {
     // r16 review: cast("long") on a timestamp yields epoch SECONDS
     // while the extractor's equality literals carry epoch MICROS - a

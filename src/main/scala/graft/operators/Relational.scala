@@ -28,8 +28,12 @@ object Relational {
     * `transform/PrePToPTransformerUtil.cpp:62-124`). */
   private def q01GroupAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+    // spread before the partial aggregate (r17): the single-row-group
+    // scan otherwise runs every decimal-exact partial sum on one core;
+    // spreading parallelizes the decimal math across the session's cores
+    // (measured 0.92 → 0.81 s at sf0.1) and is a no-op at cluster scale
+    Tables.spread(Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum($"l_quantity").as("sum_qty"),
@@ -749,7 +753,15 @@ object Relational {
     // NOT-EXISTS conditions (suppliers-in-order > 1, exactly one supplier
     // with a returned line) — same decorrelated semantics, 3x less data
     // movement than the semi+anti join formulation.
+    // ONE exchange for both keyed steps (guide §2.4; r17): hash-cluster
+    // by l_orderkey up front — HashPartitioning(l_orderkey) satisfies the
+    // (l_orderkey, l_suppkey) aggregation's clustering (subset rule) AND
+    // the per-order window's, so neither re-shuffles. The previous form
+    // paid a second full exchange between the aggregate and the window
+    // (plan: 3 Exchange → 2; measured 1.07 → 0.70 s at sf0.1).
     val perSupp = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      .repartition($"l_orderkey")
       .groupBy($"l_orderkey", $"l_suppkey")
       .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("r_cnt"))
     val byOrder = Window.partitionBy($"l_orderkey")
@@ -1496,7 +1508,14 @@ object Relational {
   private def q43SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.plans.SkewJoin.salted(
-      Tables.lineitem(s, dir),
+      // project to the join/salt/agg columns and spread across cores
+      // BEFORE salting (guide §2.3/§2.6; r17): the single-row-group scan
+      // otherwise runs salt + probe + partial agg on ONE core — measured
+      // 2.08 → 1.34 s at sf0.1 (ProfileR17 q43_xx vs q43_xx_spread). At
+      // cluster scale spread() is a no-op (splits ≥ cores) and the
+      // projection is what column pruning reaches anyway.
+      Tables.spread(Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")),
       Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
       $"l_orderkey", $"o_orderkey",
       // varies WITHIN a join key — salting by the key itself would keep

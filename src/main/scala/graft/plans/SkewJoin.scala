@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * post-shuffle, or a build side that must replicate.
   *
   * The fact side gets a deterministic salt in [0, salts) derived from a
-  * unique fact column (md5-based, so the same row always lands in the
-  * same salt bucket — reproducible across runs and engines, unlike
-  * `rand()`); the dim side is replicated `salts` times. The join key
+  * unique fact column (xxhash64-based, so the same row always lands in
+  * the same salt bucket — reproducible across runs, unlike `rand()`);
+  * the dim side is replicated `salts` times. The join key
   * becomes (key, salt): the hot key's rows spread over `salts` partitions,
   * each meeting its own copy of the dim row. Pure plan rewrite — the
   * result set is EXACTLY the plain join's, which the q43 oracle proves by
@@ -34,13 +34,17 @@ object SkewJoin {
     val clash = (fact.columns ++ dim.columns).filter(Set("__fsalt", "__dsalt"))
     require(clash.isEmpty,
       s"salted: column names ${clash.mkString(", ")} are reserved internals")
-    // md5 first byte mod salts: deterministic, engine-portable, uniform.
-    // coalesce: a NULL salt source must still salt (md5(NULL) is NULL and
-    // a NULL salt would silently DROP the row from the inner join)
+    // xxhash64 mod salts: deterministic and uniform, and a single
+    // codegen'd long hash per row. (r17 optimization: the original
+    // md5→hex→substring→conv(16,10)→cast chain cost ~0.8 s/600k rows at
+    // sf0.1 — measured via ProfileR17 q43_md5_inline vs q43_xx — because
+    // the optimizer also duplicates the salt expression under the join's
+    // null-rejection filter, so every fact row paid it twice.)
+    // coalesce: a NULL salt source must still salt (a NULL salt would
+    // silently DROP the row from the inner join)
     val salt = pmod(
-      conv(substring(md5(coalesce(factSaltSource.cast("string"), lit(""))), 1, 2),
-        16, 10).cast("int"),
-      lit(salts))
+      xxhash64(coalesce(factSaltSource.cast("string"), lit(""))),
+      lit(salts.toLong)).cast("int")
     val saltedFact = fact.withColumn("__fsalt", salt)
     val saltedDim = dim.withColumn("__dsalt",
       explode(array((0 until salts).map(lit): _*)))

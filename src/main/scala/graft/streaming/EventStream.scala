@@ -527,10 +527,19 @@ object EventStream {
     val bucketed = iv.withColumn("bucket",
       explode(sequence(floor($"start_s" / 3600L).cast("long"),
         floor($"end_s" / 3600L).cast("long"))))
+    // merge-hint both sides (r17): the planner otherwise broadcasts one
+    // side of this self-join, and a broadcast build has no exchange to
+    // share — the whole sessionization subtree (scan → two windows →
+    // interval aggregate → bucket explode) executes TWICE per run. Under
+    // sort-merge both sides shuffle by bucket, the two shuffles are
+    // canonically identical, and ReusedExchange runs the session work
+    // ONCE (measured 2.85 → 1.14 s at sf0.1; plan: second subtree
+    // replaced by ReusedExchange). At scale SMJ is also the right
+    // strategy: both sides of the self-join are the same size.
     val a = bucketed.select($"bucket", $"user_id".as("u1"),
-      $"start_s".as("start1"), $"end_s".as("end1"))
+      $"start_s".as("start1"), $"end_s".as("end1")).hint("merge")
     val b = bucketed.select($"bucket".as("bucket2"), $"user_id".as("u2"),
-      $"start_s".as("start2"), $"end_s".as("end2"))
+      $"start_s".as("start2"), $"end_s".as("end2")).hint("merge")
     a.join(b, $"bucket" === $"bucket2" && $"u1" < $"u2" &&
         $"start1" <= $"end2" && $"start2" <= $"end1")
       .select($"u1", $"start1", $"u2", $"start2")
@@ -738,23 +747,34 @@ object EventStream {
       .filter($"user_id" < 50)
       .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
       .agg(avg($"value").as("v"))
-    val cal = obs.groupBy($"user_id")
-      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
-      .select($"user_id",
-        explode(sequence($"h0", $"h1", expr("INTERVAL 1 HOUR"))).as("hour"))
+    // SEGMENT form (r17, guide §2.4/§1.2 "the distributed algorithm"):
+    // every calendar hour lies in exactly one segment between consecutive
+    // observed hours, so ONE lead() window over the observations gives
+    // each segment its (next hour, next value) and an explode(sequence)
+    // emits the segment's hours with the interpolation computed as plain
+    // arithmetic — no per-user calendar aggregate, no cal⟕obs join, and
+    // no second full-calendar window pass. The previous join+two-window
+    // form measured 1.30 s at sf0.1; this form 0.41 s, same rows (oracle
+    // ev16Sql unchanged — proved at sf0.001/0.01/0.1).
+    // Precondition for row-identity with the windowed form: every obs row
+    // is a real anchor, i.e. avg(value) is never NULL — value is NOT NULL
+    // in this corpus, and a group exists only with ≥1 row. (With all-NULL
+    // value groups the windowed form would interpolate THROUGH such an
+    // hour; this form has no such rows to skip.)
     val byUser = Window.partitionBy($"user_id").orderBy($"hour")
-    val before = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = byUser.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    cal.join(obs, Seq("user_id", "hour"), "left")
-      .withColumn("pv", last($"v", ignoreNulls = true).over(before))
-      .withColumn("ph", last(when($"v".isNotNull, $"hour"), ignoreNulls = true).over(before))
-      .withColumn("nv", first($"v", ignoreNulls = true).over(after))
-      .withColumn("nh", first(when($"v".isNotNull, $"hour"), ignoreNulls = true).over(after))
-      .withColumn("filled", when($"v".isNotNull, $"v").otherwise(
+    obs
+      .withColumn("nh", lead($"hour", 1).over(byUser))
+      .withColumn("nv", lead($"v", 1).over(byUser))
+      .select($"user_id", $"hour".as("ph"), $"v".as("pv"), $"nh", $"nv")
+      .select($"user_id", $"ph", $"pv", $"nh", $"nv",
+        explode(sequence($"ph",
+          coalesce($"nh" - expr("INTERVAL 1 HOUR"), $"ph"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+      .withColumn("filled", when($"hour" === $"ph", $"pv").otherwise(
         $"pv" + ($"nv" - $"pv")
           * (unix_timestamp($"hour") - unix_timestamp($"ph")).cast("double")
           / (unix_timestamp($"nh") - unix_timestamp($"ph")).cast("double")))
-      .select($"user_id", $"hour", $"filled", $"v".isNull.as("interpolated"))
+      .select($"user_id", $"hour", $"filled", ($"hour" =!= $"ph").as("interpolated"))
       .orderBy($"user_id", $"hour")
   }
 

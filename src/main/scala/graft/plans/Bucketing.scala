@@ -101,7 +101,18 @@ object Bucketing {
     // layout whose sort differs from its bucketing survives the rewrite
     val sk = if (sortKeys.isEmpty) keys else sortKeys
     reclaim(df.sparkSession, table)
-    df.write
+    // cluster by the bucket function BEFORE the write (guide §6 "coalesce
+    // on write"; r17): a bucketed V1 write emits one file per (task ×
+    // bucket), so an unclustered N-partition input writes up to N×buckets
+    // tiny files — the d18 band index measured 2,049 files for 3.7 MB,
+    // and every downstream scan paid 2,049 listings + opens per query.
+    // repartition(buckets, keys) uses the SAME HashPartitioning the
+    // bucket-id expression uses, so each write task holds exactly one
+    // bucket: one file per non-empty bucket, at the cost of one shuffle
+    // at build time (artifact builds run once per session/ingest batch).
+    import org.apache.spark.sql.functions.col
+    df.repartition(buckets, keys.map(col): _*)
+      .write
       .format("parquet")
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -257,18 +257,35 @@ object Similarity {
     * ground truths. Probes whose entire exact top-3 is missed don't
     * appear in the overlap; the average runs over all 50 probes, not
     * just the ones with hits. */
+  /** The exact brute-force top-3 as a SESSION ARTIFACT (r17): every gate
+    * (s06/s09/s11) measures against the SAME 50-probe ground truth, so
+    * recomputing the brute cross join + top-k window inside each gate
+    * repeated identical work three times per pass (ANN-benchmarks caches
+    * its ground truth for the same reason). 150 rows, localCheckpointed;
+    * built once per (session, dir) at the first gate's warm-up run,
+    * released with every other family artifact. */
+  private val exactTop3Cache = new graft.util.SessionCache[DataFrame](
+    releaseValue = graft.util.SessionCache.releaseFrame, gcReclaimable = true)
+
+  private def exactTop3(s: SparkSession, dir: String): DataFrame =
+    exactTop3Cache.getOrBuild(s, s"$dir#exact_top3") {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter($"vec_id" < 50)
+        .select($"vec_id".as("qid"), $"embedding".as("qe"))
+      val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+      broadcast(q).crossJoin(n)
+        .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"qid", $"nid")
+        .localCheckpoint()
+    }
+
   private[graft] def recallAt3(s: SparkSession, dir: String, approx: DataFrame): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val q = emb.filter($"vec_id" < 50)
-      .select($"vec_id".as("qid"), $"embedding".as("qe"))
-    val n = Tables.spread(emb.select($"vec_id".as("nid"), $"embedding".as("ne")))
-    val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-    val exact = broadcast(q).crossJoin(n)
-      .withColumn("cosine", CosineSimilarity.column($"qe", $"ne"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"qid", $"nid")
+    val exact = exactTop3(s, dir)
     val overlap = exact.join(approx, Seq("qid", "nid"), "left_semi")
       .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
     exact.select($"qid").distinct()

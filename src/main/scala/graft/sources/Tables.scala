@@ -66,8 +66,44 @@ object Tables {
   def exactSumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(25,6))) AS DOUBLE)"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir)
+  // Resolved-relation memo (r17 optimization). `spark.read.parquet`
+  // re-resolves the source on EVERY call — hadoop-conf copy, file
+  // listing, footer schema read — measured 70–80 ms per table on this
+  // host, ~400 ms for a 5-table star, paid inside every timed run of
+  // every DataFrame-API entry. The SQL path never pays it twice because
+  // Engine registration caches each table as a view (the reference
+  // caches its catalogue per connection the same way, `Client.cpp:
+  // 118-132`); this memo gives the DataFrame path the same catalogue
+  // discipline: one resolution per (session, dir, table), the ANALYZED
+  // frame reused afterwards. Plan-metadata caching only — no rows are
+  // cached, every execution still scans the files. Safe because the
+  // named tables are immutable testdata/fixture inputs; a writer to one
+  // of these paths would call [[invalidate]] (none exists today — all
+  // writers target derived copies under their own names). Self-joins of
+  // one memoized frame are de-duplicated by Catalyst's
+  // DeduplicateRelations, same as two references to one registered view.
+  private val relCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  /** Drop a session's memoized relations (all of them — this is a rare
+    * safety hatch, not a hot path). */
+  def invalidate(spark: SparkSession): Unit = relCache.remove(spark)
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val m = relCache.synchronized {
+      var mm = relCache.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(spark, mm)
+      }
+      mm
+    }
+    m.computeIfAbsent(s"$dir#$name", _ => build(spark, dir, name))
+  }
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") buildEvents(spark, dir)
     else spark.read.parquet(path(dir, name))
 
   // Typed accessors — keeps query code terse and typo-proof.
@@ -97,7 +133,9 @@ object Tables {
     }
   }
 
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+
+  private def buildEvents(s: SparkSession, d: String): DataFrame = {
     // session-global BY DESIGN, not scoped: the flag affects row decode
     // at execution time, so restoring it after this call could break the
     // returned (lazy) frame's later scans. Documented side effect: any

@@ -245,8 +245,50 @@ object ProfileR17 {
       "ev11_ckpt" -> (() => ev11_ckpt()),
       "ev11_merge" -> (() => ev11_merge()),
       "hv02_base" -> (() => hv02_base()),
-      "partsupp_only" -> (() => partsupp_only())
+      "partsupp_only" -> (() => partsupp_only()),
+      "q41_base" -> (() => SparkEntry.queries("q41_approx_distinct")(s, dir)),
+      "q41_spread" -> (() => Tables.spread(Tables.lineitem(s, dir)
+        .select($"l_returnflag", $"l_orderkey"))
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_orderkey").as("ad"),
+          countDistinct($"l_orderkey").as("ed"))
+        .select($"l_returnflag",
+          (abs($"ad" - $"ed").cast("double") / $"ed" <= 0.1).as("distinct_ok"))
+        .orderBy($"l_returnflag")),
+      "s06_base" -> (() => SparkEntry.queries("s06_ann_ivf_recall")(s, dir)),
+      "s09_base" -> (() => SparkEntry.queries("s09_ann_pq_recall")(s, dir)),
+      "s11_base" -> (() => SparkEntry.queries("s11_ann_ivfpq_recall")(s, dir))
     )
+    // `plantimes`: split a sample of tail entries into construction /
+    // plan-force / execution time, to decide whether the ~0.3 s tail is
+    // planning-bound or execution-bound.
+    if (args.contains("plantimes")) {
+      val sample = Seq("q05_star_join", "q13_sort_multi", "b12_ssb", "h06_tpch",
+        "t01_token_count", "ev03_sessionize", "z01_zone_prune", "m01_thumb",
+        "d01_exact_dup", "s01_knn_brute")
+        .filter(SparkEntry.queries.contains)
+      // warm everything once
+      sample.foreach { n =>
+        try SparkEntry.queries(n)(s, dir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } }
+      println("entry, construct_ms, planforce_ms, exec_ms (min of 5)")
+      sample.foreach { n =>
+        val c = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+        (1 to 5).foreach { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(n)(s, dir)
+          val t1 = System.nanoTime()
+          df.queryExecution.executedPlan // force analysis+optimization+physical
+          val t2 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t3 = System.nanoTime()
+          c += (((t1-t0)/1e6, (t2-t1)/1e6, (t3-t2)/1e6))
+        }
+        println(f"$n%-22s ${c.map(_._1).min}%8.1f ${c.map(_._2).min}%8.1f ${c.map(_._3).min}%8.1f")
+      }
+      s.stop(); return
+    }
+
     val wanted = if (args.isEmpty) variants else variants.filter(v => args.contains(v._1))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "5").toInt

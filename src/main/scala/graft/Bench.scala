@@ -71,7 +71,12 @@ import graft.sources.Tables
   *    parquet it tracks only the metadata path, see ScanStats). At
   *    100 TB bytes-scanned is the cost model, and a pruning regression
   *    must show up as a number, not as noise-sized seconds;
-  *  - session artifacts (dup groups, IVF/PQ indexes, semantic-dup sets)
+  *  - session artifacts (dup groups, IVF/PQ indexes, semantic-dup sets,
+  *    and the ANN gates' 50-probe exact-top-3 ground truth — the one
+  *    artifact whose content is a query-result fixture rather than an
+  *    index, admitted because a shared ground truth is the standard
+  *    ANN-benchmark discipline and the r17 verdict's explicit boundary:
+  *    no FURTHER query-result artifacts may be added)
   *    build once during the warm-up pass and are RELEASED once, after
   *    the counted passes and before the mode blocks, via
   *    [[graft.util.SessionCache.releaseAll]] — at sf0.1 the whole
@@ -102,15 +107,20 @@ import graft.sources.Tables
   *    fetch, demonstrated in numbers (warm ≥ 2× cold).
   *
   * Output size contract: the driver keeps only the LAST ~2000 chars of
-  * the run's output, so the JSON line must stay WELL under that with
-  * room for the epilogue. Three bench records were lost to this exact
-  * boundary (r02 truncation, r03/r04 sbt prefixing, r06: the 193-key
-  * per-query map outgrew the window and truncated mid-line → `parsed:
-  * null`). The stdout line is therefore a COMPACT summary — suite total,
-  * run totals, per-FAMILY subtotals (~16 keys, bounded as the suite
-  * grows), mode totals, cache counters — and every per-query number
-  * (seconds per run, median, GC, IO) lives only in `BENCH_DETAIL.json`,
-  * which the line points at.
+  * the run's output, so the final JSON line must stay WELL under that
+  * with room for the epilogue. Three bench records were lost to this
+  * exact boundary (r02 truncation, r03/r04 sbt prefixing, r06: the
+  * 193-key per-query map outgrew the window and truncated mid-line →
+  * `parsed: null`). The LAST stdout line is therefore a COMPACT summary
+  * — suite total, run totals, per-FAMILY subtotals (~16 keys, bounded as
+  * the suite grows), mode totals, cache counters. Since r18 (r17 verdict
+  * item 2: the driver's per-query comparator and CPU-scaling block had
+  * no per-entry data to read) a FULL line precedes it — the same record
+  * plus the driver contract's per-entry `"queries"` map — positioned
+  * FIRST so that a full-stdout reader finds the per-entry seconds while
+  * the tail window still ends with the truncation-safe compact line.
+  * Every per-query number (seconds per run, median, GC, IO) also lives
+  * in `BENCH_DETAIL.json`, which both lines point at.
   */
 object Bench {
 
@@ -1097,7 +1107,7 @@ object Bench {
           k.endsWith("_cpu_s") || k.endsWith("_load")
       }
     val warmupTotal = warmupTimes.values.filter(_ >= 0).sum
-    def line(dp: Int): String = {
+    def line(dp: Int, withQueries: Boolean = false): String = {
       val fams = jmap(famTotals, dp)
       val modes = if (warm.isEmpty) "" else
         s""","modes":{"cold":${fmt(dp, cold.map(_._2).filter(_ >= 0).sum)},"warm":${fmt(dp, warm.map(_._2).filter(_ >= 0).sum)},"n":${warm.size}},"cache":${jmap(counters, dp)}"""
@@ -1114,15 +1124,31 @@ object Bench {
         s""","pred_transfer_star":${jmap(secsOnly(predTransStar), dp)}"""
       val wu = if (warmupTimes.isEmpty) "" else
         s""","warmup_total":${fmt(dp, warmupTotal)}"""
-      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec","n_runs":$benchRuns,"stat":"min"$wu,"run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"pass_load":[${passLoad.map(fmt(1, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr$pt$pts,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
+      // per-entry seconds (the driver contract's `"queries"` map) — only
+      // in the FULL line; the compact line stays family-bounded (see the
+      // output-size contract in the scaladoc)
+      val qs = if (!withQueries) "" else s""","queries":${jmap(results, dp)}"""
+      s"""{"metric":"total","value":${fmt(dp, total)},"unit":"sec"$qs,"n_runs":$benchRuns,"stat":"min"$wu,"run_totals":[${runTotals.map(fmt(dp, _)).mkString(",")}],"pass_load":[${passLoad.map(fmt(1, _)).mkString(",")}],"families":$fams$modes$sm$st$pr$shr$pt$pts,"sf":"$sfName","detail":"per-query secs/median/runs/gc/io in BENCH_DETAIL.json"}"""
     }
-    val out = Seq(3, 2, 1).map(line).find(_.length <= 1500).getOrElse(line(1))
+    val out = Seq(3, 2, 1).map(line(_)).find(_.length <= 1500).getOrElse(line(1))
+    // The FULL line (r18, r17 verdict item 2): the compact line plus the
+    // driver contract's per-entry `"queries"` map, so the driver's
+    // per-query comparator and the CPU-scaling block have real data.
+    // Printed FIRST, with the compact line still LAST: the driver's
+    // capture historically kept only the ~2000-char TAIL of the output
+    // (the r06 record died when a 193-key map outgrew that window), so
+    // the line that must survive tail truncation — the compact one, byte-
+    // format identical to every prior round's — stays in final position,
+    // while a full-stdout reader finds the queries map in this one.
+    // Additions-only: every compact-line key appears here unchanged.
+    val fullLine = line(3, withQueries = true)
     // stop Spark BEFORE printing: the driver keeps the tail of the output
     // and recognizes the result by "line starts with '{'", so shutdown
     // log lines must not trail (or displace) the JSON line. A failing
     // stop() must not cost the record — the measurements exist either way.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] stop failed: $e") }
+    println(fullLine)
     println(out)
     System.out.flush()
   }

@@ -1173,7 +1173,17 @@ object HybridScan {
       // a column outside the projection still routes correctly
       val need = (cols ++ referencedCols(predicate).toSeq.sorted.filterNot(cols.contains))
 
-      def plainScan() = s.read.parquet(Tables.path(dir, table))
+      // memoized relation (r18, r17 verdict item 4): a fresh
+      // `read.parquet` here re-paid listing + footer resolution on EVERY
+      // routing decision — per leaf, per query, per run (~20-70 ms each;
+      // on the throttled store legs, footer bytes through the throttle
+      // too). The router scans only the catalogue's immutable base
+      // tables through this path, so Tables.load's plan-metadata memo is
+      // exactly as safe here as it is for the DataFrame operators. The
+      // hybrid/ordinal FETCH sides deliberately stay freshly-resolved:
+      // their listing fingerprint must rotate on an external same-name
+      // rewrite (spec-pinned), which a memoized relation would defeat.
+      def plainScan() = Tables.load(s, dir, table)
 
       def pushdownLease(reason: String): ScanLease = {
         // pushdown-only mode cannot fall back: a saturated store QUEUES

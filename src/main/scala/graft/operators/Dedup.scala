@@ -1076,21 +1076,36 @@ object Dedup {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val pairs = minhashCandidates(docs)
-    val sig = minhashSignatures(docs)
-    val sh = withSh3(docs).select($"doc_id", $"sh")
+    // ONE per-doc frame carrying BOTH comparison inputs — the 16
+    // signature streams AND the exact shingle set (r18, guide §1.2/§2.3:
+    // don't compute things twice, and fewer joins shuffle fewer rows).
+    // The previous form built FOUR independent broadcast subtrees
+    // (sig a/b + sh a/b), each recomputing shingles from the scan; the
+    // combined frame pays the shingle+signature map twice (once per
+    // broadcast side) and joins twice instead of four times. Join
+    // semantics are unchanged: sig and sh both had exactly one row per
+    // doc_id, so fusing them into one inner join per side yields the
+    // identical row set. Deliberately NO merge hints: the hinted SMJ
+    // form shares the compute once via ReusedExchange but trades the
+    // broadcasts for an exchange+sort chain — measured WORSE (A/B at
+    // sf0.1: hinted 1.40 s, base 0.96 s, this form 0.70 s); per-doc
+    // signature compute is a parallel narrow map, cheap at every scale,
+    // while the sort chain grows with the corpus.
+    val sigCols = (0 until NumHashes)
+      .map(k => element_at(col("sig"), k + 1).as(f"m$k%02d"))
+    val per = withSh3(docs)
+      .withColumn("sig", graft.functions.MinHashLcg.column(col("sh"), NumHashes))
+      .select((col("doc_id") +: col("sh") +: sigCols): _*)
     val matches = (0 until NumHashes)
       .map(k => when(col(f"a.m$k%02d") === col(f"b.m$k%02d"), 1).otherwise(0))
       .reduce(_ + _)
-    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    val inter = size(array_intersect($"a.sh", $"b.sh"))
     pairs
-      .join(sig.as("a"), $"doc_a" === $"a.doc_id")
-      .join(sig.as("b"), $"doc_b" === $"b.doc_id")
+      .join(per.as("a"), $"doc_a" === $"a.doc_id")
+      .join(per.as("b"), $"doc_b" === $"b.doc_id")
       .withColumn("est_j", matches.cast("double") / NumHashes)
-      .select($"doc_a", $"doc_b", $"est_j")
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sh_a")), Seq("doc_a"))
-      .join(sh.select($"doc_id".as("doc_b"), $"sh".as("sh_b")), Seq("doc_b"))
       .withColumn("exact_j",
-        inter.cast("double") / (size($"sh_a") + size($"sh_b") - inter))
+        inter.cast("double") / (size($"a.sh") + size($"b.sh") - inter))
       .select($"doc_a", $"doc_b", $"est_j", $"exact_j",
         abs($"est_j" - $"exact_j").as("abs_err"))
       .orderBy($"doc_a", $"doc_b")
@@ -1551,6 +1566,16 @@ object Dedup {
     * batch join. Exposed for the spec's cap-behavior test. */
   def incrementalLshPairs(seenDocs: DataFrame, newDocs: DataFrame,
       maxBucket: Int = MaxBucketSize): DataFrame =
+    // Sharing the seen-side band compute between the join core's two
+    // consumers (cap aggregate + semi probe) via an explicit
+    // `repartition(band_idx, band_hash)` was TRIED and REVERTED (r18):
+    // PushDownLeftSemiAntiJoin pushes the semi join BELOW a user
+    // repartition, so the semi side recomputed the bands anyway and the
+    // repartition survived as one extra full exchange above the semi —
+    // A/B 1.28 → 1.62 s. The duplicate band compute is a parallel narrow
+    // map (cheap at any SF); the SCALE path for a corpus-sized seen side
+    // is d18's bucketed index, whose on-disk layout already serves both
+    // consumers exchange-free.
     pairsAgainstIndex(bandHashes(seenDocs), bandHashes(newDocs), maxBucket)
 
   /** The join core shared by the in-query (d17) and persistent-index

@@ -286,10 +286,22 @@ object TextAnalysis {
       .select($"doc_id", explode(words($"text")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     // document frequency is vocabulary-sized (one row per distinct word
-    // ≪ one row per posting): broadcast it so tf keeps its clustering
+    // ≪ one row per posting): broadcast it so tf keeps its clustering.
+    // Vocabulary bound (r18, r17 ADVICE — a broadcast hint bypasses
+    // autoBroadcastJoinThreshold): Heaps' law puts distinct words at
+    // K·nᵝ, β≈0.5 — ~1e8 rows (a few GB framed) for a 100 TB corpus,
+    // inside the 8 GB broadcast cap but enough executor pressure that a
+    // deployment may prefer the shuffle join; the hint is therefore
+    // conf-gated (spark.graft.tfidf.broadcastVocab, default on). With
+    // the gate off the join falls back to the planner's choice and tf
+    // re-shuffles for the window — slower, never wrong.
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val dfSide =
+      if (s.conf.getOption("spark.graft.tfidf.broadcastVocab")
+            .forall(_.toBoolean)) broadcast(df)
+      else df
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")
-    tf.join(broadcast(df), "word")
+    tf.join(dfSide, "word")
       .crossJoin(broadcast(n))
       .withColumn("score", $"tf" * log($"n_docs" / $"df"))
       .withColumn("rank", row_number().over(w))

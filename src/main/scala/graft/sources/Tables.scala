@@ -82,24 +82,48 @@ object Tables {
   // writers target derived copies under their own names). Self-joins of
   // one memoized frame are de-duplicated by Catalyst's
   // DeduplicateRelations, same as two references to one registered view.
-  private val relCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+  // Retention is BOUNDED, not weak (r18, r17 ADVICE): a weak session key
+  // does not work when the value is a DataFrame — the frame strongly
+  // references its SparkSession, which re-reaches the key through the
+  // entry's own value and pins it forever (the value→key pitfall
+  // documented at graft.util.SessionCache). Access-ordered LRU over
+  // (session, dir#table) with a generous cap: the worst case is
+  // `MaxEntries` retained analyzed plans, not one per session×dir ever
+  // seen — spec suites that spin up dozens of `newSession()`s no longer
+  // pin every SessionState for the JVM lifetime, and an evicted entry
+  // simply re-resolves on next use (plan metadata only, nothing to
+  // release). 128 ≫ tables(10) × the dirs a real session touches.
+  private val MaxEntries = 128
+  private val relCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > MaxEntries
+    }
 
   /** Drop a session's memoized relations (all of them — this is a rare
     * safety hatch, not a hot path). */
-  def invalidate(spark: SparkSession): Unit = relCache.remove(spark)
+  def invalidate(spark: SparkSession): Unit = relCache.synchronized {
+    val it = relCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 eq spark) it.remove()
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val m = relCache.synchronized {
-      var mm = relCache.get(spark)
-      if (mm == null) {
-        mm = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        relCache.put(spark, mm)
-      }
-      mm
+    val k = (spark, s"$dir#$name")
+    relCache.synchronized {
+      val cur = relCache.get(k)
+      if (cur != null) return cur
     }
-    m.computeIfAbsent(s"$dir#$name", _ => build(spark, dir, name))
+    // build OUTSIDE the monitor (file listing + footer read can take
+    // ~100 ms; concurrent sessions must not serialize on it); racing
+    // builders are benign — both frames are equivalent plan metadata,
+    // first insert wins
+    val v = build(spark, dir, name)
+    relCache.synchronized {
+      val cur = relCache.get(k)
+      if (cur != null) cur else { relCache.put(k, v); v }
+    }
   }
 
   private def build(spark: SparkSession, dir: String, name: String): DataFrame =

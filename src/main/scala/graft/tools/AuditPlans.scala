@@ -28,7 +28,15 @@ object AuditPlans {
             val l = new org.apache.spark.sql.util.QueryExecutionListener {
               override def onSuccess(f: String,
                   qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-                captured = Some(qe)
+                // pin the capture to the noop WRITE's execution: entries
+                // whose construction runs inner actions (artifact builds,
+                // localCheckpoint, count) fire extra onSuccess events
+                // whose plan is NOT the query's (r17 ADVICE). The noop
+                // sink's funcName is 'overwrite' (measured — v2 path via
+                // OverwriteByExpression); 'save'/'command' cover the v1
+                // and generic command paths.
+                if (f == "overwrite" || f == "save" || f == "command")
+                  captured = Some(qe)
               override def onFailure(f: String,
                   qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
             }

@@ -615,6 +615,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ev16 precondition: events.value is never NULL (segment-form row-identity)") {
+    import org.apache.spark.sql.functions.col
+    // The ev16 segment rewrite (one lead() window + explode(sequence))
+    // is row-identical to the windowed/calendar oracle form iff every
+    // observed (user, hour) group is a real anchor — avg(value) never
+    // NULL. A group exists only with >= 1 row, so the precondition
+    // reduces to: `value` has no NULL rows. Pinned here (r17 verdict
+    // item 7 / ADVICE): a future testdata generation that introduces
+    // NULL values must either restore the windowed form or teach the
+    // segment form to skip NULL anchors — this spec is the tripwire.
+    val nulls = graft.sources.Tables.events(spark, sfDir)
+      .filter(col("value").isNull).count()
+    assert(nulls == 0, s"events.value has $nulls NULL row(s) — ev16's " +
+      "segment form requires non-NULL anchors (see EventStream.ev16Interpolate)")
+  }
+
   test("ev11 interval overlap join is a banded equi-join, never a theta join") {
     // the whole point of the hour-bucket expansion: candidates must meet
     // on an EQUI key (hash/sort-merge join), not via the quadratic
